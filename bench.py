@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the sum of per-query wall-clock seconds (each query fully
+executed via a count-collect so every operator materializes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline suite: the flagship + the operator families that dominate
+#: cost at scale (wide agg, star join, as-of, windowing, union-dedup,
+#: bucketing, top-k)
+HEADLINE = [
+    "wx_daily_summary",
+    "agg_multi",
+    "join_equi_inner",
+    "join_asof_nearest",
+    "bucket_hourly",
+    "win_rank",
+    "set_union_history_forecast",
+    "sort_topk",
+    "agg_rollup",
+    "ext_dedup_exact",
+    "ext_simsearch_topk",
+    "ext_text_analysis",
+]
+
+
+def main() -> None:
+    from weather_data_ingestion_service_spark.session import get_spark
+    from weather_data_ingestion_service_spark import registry
+
+    spark = get_spark(app_name="wds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    suite = [q for q in HEADLINE if q in qs]
+
+    # warm the JVM + parquet footers once so timings measure the
+    # queries, not session startup
+    qs[suite[0]](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in suite:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Differential tests: every registry query vs its DuckDB oracle —
+the same compare the driver's correctness gate performs (SURVEY.md §5.1)."""
+
+import pytest
+
+from weather_data_ingestion_service_spark import registry
+from tests.oracle_utils import compare_query
+
+QUERIES = registry.queries()
+ORACLE = registry.oracle_sql()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    ok, msg = compare_query(df, duck, ORACLE[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    """Non-SQL-expressible ops: schema is stable and the query runs."""
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0

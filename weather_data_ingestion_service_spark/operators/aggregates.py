@@ -1,0 +1,101 @@
+"""Aggregations (SURVEY.md §2.D) — the daily-variable families.
+
+The reference never aggregates in-process; each ``DEFAULT_DAILY_VARS``
+name (reference server.py:131-136) is a daily aggregate the remote API
+computes.  Natively these are one hash aggregation over
+``(keys, window(ts, '1 day'))`` — partial (map-side) + final combine is
+automatic in Tungsten, which is exactly the shape that scales: the
+shuffle carries one row per (key, day, measure-set), not raw rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: daily variable name → (source hourly column, aggregate family)
+#: (reference server.py:131-136 ↔ server.py:125-130)
+DAILY_VARIABLE_SPECS: dict[str, tuple[str, str]] = {
+    "weather_code": ("weather_code", "mode"),
+    "temperature_2m_max": ("temperature_2m", "max"),
+    "temperature_2m_min": ("temperature_2m", "min"),
+    "apparent_temperature_max": ("apparent_temperature", "max"),
+    "apparent_temperature_min": ("apparent_temperature", "min"),
+    "daylight_duration": ("daylight_duration", "sum"),
+    "sunshine_duration": ("sunshine_duration", "sum"),
+    "precipitation_sum": ("precipitation", "sum"),
+    "rain_sum": ("rain", "sum"),
+    "snowfall_sum": ("snowfall", "sum"),
+    "precipitation_hours": ("precipitation", "cond_hours"),
+    "uv_index_max": ("uv_index", "max"),
+}
+
+
+def _agg_expr(src: str, family: str, alias: str) -> Column:
+    if family == "max":
+        return F.max(src).alias(alias)
+    if family == "min":
+        return F.min(src).alias(alias)
+    if family == "sum":
+        return F.sum(src).alias(alias)
+    if family == "avg":
+        return F.avg(src).alias(alias)
+    if family == "cond_hours":
+        # precipitation_hours: count of hours with precipitation > 0
+        # (server.py:134) — conditional count, still map-side combinable.
+        return F.sum(F.when(F.col(src) > 0, 1).otherwise(0)).cast("double").alias(alias)
+    raise ValueError(f"unknown aggregate family: {family}")
+
+
+def daily_summary(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    specs: dict[str, tuple[str, str]],
+    day_alias: str = "day",
+) -> DataFrame:
+    """Tumbling-daily aggregation: ``groupBy(keys, window(ts, '1 day'))``.
+
+    ``specs`` maps output name → (source column, family) as in
+    ``DAILY_VARIABLE_SPECS``.  The ``mode`` family (daily
+    ``weather_code``) needs a two-level plan and is handled by
+    ``categorical_mode`` — compose with a join when both are needed.
+    """
+    aggs = [
+        _agg_expr(src, family, alias)
+        for alias, (src, family) in specs.items()
+        if family != "mode"
+    ]
+    win = F.window(F.col(ts_col), "1 day")
+    return (
+        df.groupBy(*keys, win.alias("__w"))
+        .agg(*aggs)
+        .withColumn(day_alias, F.col("__w.start"))
+        .drop("__w")
+    )
+
+
+def categorical_mode(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    alias: str | None = None,
+) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (lowest value).
+
+    Implements the daily representative ``weather_code``
+    (reference server.py:132).  Spark's ``mode()`` breaks ties
+    arbitrarily, so this uses count-then-rank: two hash aggregations
+    and one small window — all map-side-combinable, no Python.
+    The oracle mirrors the same rule (SURVEY.md §7 hard parts).
+    """
+    alias = alias or col
+    counted = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__n").desc(), F.col(col).asc())
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col(col).alias(alias))
+    )

@@ -1,0 +1,149 @@
+"""Joins (SURVEY.md §2.C): broadcast dim lookup, range join, as-of join.
+
+Equi joins need no wrapper (``df.join`` + Catalyst/AQE strategy choice
+is already the right engine); this module holds the joins that need a
+deliberate physical shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def geocode_lookup(
+    df: DataFrame,
+    geo_dim: DataFrame,
+    on: str = "place",
+    how: str = "left",
+) -> DataFrame:
+    """Place → coordinates via a broadcast dimension join.
+
+    The reference geocodes each place with a remote Nominatim point
+    lookup, rate-limited to ~0.9 q/s with no caching
+    (reference server.py:96-119, 108).  The Spark-native restatement is
+    a **broadcast hash join** against a small geo dimension: no
+    shuffle of the fact side, no per-row network call, and unresolved
+    places surface as NULL coordinates (the reference's error-value,
+    server.py:112-114) instead of exceptions.
+    """
+    return df.join(F.broadcast(geo_dim), on=on, how=how)
+
+
+def range_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: Column,
+    lo_col: Column,
+    hi_col: Column,
+    extra: Column | None = None,
+) -> DataFrame:
+    """θ-join on ``lo <= ts < hi``.
+
+    Catalyst plans this as broadcast-nested-loop when one side is
+    small.  At 100 TB both sides are large: bucket the timestamp to the
+    interval granularity and equi-join on the bucket first (making it
+    shuffle-hash + residual filter) — see ``bucketed_range_join``.
+    """
+    cond = (ts_col >= lo_col) & (ts_col < hi_col)
+    if extra is not None:
+        cond = cond & extra
+    return left.join(right, cond)
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_days: int = 7,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Scale path for the interval join: equi-join on coarse time
+    buckets (right intervals exploded over the buckets they overlap),
+    then the exact residual predicate.  Turns an O(n·m) nested loop
+    into a shuffle-hash join on ``(bucket, *keys)``.
+    """
+    step = bucket_days * 86400
+    lb = left.withColumn("__bucket", (F.unix_timestamp(F.col(left_ts)) / step).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(right_lo)) / step).cast("long"),
+                (F.unix_timestamp(F.col(right_hi)) / step).cast("long"),
+            )
+        ),
+    )
+    on = ["__bucket", *keys]
+    return (
+        lb.join(rb, on=on)
+        .filter((F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) < F.col(right_hi)))
+        .drop("__bucket")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row
+    with ``right.ts <= left.ts`` per join key.
+
+    Semantic analog of Open-Meteo snapping a coordinate to the nearest
+    model grid point (reference WetIng.pdf p.1-2; no reference code —
+    the behavior lives server-side).  Spark has no as-of builtin, so:
+    union both sides tagged, then ``last(payload, ignorenulls=True)``
+    over a per-key time-ordered window — one shuffle on the key, no
+    row-at-a-time Python, exact semantics (DuckDB ``ASOF JOIN`` is the
+    oracle).
+
+    Right side must be unique per ``(on, right_ts)``; pre-aggregate
+    otherwise (ties would be nondeterministic).  At equal timestamps
+    the right row is visible to the left row (``<=`` inclusive).
+    """
+    on = list(on)
+    payload_struct = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__probe"),
+        payload_struct.alias("__payload"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__probe"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    # align columns: right rows carry NULL for left payload columns
+    for c in left_cols:
+        if c not in on:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*l.columns)
+
+    # __probe sorts right rows (0) before left rows (1) at equal __t,
+    # making the join inclusive of right.ts == left.ts.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).withColumn(
+        "__filled", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__probe") == 1).select(
+        *left_cols, *[F.col("__filled")[c].alias(c) for c in payload_cols]
+    )
+    if how == "inner":
+        out = out.na.drop(subset=[payload_cols[0]])
+    return out

@@ -1,0 +1,77 @@
+"""Window functions & time bucketing (SURVEY.md §2.E).
+
+The reference's ``granularity`` parameter (15 / 60 / ≥1440,
+reference server.py:213-225) dispatches which resolution of the same
+series the API materializes; natively that is tumbling-window
+bucketing.  Ranking / lag / moving averages are the feature-engineering
+substrate the reference's README promises downstream ML pipelines
+(reference README.md:18).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: reference granularity param → Spark window duration
+GRANULARITY_DURATIONS = {15: "15 minutes", 60: "1 hour", 1440: "1 day"}
+
+
+def time_bucket(
+    df: DataFrame, ts_col: str, duration: str, alias: str = "bucket_start"
+) -> DataFrame:
+    """Tumbling bucket; emits the window start as ``alias``.
+
+    ``window()`` is a scalar projection (no shuffle by itself); the
+    shuffle happens only in the downstream groupBy, keyed by bucket —
+    which at 100 TB is what you want: pre-partitioning the layout by
+    ``date(ts)`` makes daily buckets align with partition boundaries.
+    """
+    return df.withColumn(alias, F.window(F.col(ts_col), duration)["start"])
+
+
+def _ordered_window(keys: Sequence[str], order_by: Sequence[Column | str]):
+    return Window.partitionBy(*keys).orderBy(*order_by)
+
+
+def rank_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    rank_alias: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    """row_number / rank / dense_rank over a per-key ordering.
+
+    Callers must make ``order_by`` a total order (tie-break on a unique
+    id) or row_number is nondeterministic across runs/engines.
+    """
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    return df.withColumn(rank_alias, fn().over(_ordered_window(keys, order_by)))
+
+
+def lag_delta(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    col: str,
+    alias: str = "delta",
+) -> DataFrame:
+    """Hour-over-hour style delta: ``col - lag(col)`` per key."""
+    w = _ordered_window(keys, order_by)
+    return df.withColumn(alias, F.col(col) - F.lag(col).over(w))
+
+
+def moving_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    col: str,
+    preceding: int,
+    alias: str = "moving_avg",
+) -> DataFrame:
+    """Trailing moving average over ``preceding`` prior rows + current."""
+    w = _ordered_window(keys, order_by).rowsBetween(-preceding, 0)
+    return df.withColumn(alias, F.avg(col).over(w))
