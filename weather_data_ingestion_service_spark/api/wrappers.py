@@ -1,0 +1,194 @@
+"""API wrappers: the reference's tool semantics over DataFrames.
+
+Mirrors the request lifecycle of ``get_forecast``
+(reference server.py:142-280) and ``get_history`` (server.py:284-369):
+bind → resolve location → validate → plan → execute; the "remote API"
+stage becomes a Catalyst plan over the weather tables.  The
+reference's error *values* (``{"status": "error", ...}``,
+server.py:280, 369) become typed exceptions here — engine-internal
+code raises; a serving layer that needs envelopes wraps at the
+boundary (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import DAILY_VARIABLE_SPECS, categorical_mode, daily_summary
+from ..operators.relational import (
+    filter_date_range,
+    filter_horizon_relative,
+    select_vars,
+)
+from ..schemas import DEFAULT_HOURLY_VARS
+from .. import fixtures
+
+
+class ForecastRequestError(ValueError):
+    """Engine analog of the reference's error envelope
+    (server.py:192, 197, 280): invalid request semantics detected
+    before any job runs."""
+
+
+def geocode(spark: SparkSession, place: str, geo: DataFrame | None = None):
+    """place → (location_id, lat, lon) via the broadcast geo dimension.
+
+    The reference geocodes per request with ``exactly_one=True`` and
+    raises ``ValueError`` on a miss (server.py:110-114); here a miss
+    on the dimension behaves the same.
+    """
+    geo = geo if geo is not None else fixtures.geo_dim(spark)
+    rows = geo.filter(F.col("place") == place).limit(2).collect()
+    if not rows:
+        raise ForecastRequestError(f"Could not find coordinates for {place!r}")
+    r = rows[0]
+    return r.location_id, r.latitude, r.longitude
+
+
+def _validate_coord(lat: float, lon: float) -> None:
+    # Coordinate bounds (reference server.py:46-51, 199-203)
+    if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+        raise ForecastRequestError(f"invalid coordinates: ({lat}, {lon})")
+
+
+def _resolve_location(spark, place, latitude, longitude, geo):
+    """place overrides explicit lat/lon (reference server.py:166,
+    188-190); no location at all is an error (server.py:196-197)."""
+    if place is not None:
+        loc_id, lat, lon = geocode(spark, place, geo)
+    elif latitude is not None and longitude is not None:
+        geo = geo if geo is not None else fixtures.geo_dim(spark)
+        lat, lon = float(latitude), float(longitude)
+        # snap to nearest fixture location (the API's grid-point snap,
+        # WetIng.pdf p.1-2) — nearest by squared degree distance
+        cand = geo.withColumn(
+            "d2",
+            (F.col("latitude") - lat) ** 2 + (F.col("longitude") - lon) ** 2,
+        ).orderBy("d2").limit(1).collect()
+        if not cand:
+            raise ForecastRequestError("empty geo dimension")
+        loc_id = cand[0].location_id
+    else:
+        raise ForecastRequestError(
+            "Either 'place' or both 'latitude' and 'longitude' must be provided"
+        )
+    _validate_coord(lat, lon)
+    return loc_id, lat, lon
+
+
+def _materialize(
+    wh: DataFrame, granularity: int, variables, loc_id: int
+) -> DataFrame:
+    """Granularity dispatch (reference server.py:213-225): 15 → 15-min
+    resample, 60 → hourly passthrough, ≥1440 → daily aggregates."""
+    base = wh.filter(F.col("location_id") == loc_id)
+    if granularity >= 1440:
+        specs = {
+            name: spec
+            for name, spec in DAILY_VARIABLE_SPECS.items()
+            if spec[1] != "mode"
+            and (variables is None or name in _as_list(variables))
+        }
+        out = daily_summary(base, "ts", ["location_id"], specs)
+        want_mode = variables is None or "weather_code" in _as_list(variables)
+        if want_mode:
+            mode = categorical_mode(
+                base.withColumn("day", F.window("ts", "1 day")["start"]),
+                ["location_id", "day"],
+                "weather_code",
+            )
+            out = out.join(mode, ["location_id", "day"])
+        return out.orderBy("day")
+    if granularity == 15:
+        # 15-min resample of an hourly series: forward-fill within the
+        # hour via explode of 4 offsets (the fixture is hourly; a true
+        # 15-min source would skip this step)
+        offs = F.explode(F.array(*[F.lit(m) for m in (0, 15, 30, 45)]))
+        base = (
+            base.withColumn("__m", offs)
+            .withColumn("ts", F.col("ts") + F.make_interval(mins=F.col("__m")))
+            .drop("__m")
+        )
+    proj = select_vars(
+        base, variables, DEFAULT_HOURLY_VARS, keys=["location_id", "ts"]
+    )
+    return proj.orderBy("ts")
+
+
+def _as_list(variables) -> list[str]:
+    if variables is None:
+        return []
+    if isinstance(variables, str):
+        return [v.strip() for v in variables.split(",") if v.strip()]
+    return list(variables)
+
+
+def get_forecast(
+    spark: SparkSession,
+    place: str | None = None,
+    latitude: float | None = None,
+    longitude: float | None = None,
+    granularity: int = 60,
+    forecast_days: int = 7,
+    past_days: int = 0,
+    variables: str | list[str] | None = None,
+    daily_variables: str | list[str] | None = None,
+    now: str = fixtures.FIXTURE_NOW,
+    weather: DataFrame | None = None,
+    geo: DataFrame | None = None,
+) -> DataFrame:
+    """Engine ``get_forecast`` (reference server.py:142-280).
+
+    Parameter semantics preserved: place-overrides-latlon, granularity
+    dispatch {15, 60, ≥1440}, ``forecast_days`` clamped at 16,
+    ``past_days`` back-window, caller-selected variables.  ``now`` is
+    explicit (pinned in tests; wall-clock in production).
+    """
+    if granularity not in (15, 60) and granularity < 1440:
+        raise ForecastRequestError(f"unsupported granularity: {granularity}")
+    loc_id, _, _ = _resolve_location(spark, place, latitude, longitude, geo)
+    wh = weather if weather is not None else fixtures.weather_hourly(spark)
+    horizon = filter_horizon_relative(
+        wh, "ts", now, past_days=past_days, forecast_days=forecast_days
+    )
+    gran = 1440 if granularity >= 1440 else granularity
+    vars_ = daily_variables if gran == 1440 else variables
+    return _materialize(horizon, gran, vars_, loc_id)
+
+
+def get_history(
+    spark: SparkSession,
+    start_date: str,
+    end_date: str,
+    place: str | None = None,
+    latitude: float | None = None,
+    longitude: float | None = None,
+    granularity: int = 60,
+    variables: str | list[str] | None = None,
+    weather: DataFrame | None = None,
+    geo: DataFrame | None = None,
+) -> DataFrame:
+    """Engine ``get_history`` (reference server.py:284-369): dates are
+    required ISO strings with ``start <= end`` (server.py:336-345);
+    granularity 15 is rejected for history (server.py:351-352)."""
+    if granularity == 15:
+        raise ForecastRequestError(
+            "15-minute granularity is not available for historical data"
+        )
+    if granularity != 60 and granularity < 1440:
+        raise ForecastRequestError(f"unsupported granularity: {granularity}")
+    try:
+        sd = dt.date.fromisoformat(start_date)
+        ed = dt.date.fromisoformat(end_date)
+    except (TypeError, ValueError) as exc:
+        raise ForecastRequestError(f"invalid date: {exc}") from exc
+    if sd > ed:
+        raise ForecastRequestError("start_date must be <= end_date")
+    loc_id, _, _ = _resolve_location(spark, place, latitude, longitude, geo)
+    wh = weather if weather is not None else fixtures.weather_hourly(spark)
+    ranged = filter_date_range(wh, "ts", sd, ed)
+    gran = 1440 if granularity >= 1440 else granularity
+    return _materialize(ranged, gran, variables, loc_id)

@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale posture: exact dedup is one hash aggregation (map-side
+combinable).  Near-dup never compares all pairs — every variant
+generates candidates by equality on some derived key (shingle, LSH
+band bucket, SimHash band) so the quadratic blowup is limited to
+within-bucket pairs; the exact/verification predicate then prunes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+
+def dedup_exact(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
+    """Exact duplicate removal keyed on ``keys``; keeps the lowest id
+    (deterministic, unlike ``dropDuplicates`` whose survivor is
+    partition-order dependent) and reports the multiplicity.
+
+    One hash aggregation — at 100 TB the shuffle carries only the
+    (key-hash → min id, count) pairs after partial aggregation.
+    """
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Add ``shingles``: distinct word n-grams of the text.
+
+    Pure built-ins (split / sequence / transform / slice) — stays in
+    whole-stage codegen, no Python.
+    """
+    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return df.withColumn("shingles", F.array_distinct(sh))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over word n-gram shingle sets.
+
+    Candidate generation: explode shingles and self-join on shingle
+    equality (only docs sharing ≥1 shingle are ever compared), count
+    shared shingles per pair, then ``J = inter / (|A| + |B| - inter)``.
+    Emits each pair once (id_a < id_b).
+
+    At scale the explode output is the dominant shuffle; shingle
+    hashing (``xxhash64``) keeps the join key 8 bytes, and a
+    stop-shingle filter (drop shingles appearing in > X docs) bounds
+    bucket skew — the classic trick for the "the the the" bucket.
+    """
+    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).withColumn("shingle", F.xxhash64("shingle"))
+
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs with MinHash-
+    estimated Jaccard.
+
+    shingle → per-shingle universal hashes (``xxhash64(shingle, seed)``)
+    → per-doc min per seed (one hash-agg) → band signature = hash of
+    ``rows_per_band`` consecutive minhashes → docs sharing any band
+    bucket become candidates → estimate J as fraction of equal
+    minhashes.  All built-ins; the only shuffles are the minhash
+    aggregation and the band-bucket join, both on compact keys.
+    Estimated Jaccard (not exact): pair with ``ngram_jaccard_pairs``
+    semantics for a verification pass when exactness matters.
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
+        id_col, F.explode("shingles").alias("shingle")
+    )
+    hashed = sh.select(
+        id_col,
+        *[
+            F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{seed}").alias(f"m{seed}") for seed in range(num_hashes)]
+    )
+    sig = sig.withColumn(
+        "sig", F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
+    ).select(id_col, "sig")
+
+    band_cols = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.withColumn("band", F.explode(band_cols))
+
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band")
+    b_ = banded.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band")
+    cand = (
+        a.join(b_, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("jaccard_est", est.cast("double"))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+@pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-based token hashes —
+    stable across runs/JVMs; Arrow-vectorized batches)."""
+
+    def one(text: str) -> int:
+        if not text:
+            return 0
+        acc = [0] * 64
+        for tok in text.lower().split():
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        # two's-complement into signed int64 for LongType
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(one)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, banded into
+    ``bands`` 16-bit chunks for candidate generation (a pair within
+    Hamming distance ``bands - 1`` must agree on ≥1 band), exact
+    Hamming distance as the verifier.
+
+    The fingerprint is the only Python step (vectorized pandas_udf);
+    banding, join and popcount run JVM-side.
+    """
+    width = 64 // bands
+    fp = df.select(id_col, _simhash64(F.col(text_col)).alias("fp"))
+    band_exprs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.shiftrightunsigned("fp", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.withColumn("b", F.explode(band_exprs)).select(
+        id_col, "fp", F.col("b.band_no").alias("band_no"), F.col("b.band_val").alias("band_val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "band_no", "band_val"
+    )
+    b_ = banded.select(
+        F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "band_no", "band_val"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b_, ["band_no", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

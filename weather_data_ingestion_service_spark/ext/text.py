@@ -1,0 +1,133 @@
+"""Text analysis operators over document tables: tokenization, word
+counts, quality scoring, language-ID heuristic, fingerprinting.
+
+All hot paths are built-in expressions (split / explode / aggregate) —
+the only candidate for Python is language ID, and even that is a
+literal-array intersection, not a UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic
+#: (public common-word lists; enough to separate the fixture's langs)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "pour", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def tokens(text_col) -> F.Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def word_counts(df: DataFrame, text_col: str, keys: Sequence[str] = ()) -> DataFrame:
+    """Word frequencies (optionally per key): tokenize → explode →
+    count.  The canonical two-shuffle text query; partial aggregation
+    makes the explode output collapse map-side."""
+    return (
+        df.select(*keys, F.explode(tokens(text_col)).alias("word"))
+        .groupBy(*keys, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: token count (whitespace + a
+    BPE-ish subword estimate), char count, mean token length."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    mean_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    # BPE-ish estimate: ~1 subword per 4 chars, floored at word count
+    bpe_est = F.greatest(F.ceil(n_chars / 4).cast("long"), n_tokens.cast("long"))
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_obs"),
+        mean_len.cast("double").alias("mean_token_len"),
+        bpe_est.alias("bpe_token_est"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length band, punctuation ratio,
+    stopword hit-rate, repetition — the standard pre-training corpus
+    filters (cf. C4/Gopher rules), expressed as one projection."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(t), en_stop))
+    uniq_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(t)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), 0.4).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(stop_hits >= 2, 0.2).otherwise(0.0)
+        + (uniq_ratio * 0.2)
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        punct_ratio.cast("double").alias("punct_ratio"),
+        uniq_ratio.cast("double").alias("uniq_ratio"),
+        score.cast("double").alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: score = |distinct tokens ∩
+    stopwords(lang)| per language, predict the argmax (ties → lexical
+    order).  A literal-array heuristic, not a model — deterministic
+    and fully JVM-side; swap for fastText at the same call site when
+    the library is available."""
+    t = F.array_distinct(tokens(text_col))
+    scores = [
+        F.size(
+            F.array_intersect(t, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        ).alias(f"score_{lang}")
+        for lang in sorted(STOPWORDS)
+    ]
+    scored = df.select(id_col, F.col(text_col).alias("__text"), *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang))
+            for lang in langs
+        ],
+        F.lit("und"),
+    )
+    return scored.select(id_col, pred.alias("lang_pred"), best.alias("lang_score"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprints: md5 content hash + 64-bit rolling
+    polynomial hash of the token stream (fold over tokens with a
+    31-multiplier — the order-sensitive cousin of the md5)."""
+    rolling = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc * F.lit(1000003) + F.xxhash64(tok),
+    )
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )

@@ -16,15 +16,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: daily variable name → (source hourly column, aggregate family)
-#: (reference server.py:131-136 ↔ server.py:125-130)
+#: (reference server.py:131-136 ↔ server.py:125-130).  ``sunrise`` /
+#: ``sunset`` / ``daylight_duration`` are astronomy, not hourly
+#: aggregates — they come from ``functions.astro.solar_events``;
+#: ``sunshine_duration`` uses the WMO convention (direct radiation
+#: > 120 W/m² counts as sunshine).
 DAILY_VARIABLE_SPECS: dict[str, tuple[str, str]] = {
     "weather_code": ("weather_code", "mode"),
     "temperature_2m_max": ("temperature_2m", "max"),
     "temperature_2m_min": ("temperature_2m", "min"),
     "apparent_temperature_max": ("apparent_temperature", "max"),
     "apparent_temperature_min": ("apparent_temperature", "min"),
-    "daylight_duration": ("daylight_duration", "sum"),
-    "sunshine_duration": ("sunshine_duration", "sum"),
+    "sunshine_duration": ("direct_radiation", "sunshine"),
     "precipitation_sum": ("precipitation", "sum"),
     "rain_sum": ("rain", "sum"),
     "snowfall_sum": ("snowfall", "sum"),
@@ -46,6 +49,14 @@ def _agg_expr(src: str, family: str, alias: str) -> Column:
         # precipitation_hours: count of hours with precipitation > 0
         # (server.py:134) — conditional count, still map-side combinable.
         return F.sum(F.when(F.col(src) > 0, 1).otherwise(0)).cast("double").alias(alias)
+    if family == "sunshine":
+        # sunshine_duration seconds: hours with direct radiation above
+        # the WMO 120 W/m² sunshine threshold × 3600 (server.py:133)
+        return (
+            F.sum(F.when(F.col(src) > 120.0, 3600).otherwise(0))
+            .cast("double")
+            .alias(alias)
+        )
     raise ValueError(f"unknown aggregate family: {family}")
 
 

@@ -1273,9 +1273,17 @@ def q_wx_daily_summary(spark, sf_dir):
     )
 
 
+def _load_extensions() -> None:
+    """Import side-effect registration of the extension entries
+    (kept in a separate module; same registry)."""
+    from . import registry_ext  # noqa: F401
+
+
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return dict(_ORACLE)

@@ -1,0 +1,543 @@
+"""Registry entries for the mandated extensions (SURVEY.md §2.J),
+streaming semantics (§2.I) and the reference-parity API wrappers (§3).
+
+Same conventions as ``registry.py``.  Near-dup corpora are synthesized
+deterministically (documents carry no duplicates): full copies for
+exact dedup, 80%-prefix truncations for near-dup — both expressible
+identically in Spark and DuckDB SQL so the oracle sees the same data.
+Ids without oracle SQL are approximate/hash-seeded/ML-backed
+(MinHash, SimHash, SRP-LSH) or exercise genuinely streaming plans —
+the driver applies its rows-only check to those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import _cents, register
+from .ext.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .ext.simsearch import cosine_topk, embedding_near_dup_pairs, lsh_topk
+from .ext.text import fingerprints, lang_id, quality_score, token_stats, word_counts
+from .ext.multimodal import attach_binary_payload, decode_image_features
+from .operators.setops import union_prefer
+
+# ---------------------------------------------------------------------
+# shared synthetic corpora (Spark + identical SQL CTE)
+# ---------------------------------------------------------------------
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents ∪ exact copies of every 10th doc (id + 1,000,000)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_DUP_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _near_dup_corpus(spark, sf_dir):
+    """documents ∪ 80%-prefix truncations of every 10th doc — Jaccard
+    vs the original ≈ 0.8, far above random-pair similarity."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split(F.lower(F.col("text")), " ")
+    trunc = F.concat_ws(
+        " ",
+        F.slice(tok, 1, F.greatest(F.floor(F.size(tok) * 0.8).cast("int"), F.lit(1))),
+    )
+    pert = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
+    )
+    return docs.unionByName(pert)
+
+
+_NEAR_DUP_CORPUS_SQL = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               string_split(lower(text), ' ')[1:greatest(
+                 CAST(floor(len(string_split(lower(text), ' ')) * 0.8) AS INT), 1)],
+               ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _emb_dup_corpus(spark, sf_dir):
+    """embeddings ∪ perturbed copies of every 20th vector (first
+    coordinate +0.5): cosine vs original ≈ 0.99, random pairs ≪."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+            F.slice("embedding", 2, 100000),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+_EMB_DUP_CORPUS_SQL = """
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             [CAST(embedding[1] + 0.5 AS FLOAT)] || embedding[2:len(embedding)] AS embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+    )
+"""
+
+_COSINE_SQL = """
+    list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+# =====================================================================
+# Deduplication (ext_dedup_*)
+# =====================================================================
+
+
+@register(
+    "ext_dedup_exact",
+    f"""
+    WITH {_DUP_CORPUS_SQL}
+    SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM corpus GROUP BY text
+    """,
+)
+def q_ext_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, deterministic survivor
+    (min id) + multiplicity."""
+    return dedup_exact(_dup_corpus(spark, sf_dir), ["text"], "doc_id")
+
+
+@register(
+    "ext_dedup_ngram",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM corpus),
+    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
+    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON pairs.id_a = ca.id
+    JOIN cnt cb ON pairs.id_b = cb.id
+    WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
+    """,
+)
+def q_ext_dedup_ngram(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5):
+    shingle-equality candidate generation, no all-pairs compare."""
+    return ngram_jaccard_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register("ext_dedup_near")  # MinHash estimate — hash-seeded, rows-only
+def q_ext_dedup_near(spark, sf_dir):
+    """MinHash(32) + 8-band LSH near-dup candidates with estimated
+    Jaccard ≥ 0.4 — the sub-quadratic scale path for ext_dedup_ngram."""
+    return minhash_lsh_pairs(
+        _near_dup_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.4,
+    )
+
+
+@register("ext_dedup_simhash")  # md5-seeded fingerprint — rows-only
+def q_ext_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs within Hamming distance 16, banded
+    candidate generation (4×16-bit)."""
+    return simhash_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", max_hamming=16, bands=4
+    )
+
+
+@register(
+    "ext_dedup_embedding",
+    f"""
+    WITH {_EMB_DUP_CORPUS_SQL},
+    a AS (SELECT vec_id AS id_a, embedding AS va FROM corpus),
+    b AS (SELECT vec_id AS id_b, embedding AS vb FROM corpus),
+    s AS (
+      SELECT id_a, id_b, {_COSINE_SQL.format(a="va", b="vb")} AS cosine
+      FROM a JOIN b ON id_a < id_b
+    )
+    SELECT id_a, id_b, round(cosine, 3) AS cosine
+    FROM s WHERE cosine >= 0.95
+    """,
+)
+def q_ext_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95)."""
+    out = embedding_near_dup_pairs(
+        _emb_dup_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.95
+    )
+    return out.withColumn("cosine", F.round("cosine", 3))
+
+
+# =====================================================================
+# Similarity search (ext_simsearch_*)
+# =====================================================================
+
+
+@register(
+    "ext_simsearch_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS match_id, embedding AS cvec FROM embeddings),
+    s AS (
+      SELECT query_id, match_id, {_COSINE_SQL.format(a="qvec", b="cvec")} AS cosine
+      FROM q CROSS JOIN c WHERE query_id <> match_id
+    ),
+    r AS (
+      SELECT query_id, match_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, match_id) AS INT) AS rank
+      FROM s
+    )
+    SELECT query_id, match_id, round(cosine, 3) AS cosine, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_ext_simsearch_topk(spark, sf_dir):
+    """Exact brute-force cosine top-3 for 5 query vectors (broadcast
+    queries × one corpus scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=3)
+    return out.withColumn("cosine", F.round("cosine", 3))
+
+
+@register("ext_simsearch_lsh")  # SRP-LSH approximate — rows-only
+def q_ext_simsearch_lsh(spark, sf_dir):
+    """Approximate top-3 via sign-random-projection bucketing (8
+    planes) — the exponential candidate-set cut for 100 TB corpora."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=3, n_planes=8
+    )
+
+
+# =====================================================================
+# Text analysis (ext_text_*)
+# =====================================================================
+
+
+@register(
+    "ext_text_analysis",
+    """
+    SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ) WHERE word <> ''
+    GROUP BY lang, word
+    """,
+)
+def q_ext_text_analysis(spark, sf_dir):
+    """Word frequencies per language: tokenize → explode → count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return word_counts(docs, "text", keys=["lang"])
+
+
+@register(
+    "ext_text_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(length(text) AS INT) AS n_chars_obs,
+           CASE WHEN n_tokens > 0
+                THEN (length(text) - n_tokens + 1) / n_tokens
+                ELSE CAST(0.0 AS DOUBLE) END AS mean_token_len,
+           greatest(CAST(ceil(length(text) / 4) AS BIGINT), CAST(n_tokens AS BIGINT)) AS bpe_token_est
+    FROM t
+    """,
+)
+def q_ext_text_tokens(spark, sf_dir):
+    """Per-doc token counting: whitespace tokens + BPE-ish estimate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text")
+
+
+@register(
+    "ext_text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS uniq_ratio,
+             len(list_intersect(list_distinct(toks),
+                 ['the','and','of','to','in','is','that','it','for','on'])) AS stop_hits
+      FROM t
+    )
+    SELECT doc_id, n_tokens, punct_ratio, uniq_ratio,
+           CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           + CASE WHEN punct_ratio < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           + CASE WHEN stop_hits >= 2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+           + uniq_ratio * CAST(0.2 AS DOUBLE) AS quality_score
+    FROM m
+    """,
+)
+def q_ext_text_quality(spark, sf_dir):
+    """Heuristic quality scoring (length / punctuation / stopword /
+    repetition bands — C4/Gopher-style filters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs, "doc_id", "text")
+
+
+@register(
+    "ext_text_langid",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CAST(len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS INT) AS s_de,
+        CAST(len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','on'])) AS INT) AS s_en,
+        CAST(len(list_intersect(toks, ['el','la','de','que','y','en','un','es','por','con'])) AS INT) AS s_es,
+        CAST(len(list_intersect(toks, ['le','la','de','et','est','un','une','que','pour','dans'])) AS INT) AS s_fr,
+        CAST(len(list_intersect(toks, ['的','是','了','在','我','有','和','就','不','人'])) AS INT) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           best AS lang_score
+    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+    """,
+)
+def q_ext_text_langid(spark, sf_dir):
+    """Stopword-profile language ID (argmax, ties → lexical order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text")
+
+
+@register(
+    "ext_text_fingerprint",
+    "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+)
+def q_ext_text_fingerprint(spark, sf_dir):
+    """Content fingerprinting; the rolling token-stream hash uses
+    xxhash64 (no DuckDB analog) and is covered by unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs, "doc_id", "text").select("doc_id", "content_md5")
+
+
+# =====================================================================
+# Multimodal columns (ext_multimodal_*)
+# =====================================================================
+
+
+@register(
+    "ext_multimodal_cols",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_ext_multimodal_cols(spark, sf_dir):
+    """Binary payload column + typed metadata (byte length, content
+    hash) carried through the plan — the multimodal column pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = attach_binary_payload(docs, "text")
+    return out.select("doc_id", "payload_bytes", "payload_md5")
+
+
+@register("ext_multimodal_decode")  # stubbed codec — rows-only
+def q_ext_multimodal_decode(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (decode
+    stubbed deterministically; plumbing — schema, Arrow batching — is
+    the real thing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "text")
+    return decode_image_features(payloads, "doc_id", "payload")
+
+
+# =====================================================================
+# Streaming semantics (§2.I): batch-checkable upsert/session + a real
+# Structured Streaming run
+# =====================================================================
+
+
+@register(
+    "stream_upsert_revision",
+    """
+    WITH u AS (
+      SELECT event_id, ts, value + 500 AS value, 1 AS rev, 0 AS prio
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_id, ts, value, 0 AS rev, 1 AS prio FROM events
+    ), r AS (
+      SELECT event_id, ts, value, rev,
+             row_number() OVER (PARTITION BY event_id ORDER BY prio) AS rn
+      FROM u
+    )
+    SELECT event_id, ts, value, rev FROM r WHERE rn = 1
+    """,
+)
+def q_stream_upsert_revision(spark, sf_dir):
+    """Keep-latest revision upsert (reference server.py:304: re-fetches
+    supersede): revised copies of every 5th event win over the
+    original — batch analog of the streaming dedup state."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    base = ev.withColumn("rev", F.lit(0))
+    revs = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") + 500)
+        .withColumn("rev", F.lit(1))
+    )
+    return union_prefer(revs, base, keys=["event_id"])
+
+
+@register(
+    "stream_window_session",
+    """
+    WITH l AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM l
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_window_session(spark, sf_dir):
+    """Session windows (30-min gap) per user — ``session_window`` in
+    batch mode; the oracle reproduces merge semantics via lag+cumsum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_window_tumbling",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_window_tumbling(spark, sf_dir):
+    """A REAL Structured Streaming run: file-source stream over the
+    events parquet → watermarked tumbling daily aggregate →
+    availableNow → memory sink.  Complete output mode makes the result
+    equal the batch daily aggregate, so the oracle still applies."""
+    from .streaming.jobs import (
+        run_stream_to_memory,
+        streamed_daily_aggregate,
+        streaming_events_source,
+    )
+
+    src = streaming_events_source(spark, sf_dir)
+    return run_stream_to_memory(streamed_daily_aggregate(src), "complete")
+
+
+# =====================================================================
+# API wrappers + astronomy over the weather fixture (engine-generated;
+# not in the oracle's view set → rows-only, covered by golden tests)
+# =====================================================================
+
+
+@register("wx_forecast_hourly")
+def q_wx_forecast_hourly(spark, sf_dir):
+    """get_forecast: default hourly projection, 3 past + 7 forecast
+    days around the pinned fixture 'now' (reference server.py:142-280)."""
+    from .api import get_forecast
+
+    return get_forecast(spark, place="Prague, CZ", past_days=3, forecast_days=7)
+
+
+@register("wx_history_daily")
+def q_wx_history_daily(spark, sf_dir):
+    """get_history: required date range, daily aggregates
+    (reference server.py:284-369)."""
+    from .api import get_history
+
+    return get_history(
+        spark,
+        start_date="2024-01-03",
+        end_date="2024-01-12",
+        place="Berlin, DE",
+        granularity=1440,
+    )
+
+
+@register("wx_sunrise_sunset")
+def q_wx_sunrise_sunset(spark, sf_dir):
+    """Solar events per (location, day): NOAA equations as a
+    vectorized pandas UDF (reference server.py:133 daily variables)."""
+    from . import fixtures
+    from .functions.astro import solar_events
+
+    geo = fixtures.geo_dim(spark).filter(F.col("latitude").between(-90, 90))
+    days = spark.range(7).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("day")
+    )
+    return solar_events(geo.crossJoin(days), "latitude", "longitude", "day").select(
+        "place", "day", "sunrise_utc_hour", "sunset_utc_hour", "daylight_duration"
+    )

@@ -1,0 +1,122 @@
+"""Structured Streaming: the reference's ingestion cadence restated.
+
+The reference's operational envelope (SURVEY.md §2.I): a 15-minute
+source refresh (WetIng.pdf p.2), a ~4-day archive publication lag that
+bounds how late data can arrive (WetIng.pdf p.2), and forecast
+revisions that supersede earlier fetches of the same (location, ts)
+(reference server.py:304).  Natively: ``readStream`` + processing-time
+trigger, ``withWatermark("ts", "4 days")``, and keep-latest stateful
+dedup.
+
+Source throttling (the reference's 1.1 s geocode rate limit,
+server.py:108) maps to ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``
+— config on the source, not code.  Retry/backoff (server.py:68-93)
+maps to Spark task retries + checkpointed recovery.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: reference cadence: Open-Meteo refresh (WetIng.pdf p.2)
+SOURCE_TRIGGER = "15 minutes"
+#: reference archive publication lag → watermark horizon
+LATE_HORIZON = "4 days"
+
+#: events parquet carries TIMESTAMP(NANOS) → read ts as long, convert
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_events_source(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table (the test harness's
+    stand-in for a live feed; swap ``format``/path for Kafka in prod —
+    the downstream plan is identical)."""
+    reader = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        # source throttling — the rate-limit analog (server.py:108)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streamed_daily_aggregate(
+    events: DataFrame, watermark: str = LATE_HORIZON
+) -> DataFrame:
+    """Tumbling daily aggregate on a stream with the 4-day late-data
+    watermark: the streaming twin of the batch daily families — same
+    ``window(ts, '1 day')`` expression, plus bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day")["start"].alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "value_sum"
+            ),
+        )
+    )
+
+
+def keep_latest_upsert(
+    events: DataFrame,
+    keys: list[str],
+    revision_col: str,
+    watermark: str = LATE_HORIZON,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming keep-latest revision dedup: repeated fetches of the
+    same key supersede earlier values (reference server.py:304).
+
+    Within the watermark horizon, ``dropDuplicates`` on (key, revision)
+    bounds state; exactly-once MERGE semantics at the sink belong in
+    ``foreachBatch`` against a transactional target."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, revision_col]
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming plan to completion over all available input
+    (``availableNow`` trigger) into a memory sink; return the result
+    as a batch DataFrame.
+
+    This is the test/driver harness path: a real deployment replaces
+    the sink with ``writeStream.format("parquet"/"kafka")`` and drops
+    ``availableNow`` for the 15-minute processing-time trigger."""
+    name = query_name or f"wds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
