@@ -1,0 +1,137 @@
+"""Golden tests for the reference-parity API wrappers (SURVEY.md §5.2):
+granularity dispatch, horizon clamp, place-overrides-latlon, error
+envelopes — semantics cited from reference server.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_service_spark import fixtures
+from weather_data_ingestion_service_spark.api import (
+    ForecastRequestError,
+    geocode,
+    get_forecast,
+    get_history,
+)
+
+
+@pytest.fixture(scope="module")
+def weather(spark):
+    df = fixtures.weather_hourly(spark).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+class TestGetForecast:
+    def test_default_hourly_shape(self, spark, weather):
+        # 7 forecast days × 24 h from the pinned now (server.py:33: default 7d)
+        df = get_forecast(spark, place="Prague, CZ", weather=weather)
+        assert df.count() == 7 * 24
+        assert "temperature_2m" in df.columns and "ts" in df.columns
+
+    def test_past_days_extends_back(self, spark, weather):
+        df = get_forecast(spark, place="Prague, CZ", past_days=3, weather=weather)
+        assert df.count() == (3 + 7) * 24  # server.py:236-249
+
+    def test_variable_subset_projection(self, spark, weather):
+        df = get_forecast(
+            spark,
+            place="Prague, CZ",
+            variables="temperature_2m,precipitation",
+            weather=weather,
+        )
+        assert df.columns == ["location_id", "ts", "temperature_2m", "precipitation"]
+
+    def test_granularity_15_quadruples_rows(self, spark, weather):
+        hourly = get_forecast(spark, place="Prague, CZ", weather=weather)
+        q = get_forecast(spark, place="Prague, CZ", granularity=15, weather=weather)
+        assert q.count() == 4 * hourly.count()  # server.py:213-217
+
+    def test_daily_aggregates(self, spark, weather):
+        df = get_forecast(spark, place="Prague, CZ", granularity=1440, weather=weather)
+        rows = df.collect()
+        assert len(rows) == 7
+        cols = set(df.columns)
+        assert {"temperature_2m_max", "precipitation_sum", "weather_code"} <= cols
+
+    def test_horizon_clamp_16_days(self, spark, weather):
+        df = get_forecast(
+            spark, place="Prague, CZ", forecast_days=99, weather=weather
+        )
+        # fixture has 21 days; now is day 14 → 16-day clamp leaves ≤ 7 days
+        assert df.count() <= 16 * 24  # server.py:239
+
+    def test_place_overrides_latlon(self, spark, weather):
+        # Madrid coordinates but place=Prague → Prague's series (server.py:166)
+        by_place = get_forecast(
+            spark, place="Prague, CZ", latitude=40.42, longitude=-3.70, weather=weather
+        )
+        assert by_place.select("location_id").distinct().first()[0] == 0
+
+    def test_latlon_snaps_to_nearest_location(self, spark, weather):
+        df = get_forecast(spark, latitude=40.0, longitude=-3.5, weather=weather)
+        assert df.select("location_id").distinct().first()[0] == 3  # Madrid
+
+    def test_missing_location_rejected(self, spark, weather):
+        with pytest.raises(ForecastRequestError):
+            get_forecast(spark, weather=weather)  # server.py:196-197
+
+    def test_unknown_place_rejected(self, spark, weather):
+        with pytest.raises(ForecastRequestError, match="Could not find"):
+            get_forecast(spark, place="Atlantis", weather=weather)
+
+    def test_out_of_range_latlon_rejected(self, spark, weather):
+        with pytest.raises(ForecastRequestError, match="invalid coordinates"):
+            get_forecast(spark, latitude=123.0, longitude=500.0, weather=weather)
+
+
+class TestGetHistory:
+    def test_date_range_inclusive(self, spark, weather):
+        df = get_history(
+            spark, "2024-01-03", "2024-01-05", place="Berlin, DE", weather=weather
+        )
+        assert df.count() == 3 * 24  # both end dates included (server.py:354-358)
+
+    def test_granularity_15_rejected(self, spark, weather):
+        with pytest.raises(ForecastRequestError, match="15-minute"):
+            get_history(
+                spark, "2024-01-03", "2024-01-05", place="Berlin, DE",
+                granularity=15, weather=weather,
+            )  # server.py:351-352
+
+    def test_reversed_dates_rejected(self, spark, weather):
+        with pytest.raises(ForecastRequestError, match="start_date"):
+            get_history(
+                spark, "2024-01-05", "2024-01-03", place="Berlin, DE", weather=weather
+            )  # server.py:343-345
+
+    def test_daily_matches_manual_aggregation(self, spark, weather):
+        df = get_history(
+            spark, "2024-01-03", "2024-01-04", place="Prague, CZ",
+            granularity=1440, weather=weather,
+        )
+        manual = (
+            weather.filter(
+                (F.col("location_id") == 0)
+                & (F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+            )
+            .groupBy(F.window("ts", "1 day")["start"].alias("day"))
+            .agg(
+                F.max("temperature_2m").alias("tmax"),
+                F.sum("precipitation").alias("psum"),
+            )
+        )
+        got = {r.day: (r.temperature_2m_max, r.precipitation_sum) for r in df.collect()}
+        want = {r.day: (r.tmax, r.psum) for r in manual.collect()}
+        assert got == want
+
+
+class TestGeocode:
+    def test_known_place(self, spark):
+        loc_id, lat, lon = geocode(spark, "Paris, FR")
+        assert loc_id == 2 and abs(lat - 48.86) < 1e-9
+
+    def test_miss_raises(self, spark):
+        with pytest.raises(ForecastRequestError):
+            geocode(spark, "Nowhere At All")  # server.py:112-114

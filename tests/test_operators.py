@@ -1,0 +1,142 @@
+"""Operator-library unit tests: edge semantics the differential suite
+can't isolate (ties, empties, equivalences)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_service_spark.operators import (
+    asof_join,
+    select_vars,
+    topk,
+    union_prefer,
+)
+from weather_data_ingestion_service_spark.operators.joins import bucketed_range_join
+from weather_data_ingestion_service_spark.operators.relational import (
+    filter_date_range,
+    filter_horizon_relative,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-10 00:00:00"), "a"),
+                (1, _ts("2024-01-15 00:00:00"), "b"),
+                (2, _ts("2024-01-10 00:00:00"), "c"),
+                (3, _ts("2024-01-10 00:00:00"), "d"),  # key with no right rows
+            ],
+            "k long, ts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-09 00:00:00"), 100),
+                (1, _ts("2024-01-15 00:00:00"), 200),  # equal-ts tie vs left 'b'
+                (2, _ts("2024-01-11 00:00:00"), 300),  # after left 'c'
+            ],
+            "k long, rts timestamp, payload int",
+        )
+        return left, right
+
+    def test_backward_semantics_and_ties(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, ["k"], "ts", "rts", ["payload"])
+        got = {r.tag: r.payload for r in out.collect()}
+        # a: latest right <= 01-10 is 100; b: equal ts is INCLUSIVE → 200
+        # c: right row is after → NULL; d: no right rows → NULL
+        assert got == {"a": 100, "b": 200, "c": None, "d": None}
+
+    def test_inner_drops_unmatched(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, ["k"], "ts", "rts", ["payload"], how="inner")
+        assert sorted(r.tag for r in out.collect()) == ["a", "b"]
+
+    def test_empty_right(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(
+            left, right.filter(F.lit(False)), ["k"], "ts", "rts", ["payload"]
+        )
+        assert out.count() == 4
+        assert all(r.payload is None for r in out.collect())
+
+
+class TestUnionPrefer:
+    def test_preferred_wins_only_on_overlap(self, spark):
+        pref = spark.createDataFrame([(1, "obs"), (2, "obs")], "k long, src string")
+        other = spark.createDataFrame([(2, "fct"), (3, "fct")], "k long, src string")
+        got = {r.k: r.src for r in union_prefer(pref, other, ["k"]).collect()}
+        assert got == {1: "obs", 2: "obs", 3: "fct"}
+
+    def test_idempotent(self, spark):
+        pref = spark.createDataFrame([(1, "x")], "k long, v string")
+        once = union_prefer(pref, pref, ["k"])
+        twice = union_prefer(once, once, ["k"])
+        assert once.collect() == twice.collect()
+
+
+class TestBucketedRangeJoin:
+    def test_equivalent_to_naive_theta_join(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators import (
+            range_interval_join,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+        ranges = load_table(spark, sf_dir, "region").select(
+            "r_name",
+            F.expr("timestampadd(DAY, r_regionkey * 5, timestamp'2024-01-01')").alias("lo"),
+            F.expr("timestampadd(DAY, r_regionkey * 5 + 7, timestamp'2024-01-01')").alias("hi"),
+        )
+        naive = range_interval_join(
+            ev, ranges, F.col("ts"), F.col("lo"), F.col("hi")
+        ).select("event_id", "r_name")
+        bucketed = bucketed_range_join(ev, ranges, "ts", "lo", "hi", bucket_days=7)
+        got = bucketed.select("event_id", "r_name")
+        assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, got.collect()))
+
+
+class TestProjectionsAndFilters:
+    def test_select_vars_unknown_raises(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+
+        part = load_table(spark, sf_dir, "part")
+        with pytest.raises(ValueError, match="unknown variables"):
+            select_vars(part, "p_partkey,nope", defaults=[])
+
+    def test_date_range_validation(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        with pytest.raises(ValueError, match="start_date"):
+            filter_date_range(orders, "o_orderdate", "1997-01-01", "1996-01-01")
+        with pytest.raises(ValueError):
+            filter_date_range(orders, "o_orderdate", "not-a-date", "1996-01-01")
+
+    def test_horizon_clamped_at_16_days(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        clamped = filter_horizon_relative(
+            ev, "ts", "2024-01-01 00:00:00", 0, forecast_days=99
+        )
+        assert clamped.agg(F.max("ts")).first()[0] < _ts("2024-01-17 00:00:00")
+
+
+class TestTopK:
+    def test_topk_total_order_is_stable(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        a = topk(orders, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5)
+        b = topk(
+            orders.repartition(7), [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5
+        )
+        assert [r.o_orderkey for r in a.collect()] == [
+            r.o_orderkey for r in b.collect()
+        ]

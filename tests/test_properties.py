@@ -1,0 +1,167 @@
+"""Property-based + invariant tests (SURVEY.md §5.3): resampling and
+aggregation laws on generated frames; fixture sanity; extension-
+operator laws (self-similarity, symmetry, score bounds)."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from weather_data_ingestion_service_spark import fixtures
+from weather_data_ingestion_service_spark.operators.aggregates import daily_summary
+
+
+@st.composite
+def hourly_series(draw):
+    """(hour_offset, value) series over up to 4 days, values 2-decimal."""
+    n = draw(st.integers(min_value=1, max_value=96))
+    vals = draw(
+        st.lists(
+            st.decimals(
+                min_value=-1000, max_value=1000, places=2, allow_nan=False
+            ).map(float),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(enumerate(vals))
+
+
+class TestAggregationLaws:
+    @settings(max_examples=8, deadline=None)
+    @given(series=hourly_series())
+    def test_daily_sum_partitions_total_and_max_bounds(self, spark, series):
+        base = dt.datetime(2024, 3, 1)
+        rows = [(base + dt.timedelta(hours=h), v) for h, v in series]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        daily = daily_summary(
+            df,
+            "ts",
+            [],
+            {"vmax": ("value", "max"), "vmin": ("value", "min"), "vsum": ("value", "sum")},
+        ).collect()
+        # daily sums partition the total
+        total = sum(r.vsum for r in daily)
+        assert total == pytest.approx(sum(v for _, v in series), rel=1e-9)
+        for r in daily:
+            assert r.vmax >= r.vmin
+
+    @settings(max_examples=8, deadline=None)
+    @given(series=hourly_series())
+    def test_cond_hours_counts_positive_rows(self, spark, series):
+        base = dt.datetime(2024, 3, 1)
+        rows = [(base + dt.timedelta(hours=h), v) for h, v in series]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        daily = daily_summary(df, "ts", [], {"ph": ("value", "cond_hours")})
+        got = sum(r.ph for r in daily.collect())
+        assert got == sum(1 for _, v in series if v > 0)
+
+
+class TestFixtureInvariants:
+    @pytest.fixture(scope="class")
+    def wh(self, spark):
+        df = fixtures.weather_hourly(spark, n_locations=2, n_days=3).cache()
+        df.count()
+        yield df
+        df.unpersist()
+
+    def test_grid_is_complete_and_unique(self, wh):
+        assert wh.count() == 2 * 3 * 24
+        assert wh.select("location_id", "ts").distinct().count() == 2 * 3 * 24
+
+    def test_value_domains(self, wh):
+        bad = wh.filter(
+            (F.col("relative_humidity_2m") < 0)
+            | (F.col("relative_humidity_2m") > 100)
+            | (F.col("precipitation") < 0)
+            | (F.col("cloud_cover") < 0)
+            | (F.col("cloud_cover") > 100)
+            | (F.col("shortwave_radiation") < 0)
+        )
+        assert bad.count() == 0
+
+    def test_rain_snow_partition_precipitation(self, wh):
+        bad = wh.filter(
+            F.col("rain") + F.col("snowfall") > F.col("precipitation") * 1.0 + 1e-9
+        )
+        assert bad.count() == 0
+
+    def test_deterministic_generation(self, spark, wh):
+        again = fixtures.weather_hourly(spark, n_locations=2, n_days=3)
+        a = sorted(map(tuple, wh.collect()))
+        b = sorted(map(tuple, again.collect()))
+        assert a == b
+
+    def test_null_patch_present_and_skipped_by_agg(self, wh):
+        nulls = wh.filter(F.col("uv_index").isNull()).count()
+        assert nulls > 0
+        agg = daily_summary(wh, "ts", ["location_id"], {"uvmax": ("uv_index", "max")})
+        assert agg.filter(F.col("uvmax").isNull()).count() == 0
+
+
+class TestExtensionLaws:
+    def test_jaccard_self_union_is_1(self, spark):
+        from weather_data_ingestion_service_spark.ext.dedup import ngram_jaccard_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+            "doc_id long, text string",
+        )
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0
+        ).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) not in pairs  # no shared shingle → never compared
+
+    def test_simhash_identical_texts_distance_zero(self, spark):
+        from weather_data_ingestion_service_spark.ext.dedup import simhash_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "spark window hash join"), (2, "spark window hash join")],
+            "doc_id long, text string",
+        )
+        out = simhash_pairs(docs, "doc_id", "text", max_hamming=0).collect()
+        assert len(out) == 1 and out[0].hamming == 0
+
+    def test_cosine_topk_finds_planted_duplicate(self, spark):
+        from weather_data_ingestion_service_spark.ext.simsearch import cosine_topk
+
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        top = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=1).first()
+        assert top.match_id == 1 and top.cosine > 0.99
+
+    def test_quality_score_bounded(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.text import quality_score
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = quality_score(docs, "doc_id", "text")
+        bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1))
+        assert bad.count() == 0
+
+    def test_rolling_hash_order_sensitive(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.rolling_hash for r in fingerprints(docs, "doc_id", "text").collect()}
+        assert out[1] != out[2]
+
+    def test_solar_daylight_longer_toward_summer(self, spark):
+        from weather_data_ingestion_service_spark.functions.astro import solar_events
+
+        df = spark.createDataFrame(
+            [(50.0, 14.0, dt.date(2024, 1, 15)), (50.0, 14.0, dt.date(2024, 6, 15))],
+            "latitude double, longitude double, day date",
+        )
+        out = {r.day.month: r.daylight_duration for r in solar_events(df).collect()}
+        assert out[6] > out[1] > 0

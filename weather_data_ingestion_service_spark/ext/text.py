@@ -118,13 +118,17 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Document fingerprints: md5 content hash + 64-bit rolling
-    polynomial hash of the token stream (fold over tokens with a
-    31-multiplier — the order-sensitive cousin of the md5)."""
+    """Document fingerprints: md5 content hash + rolling polynomial
+    hash of the token stream mod the Mersenne prime 2^31-1 (modular so
+    the fold cannot overflow — Spark 4 runs ANSI mode and a wrapping
+    multiply would throw ARITHMETIC_OVERFLOW)."""
+    mersenne = F.lit(2147483647)
     rolling = F.aggregate(
         tokens(text_col),
         F.lit(0).cast("long"),
-        lambda acc, tok: acc * F.lit(1000003) + F.xxhash64(tok),
+        lambda acc, tok: F.pmod(
+            acc * F.lit(1000003) + F.pmod(F.xxhash64(tok), mersenne), mersenne
+        ),
     )
     return df.select(
         id_col,

@@ -5,4 +5,5 @@ from .inspect import (  # noqa: F401
     formatted_plan,
     has_broadcast_join,
     pushed_filters,
+    simple_plan,
 )

@@ -30,8 +30,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
-    return len(re.findall(r"\bExchange\b", formatted_plan(df)))
+    """Number of Exchange (shuffle) operators in the physical plan.
+
+    Counts only the numbered node-detail headers — the formatted
+    output prints every node twice (tree + detail section)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
