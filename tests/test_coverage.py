@@ -1,0 +1,74 @@
+"""Conformance: COVERAGE.md's claims stay true — every §2 id promised
+as a `queries()` entry exists, oracle-paired ids have oracle SQL, and
+rows-only ids deliberately don't."""
+
+import re
+
+from weather_data_ingestion_service_spark import registry
+
+QUERIES = registry.queries()
+ORACLE = registry.oracle_sql()
+
+ORACLE_IDS = {
+    "src_parquet_scan", "fmt_json_decode", "fmt_json_encode_props",
+    "sink_status_envelope", "obs_call_counters",
+    "proj_select_vars", "proj_default_vars", "proj_rename_alias",
+    "filter_coord_range", "filter_date_range", "filter_horizon_relative",
+    "filter_null_guard", "filter_theta",
+    "join_geocode_lookup", "join_equi_inner", "join_equi_left",
+    "join_equi_right", "join_equi_full", "join_semi", "join_anti",
+    "join_range_interval", "join_asof_nearest", "join_cross_scored",
+    "agg_daily_max", "agg_daily_min", "agg_daily_sum", "agg_cond_hours",
+    "agg_daily_mode", "agg_count_calls", "agg_avg", "agg_multi",
+    "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_percentile",
+    "bucket_15min", "bucket_hourly", "bucket_daily",
+    "win_rank", "win_row_number", "win_lag_delta", "win_moving_avg",
+    "sort_time_asc", "limit_horizon_clamp", "sort_topk",
+    "set_union_history_forecast", "set_intersect", "set_except",
+    "f_split_csv", "f_join_csv", "f_coalesce_default", "f_to_date_iso",
+    "f_date_format_iso", "f_date_cmp", "f_least_clamp", "f_tz_auto",
+    "f_json_extract", "f_math_expr", "f_string_ops", "f_array_ops",
+    "stream_window_tumbling", "stream_window_sliding",
+    "stream_window_session", "stream_upsert_revision",
+    "ext_dedup_exact", "ext_dedup_ngram", "ext_dedup_embedding",
+    "ext_simsearch_topk", "ext_text_analysis", "ext_text_tokens",
+    "ext_text_quality", "ext_text_langid", "ext_text_fingerprint",
+    "ext_multimodal_cols",
+    "bench_q3", "bench_q6", "wx_daily_summary",
+}
+
+ROWS_ONLY_IDS = {
+    "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
+    "ext_simsearch_lsh", "ext_multimodal_decode",
+    "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
+}
+
+
+def test_all_oracle_ids_registered_with_oracle():
+    missing_q = ORACLE_IDS - set(QUERIES)
+    missing_o = ORACLE_IDS - set(ORACLE)
+    assert not missing_q, f"missing queries: {sorted(missing_q)}"
+    assert not missing_o, f"missing oracle sql: {sorted(missing_o)}"
+
+
+def test_rows_only_ids_registered_without_oracle():
+    missing = ROWS_ONLY_IDS - set(QUERIES)
+    assert not missing, f"missing queries: {sorted(missing)}"
+    with_oracle = ROWS_ONLY_IDS & set(ORACLE)
+    assert not with_oracle, f"should be rows-only: {sorted(with_oracle)}"
+
+
+def test_no_unclaimed_registry_entries():
+    unclaimed = set(QUERIES) - ORACLE_IDS - ROWS_ONLY_IDS
+    assert not unclaimed, f"not in COVERAGE.md contract: {sorted(unclaimed)}"
+
+
+def test_coverage_doc_mentions_every_registered_id():
+    text = open("COVERAGE.md").read()
+    ids_in_doc = set(re.findall(r"`([a-z0-9_]+)`", text))
+    missing = {
+        q for q in QUERIES
+        if q not in ids_in_doc and not q.startswith("wx_")
+    }
+    assert not missing, f"COVERAGE.md missing: {sorted(missing)}"

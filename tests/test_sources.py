@@ -108,3 +108,49 @@ class TestRateLimiter:
         t["now"] += 2.0
         rl.wait()  # enough time passed → free
         assert slept == [pytest.approx(1.1)]
+
+
+class TestOpenMeteoDataSource:
+    def test_custom_format_reads_documents(self, spark):
+        """Spark 4 Python DataSource: one partition per JSON file."""
+        import os
+        import shutil
+
+        from weather_data_ingestion_service_spark import fixtures
+        from weather_data_ingestion_service_spark.sources.datasource import (
+            register_openmeteo_source,
+        )
+        from weather_data_ingestion_service_spark.sources import to_openmeteo_json
+
+        tmp = "/root/repo/.tmp/openmeteo_src"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        wh = fixtures.weather_hourly(spark, n_locations=2, n_days=1)
+        geo = fixtures.geo_dim(spark)
+        tidy = wh.join(geo.select("location_id", "latitude", "longitude"), "location_id")
+        for row in to_openmeteo_json(tidy).collect():
+            with open(f"{tmp}/loc{row.doc_location_id}.json", "w") as fh:
+                fh.write(row.body + "\n")
+
+        register_openmeteo_source(spark)
+        got = spark.read.format("openmeteo_hourly").load(tmp)
+        assert got.count() == 2 * 24
+        assert got.rdd.getNumPartitions() == 2  # one per document file
+        a = sorted(map(tuple, tidy.select(*got.columns).collect()))
+        b = sorted(map(tuple, got.collect()))
+        assert a == b
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestObserveCounters:
+    def test_observation_counts_rows_of_the_action(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators.observe import (
+            with_call_counters,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        instrumented, obs = with_call_counters(docs, source_col="source")
+        n = instrumented.count()
+        assert obs.get["n_calls"] == n
+        assert obs.get["n_sources"] > 0

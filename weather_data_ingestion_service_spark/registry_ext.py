@@ -541,3 +541,206 @@ def q_wx_sunrise_sunset(spark, sf_dir):
     return solar_events(geo.crossJoin(days), "latitude", "longitude", "day").select(
         "place", "day", "sunrise_utc_hour", "sunset_utc_hour", "daylight_duration"
     )
+
+
+# =====================================================================
+# Remaining §2 surface: status envelope, observe counters; plus exact
+# percentiles and TPC-H-shaped bench queries
+# =====================================================================
+
+
+@register(
+    "sink_status_envelope",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal / 60.0 BETWEEN -90 AND 90
+                 AND (c_custkey % 500) - 200 BETWEEN -180 AND 180
+                THEN 'success' ELSE 'error' END AS status,
+           CASE WHEN c_acctbal / 60.0 BETWEEN -90 AND 90
+                 AND (c_custkey % 500) - 200 BETWEEN -180 AND 180
+                THEN NULL ELSE 'invalid coordinates' END AS message
+    FROM customer
+    """,
+)
+def q_sink_status_envelope(spark, sf_dir):
+    """The reference's success/error envelope (server.py:258, 280) as a
+    materialized value — errors as data, not exceptions, for sinks
+    that carry per-row outcomes."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") / 60.0).alias("lat"),
+        ((F.col("c_custkey") % 500) - 200).alias("lon"),
+    )
+    ok = F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180)
+    return cust.select(
+        "c_custkey",
+        F.when(ok, "success").otherwise("error").alias("status"),
+        F.when(ok, F.lit(None).cast("string"))
+        .otherwise("invalid coordinates")
+        .alias("message"),
+    )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT event_type,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) / 100.0 AS p25,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) / 100.0 AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact percentiles over integer cents with quarter fractions —
+    the interpolation (1-g)a + gb is exactly representable, so Spark
+    and DuckDB agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").withColumn("vc", _cents("value"))
+    return ev.groupBy("event_type").agg(
+        (F.expr("percentile(vc, 0.25)") / 100.0).alias("p25"),
+        (F.expr("percentile(vc, 0.5)") / 100.0).alias("p50"),
+        (F.expr("percentile(vc, 0.75)") / 100.0).alias("p75"),
+    )
+
+
+@register(
+    "bench_q6",
+    """
+    SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_bench_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pushed-down filters + one global aggregate —
+    the pure-scan-throughput benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0)
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "bench_q3",
+    """
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_bench_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two-fact join → grouped
+    revenue → top-10.  The canonical shuffle-heavy join benchmark."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "fmt_json_encode_props",
+    """
+    SELECT event_id,
+           to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER),
+                               t := event_type)) AS props_json
+    FROM events
+    """,
+)
+def q_fmt_json_encode_props(spark, sf_dir):
+    """JSON encoding of typed columns (the inverse of fmt_json_decode;
+    reference returns JSON bodies verbatim at server.py:258 — a sink
+    that re-serializes needs the encoder)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct(k.alias("k"), F.col("event_type").alias("t"))).alias(
+            "props_json"
+        ),
+    )
+
+
+@register(
+    "proj_rename_alias",
+    """
+    SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+           l_extendedprice AS gross_price
+    FROM lineitem
+    """,
+)
+def q_proj_rename_alias(spark, sf_dir):
+    """Column renaming/aliasing (the registry-wide convention —
+    __spark_entry__ contract requires matched output names)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").alias("gross_price"),
+    )
+
+
+@register(
+    "stream_window_sliding",
+    """
+    WITH shifted AS (
+      SELECT event_id, value, ts,
+             time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (k * 15) MINUTE AS win_start
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT win_start, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM shifted GROUP BY win_start
+    """,
+)
+def q_stream_window_sliding(spark, sf_dir):
+    """Sliding windows (1 h duration, 15 min slide): every event lands
+    in 4 overlapping windows.  ``F.window(ts, '1 hour', '15 minutes')``
+    natively; the oracle expands the 4 shifted tumbling buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes")["start"].alias("win_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents("value")) / 100.0).alias("value_sum"),
+        )
+    )
