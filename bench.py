@@ -28,6 +28,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "wx_daily_summary",
     "agg_multi",
+    "bench_q3",
+    "bench_q6",
     "join_equi_inner",
     "join_asof_nearest",
     "bucket_hourly",
@@ -36,6 +38,7 @@ HEADLINE = [
     "sort_topk",
     "agg_rollup",
     "ext_dedup_exact",
+    "ext_dedup_ngram",
     "ext_simsearch_topk",
     "ext_text_analysis",
 ]

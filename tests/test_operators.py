@@ -140,3 +140,37 @@ class TestTopK:
         assert [r.o_orderkey for r in a.collect()] == [
             r.o_orderkey for r in b.collect()
         ]
+
+
+class TestPrefixFilteredJaccard:
+    def test_matches_bruteforce_all_pairs(self, spark, sf_dir):
+        """Prefix filtering must be lossless: identical pair set and
+        jaccard values as the naive all-pairs computation."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            ngram_jaccard_pairs,
+            word_shingles,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.35).collect()
+        }
+        sh = word_shingles(docs, "text", 3).select("doc_id", "shingles")
+        a = sh.selectExpr("doc_id AS id_a", "shingles AS sa")
+        b = sh.selectExpr("doc_id AS id_b", "shingles AS sb")
+        from pyspark.sql import functions as F
+
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= 0.35)
+        )
+        want = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
+        assert fast == want
