@@ -42,6 +42,7 @@ ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
     "ext_simsearch_lsh", "ext_multimodal_decode",
     "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
+    "stream_stateful_latest",
 }
 
 

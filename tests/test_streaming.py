@@ -127,3 +127,95 @@ def test_source_throttle_option_limits_batch_size(spark, staged_dir):
     n_batches = len(q.recentProgress)
     q.stop()
     assert n_batches >= 2  # two files → at least two micro-batches
+
+
+def test_stateful_latest_per_key_supersedes(spark, staged_dir):
+    """applyInPandasWithState keep-latest: the managed-state variant of
+    revision upsert — later event times replace state, final state per
+    key equals the batch argmax(ts)."""
+    from weather_data_ingestion_service_spark.streaming.stateful import (
+        latest_per_key_stateful,
+    )
+    from weather_data_ingestion_service_spark.io import load_table
+
+    schema = "event_id long, ts timestamp, value double"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir + "/f*")
+    )
+    out = latest_per_key_stateful(
+        src.withColumn("key", F.col("event_id") % 10), "key", "ts", "value"
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wds_stateful_latest")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got_df = spark.sql(
+        """SELECT key, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC) rn
+             FROM wds_stateful_latest) WHERE rn = 1"""
+    )
+    got = {r.key: r.value for r in got_df.collect()}
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "key", F.col("event_id") % 10
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc())
+    want = {
+        r.key: r.value
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("key", "value")
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreachbatch_merge_upsert_sink(spark, staged_dir):
+    """foreachBatch MERGE emulation: after draining all files the
+    parquet target holds exactly one row per key — the latest."""
+    import shutil
+
+    from weather_data_ingestion_service_spark.streaming.stateful import (
+        merge_upsert_sink,
+    )
+    from weather_data_ingestion_service_spark.io import load_table
+
+    target = TMP + "/merge_target"
+    shutil.rmtree(target, ignore_errors=True)
+    schema = "event_id long, ts timestamp, value double"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir + "/f*")
+        .withColumn("key", F.col("event_id") % 50)
+    )
+    q = merge_upsert_sink(src, target, ["key"], "ts")
+    q.awaitTermination()
+    q.stop()
+
+    got = spark.read.parquet(target)
+    assert got.count() == got.select("key").distinct().count()
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "key", F.col("event_id") % 50
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id"))
+    want = {
+        r.key: r.ts
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    got_m = {r.key: r.ts for r in got.collect()}
+    assert got_m == want
+    shutil.rmtree(target, ignore_errors=True)

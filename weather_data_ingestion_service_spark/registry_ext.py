@@ -744,3 +744,18 @@ def q_stream_window_sliding(spark, sf_dir):
             (F.sum(_cents("value")) / 100.0).alias("value_sum"),
         )
     )
+
+
+@register("stream_stateful_latest")  # managed-state streaming — rows-only
+def q_stream_stateful_latest(spark, sf_dir):
+    """applyInPandasWithState keep-latest-per-key over a streamed
+    events source (availableNow → memory): true engine-managed state
+    for the revision-supersedence semantics (reference server.py:304)."""
+    from .streaming.jobs import run_stream_to_memory, streaming_events_source
+    from .streaming.stateful import latest_per_key_stateful
+
+    src = streaming_events_source(spark, sf_dir).withColumn(
+        "key", F.col("event_id") % 100
+    )
+    out = latest_per_key_stateful(src, "key", "ts", "value")
+    return run_stream_to_memory(out, "update")

@@ -1,0 +1,157 @@
+"""Custom stateful streaming operators (SURVEY.md §7 custom op (c)).
+
+Two production shapes for the reference's forecast-revision semantics
+(server.py:304: a re-fetch of the same (location, ts) supersedes the
+earlier value):
+
+- ``latest_per_key_stateful`` — ``applyInPandasWithState``: per-key
+  state holds the latest (event-time, payload) seen; each micro-batch
+  emits only keys whose value actually changed.  True engine-managed
+  state (checkpointed, recoverable), Arrow-batched per group.
+- ``merge_upsert_sink`` — ``foreachBatch`` MERGE emulation against a
+  parquet target (read target ∪ prefer-new ∪ overwrite).  On a real
+  deployment the body becomes one ``MERGE INTO`` against
+  Delta/Iceberg; the batch-function shape is identical, which is the
+  point of ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output of the keep-latest operator: key, latest event time, value
+LATEST_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+#: state: latest event-time micros + value
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("ts_micros", T.LongType()), T.StructField("value", T.DoubleType())]
+)
+
+
+def _latest_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's rows for one key into (max ts, its value),
+    merge with prior state, emit only on change."""
+    best_ts: int | None = None
+    best_val: float | None = None
+    if state.exists:
+        best_ts, best_val = state.get
+    changed = False
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        idx = pdf["ts"].idxmax()
+        ts_micros = int(pdf["ts"][idx].value // 1000)  # ns → µs
+        if best_ts is None or ts_micros >= best_ts:
+            best_ts = ts_micros
+            best_val = float(pdf["value"][idx])
+            changed = True
+    if changed:
+        state.update((best_ts, best_val))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "ts": [pd.Timestamp(best_ts, unit="us")],
+                "value": [best_val],
+            }
+        )
+
+
+def latest_per_key_stateful(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "4 days",
+) -> DataFrame:
+    """Keep-latest-per-key over a stream with managed state.
+
+    Unlike ``dropDuplicates`` (which can only suppress exact
+    re-deliveries), this implements true supersedence — a later
+    event-time revision replaces the stored value and re-emits, and
+    the engine checkpoints/restores the state across restarts.  The
+    watermark bounds how long a key's state must wait for stragglers.
+    """
+    src = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    ).withWatermark("ts", watermark)
+    return src.groupBy("key").applyInPandasWithState(
+        _latest_fn,
+        LATEST_OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_upsert_sink(
+    stream_df: DataFrame,
+    target_dir: str,
+    keys: list[str],
+    order_col: str,
+):
+    """``foreachBatch`` MERGE-style upsert into a parquet target.
+
+    Each micro-batch: dedup the batch per key (latest ``order_col``
+    wins), read the current target, keep target rows whose key is not
+    in the batch, append, atomically overwrite.  Exactly the
+    read-merge-write a ``MERGE INTO`` performs, minus the transaction
+    log — swap the body for Delta/Iceberg MERGE in production.
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(FF.col(order_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", FF.row_number().over(w))
+            .filter(FF.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            current = spark.read.parquet(target_dir)
+            # MERGE WHEN MATCHED AND source.order >= target.order:
+            # union then keep the max-order row per key, so an
+            # out-of-order (late) batch cannot clobber newer data
+            both = current.unionByName(latest)
+            w2 = Window.partitionBy(*keys).orderBy(FF.col(order_col).desc())
+            merged = (
+                both.withColumn("__rn", FF.row_number().over(w2))
+                .filter(FF.col("__rn") == 1)
+                .drop("__rn")
+            )
+        except Exception:
+            merged = latest  # first batch: no target yet
+        # stage + swap — parquet has no MERGE transaction; localized to
+        # the test/demo sink (prod: Delta MERGE INTO inside this hook)
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_dir)
+        merged.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
