@@ -1190,7 +1190,7 @@ def q_f_string_ops(spark, sf_dir):
     "f_array_ops",
     """
     SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS e0,
+           CAST(embedding[1] AS DOUBLE) AS e0,
            round(sqrt(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
     FROM embeddings
@@ -1208,7 +1208,10 @@ def q_f_array_ops(spark, sf_dir):
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+        # no rounding: float→double cast is bit-exact in both engines,
+        # while round() on float-origin values hits decimal-repr tie
+        # boundaries (float32 values print as short decimals)
+        F.element_at("embedding", 1).cast("double").alias("e0"),
         F.round(F.sqrt(sq_sum), 3).alias("l2_norm"),
     )
 
