@@ -21,7 +21,7 @@ ORACLE_IDS = {
     "agg_daily_max", "agg_daily_min", "agg_daily_sum", "agg_cond_hours",
     "agg_daily_mode", "agg_count_calls", "agg_avg", "agg_multi",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_percentile",
+    "agg_percentile", "agg_pivot",
     "bucket_15min", "bucket_hourly", "bucket_daily",
     "win_rank", "win_row_number", "win_lag_delta", "win_moving_avg",
     "sort_time_asc", "limit_horizon_clamp", "sort_topk",
@@ -42,7 +42,7 @@ ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
     "ext_simsearch_lsh", "ext_multimodal_decode",
     "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
-    "stream_stateful_latest",
+    "stream_stateful_latest", "ext_simsearch_ivf",
 }
 
 

@@ -165,3 +165,39 @@ class TestExtensionLaws:
         )
         out = {r.day.month: r.daylight_duration for r in solar_events(df).collect()}
         assert out[6] > out[1] > 0
+
+
+class TestAnnRecall:
+    """ANN variants must recover planted near-duplicates (the LSH/IVF
+    use case: near-angle neighbors).  Deterministic: fixed seeds."""
+
+    def _planted(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array((F.element_at("embedding", 1) + F.lit(0.1)).cast("float")),
+                F.slice("embedding", 2, 100000),
+            ).alias("embedding"),
+        )
+        return emb.unionByName(pert), pert
+
+    def test_lsh_finds_planted_neighbors(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import lsh_topk
+
+        corpus, queries = self._planted(spark, sf_dir)
+        top1 = lsh_topk(corpus, queries, k=1, n_planes=8, n_tables=8).collect()
+        hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
+        assert hits / queries.count() >= 0.9
+
+    def test_ivf_finds_planted_neighbors(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import ivf_topk
+
+        corpus, queries = self._planted(spark, sf_dir)
+        top1 = ivf_topk(
+            corpus, queries, k=1, n_clusters=8, nprobe=2
+        ).collect()
+        hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
+        assert hits / queries.count() >= 0.9

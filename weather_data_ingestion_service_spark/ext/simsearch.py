@@ -99,26 +99,28 @@ def srp_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Sign-random-projection LSH bucket id per vector (cosine-LSH).
+    """Sign-random-projection LSH buckets per vector (cosine-LSH),
+    multi-table: one row per (vector, table) with the table's bucket —
+    the sign bit-pattern of ``n_planes`` hyperplane projections.
 
-    Hyperplanes are derived deterministically from ``xxhash64`` of
-    (seed, plane, coordinate) → uniform in [-1, 1]; the bucket is the
-    sign bit-pattern of the projections.  Vectors in the same bucket
-    are near-angle candidates; join on ``bucket`` then re-score
-    exactly.  Everything is expression-level — the hyperplane matrix
-    is folded into the plan as literals, no Python at execution time.
+    Multiple independent tables are the standard recall knob:
+    recall ≈ 1 - (1 - s^p)^L for per-plane agreement s — p trades
+    candidate-set size, L buys recall back.  The hyperplane matrix is
+    seeded numpy folded into the plan as literals — no Python at
+    execution time.
     """
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    planes = rng.uniform(-1.0, 1.0, size=(n_planes, dim))
+    planes = rng.uniform(-1.0, 1.0, size=(n_tables, n_planes, dim))
 
-    def proj(p: int):
-        coeffs = F.array(*[F.lit(float(x)) for x in planes[p]])
+    def proj(t: int, p: int):
+        coeffs = F.array(*[F.lit(float(x)) for x in planes[t][p]])
         return F.aggregate(
             F.zip_with(
                 F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c
@@ -127,10 +129,21 @@ def srp_buckets(
             lambda acc, v: acc + v,
         )
 
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        bucket = bucket + F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    def table_bucket(t: int):
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            bucket = bucket + F.when(proj(t, p) > 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+        return F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+
+    tb = F.explode(F.array(*[table_bucket(t) for t in range(n_tables)]))
+    return (
+        df.withColumn("__tb", tb)
+        .withColumn("table", F.col("__tb.table"))
+        .withColumn("bucket", F.col("__tb.bucket"))
+        .drop("__tb")
+    )
 
 
 def lsh_topk(
@@ -141,23 +154,124 @@ def lsh_topk(
     k: int = 3,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate cosine top-k: SRP-bucket the corpus and the queries,
-    join on bucket equality, exact-rescore within buckets.
+    """Approximate cosine top-k: SRP-bucket corpus and queries in
+    ``n_tables`` independent tables, union candidates that share any
+    (table, bucket), exact-rescore.
 
-    With ``n_planes`` p, a bucket holds ~N/2^p of the corpus — the
-    candidate set (and the shuffle) shrinks exponentially while recall
-    degrades gracefully; multi-probe (flipping low-margin bits) is the
-    standard recall knob left as config.
+    Per table a bucket holds ~N/2^p of the corpus, so candidates ≈
+    L·N/2^p — tune p against L for the recall/cost point.  High recall
+    for near-duplicate angles (the LSH use case); for uniformly random
+    vectors no sub-linear method retains recall — use ``ivf_topk`` or
+    exact ``cosine_topk`` there.
     """
-    cb = srp_buckets(corpus, id_col, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"), "bucket"
+    cb = srp_buckets(
+        corpus, id_col, vec_col, n_planes, dim, n_tables=n_tables
+    ).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"),
+        "table", "bucket",
     )
-    qb = srp_buckets(queries, id_col, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
+    qb = srp_buckets(
+        queries, id_col, vec_col, n_planes, dim, n_tables=n_tables
+    ).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        "table", "bucket",
     )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "qvec", "match_id", "cvec")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("qvec"), F.col("cvec"))
+        / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: KMeans coarse quantizer over the
+    corpus, queries probe their ``nprobe`` nearest centroids, exact
+    cosine re-score within the probed inverted lists.
+
+    The scale shape of FAISS-IVF on Spark: the corpus is partitioned by
+    cluster id (at 100 TB: written bucketed by ``cluster``), a query
+    touches ~``nprobe/n_clusters`` of it, and the only full pass is the
+    one-off training sample + assignment.  Recall is tuned with
+    ``nprobe``; ``nprobe = n_clusters`` degrades gracefully to exact
+    brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20)
+    model = km.fit(corpus_v.select("features"))
+    assigned = model.transform(corpus_v).select(
+        "match_id", "cvec", F.col(model.getPredictionCol()).alias("cluster")
+    )
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cluster int, centroid array<double>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # probe the nprobe nearest centroids per query (tiny cross join:
+    # |queries| × n_clusters)
+    from pyspark.sql import Window
+
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(
+                    "qvec", "centroid", lambda x, c: (x.cast("double") - c) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cluster"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", "cluster")
+    )
+
     scored = (
-        qb.join(cb, "bucket")
+        probes.join(assigned, "cluster")
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn(
             "cosine",
@@ -165,8 +279,6 @@ def lsh_topk(
             / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
     )

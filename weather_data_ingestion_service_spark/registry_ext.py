@@ -759,3 +759,42 @@ def q_stream_stateful_latest(spark, sf_dir):
     )
     out = latest_per_key_stateful(src, "key", "ts", "value")
     return run_stream_to_memory(out, "update")
+
+
+@register("ext_simsearch_ivf")  # KMeans-seeded ANN — rows-only
+def q_ext_simsearch_ivf(spark, sf_dir):
+    """IVF-style ANN: KMeans(16) coarse quantizer, 4-probe, exact
+    re-score inside probed lists (ext/simsearch.ivf_topk)."""
+    from .ext.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=3, n_clusters=8, nprobe=3,
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot: one column per event_type with daily counts (explicit
+    value list keeps the schema deterministic; absent cells coalesce
+    to 0 to match SQL conditional counts)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.window("ts", "1 day")["start"]
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("day").pivot("event_type", types).count()
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
