@@ -135,3 +135,26 @@ class TestGeocode:
     def test_miss_raises(self, spark):
         with pytest.raises(ForecastRequestError):
             geocode(spark, "Nowhere At All")  # server.py:112-114
+
+
+class TestHistoryForecastUnion:
+    def test_revision_supersedes_original(self, spark):
+        """Weather-level union-with-preference: re-fetched rows (later
+        fetched_at, shifted temperature) win over the original series
+        for overlapping (location, ts) keys (server.py:304)."""
+        from weather_data_ingestion_service_spark.operators.setops import union_prefer
+
+        wh = fixtures.weather_hourly(spark, n_locations=2, n_days=5)
+        revs = fixtures.weather_revisions(spark, n_locations=2, n_days=5).drop(
+            "fetched_at"
+        )
+        assert revs.count() == 2 * 2 * 24  # non-vacuous: 2 locs × 2 days
+        merged = union_prefer(revs, wh, keys=["location_id", "ts"])
+        assert merged.count() == wh.count()  # same grid, no dupes
+        overlap = merged.join(
+            revs.select("location_id", "ts", F.col("temperature_2m").alias("rev_t")),
+            ["location_id", "ts"],
+        )
+        assert overlap.filter(
+            F.abs(F.col("temperature_2m") - F.col("rev_t")) > 1e-9
+        ).count() == 0  # revised values won everywhere they existed

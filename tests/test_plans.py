@@ -3,8 +3,6 @@ test target, not a hope.  Filters must reach the parquet scan, small
 dims must broadcast, top-k must not global-sort, aggregates must not
 shuffle more than once."""
 
-from pyspark.sql import functions as F
-
 from weather_data_ingestion_service_spark.io import load_table
 from weather_data_ingestion_service_spark.plans import (
     count_exchanges,

@@ -223,7 +223,7 @@ def ivf_topk(
     brute force.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_v = corpus.select(
         F.col(id_col).alias("match_id"),

@@ -11,8 +11,6 @@ No driver-side data generation, so the same code generates 5 locations
 
 from __future__ import annotations
 
-import datetime as dt
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -122,16 +120,19 @@ def weather_hourly(
     return df
 
 
-def weather_revisions(spark: SparkSession, **kwargs) -> DataFrame:
-    """A revised re-fetch of the last 2 days (forecast models re-ran —
-    reference server.py:304): same (location, ts) keys, shifted values,
-    later ``fetched_at``."""
-    wh = weather_hourly(spark, **kwargs)
-    max_ts = F.lit(FIXTURE_START).cast("timestamp") + F.make_interval(
-        days=F.lit(FIXTURE_DAYS)
-    )
+def weather_revisions(
+    spark: SparkSession,
+    n_locations: int = FIXTURE_LOCATIONS,
+    n_days: int = FIXTURE_DAYS,
+    start: str = FIXTURE_START,
+) -> DataFrame:
+    """A revised re-fetch of the last 2 days of the generated range
+    (forecast models re-ran — reference server.py:304): same
+    (location, ts) keys, shifted values, later ``fetched_at``."""
+    wh = weather_hourly(spark, n_locations, n_days, start)
+    end_ts = F.lit(start).cast("timestamp") + F.make_interval(days=F.lit(n_days))
     return (
-        wh.filter(F.col("ts") >= max_ts - F.make_interval(days=F.lit(2)))
+        wh.filter(F.col("ts") >= end_ts - F.make_interval(days=F.lit(2)))
         .withColumn("temperature_2m", F.col("temperature_2m") + 0.8)
-        .withColumn("fetched_at", max_ts)
+        .withColumn("fetched_at", end_ts)
     )
