@@ -144,10 +144,14 @@ def minhash_lsh_pairs(
     sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
         id_col, F.explode("shingles").alias("shingle")
     )
+    # hash the shingle STRING once, then derive the universal-hash
+    # family from the resulting long — hashing an 8-byte long per seed
+    # is far cheaper than re-hashing a ~20-byte string num_hashes times
+    sh = sh.withColumn("sh64", F.xxhash64("shingle"))
     hashed = sh.select(
         id_col,
         *[
-            F.xxhash64(F.col("shingle"), F.lit(seed)).alias(f"h{seed}")
+            F.xxhash64(F.col("sh64"), F.lit(seed)).alias(f"h{seed}")
             for seed in range(num_hashes)
         ],
     )
@@ -202,22 +206,36 @@ def minhash_lsh_pairs(
 @pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (md5-based token hashes —
-    stable across runs/JVMs; Arrow-vectorized batches)."""
+    stable across runs/JVMs; Arrow-vectorized batches).
+
+    Token md5s and their ±1 bit vectors are memoized per batch and the
+    bit accumulation is a numpy sum — natural-language vocabularies
+    repeat heavily, so the md5 cost amortizes to once per distinct
+    token instead of once per occurrence."""
+    import numpy as np
+
+    bit_cache: dict[str, "np.ndarray"] = {}
+
+    def token_bits(tok: str) -> "np.ndarray":
+        bits = bit_cache.get(tok)
+        if bits is None:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            bits = np.fromiter(
+                ((1 if (h >> i) & 1 else -1) for i in range(64)),
+                dtype=np.int64,
+                count=64,
+            )
+            bit_cache[tok] = bits
+        return bits
 
     def one(text: str) -> int:
         if not text:
             return 0
-        acc = [0] * 64
-        for tok in text.lower().split():
-            h = int.from_bytes(
-                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-            )
-            for i in range(64):
-                acc[i] += 1 if (h >> i) & 1 else -1
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
+        toks = text.lower().split()
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            acc += token_bits(tok)
+        v = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
         # two's-complement into signed int64 for LongType
         return v - (1 << 64) if v >= (1 << 63) else v
 
