@@ -158,3 +158,65 @@ class TestHistoryForecastUnion:
         assert overlap.filter(
             F.abs(F.col("temperature_2m") - F.col("rev_t")) > 1e-9
         ).count() == 0  # revised values won everywhere they existed
+
+
+class TestStdioServe:
+    """Serving boundary parity (reference server.py:258, 280): columnar
+    success payloads, errors as envelope values, never exceptions."""
+
+    def test_success_envelope_is_columnar(self, spark):
+        from weather_data_ingestion_service_spark.api.serve import handle_request
+
+        resp = handle_request(
+            spark,
+            {"tool": "get_forecast",
+             "params": {"place": "Prague, CZ", "forecast_days": 2,
+                        "variables": "temperature_2m,precipitation"}},
+        )
+        assert resp["status"] == "success"
+        hourly = resp["data"]["hourly"]
+        assert len(hourly["time"]) == 2 * 24
+        assert len(hourly["temperature_2m"]) == len(hourly["time"])
+        assert set(hourly) == {"time", "temperature_2m", "precipitation"}
+
+    def test_daily_block_key(self, spark):
+        from weather_data_ingestion_service_spark.api.serve import handle_request
+
+        resp = handle_request(
+            spark,
+            {"tool": "get_history",
+             "params": {"place": "Berlin, DE", "start_date": "2024-01-03",
+                        "end_date": "2024-01-04", "granularity": 1440}},
+        )
+        assert resp["status"] == "success"
+        assert "daily" in resp["data"] and len(resp["data"]["daily"]["time"]) == 2
+
+    def test_errors_are_values_not_exceptions(self, spark):
+        from weather_data_ingestion_service_spark.api.serve import handle_request
+
+        cases = [
+            {"tool": "get_history", "params": {"place": "Prague, CZ",
+             "start_date": "2024-01-10", "end_date": "2024-01-02"}},
+            {"tool": "get_forecast", "params": {"place": "Atlantis"}},
+            {"tool": "nonexistent_tool", "params": {}},
+            {"tool": "get_forecast", "params": {"bogus_param": 1}},
+            "not json at all {",
+        ]
+        for case in cases:
+            resp = handle_request(spark, case)
+            assert resp["status"] == "error" and resp["message"]
+
+    def test_stdio_loop_round_trip(self, spark):
+        import io
+        import json
+
+        from weather_data_ingestion_service_spark.api.serve import serve_stdio
+
+        stdin = io.StringIO(
+            '{"tool": "get_forecast", "params": {"place": "Paris, FR", "forecast_days": 1}}\n'
+            '{"tool": "get_forecast", "params": {"place": "Atlantis"}}\n'
+        )
+        stdout = io.StringIO()
+        serve_stdio(spark, stdin, stdout)
+        lines = [json.loads(l) for l in stdout.getvalue().strip().split("\n")]
+        assert [r["status"] for r in lines] == ["success", "error"]

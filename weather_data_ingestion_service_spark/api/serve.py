@@ -1,0 +1,114 @@
+"""Stdio JSON serving boundary — the engine's analog of the
+reference's MCP stdio server (reference server.py:24, 375-394).
+
+Line-delimited JSON requests → envelope responses:
+
+    {"tool": "get_forecast", "params": {"place": "Prague, CZ"}}
+    → {"status": "success", "data": {"location_id": ..., "hourly":
+       {"time": [...], "temperature_2m": [...], ...}}}
+
+Faithful to the reference's boundary semantics:
+
+- results wrap as ``{"status": "success", "data": ...}`` and failures
+  as ``{"status": "error", "message": ...}`` (server.py:258, 280) —
+  errors are VALUES at this boundary, never exceptions;
+- the data payload is the columnar struct-of-arrays shape the
+  reference passes through verbatim (server.py:74, 258): a ``time``
+  array plus one parallel array per variable;
+- unknown tools mirror unknown-method errors.
+
+The conversion to columnar happens driver-side on the collected
+result — this is the serving boundary for one request's worth of
+rows, not a batch operator (bulk encoding uses
+``sources.openmeteo.to_openmeteo_json`` inside the plan).
+
+Run: ``python -m weather_data_ingestion_service_spark.api.serve``
+(reads stdin until EOF), or pass ``--once '<json>'`` for a single
+request/response.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any, TextIO
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .wrappers import ForecastRequestError, get_forecast, get_history
+
+_TOOLS = {"get_forecast": get_forecast, "get_history": get_history}
+
+
+def _df_to_columnar(df: DataFrame, time_col: str) -> dict[str, Any]:
+    """Collected tidy rows → the wire's parallel-array block."""
+    rows = df.collect()
+    cols = [c for c in df.columns if c not in (time_col, "location_id")]
+    block: dict[str, list] = {
+        "time": [getattr(r, time_col).isoformat(timespec="minutes") for r in rows]
+    }
+    for c in cols:
+        block[c] = [getattr(r, c) for r in rows]
+    loc = rows[0].location_id if rows and "location_id" in df.columns else None
+    return {"location_id": loc, "block": block}
+
+
+def handle_request(spark: SparkSession, request: str | dict) -> dict:
+    """Dispatch one tool call; never raises — errors become envelope
+    values (reference server.py:280, 369)."""
+    try:
+        req = json.loads(request) if isinstance(request, str) else request
+        tool = req.get("tool")
+        fn = _TOOLS.get(tool)
+        if fn is None:
+            return {"status": "error", "message": f"unknown tool: {tool!r}"}
+        params = dict(req.get("params") or {})
+        df = fn(spark, **params)
+        time_col = "day" if "day" in df.columns else "ts"
+        payload = _df_to_columnar(df, time_col)
+        key = (
+            "daily"
+            if time_col == "day"
+            else ("minutely_15" if params.get("granularity") == 15 else "hourly")
+        )
+        return {
+            "status": "success",
+            "data": {
+                "location_id": payload["location_id"],
+                key: payload["block"],
+            },
+        }
+    except ForecastRequestError as exc:
+        return {"status": "error", "message": str(exc)}
+    except json.JSONDecodeError as exc:
+        return {"status": "error", "message": f"invalid JSON request: {exc}"}
+    except TypeError as exc:  # bad/unknown parameters
+        return {"status": "error", "message": f"invalid parameters: {exc}"}
+
+
+def serve_stdio(spark: SparkSession, stdin: TextIO, stdout: TextIO) -> None:
+    """Line-delimited JSON loop until EOF (transport analog of
+    ``mcp.run(transport="stdio")``, server.py:378)."""
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        resp = handle_request(spark, line)
+        stdout.write(json.dumps(resp) + "\n")
+        stdout.flush()
+
+
+def main(argv: list[str] | None = None) -> None:
+    from ..session import get_spark
+
+    argv = sys.argv[1:] if argv is None else argv
+    spark = get_spark(app_name="wds-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    if len(argv) >= 2 and argv[0] == "--once":
+        print(json.dumps(handle_request(spark, argv[1])))
+    else:
+        serve_stdio(spark, sys.stdin, sys.stdout)
+
+
+if __name__ == "__main__":
+    main()
