@@ -174,3 +174,28 @@ class TestPrefixFilteredJaccard:
         )
         want = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
         assert fast == want
+
+
+class TestSaltedJoin:
+    def test_row_identical_to_plain_join(self, spark, sf_dir):
+        """Salting changes the physical distribution, never the rows."""
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators.skew import salted_join
+
+        # simulate skew: 80% of events forced onto one user
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 5 != 0, F.lit(7)).otherwise(F.col("user_id")),
+        ).select("event_id", "user_id", "value")
+        users = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id").distinct()
+            .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+        )
+        plain = ev.join(users, "user_id").select("event_id", "user_id", "segment")
+        salted = salted_join(ev, users, "user_id", salt=8).select(
+            "event_id", "user_id", "segment"
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
