@@ -199,3 +199,26 @@ class TestSaltedJoin:
         assert sorted(map(tuple, plain.collect())) == sorted(
             map(tuple, salted.collect())
         )
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd_of_exact(self, spark, sf_dir):
+        """approx_count_distinct(rsd=0.02) stays within ~3σ of exact —
+        the 100 TB substitute for exact distinct counts."""
+        from weather_data_ingestion_service_spark.io import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        approx = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+            .collect()
+        }
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, n, approx[k])
