@@ -219,3 +219,54 @@ def test_foreachbatch_merge_upsert_sink(spark, staged_dir):
     got_m = {r.key: r.ts for r in got.collect()}
     assert got_m == want
     shutil.rmtree(target, ignore_errors=True)
+
+
+def test_streaming_python_datasource_poll_and_upsert(spark):
+    """Spark 4 streaming Python DataSource: the polling forecast feed
+    emits (key, revision) rows across micro-batch offsets; keep-latest
+    downstream yields exactly one row per (location, hour) with the
+    highest revision."""
+    from pyspark.sql import Window
+
+    from weather_data_ingestion_service_spark.sources.stream_source import (
+        register_forecast_poll_source,
+    )
+
+    register_forecast_poll_source(spark)
+    src = (
+        spark.readStream.format("forecast_poll")
+        .option("n_locations", 2)
+        .option("max_polls", 4)
+        .load()
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wds_poll_feed")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the poll source caps itself at max_polls=4 offsets; drain until
+    # all 14 rows arrived (availableNow would stop after one batch —
+    # a simple stream reader has no "latest available" notion)
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("wds_poll_feed").count() >= 14:
+            break
+        time.sleep(0.5)
+    q.stop()
+    raw = spark.table("wds_poll_feed")
+    # 4 polls × 2 locations × (1 new + 1 revision, except poll 0)
+    assert raw.count() == 2 * 4 + 2 * 3
+    w = Window.partitionBy("location_id", "hour_idx").orderBy(
+        F.col("revision").desc()
+    )
+    latest = (
+        raw.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    assert latest.count() == 2 * 4  # one row per (loc, hour)
+    # every hour except the newest carries its superseding revision
+    revised = latest.filter(F.col("revision") > F.col("hour_idx"))
+    assert revised.count() == 2 * 3
