@@ -21,7 +21,8 @@ ORACLE_IDS = {
     "agg_daily_max", "agg_daily_min", "agg_daily_sum", "agg_cond_hours",
     "agg_daily_mode", "agg_count_calls", "agg_avg", "agg_multi",
     "agg_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_percentile", "agg_pivot",
+    "agg_percentile", "agg_pivot", "agg_unpivot", "agg_corr",
+    "win_ntile", "f_levenshtein",
     "bucket_15min", "bucket_hourly", "bucket_daily",
     "win_rank", "win_row_number", "win_lag_delta", "win_moving_avg",
     "sort_time_asc", "limit_horizon_clamp", "sort_topk",

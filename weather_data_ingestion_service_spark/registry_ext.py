@@ -798,3 +798,79 @@ def q_agg_pivot(spark, sf_dir):
     return piv.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_agg_unpivot(spark, sf_dir):
+    """Unpivot (wide → long): the inverse of agg_pivot, via
+    ``unpivot``/``stack`` — the reshape that turns the reference's
+    per-variable columns back into (measure, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "win_ntile",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+    FROM orders
+    """,
+)
+def q_win_ntile(spark, sf_dir):
+    """Quartile assignment over a total order (feature-binning shape)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "f_levenshtein",
+    """
+    SELECT p_partkey, levenshtein(p_brand, 'Brand#11') AS edit_dist
+    FROM part WHERE levenshtein(p_brand, 'Brand#11') <= 2
+    """,
+)
+def q_f_levenshtein(spark, sf_dir):
+    """Edit-distance fuzzy matching (the scalar cousin of the near-dup
+    operators; both engines implement classic Levenshtein)."""
+    part = load_table(spark, sf_dir, "part")
+    d = F.levenshtein("p_brand", F.lit("Brand#11"))
+    return part.select("p_partkey", d.alias("edit_dist")).filter(
+        F.col("edit_dist") <= 2
+    )
+
+
+@register(
+    "agg_corr",
+    """
+    SELECT event_type,
+           round(corr(value, CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS corr_vk
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    """Pearson correlation per group (statistics substrate; rounded to
+    6dp — accumulation order differs across engines at ~1e-12)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", k), 6).alias("corr_vk")
+    )
