@@ -36,7 +36,8 @@ ORACLE_IDS = {
     "ext_simsearch_topk", "ext_text_analysis", "ext_text_tokens",
     "ext_text_quality", "ext_text_langid", "ext_text_fingerprint",
     "ext_multimodal_cols",
-    "bench_q3", "bench_q6", "wx_daily_summary",
+    "bench_q3", "bench_q4", "bench_q6", "wx_daily_summary",
+    "agg_argmin", "f_try_cast", "win_range_frame",
 }
 
 ROWS_ONLY_IDS = {

@@ -874,3 +874,112 @@ def q_agg_corr(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.round(F.corr("value", k), 6).alias("corr_vk")
     )
+
+
+@register(
+    "bench_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bench_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (orders with a late-shipped
+    line item) → left-semi join with a cross-table predicate →
+    priority counts."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "agg_argmin",
+    """
+    SELECT s_nationkey, m.k AS best_suppkey, m.a AS best_acctbal FROM (
+      SELECT s_nationkey,
+             min(struct_pack(a := s_acctbal, k := s_suppkey)) AS m
+      FROM supplier GROUP BY s_nationkey
+    )
+    """,
+)
+def q_agg_argmin(spark, sf_dir):
+    """Deterministic argmin via struct-min (min_by breaks ties
+    arbitrarily; lexicographic struct comparison does not): the
+    lowest-balance supplier per nation, tie → lowest key."""
+    sup = load_table(spark, sf_dir, "supplier")
+    m = F.min(F.struct(F.col("s_acctbal").alias("a"), F.col("s_suppkey").alias("k")))
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(m.alias("m"))
+        .select(
+            "s_nationkey",
+            F.col("m.k").alias("best_suppkey"),
+            F.col("m.a").alias("best_acctbal"),
+        )
+    )
+
+
+@register(
+    "f_try_cast",
+    """
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN '2024-99-99'
+                         ELSE strftime(ts, '%Y-%m-%d') END AS DATE) AS parsed
+    FROM events
+    """,
+)
+def q_f_try_cast(spark, sf_dir):
+    """Error-value casts: invalid inputs become NULL instead of
+    failing the job (the reference's errors-are-values posture,
+    server.py:280, applied at expression level)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 3 == 0, F.lit("2024-99-99")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd")
+    )
+    return ev.select("event_id", F.try_to_date(raw).alias("parsed"))
+
+
+@register(
+    "win_range_frame",
+    """
+    SELECT event_id,
+           sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS rolling_1h_sum
+    FROM events
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    """Time-RANGE window frame: per-user rolling 1-hour sum keyed on
+    event time (not row count) — the range frame the reference's
+    15-min cadence data wants for trailing features."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn("vc", _cents("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600000000, 0)
+    )
+    return ev.select(
+        "event_id", (F.sum("vc").over(w) / 100.0).alias("rolling_1h_sum")
+    )
