@@ -201,3 +201,32 @@ class TestAnnRecall:
         ).collect()
         hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
         assert hits / queries.count() >= 0.9
+
+
+class TestBlasCosineEquivalence:
+    def test_blas_pairs_match_expression_pairs(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            embedding_near_dup_pairs,
+            embedding_near_dup_pairs_blas,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+                F.slice("embedding", 2, 100000),
+            ).alias("embedding"),
+            F.col("label"),
+        )
+        corpus = emb.unionByName(pert)
+        a = {
+            (r.id_a, r.id_b): round(r.cosine, 6)
+            for r in embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+        }
+        b = {
+            (r.id_a, r.id_b): round(r.cosine, 6)
+            for r in embedding_near_dup_pairs_blas(corpus, threshold=0.9).collect()
+        }
+        assert a == b and len(a) > 0

@@ -197,8 +197,12 @@ def q_ext_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_ext_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.95)."""
-    out = embedding_near_dup_pairs(
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) — BLAS-blocked
+    exact all-pairs (equivalence-tested against the expression-fold
+    variant; ~2× faster at sf0.1)."""
+    from .ext.simsearch import embedding_near_dup_pairs_blas
+
+    out = embedding_near_dup_pairs_blas(
         _emb_dup_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.95
     )
     return out.withColumn("cosine", F.round("cosine", 3))
