@@ -38,6 +38,8 @@ ORACLE_IDS = {
     "ext_multimodal_cols",
     "bench_q3", "bench_q4", "bench_q6", "wx_daily_summary",
     "agg_argmin", "f_try_cast", "win_range_frame",
+    "ext_sample_hash", "ext_train_split", "ext_sample_stratified",
+    "agg_regr_ols", "ext_dedup_cluster", "ext_embed_centroids",
 }
 
 ROWS_ONLY_IDS = {

@@ -222,3 +222,79 @@ class TestApproxDistinct:
         }
         for k, n in exact.items():
             assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, n, approx[k])
+
+
+class TestDedupClusters:
+    def test_chain_and_star_components(self, spark):
+        """Min-label propagation converges past the fixture's shallow
+        star graphs: a 5-node path (diameter 4) and an isolated node."""
+        from weather_data_ingestion_service_spark.ext.dedup import dedup_clusters
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+        # path 1-2-3-4-5, pair 6-7; node 7 also isolated from the path
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], ["id_a", "id_b"]
+        )
+        got = {
+            r.id: r.cluster_id
+            for r in dedup_clusters(nodes, pairs, "id").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
+
+    def test_max_iter_bounds_rounds(self, spark):
+        from weather_data_ingestion_service_spark.ext.dedup import dedup_clusters
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 5)], ["id_a", "id_b"]
+        )
+        # one round only: labels move one hop, not to the global min
+        partial = {
+            r.id: r.cluster_id
+            for r in dedup_clusters(nodes, pairs, "id", max_iter=1).collect()
+        }
+        assert partial[2] == 1 and partial[5] == 4
+
+
+class TestHashSampling:
+    def test_membership_invariant_under_repartition(self, spark, sf_dir):
+        """The property that motivates hash sampling: the sample is a
+        pure function of the row, not of partitioning or run order."""
+        from weather_data_ingestion_service_spark.ext.sampling import hash_sample
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        a = {r.doc_id for r in hash_sample(docs, "doc_id", "28").collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(docs.repartition(13), "doc_id", "28").collect()
+        }
+        assert a == b and 0 < len(a) < docs.count()
+
+    def test_split_is_total_and_disjoint(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.sampling import hash_split
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        splits = hash_split(docs, "doc_id").groupBy("split").count().collect()
+        got = {r.split: r["count"] for r in splits}
+        assert set(got) == {"train", "val", "test"}
+        assert sum(got.values()) == docs.count()
+        assert got["train"] > got["val"] and got["train"] > got["test"]
+
+    def test_stratified_exact_k(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.sampling import (
+            stratified_topk,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        per = (
+            stratified_topk(docs, "lang", "doc_id", 5)
+            .groupBy("lang")
+            .count()
+            .collect()
+        )
+        avail = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+        for r in per:
+            assert r["count"] == min(5, avail[r.lang])

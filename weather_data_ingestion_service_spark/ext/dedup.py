@@ -248,6 +248,72 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair graph, each node labeled with the minimum id
+    reachable from it (the cluster representative a pipeline keeps).
+
+    Min-label propagation: every round each node takes the min of its
+    own label and its neighbors' labels; converges in O(graph
+    diameter) rounds.  Near-dup graphs are overwhelmingly tiny stars
+    (a document and its variants), so the expected round count is 2-3;
+    ``max_iter`` bounds pathological chains.  Each round is one
+    shuffled join + hash-agg on compact (long, long) rows; labels are
+    persisted per round and lineage is cut with ``localCheckpoint``
+    every few rounds so the plan doesn't grow unboundedly (the classic
+    iterative-Spark failure mode).  At extreme skew (one giant
+    component) switch to large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce"), which halves round count;
+    not needed for dedup-shaped graphs.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lab")
+    ).persist()
+    for it in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.dst, "left")
+            .select(
+                "id",
+                F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
+            )
+        )
+        if it % 4 == 3:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") < F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    )
+
+
 @pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (md5-based token hashes —

@@ -1,0 +1,75 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Random sampling (``df.sample``) is seed- and partitioning-dependent —
+rerunning on a repartitioned table yields a different sample, which is
+poison for reproducible training sets.  Everything here keys the
+decision on a **content hash of the row id** (md5 of its decimal
+string), so membership is a pure function of the row: stable across
+runs, partitionings, engines, and cluster sizes, and cheap (one hash
+per row, no shuffle for the Bernoulli forms).
+
+The reference has no sampling surface; these are mandated
+training-pipeline extensions (BASELINE.json north star) in the same
+spirit as its "readily usable in downstream ML pipelines" framing
+(reference README.md:18).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _id_hash(id_col: str) -> F.Column:
+    """Lowercase hex md5 of the id's decimal string — identical bytes
+    in any engine (DuckDB: ``md5(CAST(id AS VARCHAR))``)."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def hash_sample(df: DataFrame, id_col: str, threshold_hex: str) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose id-hash sorts
+    below ``threshold_hex`` (e.g. ``"1a"`` ≈ 26/256 ≈ 10.2%).
+
+    Narrow (no shuffle): the filter pipelines into the scan, so at
+    100 TB it is a single pass that prunes before anything wide runs.
+    """
+    return df.filter(_id_hash(id_col) < F.lit(threshold_hex))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    bounds_hex: Sequence[tuple[str, str]] = (("train", "cc"), ("val", "e6")),
+    last_label: str = "test",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id-hash range:
+    hash < bounds[0] → first label, < bounds[1] → second, … else
+    ``last_label``.  Defaults ≈ 80/10/10.  Narrow, reproducible — a
+    document keeps its split forever, even as the corpus grows (the
+    property that prevents train/test leakage across dataset versions).
+    """
+    h = _id_hash(id_col)
+    expr = F.lit(last_label)
+    for label, bound in reversed(list(bounds_hex)):
+        expr = F.when(h < F.lit(bound), F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_topk(
+    df: DataFrame, strata_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly-k-per-stratum sample: rank rows within each stratum by
+    id-hash (a deterministic uniform order) and keep the first ``k``.
+
+    One shuffle on the stratum key.  Skew posture: strata counts are
+    typically few and bounded (languages, sources); the per-stratum
+    sort is a top-k heap under ``row_number`` + filter, not a full
+    sort, once AQE sees the limit-like filter.
+    """
+    w = Window.partitionBy(strata_col).orderBy(_id_hash(id_col), id_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -370,3 +370,42 @@ def embedding_near_dup_pairs_blas(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, scale_bits: int = 20
+) -> DataFrame:
+    """Per-label mean embedding (class centroids / mean-pooling) as an
+    ``array<double>`` column, computed through exact integer moments.
+
+    Float sums are order-dependent, so a naive ``avg`` over a shuffled
+    table is not reproducible (and never hash-matches another engine).
+    Instead each component is scaled by 2**scale_bits — a power of two,
+    so the float->double product is EXACT, no rounding boundary to
+    disagree on — floored to int64, summed (associative: partial-agg
+    order cannot change it), and divided back once at the end.  One
+    posexplode + hash-agg; the component dimension fans out 64x before
+    the shuffle, but rows are three longs wide, and at 100 TB the
+    partial aggregation collapses them to (labels x dims) before the
+    exchange.
+    """
+    scale = float(1 << scale_bits)
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    q = ex.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("val").cast("double") * scale)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    mean = (F.col("s").cast("double") / (F.lit(scale) * F.col("c"))).alias("m")
+    return (
+        q.select("label", "pos", mean)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x.m,
+            ).alias("centroid")
+        )
+    )

@@ -110,3 +110,50 @@ def categorical_mode(
         .filter(F.col("__rn") == 1)
         .select(*keys, F.col(col).alias(alias))
     )
+
+
+def exact_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_long: Column,
+    y_long: Column,
+) -> DataFrame:
+    """Per-group simple linear regression (slope + intercept) from
+    exact integer moments, one aggregation pass.
+
+    ``regr_slope``-style streaming covariance is float-order-dependent
+    (partial aggregation order changes the bits), so this computes the
+    five classical moments n, Sx, Sy, Sxx, Sxy over *integer-encoded*
+    inputs — int64 sums are associative, hence identical under any
+    partitioning — and applies the closed form in doubles only at the
+    very end:
+
+        slope = (Sxy - Sx*Sy/n) / (Sxx - Sx*Sx/n)
+
+    (the mean-centered form keeps every intermediate < 2^53 so the
+    int64->double casts stay exact at 100 TB row counts, where the
+    n*Sxy textbook form would overflow int64).
+    """
+    g = df.select(
+        *group_cols, x_long.alias("_x"), y_long.alias("_y")
+    ).groupBy(*group_cols)
+    agg = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = sy / n - slope * (sx / n)
+    return agg.select(
+        *group_cols,
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        F.col("n").alias("n_obs"),
+    )

@@ -987,3 +987,178 @@ def q_win_range_frame(spark, sf_dir):
     return ev.select(
         "event_id", (F.sum("vc").over(w) / 100.0).alias("rolling_1h_sum")
     )
+
+
+# ---------------------------------------------------------------------
+# training-pipeline operators: deterministic sampling / splits,
+# duplicate clustering, centroids, exact OLS
+# ---------------------------------------------------------------------
+
+
+@register(
+    "ext_sample_hash",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+    """,
+)
+def q_ext_sample_hash(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample keyed on md5(doc_id) —
+    membership is a pure function of the row, stable across runs,
+    partitionings and engines (unlike df.sample)."""
+    from .ext.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return hash_sample(docs, "doc_id", "1a")
+
+
+@register(
+    "ext_train_split",
+    """
+    SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_ext_train_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test assignment by id-hash
+    range: a document keeps its split forever as the corpus grows —
+    the property that prevents train/test leakage across dataset
+    versions."""
+    from .ext.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id")
+
+
+@register(
+    "ext_sample_stratified",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 25
+    """,
+)
+def q_ext_sample_stratified(spark, sf_dir):
+    """Exactly-25-per-language stratified sample, ranked by id-hash
+    (a deterministic uniform order) — balanced eval sets from a
+    skewed corpus."""
+    from .ext.sampling import stratified_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_topk(docs, "lang", "doc_id", 25)
+
+
+@register(
+    "agg_regr_ols",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS slope,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+             - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+           n AS n_obs
+    FROM m
+    """,
+)
+def q_agg_regr_ols(spark, sf_dir):
+    """Per-group OLS slope/intercept (extendedprice-cents vs quantity)
+    from exact integer moments in one aggregation pass — regr_slope's
+    streaming covariance is float-order-dependent, integer moments are
+    not."""
+    from .operators.aggregates import exact_ols
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_ols(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity").cast("long"),
+        _cents("l_extendedprice"),
+    )
+
+
+@register(
+    "ext_dedup_cluster",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM corpus),
+    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
+    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b USING (shingle)
+      JOIN cnt ca ON a.id = ca.id JOIN cnt cb ON b.id = cb.id
+      WHERE a.id < b.id
+      GROUP BY 1, 2, ca.n_sh, cb.n_sh
+      HAVING count(*) / (ca.n_sh + cb.n_sh - count(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lab < e.dst
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_ext_dedup_cluster(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the
+    exact-Jaccard near-dup graph (threshold 0.5), every doc labeled
+    with the min id reachable from it — the representative a dedup
+    pipeline keeps."""
+    from .ext.dedup import dedup_clusters
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(
+        corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+
+
+@register(
+    "ext_embed_centroids",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings),
+    q AS (SELECT label, pos,
+            CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS s,
+            count(*) AS c
+          FROM ex GROUP BY 1, 2)
+    SELECT label, list(CAST(s AS DOUBLE) / (1048576.0 * c) ORDER BY pos) AS centroid
+    FROM q GROUP BY label
+    """,
+)
+def q_ext_embed_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroids) via exact
+    power-of-two integer quantization — float sums are
+    order-dependent; scaled-int64 sums are associative and
+    engine-exact."""
+    from .ext.simsearch import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
