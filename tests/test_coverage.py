@@ -45,6 +45,7 @@ ORACLE_IDS = {
 ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
     "ext_simsearch_lsh", "ext_multimodal_decode",
+    "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
     "stream_stateful_latest", "ext_simsearch_ivf",
 }

@@ -298,3 +298,60 @@ class TestHashSampling:
         avail = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
         for r in per:
             assert r["count"] == min(5, avail[r.lang])
+
+
+class TestMultimodalFramesResize:
+    def test_frame_fanout_matches_stub_formula(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            attach_binary_payload,
+            sample_frames,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        pay = attach_binary_payload(docs, "text")
+        frames = sample_frames(pay, "doc_id", "payload", every_nth=4)
+        got = {
+            (r.doc_id, r.frame_no): r.frame_md5 for r in frames.collect()
+        }
+        import math
+        for r in pay.select("doc_id", "payload_bytes").collect():
+            n_frames = 1 + (r.payload_bytes % 32)
+            expect = math.ceil(n_frames / 4)
+            have = sum(1 for (d, _) in got if d == r.doc_id)
+            assert have == expect, (r.doc_id, have, expect)
+        # deterministic: re-run yields identical fingerprints
+        again = {
+            (r.doc_id, r.frame_no): r.frame_md5 for r in frames.collect()
+        }
+        assert got == again
+
+    def test_resize_shrinks_payload_and_keeps_rows(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            attach_binary_payload,
+            resize_images,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        pay = attach_binary_payload(docs, "text")
+        out = resize_images(pay, "doc_id", "payload", 224, 224).collect()
+        assert len(out) == 50
+        assert all(r.width == 224 and r.height == 224 for r in out)
+        assert all(0 < r.payload_bytes <= 49 for r in out)
+
+    def test_real_codec_path_is_gated(self, spark, sf_dir):
+        import pytest
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            attach_binary_payload,
+            resize_images,
+            sample_frames,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(1)
+        pay = attach_binary_payload(docs, "text")
+        with pytest.raises(NotImplementedError):
+            sample_frames(pay, use_real_codec=True)
+        with pytest.raises(NotImplementedError):
+            resize_images(pay, use_real_codec=True)

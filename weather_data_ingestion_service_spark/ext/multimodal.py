@@ -98,3 +98,116 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(
         extract, IMAGE_FEATURES_SCHEMA
     )
+
+
+#: output schema of the (stubbed) video frame sampler
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_nth: int = 4,
+    fps: int = 30,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Video frame sampling: one binary payload row fans out to k frame
+    rows (frame index, presentation timestamp, frame bytes) — the
+    mapInPandas shape where the output cardinality differs from the
+    input's, which a scalar pandas_udf cannot express.
+
+    Stub codec (real path gated behind ffmpeg availability): the
+    payload is treated as a short clip whose frame count and bytes are
+    deterministic functions of the payload, so batching/fan-out/schema
+    are all real and testable.  At 100 TB the fan-out multiplies rows
+    BEFORE any shuffle — sample (``every_nth``) at decode time, never
+    materialize all frames and filter after.
+    """
+    if use_real_codec:  # pragma: no cover - codec not in container
+        raise NotImplementedError(
+            "video codec not available in this environment; "
+            "install ffmpeg/av to enable real frame extraction"
+        )
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "frame_ts_ms": [],
+                "frame_payload": [], "frame_md5": [],
+            }
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = 1 + (len(payload) % 32)
+                for fno in range(0, n_frames, every_nth):
+                    fb = bytes(payload[fno::max(n_frames, 1)])[:64]
+                    out["doc_id"].append(i)
+                    out["frame_no"].append(fno)
+                    out["frame_ts_ms"].append(fno * 1000 // fps)
+                    out["frame_payload"].append(fb)
+                    out["frame_md5"].append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, FRAME_SCHEMA)
+
+
+#: output schema of the (stubbed) image resizer
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("payload_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 224,
+    target_h: int = 224,
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Image resize to a fixed training resolution: 1:1 row transform
+    over binary payloads, payload stays binary end to end.
+
+    Stub codec: the "resized" payload is a deterministic stride-sample
+    of the source bytes proportional to the target pixel count, so
+    payload size really shrinks and downstream operators see realistic
+    binary churn.  Real path gated behind PIL availability.
+    """
+    if use_real_codec:  # pragma: no cover - codec not in container
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "install pillow to enable real resize"
+        )
+    target_bytes = max(target_w * target_h // 1024, 16)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf[payload_col]:
+                stride = max(len(p) // target_bytes, 1)
+                payloads.append(bytes(p[::stride])[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payloads,
+                    "payload_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)

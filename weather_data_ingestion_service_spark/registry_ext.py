@@ -1162,3 +1162,25 @@ def q_ext_embed_centroids(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb, "label", "embedding")
+
+
+@register("ext_multimodal_frames")  # stubbed codec — rows-only
+def q_ext_multimodal_frames(spark, sf_dir):
+    """Video frame sampling via mapInPandas row fan-out (one payload →
+    k typed frame rows; decode stubbed deterministically)."""
+    from .ext.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "text")
+    return sample_frames(payloads, "doc_id", "payload")
+
+
+@register("ext_multimodal_resize")  # stubbed codec — rows-only
+def q_ext_multimodal_resize(spark, sf_dir):
+    """Image resize to a fixed training resolution (binary in, smaller
+    binary out; resampling stubbed deterministically)."""
+    from .ext.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(docs, "text")
+    return resize_images(payloads, "doc_id", "payload")
