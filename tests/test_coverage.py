@@ -48,6 +48,7 @@ ROWS_ONLY_IDS = {
     "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
     "stream_stateful_latest", "ext_simsearch_ivf",
+    "stream_dedup_watermark",
 }
 
 

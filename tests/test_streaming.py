@@ -270,3 +270,31 @@ def test_streaming_python_datasource_poll_and_upsert(spark):
     # every hour except the newest carries its superseding revision
     revised = latest.filter(F.col("revision") > F.col("hour_idx"))
     assert revised.count() == 2 * 3
+
+
+def test_dedup_within_watermark_collapses_restamped_duplicates(spark, staged_dir):
+    """Duplicate keys with DIFFERENT event times (re-fetch restamping)
+    collapse to one row per key — the case plain dropDuplicates
+    cannot handle."""
+    import pyspark.sql.functions as F
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        dedup_within_watermark,
+        run_stream_to_memory,
+    )
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-10 00:00:00").cast("timestamp").alias("ts"),
+    )
+    restamped = base.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 90 MINUTES")
+    )
+    p = os.path.join(staged_dir, "restamp_src")
+    shutil.rmtree(p, ignore_errors=True)
+    base.unionByName(restamped).write.parquet(p)
+    src = spark.readStream.schema("event_id long, ts timestamp").parquet(p)
+    out = run_stream_to_memory(
+        dedup_within_watermark(src, ["event_id"]), "append"
+    )
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100

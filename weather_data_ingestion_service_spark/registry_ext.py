@@ -1184,3 +1184,16 @@ def q_ext_multimodal_resize(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "text")
     return resize_images(payloads, "doc_id", "payload")
+
+
+@register("stream_dedup_watermark")  # genuinely streaming — rows-only
+def q_stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a streamed events source:
+    key-dedup tolerating restamped duplicate arrivals, state bounded by
+    the 4-day archive-lag watermark (availableNow → memory)."""
+    from .streaming.jobs import dedup_within_watermark, run_stream_to_memory
+    from .streaming.jobs import streaming_events_source
+
+    src = streaming_events_source(spark, sf_dir)
+    out = dedup_within_watermark(src, ["event_id"])
+    return run_stream_to_memory(out, "append")

@@ -120,3 +120,26 @@ def run_stream_to_memory(
         q.stop()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = LATE_HORIZON,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming key-dedup where duplicates may carry *different*
+    event times (a re-fetched forecast row is stamped at fetch time,
+    not observation time — reference server.py:158, 304): the first
+    arrival per key wins and state for a key is dropped once the
+    watermark passes its first-seen time.
+
+    This is ``dropDuplicatesWithinWatermark`` — distinct from
+    ``keep_latest_upsert``'s plain ``dropDuplicates``, which treats
+    rows with different timestamps as different records.  State is
+    bounded by (keys seen within the 4-day horizon), the same bound
+    the reference's archive-lag envelope implies.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
