@@ -147,3 +147,34 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     finally:
         for name in ("wds_li_b", "wds_ord_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_ngram_dedup_broadcasts_vocabulary(spark, sf_dir):
+    """The document-frequency rank join must be a broadcast hash join
+    (no exchange of the exploded shingle table), and nothing in the
+    candidate pipeline may degenerate to a cartesian product."""
+    from weather_data_ingestion_service_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = formatted_plan(ngram_jaccard_pairs(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_sample_is_narrow(spark, sf_dir):
+    """Deterministic sampling is a pure filter: zero exchanges — at
+    100 TB it pipelines into the scan."""
+    from weather_data_ingestion_service_spark.ext.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    assert count_exchanges(hash_sample(docs, "doc_id", "1a")) == 0
+
+
+def test_train_split_is_narrow(spark, sf_dir):
+    from weather_data_ingestion_service_spark.ext.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assert count_exchanges(hash_split(docs, "doc_id")) == 0
