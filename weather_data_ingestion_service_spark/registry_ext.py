@@ -1197,3 +1197,64 @@ def q_stream_dedup_watermark(spark, sf_dir):
     src = streaming_events_source(spark, sf_dir)
     out = dedup_within_watermark(src, ["event_id"])
     return run_stream_to_memory(out, "append")
+
+
+@register(
+    "ext_text_bigrams",
+    """
+    WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+    idx AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+            FROM tok WHERE len(w) >= 2),
+    bg AS (SELECT array_to_string(w[i:i+1], ' ') AS bigram FROM idx),
+    cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+    SELECT bigram, n FROM (
+      SELECT bigram, n,
+             row_number() OVER (ORDER BY n DESC, bigram) AS rn
+      FROM cnt)
+    WHERE rn <= 20
+    """,
+)
+def q_ext_text_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams by occurrence count
+    (deterministic tie-break on the bigram text) — the n-gram
+    frequency shape of the text-analysis mandate; counts every
+    occurrence, unlike the dedup shingle sets."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)))
+    bg = (
+        docs.filter(F.size(tokens) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        bg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "n")
+    )
+
+
+@register(
+    "agg_listagg",
+    """
+    SELECT source,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+)
+def q_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): deterministic comma-joined
+    distinct values per group — order is pinned, so the result is
+    reproducible under any partitioning (an unordered listagg is not a
+    well-defined query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
