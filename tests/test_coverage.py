@@ -40,7 +40,7 @@ ORACLE_IDS = {
     "agg_argmin", "f_try_cast", "win_range_frame",
     "ext_sample_hash", "ext_train_split", "ext_sample_stratified",
     "agg_regr_ols", "ext_dedup_cluster", "ext_embed_centroids",
-    "ext_text_bigrams", "agg_listagg",
+    "ext_text_bigrams", "agg_listagg", "ext_embed_normalize",
 }
 
 ROWS_ONLY_IDS = {

@@ -1258,3 +1258,32 @@ def q_agg_listagg(spark, sf_dir):
         F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+@register(
+    "ext_embed_normalize",
+    """
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit_vec
+    FROM embeddings
+    """,
+)
+def q_ext_embed_normalize(spark, sf_dir):
+    """L2-normalize embedding vectors to unit length — per-row float
+    arithmetic, unrounded (identical IEEE op sequence in both engines
+    is bit-identical; both sum the squares left-to-right)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(sq)
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
+            "unit_vec"
+        ),
+    )
