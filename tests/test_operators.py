@@ -355,3 +355,29 @@ class TestMultimodalFramesResize:
             sample_frames(pay, use_real_codec=True)
         with pytest.raises(NotImplementedError):
             resize_images(pay, use_real_codec=True)
+
+
+class TestAsofNearest:
+    def test_directions_and_tie_break(self, spark):
+        from weather_data_ingestion_service_spark.operators import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-05 00:00:00"), (2, "2024-01-14 00:00:00"),
+             (3, "2024-01-15 00:00:00"), (4, "2024-01-30 00:00:00")],
+            ["id", "ts"],
+        ).selectExpr("id", "CAST(ts AS TIMESTAMP) ts", "1 AS k")
+        right = spark.createDataFrame(
+            [("2024-01-10 00:00:00", 10), ("2024-01-20 00:00:00", 20)],
+            ["rts", "v"],
+        ).selectExpr("CAST(rts AS TIMESTAMP) rts", "v", "1 AS k")
+        got = {
+            r.id: r.v
+            for r in asof_join_nearest(
+                left, right, ["k"], "ts", "rts", ["v"]
+            ).collect()
+        }
+        # 01-05: only forward (10); 01-14: back 4d < fwd 6d -> 10;
+        # 01-15: equidistant 5d/5d tie -> backward (10); 01-30: back (20)
+        assert got == {1: 10, 2: 10, 3: 10, 4: 20}

@@ -12,7 +12,12 @@ from .relational import (  # noqa: F401
     filter_horizon_relative,
     filter_null_guard,
 )
-from .joins import asof_join, geocode_lookup, range_interval_join  # noqa: F401
+from .joins import (  # noqa: F401
+    asof_join,
+    asof_join_nearest,
+    geocode_lookup,
+    range_interval_join,
+)
 from .aggregates import categorical_mode, daily_summary  # noqa: F401
 from .windows import lag_delta, moving_avg, rank_per_group, time_bucket  # noqa: F401
 from .setops import union_prefer  # noqa: F401

@@ -1287,3 +1287,56 @@ def q_ext_embed_normalize(spark, sf_dir):
             "unit_vec"
         ),
     )
+
+
+@register(
+    "join_asof_abs_nearest",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (dayofyear(o_orderdate) % 30) DAY AS rdate,
+             CAST(max(o_orderkey) AS BIGINT) AS asof_orderkey
+      FROM orders GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT e.event_id, e.ts, e.user_id, r.rdate AS brd, r.asof_orderkey AS bkey
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.rdate
+    ),
+    f AS (
+      SELECT e.event_id, r.rdate AS frd, r.asof_orderkey AS fkey
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts <= r.rdate
+    )
+    SELECT b.event_id, b.ts, b.user_id,
+           CASE WHEN bkey IS NULL THEN fkey
+                WHEN fkey IS NULL THEN bkey
+                WHEN epoch_us(b.ts) - epoch_us(brd) <= epoch_us(frd) - epoch_us(b.ts)
+                  THEN bkey ELSE fkey END AS asof_orderkey
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_join_asof_abs_nearest(spark, sf_dir):
+    """Absolute-nearest as-of join (ties → backward): the literal
+    grid-snapping semantic (WetIng.pdf p.1-2), both directions
+    evaluated in one union+window pass; DuckDB two-directional ASOF
+    JOIN as oracle."""
+    from .operators import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "timestampadd(DAY, dayofyear(o_orderdate) % 30, timestamp'2024-01-01')"
+            ).alias("rdate"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "rdate")
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+    return asof_join_nearest(
+        ev, right, on=["user_id"], left_ts="ts", right_ts="rdate",
+        payload_cols=["asof_orderkey"],
+    )
