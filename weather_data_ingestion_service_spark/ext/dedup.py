@@ -420,3 +420,18 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_keep_representatives(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The end product of near-dup dedup: the surviving ids — one
+    representative (the min id) per duplicate cluster, singletons kept.
+    Thin filter over ``dedup_clusters``; at 100 TB join this id set
+    back to the corpus with a broadcast/semi join to materialize the
+    deduplicated dataset."""
+    clusters = dedup_clusters(nodes, pairs, id_col, max_iter)
+    return clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)

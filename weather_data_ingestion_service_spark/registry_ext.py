@@ -1340,3 +1340,45 @@ def q_join_asof_abs_nearest(spark, sf_dir):
         ev, right, on=["user_id"], left_ts="ts", right_ts="rdate",
         payload_cols=["asof_orderkey"],
     )
+
+
+@register(
+    "ext_dedup_keep",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM corpus),
+    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
+    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b USING (shingle)
+      JOIN cnt ca ON a.id = ca.id JOIN cnt cb ON b.id = cb.id
+      WHERE a.id < b.id
+      GROUP BY 1, 2, ca.n_sh, cb.n_sh
+      HAVING count(*) / (ca.n_sh + cb.n_sh - count(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lab < e.dst
+    )
+    SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lab) = id
+    """,
+)
+def q_ext_dedup_keep(spark, sf_dir):
+    """Deduplicated-corpus materialization: surviving doc ids after
+    near-dup clustering — one representative (min id) per cluster,
+    singletons kept."""
+    from .ext.dedup import dedup_keep_representatives
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return dedup_keep_representatives(
+        corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
