@@ -230,3 +230,57 @@ class TestBlasCosineEquivalence:
             for r in embedding_near_dup_pairs_blas(corpus, threshold=0.9).collect()
         }
         assert a == b and len(a) > 0
+
+    def test_grid_pairs_match_blas(self, spark, sf_dir):
+        """The block-grid distributed path must emit the same pair set
+        as the collect-BLAS variant with cosines equal to 12 decimals
+        (BLAS summation order varies with matrix shape → ~1 ulp) —
+        across block counts (including B=1 and B larger than distinct
+        hash buckets)."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            embedding_near_dup_pairs_blas,
+            embedding_near_dup_pairs_grid,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pert = emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+                F.slice("embedding", 2, 100000),
+            ).alias("embedding"),
+            F.col("label"),
+        )
+        corpus = emb.unionByName(pert)
+        ref = {
+            (r.id_a, r.id_b): round(r.cosine, 12)
+            for r in embedding_near_dup_pairs_blas(corpus, threshold=0.9).collect()
+        }
+        assert len(ref) > 0
+        for n_blocks in (1, 4, 31):
+            got = {
+                (r.id_a, r.id_b): round(r.cosine, 12)
+                for r in embedding_near_dup_pairs_grid(
+                    corpus, threshold=0.9, n_blocks=n_blocks
+                ).collect()
+            }
+            assert got == ref, f"n_blocks={n_blocks}"
+
+
+class TestCosineTopkBroadcastGuard:
+    def test_large_query_side_fails_loudly(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import cosine_topk
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="lsh_topk"):
+            cosine_topk(emb, emb, max_broadcast_queries=10).collect()
+
+    def test_small_query_side_unaffected(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import cosine_topk
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
+        assert out.count() == 6

@@ -37,6 +37,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector the k
     nearest corpus vectors (self-matches excluded).
@@ -45,7 +46,22 @@ def cosine_topk(
     window.  With Q queries this is one scan of the corpus and a
     shuffle of only Q·k candidate rows — the right exact baseline at
     any corpus size when Q is small.
+
+    The broadcast is only safe for a small query side, so the operator
+    fails loudly past ``max_broadcast_queries`` instead of silently
+    shipping a multi-GB broadcast to every task: use ``lsh_topk`` /
+    ``ivf_topk`` (sub-linear candidates) for large Q, or raise the
+    bound explicitly if the executors are sized for it.  The guard is
+    one capped ``limit(bound+1).count()`` — it never scans more than
+    bound+1 query rows.
     """
+    over = queries.limit(max_broadcast_queries + 1).count()
+    if over > max_broadcast_queries:
+        raise ValueError(
+            f"cosine_topk broadcasts the query side; got > "
+            f"{max_broadcast_queries} query rows. Use lsh_topk/ivf_topk "
+            f"for large query sets, or raise max_broadcast_queries."
+        )
     # norms are per-vector — compute once in the projections, not per
     # pair (cuts 2 of the 3 array folds out of the O(Q·N) hot loop);
     # the expression is identical, so cosine values are bit-unchanged
@@ -370,6 +386,105 @@ def embedding_near_dup_pairs_blas(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
+def embedding_near_dup_pairs_grid(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Distributed exact all-pairs cosine near-dup via a block-pair
+    grid — same output as ``embedding_near_dup_pairs`` with NO driver
+    collect and NO full-corpus broadcast.
+
+    Every vector is hash-assigned to one of ``n_blocks`` blocks; the
+    grid of unordered block pairs (ba ≤ bb) is the unit of work.  A
+    vector in block b is shuffled to the groups where b is either key
+    (B+1 copies), each (ba, bb) group holds exactly blocks ba and bb
+    (~2N/B vectors — the memory knob: pick B so two blocks fit an
+    executor), and one BLAS matmul per group scores its cross block.
+    Each unordered id pair lands in exactly one group — (block(a),
+    block(b)) sorted — so no global dedup pass is needed.
+
+    Total flops stay O(N²·d) (it is the exact semantic; ``srp_buckets``
+    / ``minhash`` are the sub-quadratic approximate paths), but work is
+    spread over B·(B+1)/2 independent tasks and shuffle volume is B·N
+    rows.  The per-pair kernel is the same numpy matmul as
+    ``embedding_near_dup_pairs_blas``; cosines agree to ~1 ulp (BLAS
+    summation order varies with matrix shape), which 3-decimal rounding
+    and thresholding absorb — same tolerance already accepted for the
+    blas-vs-expression-fold pairing.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba int, bb int",
+    )
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # side 0 = the row acts as block ba of the pair, side 1 = block bb;
+    # ba == bb groups only need one side (within-block pairs).
+    lefts = tagged.join(F.broadcast(grid), tagged["blk"] == grid["ba"]).withColumn(
+        "side", F.lit(0)
+    )
+    rights = (
+        tagged.join(
+            F.broadcast(grid),
+            (tagged["blk"] == grid["bb"]) & (grid["ba"] != grid["bb"]),
+        )
+    ).withColumn("side", F.lit(1))
+    both = lefts.unionByName(rights)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score_block_pair(key, pdf):
+        ba, bb = key
+        a = pdf[pdf["side"] == 0]
+        amat = np.asarray(a["vec"].tolist(), dtype=np.float64)
+        aids = a["vid"].to_numpy(dtype=np.int64)
+        anorm = np.sqrt((amat * amat).sum(axis=1))
+        if ba == bb:
+            bmat, bids, bnorm = amat, aids, anorm
+        else:
+            b = pdf[pdf["side"] == 1]
+            bmat = np.asarray(b["vec"].tolist(), dtype=np.float64)
+            bids = b["vid"].to_numpy(dtype=np.int64)
+            bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+        if len(amat) == 0 or len(bmat) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        cos = (amat @ bmat.T) / np.outer(anorm, bnorm)
+        ai, bi = np.nonzero(cos >= threshold)
+        ida, idb = aids[ai], bids[bi]
+        keep = ida < idb  # one emission per unordered pair, a-orient
+        lo, hi = ida[keep], idb[keep]
+        vals = cos[ai, bi][keep]
+        if ba != bb:
+            # cross-block: also keep pairs where the bb-side id is the
+            # smaller one (they never reappear in another group)
+            rev = idb < ida
+            lo = np.concatenate([lo, idb[rev]])
+            hi = np.concatenate([hi, ida[rev]])
+            vals = np.concatenate([vals, cos[ai, bi][rev]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
+
+    return both.groupBy("ba", "bb").applyInPandas(score_block_pair, out_schema)
 
 
 def label_centroids(

@@ -197,12 +197,14 @@ def q_ext_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_ext_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) — BLAS-blocked
-    exact all-pairs (equivalence-tested against the expression-fold
-    variant; ~2× faster at sf0.1)."""
-    from .ext.simsearch import embedding_near_dup_pairs_blas
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.95) — distributed
+    block-grid exact all-pairs: no driver collect, no full-corpus
+    broadcast; one BLAS matmul per block pair (equivalence-tested
+    against both the collect-BLAS kernel and the expression-fold
+    variant)."""
+    from .ext.simsearch import embedding_near_dup_pairs_grid
 
-    out = embedding_near_dup_pairs_blas(
+    out = embedding_near_dup_pairs_grid(
         _emb_dup_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.95
     )
     return out.withColumn("cosine", F.round("cosine", 3))
