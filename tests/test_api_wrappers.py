@@ -47,6 +47,23 @@ class TestGetForecast:
         q = get_forecast(spark, place="Prague, CZ", granularity=15, weather=weather)
         assert q.count() == 4 * hourly.count()  # server.py:213-217
 
+    def test_daily_variables_fallback_chain(self, spark, weather):
+        """Reference server.py:223: at daily granularity the selection
+        is `daily_variables or variables or defaults` — a caller
+        supplying only `variables` still gets their subset."""
+        df = get_forecast(
+            spark, place="Prague, CZ", granularity=1440,
+            variables="temperature_2m_max", weather=weather,
+        )
+        assert set(df.columns) == {"location_id", "day", "temperature_2m_max"}
+        # explicit daily_variables wins over variables
+        df2 = get_forecast(
+            spark, place="Prague, CZ", granularity=1440,
+            variables="temperature_2m_max",
+            daily_variables="precipitation_sum", weather=weather,
+        )
+        assert set(df2.columns) == {"location_id", "day", "precipitation_sum"}
+
     def test_daily_aggregates(self, spark, weather):
         df = get_forecast(spark, place="Prague, CZ", granularity=1440, weather=weather)
         rows = df.collect()

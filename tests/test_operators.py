@@ -200,6 +200,30 @@ class TestSaltedJoin:
             map(tuple, salted.collect())
         )
 
+    def test_semi_join_row_identical(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators.skew import salted_join
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        users = ev.select("user_id").distinct().filter(F.col("user_id") % 2 == 0)
+        plain = ev.join(users, "user_id", "left_semi")
+        salted = salted_join(ev, users, "user_id", salt=4, how="left_semi")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_right_and_full_rejected(self, spark, sf_dir):
+        """An unmatched right row would surface once per salt replica,
+        so right/full are a loud error, not silent duplication."""
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators.skew import salted_join
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+        users = ev.select("user_id").distinct()
+        for how in ("right", "full", "outer", "right_outer"):
+            with pytest.raises(ValueError, match="swap the inputs"):
+                salted_join(ev, users, "user_id", how=how)
+
 
 class TestApproxDistinct:
     def test_hll_within_rsd_of_exact(self, spark, sf_dir):

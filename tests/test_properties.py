@@ -124,6 +124,44 @@ class TestExtensionLaws:
         out = simhash_pairs(docs, "doc_id", "text", max_hamming=0).collect()
         assert len(out) == 1 and out[0].hamming == 0
 
+    def test_simhash_recall_guard(self, spark):
+        """max_hamming beyond bands-1 silently loses recall, so the
+        banded generator rejects it unless the caller opts into
+        candidate-subset semantics."""
+        from weather_data_ingestion_service_spark.ext.dedup import simhash_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "spark window hash join"), (2, "spark window hash join")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="allow_candidate_subset"):
+            simhash_pairs(docs, "doc_id", "text", max_hamming=16, bands=4)
+        out = simhash_pairs(
+            docs, "doc_id", "text", max_hamming=16, bands=4,
+            allow_candidate_subset=True,
+        ).collect()
+        assert len(out) == 1
+
+    def test_shingles_whitespace_insensitive(self, spark):
+        """Tokenization drops empty tokens, so runs of spaces / tabs /
+        newlines shingle identically to single spaces — and identically
+        to the DuckDB oracle's regexp_split + list_filter."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            hashed_shingles,
+            word_shingles,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha  beta\tgamma\ndelta")],
+            "doc_id long, text string",
+        )
+        ws = {r.doc_id: sorted(r.shingles)
+              for r in word_shingles(docs, "text", n=3).collect()}
+        assert ws[1] == ws[2]
+        hs = {r.doc_id: sorted(r.sh)
+              for r in hashed_shingles(docs, "text", n=3).collect()}
+        assert hs[1] == hs[2]
+
     def test_cosine_topk_finds_planted_duplicate(self, spark):
         from weather_data_ingestion_service_spark.ext.simsearch import cosine_topk
 

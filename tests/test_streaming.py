@@ -218,6 +218,49 @@ def test_foreachbatch_merge_upsert_sink(spark, staged_dir):
     }
     got_m = {r.key: r.ts for r in got.collect()}
     assert got_m == want
+    # stage-then-swap leaves no staging dirs behind
+    import glob
+    import os
+
+    assert glob.glob(os.path.dirname(target) + "/merge_target__staging_*") == []
+    shutil.rmtree(target, ignore_errors=True)
+
+
+def test_merge_upsert_sink_existing_target_read_failure_propagates(
+    spark, staged_dir
+):
+    """A target that EXISTS but cannot be read must fail the batch —
+    never be silently replaced by the current micro-batch (that would
+    drop all previously upserted history)."""
+    import os
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from weather_data_ingestion_service_spark.streaming.stateful import (
+        merge_upsert_sink,
+    )
+
+    target = TMP + "/merge_target_corrupt"
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target)
+    with open(target + "/part-00000.parquet", "w") as fh:
+        fh.write("this is not parquet")
+    schema = "event_id long, ts timestamp, value double"
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir + "/f*")
+        .withColumn("key", F.col("event_id") % 50)
+    )
+    q = merge_upsert_sink(src, target, ["key"], "ts")
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        q.awaitTermination()
+    q.stop()
+    # the corrupt-but-existing target was NOT overwritten
+    with open(target + "/part-00000.parquet") as fh:
+        assert fh.read() == "this is not parquet"
     shutil.rmtree(target, ignore_errors=True)
 
 

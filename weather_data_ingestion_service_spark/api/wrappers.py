@@ -155,7 +155,10 @@ def get_forecast(
         wh, "ts", now, past_days=past_days, forecast_days=forecast_days
     )
     gran = 1440 if granularity >= 1440 else granularity
-    vars_ = daily_variables if gran == 1440 else variables
+    # reference fallback chain for daily granularity (server.py:223):
+    # `daily_variables or variables or defaults` — a caller supplying
+    # only `variables` still gets their selection at daily granularity
+    vars_ = (daily_variables or variables) if gran == 1440 else variables
     return _materialize(horizon, gran, vars_, loc_id)
 
 

@@ -38,7 +38,9 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     Pure built-ins (split / sequence / transform / slice) — stays in
     whole-stage codegen, no Python.
     """
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
     return df.withColumn("shingles", F.array_distinct(sh))
@@ -58,7 +60,9 @@ def hashed_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     an ANSI out-of-bounds error — xxhash64 skips null inputs, matching
     the string path's single truncated shingle.
     """
-    tokens = F.split(F.lower(F.col(text_col)), r"\s+")
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     th = F.transform(tokens, lambda t: F.xxhash64(t))
     df = df.withColumn("_th", th)
     idx = F.sequence(F.lit(1), F.greatest(F.size("_th") - (n - 1), F.lit(1)))
@@ -378,17 +382,33 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     bands: int = 4,
+    allow_candidate_subset: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded into
-    ``bands`` 16-bit chunks for candidate generation (a pair within
-    Hamming distance ``bands - 1`` must agree on ≥1 band), exact
+    ``bands`` equal-width chunks for candidate generation, exact
     Hamming distance as the verifier.
+
+    Recall is guaranteed only for ``max_hamming <= bands - 1`` (a pair
+    differing in at most bands-1 bits cannot differ in every band, so
+    it must agree on >= 1 band and becomes a candidate).  Beyond that
+    the banded join returns a candidate SUBSET — qualifying pairs can
+    be silently missed — so the combination raises unless the caller
+    opts in with ``allow_candidate_subset=True`` (useful as a recall/
+    cost knob when a miss rate is acceptable; note more bands means
+    narrower bands and exponentially larger candidate buckets).
 
     The fingerprint is the only Python step (vectorized pandas_udf);
     banding, join and popcount run JVM-side.
     """
+    if max_hamming > bands - 1 and not allow_candidate_subset:
+        raise ValueError(
+            f"banded SimHash guarantees recall only for max_hamming <= "
+            f"bands - 1 (got max_hamming={max_hamming}, bands={bands}); "
+            f"use bands >= {max_hamming + 1} or pass "
+            f"allow_candidate_subset=True to accept missed pairs"
+        )
     width = 64 // bands
     fp = df.select(id_col, _simhash64(F.col(text_col)).alias("fp"))
     band_exprs = F.array(

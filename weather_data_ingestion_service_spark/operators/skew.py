@@ -9,9 +9,12 @@ replicate.
 ``salted_join``: the large (skewed) side gets a random-ish salt in
 ``[0, salt)`` derived from a hash of its whole row (deterministic, no
 rand() — keeps plans replayable); the small side is exploded ``salt``
-times so every (key, salt) bucket finds its match.  Result is
-row-identical to the unsalted join; the hot key's rows now spread over
-``salt`` reducers.
+times so every (key, salt) bucket finds its match.  For inner/left
+joins the result is row-identical to the unsalted join; the hot key's
+rows now spread over ``salt`` reducers.  right/full are rejected: an
+unmatched right row would surface once per salt replica, so those
+sides must be salted the other way around (swap the inputs and use
+``left``).
 """
 
 from __future__ import annotations
@@ -31,7 +34,19 @@ def salted_join(
     ``small`` is replicated ``salt``× (explode) — use only when the
     non-skewed side is modest; for two huge skewed sides, split the
     hot keys out and union a broadcast join for just those.
+
+    Only ``inner``/``left`` (and their semi/anti variants, which also
+    preserve exactly the skewed side's rows) are row-identical to the
+    unsalted join — an unmatched ``small`` row under right/full would
+    be emitted once per salt replica, so those are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti joins "
+            f"(got how={how!r}); for a right/full join salt the other "
+            f"side (swap the inputs)"
+        )
     left = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(salt))
     )

@@ -133,7 +133,9 @@ def q_ext_dedup_exact(spark, sf_dir):
     "ext_dedup_ngram",
     f"""
     WITH {_NEAR_DUP_CORPUS_SQL},
-    tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM corpus),
+    tok AS (SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
     idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
     sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
     cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
@@ -175,10 +177,11 @@ def q_ext_dedup_near(spark, sf_dir):
 
 @register("ext_dedup_simhash")  # md5-seeded fingerprint — rows-only
 def q_ext_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs within Hamming distance 16, banded
-    candidate generation (4×16-bit)."""
+    """SimHash-64 near-dup pairs within Hamming distance 3, banded
+    candidate generation (4×16-bit) — the guaranteed-recall setting
+    (max_hamming <= bands-1: a qualifying pair must share a band)."""
     return simhash_pairs(
-        _near_dup_corpus(spark, sf_dir), "doc_id", "text", max_hamming=16, bands=4
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text", max_hamming=3, bands=4
     )
 
 
@@ -262,7 +265,8 @@ def q_ext_simsearch_lsh(spark, sf_dir):
     """
     SELECT lang, word, CAST(count(*) AS BIGINT) AS n
     FROM (
-      SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+      FROM documents
     ) WHERE word <> ''
     GROUP BY lang, word
     """,
@@ -1101,7 +1105,9 @@ def q_agg_regr_ols(spark, sf_dir):
     "ext_dedup_cluster",
     f"""
     WITH RECURSIVE {_NEAR_DUP_CORPUS_SQL},
-    tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM corpus),
+    tok AS (SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
     idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
     sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
     cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
@@ -1204,7 +1210,8 @@ def q_stream_dedup_watermark(spark, sf_dir):
 @register(
     "ext_text_bigrams",
     """
-    WITH tok AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+    WITH tok AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> '') AS w FROM documents),
     idx AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
             FROM tok WHERE len(w) >= 2),
     bg AS (SELECT array_to_string(w[i:i+1], ' ') AS bigram FROM idx),
@@ -1348,7 +1355,9 @@ def q_join_asof_abs_nearest(spark, sf_dir):
     "ext_dedup_keep",
     f"""
     WITH RECURSIVE {_NEAR_DUP_CORPUS_SQL},
-    tok AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS w FROM corpus),
+    tok AS (SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
     idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
     sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
     cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),

@@ -111,11 +111,20 @@ def merge_upsert_sink(
     """``foreachBatch`` MERGE-style upsert into a parquet target.
 
     Each micro-batch: dedup the batch per key (latest ``order_col``
-    wins), read the current target, keep target rows whose key is not
-    in the batch, append, atomically overwrite.  Exactly the
-    read-merge-write a ``MERGE INTO`` performs, minus the transaction
-    log — swap the body for Delta/Iceberg MERGE in production.
-    Returns the started StreamingQuery.
+    wins), union with the current target, keep the max-order row per
+    key, write.  Exactly the read-merge-write a ``MERGE INTO``
+    performs, minus the transaction log — swap the body for
+    Delta/Iceberg MERGE in production.  Returns the started
+    StreamingQuery.
+
+    Durability shape: the "no target yet" branch is taken ONLY when
+    the target path genuinely does not exist (checked through the
+    Hadoop FileSystem, so it holds for any supported storage scheme) —
+    a transient read failure on an EXISTING target propagates instead
+    of silently replacing history with the current micro-batch.  The
+    merged result is fully staged to a sibling temp dir while the
+    target is still intact, then swapped in (delete + rename), so the
+    overwrite never recomputes from a target it is truncating.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as FF
@@ -128,7 +137,11 @@ def merge_upsert_sink(
             .filter(FF.col("__rn") == 1)
             .drop("__rn")
         )
-        try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        target_path = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = target_path.getFileSystem(hconf)
+        if fs.exists(target_path):
             current = spark.read.parquet(target_dir)
             # MERGE WHEN MATCHED AND source.order >= target.order:
             # union then keep the max-order row per key, so an
@@ -140,14 +153,17 @@ def merge_upsert_sink(
                 .filter(FF.col("__rn") == 1)
                 .drop("__rn")
             )
-        except Exception:
+        else:
             merged = latest  # first batch: no target yet
-        # stage + swap — parquet has no MERGE transaction; localized to
-        # the test/demo sink (prod: Delta MERGE INTO inside this hook)
-        merged.cache()
-        merged.count()
-        merged.write.mode("overwrite").parquet(target_dir)
-        merged.unpersist()
+        # stage-then-swap — parquet has no MERGE transaction; the full
+        # merged result lands in a temp dir while the target is intact,
+        # then replaces it (prod: Delta MERGE INTO inside this hook)
+        staging_dir = f"{target_dir.rstrip('/')}__staging_{epoch_id}"
+        staging_path = jvm.org.apache.hadoop.fs.Path(staging_dir)
+        merged.write.mode("overwrite").parquet(staging_dir)
+        if fs.exists(target_path):
+            fs.delete(target_path, True)
+        fs.rename(staging_path, target_path)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)
