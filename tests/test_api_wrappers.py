@@ -223,6 +223,91 @@ class TestStdioServe:
             resp = handle_request(spark, case)
             assert resp["status"] == "error" and resp["message"]
 
+    def test_result_rows_capped_before_collect(self, spark, monkeypatch):
+        """The serving collect is bounded: past the cap the block is
+        cut at max_rows and flagged truncated — a pathological request
+        can never become a full-table driver download."""
+        from weather_data_ingestion_service_spark.api import serve
+
+        monkeypatch.setattr(serve, "MAX_RESULT_ROWS", 10)
+        resp = serve.handle_request(
+            spark,
+            {"tool": "get_forecast",
+             "params": {"place": "Prague, CZ", "forecast_days": 2,
+                        "variables": "temperature_2m"}},
+        )
+        assert resp["status"] == "success"
+        assert resp["data"]["truncated"] is True
+        assert len(resp["data"]["hourly"]["time"]) == 10
+        # under the cap: no truncated marker on the wire
+        monkeypatch.setattr(serve, "MAX_RESULT_ROWS", 100_000)
+        resp2 = serve.handle_request(
+            spark,
+            {"tool": "get_forecast",
+             "params": {"place": "Prague, CZ", "forecast_days": 1,
+                        "variables": "temperature_2m"}},
+        )
+        assert resp2["status"] == "success" and "truncated" not in resp2["data"]
+
+    def test_http_400_reason_enrichment(self, spark):
+        """Reference server.py:263-277: a 400 from the source API is
+        enriched with the parsed `reason` and raw body; other statuses
+        get the generic message."""
+        from weather_data_ingestion_service_spark.api.wrappers import (
+            http_error_message,
+        )
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            HttpStatusError,
+        )
+
+        err = HttpStatusError(
+            400,
+            reason="Value error for parameter hourly",
+            body='{"error":true,"reason":"Value error for parameter hourly"}',
+        )
+        msg = http_error_message(err, "forecast")
+        assert msg.startswith(
+            "Failed to retrieve forecast due to invalid request (Error 400)."
+        )
+        assert "API Reason: Value error for parameter hourly" in msg
+        assert 'Raw Response: {"error":true' in msg
+        # no parseable body → placeholder detail, no API Reason
+        bare = http_error_message(HttpStatusError(400), "forecast")
+        assert "Could not read API response body." in bare
+        assert "API Reason" not in bare
+        # history has its own wording (server.py:368)
+        hist = http_error_message(HttpStatusError(400, reason="bad"), "history")
+        assert hist.startswith(
+            "Failed to retrieve history due to invalid request (Error 400)."
+        )
+        # non-400: generic path (server.py:280)
+        assert http_error_message(HttpStatusError(500, reason="boom")).startswith(
+            "Failed to retrieve forecast: HTTP 500"
+        )
+
+    def test_http_status_error_is_envelope_value_at_serve(self, spark):
+        """An HttpStatusError surfacing from a tool becomes an enriched
+        error envelope, never a traceback."""
+        from weather_data_ingestion_service_spark.api import serve
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            HttpStatusError,
+        )
+
+        def boom(spark_, **params):
+            raise HttpStatusError(400, reason="unknown variable")
+
+        orig = dict(serve._TOOLS)
+        serve._TOOLS["get_forecast"] = boom
+        try:
+            resp = serve.handle_request(
+                spark, {"tool": "get_forecast", "params": {"place": "Prague, CZ"}}
+            )
+        finally:
+            serve._TOOLS.clear()
+            serve._TOOLS.update(orig)
+        assert resp["status"] == "error"
+        assert "API Reason: unknown variable" in resp["message"]
+
     def test_stdio_loop_round_trip(self, spark):
         import io
         import json

@@ -35,14 +35,38 @@ from typing import Any, TextIO
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .wrappers import ForecastRequestError, get_forecast, get_history
+from ..sources.resilience import HttpStatusError
+from .wrappers import (
+    ForecastRequestError,
+    get_forecast,
+    get_history,
+    http_error_message,
+)
 
 _TOOLS = {"get_forecast": get_forecast, "get_history": get_history}
 
+#: serving-boundary cap on rows materialized to the driver per request.
+#: A point lookup is a few hundred rows (16 forecast days x 96
+#: 15-minute slots = 1536); the cap exists so a pathological request
+#: can never turn the serving collect into a full-table download.
+MAX_RESULT_ROWS = 100_000
 
-def _df_to_columnar(df: DataFrame, time_col: str) -> dict[str, Any]:
-    """Collected tidy rows → the wire's parallel-array block."""
-    rows = df.collect()
+
+def _df_to_columnar(
+    df: DataFrame, time_col: str, max_rows: int | None = None
+) -> dict[str, Any]:
+    """Collected tidy rows → the wire's parallel-array block.
+
+    Collects at most ``max_rows`` (default ``MAX_RESULT_ROWS``, +1 to
+    detect overflow) and reports truncation in the returned dict
+    instead of materializing an unbounded result on the driver.
+    """
+    if max_rows is None:
+        max_rows = MAX_RESULT_ROWS
+    rows = df.limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    if truncated:
+        rows = rows[:max_rows]
     cols = [c for c in df.columns if c not in (time_col, "location_id")]
     block: dict[str, list] = {
         "time": [getattr(r, time_col).isoformat(timespec="minutes") for r in rows]
@@ -50,7 +74,7 @@ def _df_to_columnar(df: DataFrame, time_col: str) -> dict[str, Any]:
     for c in cols:
         block[c] = [getattr(r, c) for r in rows]
     loc = rows[0].location_id if rows and "location_id" in df.columns else None
-    return {"location_id": loc, "block": block}
+    return {"location_id": loc, "block": block, "truncated": truncated}
 
 
 def handle_request(spark: SparkSession, request: str | dict) -> dict:
@@ -71,15 +95,20 @@ def handle_request(spark: SparkSession, request: str | dict) -> dict:
             if time_col == "day"
             else ("minutely_15" if params.get("granularity") == 15 else "hourly")
         )
-        return {
-            "status": "success",
-            "data": {
-                "location_id": payload["location_id"],
-                key: payload["block"],
-            },
+        data: dict[str, Any] = {
+            "location_id": payload["location_id"],
+            key: payload["block"],
         }
+        if payload["truncated"]:
+            data["truncated"] = True
+        return {"status": "success", "data": data}
     except ForecastRequestError as exc:
         return {"status": "error", "message": str(exc)}
+    except HttpStatusError as exc:
+        # live-fetch path failures mirror the reference's enriched
+        # HTTP-400 guidance (server.py:263-277)
+        kind = "history" if tool == "get_history" else "forecast"
+        return {"status": "error", "message": http_error_message(exc, kind)}
     except json.JSONDecodeError as exc:
         return {"status": "error", "message": f"invalid JSON request: {exc}"}
     except TypeError as exc:  # bad/unknown parameters

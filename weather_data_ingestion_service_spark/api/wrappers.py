@@ -33,6 +33,40 @@ class ForecastRequestError(ValueError):
     before any job runs."""
 
 
+def http_error_message(err: Exception, tool: str = "forecast") -> str:
+    """Reference-shaped failure message for a source fetch error
+    (server.py:258-280 for forecast, 363-369 for history).
+
+    HTTP 400 gets the enriched guidance path: the remote answered, so
+    the parsed ``reason`` from its error body is appended as
+    ``API Reason: ...`` and the raw body as ``Raw Response: ...``
+    (server.py:263-277).  Everything else gets the generic
+    ``Failed to retrieve {tool}: ...`` message.
+    """
+    from ..sources.resilience import HttpStatusError
+
+    if isinstance(err, HttpStatusError) and err.status == 400:
+        if tool == "history":
+            return (
+                "Failed to retrieve history due to invalid request "
+                "(Error 400). Check if dates are valid and requested "
+                "variables exist for the chosen granularity in the "
+                f"archive. Detail: {err}"
+            )
+        guidance = (
+            "Check if requested variables (hourly/daily/minutely) are "
+            "valid for the forecast API and chosen granularity."
+        )
+        if err.reason:
+            guidance += f" API Reason: {err.reason}"
+        detail = err.body or "Could not read API response body."
+        return (
+            "Failed to retrieve forecast due to invalid request "
+            f"(Error 400). {guidance} Raw Response: {detail}"
+        )
+    return f"Failed to retrieve {tool}: {err}"
+
+
 def geocode(spark: SparkSession, place: str, geo: DataFrame | None = None):
     """place → (location_id, lat, lon) via the broadcast geo dimension.
 

@@ -30,10 +30,14 @@ class HttpStatusError(RuntimeError):
     """Remote answered with an error status — NOT retryable
     (server.py:88-89: status errors propagate immediately)."""
 
-    def __init__(self, status: int, reason: str = ""):
+    def __init__(self, status: int, reason: str = "", body: str = ""):
         super().__init__(f"HTTP {status}: {reason}")
         self.status = status
+        #: parsed ``reason`` field of the remote's JSON error body
+        #: (server.py:268-270), "" when the body had none
         self.reason = reason
+        #: raw response text (server.py:267), "" when unavailable
+        self.body = body
 
 
 class TransientFetchError(RuntimeError):
