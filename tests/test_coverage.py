@@ -41,7 +41,7 @@ ORACLE_IDS = {
     "ext_sample_hash", "ext_train_split", "ext_sample_stratified",
     "agg_regr_ols", "ext_dedup_cluster", "ext_embed_centroids",
     "ext_text_bigrams", "agg_listagg", "ext_embed_normalize",
-    "join_asof_abs_nearest", "ext_dedup_keep",
+    "join_asof_abs_nearest", "ext_dedup_keep", "join_asof_chunked",
 }
 
 ROWS_ONLY_IDS = {

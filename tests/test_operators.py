@@ -66,6 +66,86 @@ class TestAsofJoin:
         assert all(r.payload is None for r in out.collect())
 
 
+class TestAsofJoinChunked:
+    def test_matches_unchunked_on_boundary_fixture(self, spark):
+        """Daily chunks put 'a' (01-10) and its match (01-09) in
+        different chunks — the carry-in path must reproduce asof_join
+        exactly, ties and inner mode included."""
+        from weather_data_ingestion_service_spark.operators.joins import (
+            asof_join_chunked,
+        )
+
+        left, right = TestAsofJoin()._frames(spark)
+        for how in ("left", "inner"):
+            want = sorted(
+                map(tuple, asof_join(
+                    left, right, ["k"], "ts", "rts", ["payload"], how=how
+                ).collect())
+            )
+            got = sorted(
+                map(tuple, asof_join_chunked(
+                    left, right, ["k"], "ts", "rts", ["payload"],
+                    how=how, chunk="1 day",
+                ).collect())
+            )
+            assert got == want, how
+
+    def test_matches_unchunked_on_hot_key(self, spark, sf_dir):
+        """80% of events forced onto one key: the chunked variant must
+        be row-identical to asof_join while splitting the hot key's
+        window across (key, chunk) partitions."""
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators.joins import (
+            asof_join_chunked,
+        )
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 5 != 0, F.lit(7)).otherwise(
+                F.col("user_id")
+            ),
+        ).select("event_id", "user_id", "ts")
+        # right side unique per (key, ts): one reading per key per day
+        right = (
+            ev.withColumn("rts", F.date_trunc("day", "ts"))
+            .groupBy("user_id", "rts")
+            .agg(F.count(F.lit(1)).cast("long").alias("reading"))
+        )
+        want = sorted(map(tuple, asof_join(
+            ev, right, ["user_id"], "ts", "rts", ["reading"]
+        ).collect()))
+        got = sorted(map(tuple, asof_join_chunked(
+            ev, right, ["user_id"], "ts", "rts", ["reading"], chunk="1 day"
+        ).collect()))
+        assert got == want and len(got) > 0
+
+    def test_plan_partitions_window_by_key_and_chunk(self, spark, sf_dir):
+        """The skew fix is visible in the plan: the main window's
+        exchange hashes on (key, __chunk), not the key alone."""
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.operators.joins import (
+            asof_join_chunked,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        right = (
+            ev.withColumn("rts", F.date_trunc("day", "ts"))
+            .groupBy("user_id", "rts")
+            .agg(F.count(F.lit(1)).cast("long").alias("reading"))
+        )
+        out = asof_join_chunked(
+            ev, right, ["user_id"], "ts", "rts", ["reading"], chunk="1 day"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__chunk" in plan
+        # some exchange partitions on both the key and the chunk
+        import re
+
+        assert re.search(r"hashpartitioning\([^)]*user_id[^)]*__chunk", plan) or (
+            re.search(r"hashpartitioning\([^)]*__chunk[^)]*user_id", plan)
+        )
+
+
 class TestUnionPrefer:
     def test_preferred_wins_only_on_overlap(self, spark):
         pref = spark.createDataFrame([(1, "obs"), (2, "obs")], "k long, src string")

@@ -14,6 +14,7 @@ from .relational import (  # noqa: F401
 )
 from .joins import (  # noqa: F401
     asof_join,
+    asof_join_chunked,
     asof_join_nearest,
     geocode_lookup,
     range_interval_join,

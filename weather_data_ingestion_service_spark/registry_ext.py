@@ -1352,6 +1352,45 @@ def q_join_asof_abs_nearest(spark, sf_dir):
 
 
 @register(
+    "join_asof_chunked",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (dayofyear(o_orderdate) % 30) DAY AS rdate,
+             CAST(max(o_orderkey) AS BIGINT) AS asof_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, r.asof_orderkey
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts >= r.rdate
+    """,
+)
+def q_join_asof_chunked(spark, sf_dir):
+    """Skew-safe backward as-of join: per-key window split over daily
+    chunks with exact boundary carry-in — same DuckDB ASOF oracle as
+    join_asof_nearest (identical semantics, hot-key-splitting plan)."""
+    from .operators import asof_join_chunked
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "timestampadd(DAY, dayofyear(o_orderdate) % 30, timestamp'2024-01-01')"
+            ).alias("rdate"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "rdate")
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+    return asof_join_chunked(
+        ev, right, on=["user_id"], left_ts="ts", right_ts="rdate",
+        payload_cols=["asof_orderkey"], chunk="1 day",
+    )
+
+
+@register(
     "ext_dedup_keep",
     f"""
     WITH RECURSIVE {_NEAR_DUP_CORPUS_SQL},
