@@ -41,6 +41,12 @@ HEADLINE = [
     "ext_dedup_ngram",
     "ext_simsearch_topk",
     "ext_text_analysis",
+    # LLM-pipeline heavies: regressions in the dedup/ANN stack must be
+    # visible round-over-round (superset of the r01 suite)
+    "ext_dedup_cluster",
+    "ext_simsearch_lsh",
+    "ext_dedup_embedding",
+    "join_asof_chunked",
 ]
 
 

@@ -296,11 +296,23 @@ def dedup_clusters(
     "Connected Components in MapReduce"), which halves round count;
     not needed for dedup-shaped graphs.
     """
+    # both edge directions from ONE scan of ``pairs`` (explode, not a
+    # self-union — the union's two branches would each recompute the
+    # candidate-pair plan, which is the expensive part of the query)
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .persist()
     )
     labels = nodes.select(
