@@ -154,3 +154,96 @@ class TestObserveCounters:
         n = instrumented.count()
         assert obs.get["n_calls"] == n
         assert obs.get["n_sources"] > 0
+
+
+class TestLiveFetch:
+    """Live HTTP envelope (reference server.py:57-93) with an injected
+    transport — no network in the sandbox; what's pinned is the
+    resilience wiring, error enrichment, and the partition/decode
+    plumbing of the live DataSource."""
+
+    def test_disabled_without_env_flag(self, monkeypatch):
+        from weather_data_ingestion_service_spark.sources.live import fetch_json
+
+        monkeypatch.delenv("WDS_LIVE_FETCH", raising=False)
+        with pytest.raises(RuntimeError, match="WDS_LIVE_FETCH"):
+            fetch_json("https://example.invalid", {})
+
+    def test_http_400_carries_reason_and_body(self):
+        from weather_data_ingestion_service_spark.sources.live import fetch_json
+
+        body = '{"error": true, "reason": "Value error for parameter hourly"}'
+        with pytest.raises(HttpStatusError) as err:
+            fetch_json("u", {}, transport=lambda url, params: (400, body))
+        assert err.value.status == 400
+        assert err.value.reason == "Value error for parameter hourly"
+        assert err.value.body == body
+
+    def test_retries_transient_then_succeeds(self):
+        from weather_data_ingestion_service_spark.sources.live import fetch_json
+
+        calls = {"n": 0}
+
+        def flaky(url, params):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise TransientFetchError("conn reset")
+            return 200, '{"ok": 1}'
+
+        retry = RetryPolicy(sleep=lambda s: None)
+        assert fetch_json("u", {}, retry=retry, transport=flaky) == {"ok": 1}
+        assert calls["n"] == 3
+
+    def test_status_error_fails_fast_no_retry(self):
+        from weather_data_ingestion_service_spark.sources.live import fetch_json
+
+        calls = {"n": 0}
+
+        def bad(url, params):
+            calls["n"] += 1
+            return 500, "boom"
+
+        retry = RetryPolicy(sleep=lambda s: None)
+        with pytest.raises(HttpStatusError):
+            fetch_json("u", {}, retry=retry, transport=bad)
+        assert calls["n"] == 1  # server answered -> no retries
+
+    def test_live_reader_partitions_and_decode(self):
+        """One partition per coordinate; rows decode through the same
+        document decoder as the offline source."""
+        import json as _json
+
+        from weather_data_ingestion_service_spark.schemas import DEFAULT_HOURLY_VARS
+        from weather_data_ingestion_service_spark.sources.datasource import (
+            OpenMeteoLiveReader,
+        )
+
+        def fake_transport(url, params):
+            doc = {
+                "latitude": params["latitude"],
+                "longitude": params["longitude"],
+                "hourly": {
+                    "time": ["2024-01-01T00:00", "2024-01-01T01:00"],
+                    **{v: [1.0, 2.0] for v in DEFAULT_HOURLY_VARS},
+                },
+            }
+            return 200, _json.dumps(doc)
+
+        reader = OpenMeteoLiveReader(
+            {"coords": "[[0, 50.1, 14.3], [1, 52.5, 13.4]]"},
+            transport=fake_transport,
+        )
+        parts = reader.partitions()
+        assert [(p.location_id, p.latitude) for p in parts] == [(0, 50.1), (1, 52.5)]
+        rows = list(reader.read(parts[1]))
+        assert len(rows) == 2
+        assert rows[0][0] == 1 and rows[0][1] == 52.5  # location_id, latitude
+
+    def test_live_reader_refuses_offline(self, monkeypatch):
+        from weather_data_ingestion_service_spark.sources.datasource import (
+            OpenMeteoLiveReader,
+        )
+
+        monkeypatch.delenv("WDS_LIVE_FETCH", raising=False)
+        with pytest.raises(RuntimeError, match="WDS_LIVE_FETCH"):
+            OpenMeteoLiveReader({"coords": "[[0, 50.0, 14.0]]"})

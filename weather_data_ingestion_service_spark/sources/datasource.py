@@ -78,27 +78,99 @@ class OpenMeteoHourlyReader(DataSourceReader):
                 line = line.strip()
                 if not line:
                     continue
-                doc = json.loads(line)
-                hourly = doc.get("hourly", {})
-                times = hourly.get("time", [])
-                series = {v: hourly.get(v) for v in DEFAULT_HOURLY_VARS}
-                for i, t in enumerate(times):
-                    ts = dt.datetime.fromisoformat(t)
-                    row = [
-                        doc.get("location_id"),
-                        doc.get("latitude"),
-                        doc.get("longitude"),
-                        ts,
-                    ]
-                    for v in DEFAULT_HOURLY_VARS:
-                        arr = series[v]
-                        val = arr[i] if arr is not None and i < len(arr) else None
-                        if v == "weather_code" and val is not None:
-                            val = int(val)
-                        row.append(val)
-                    yield tuple(row)
+                yield from _rows_from_document(json.loads(line))
+
+
+def _rows_from_document(doc: dict):
+    """Wire-format struct-of-arrays document → tidy rows (shared by
+    the offline file reader and the live HTTP reader)."""
+    hourly = doc.get("hourly", {})
+    times = hourly.get("time", [])
+    series = {v: hourly.get(v) for v in DEFAULT_HOURLY_VARS}
+    for i, t in enumerate(times):
+        ts = dt.datetime.fromisoformat(t)
+        row = [
+            doc.get("location_id"),
+            doc.get("latitude"),
+            doc.get("longitude"),
+            ts,
+        ]
+        for v in DEFAULT_HOURLY_VARS:
+            arr = series[v]
+            val = arr[i] if arr is not None and i < len(arr) else None
+            if v == "weather_code" and val is not None:
+                val = int(val)
+            row.append(val)
+        yield tuple(row)
+
+
+class _CoordPartition(InputPartition):
+    def __init__(self, location_id: int, latitude: float, longitude: float):
+        self.location_id = location_id
+        self.latitude = latitude
+        self.longitude = longitude
+
+
+class OpenMeteoLiveDataSource(DataSource):
+    """format('openmeteo_live') — the live-HTTP twin of
+    ``openmeteo_hourly``: one API request per coordinate partition,
+    fetched through the resilience envelope (``sources.live``).
+
+    Options: ``coords`` — JSON list of ``[location_id, lat, lon]``
+    triples; ``forecast_days``.  Requires ``WDS_LIVE_FETCH=1`` (the
+    sandbox has no network; the partition/decode plumbing is what the
+    tests pin, with an injected transport).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "openmeteo_live"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> "OpenMeteoLiveReader":
+        return OpenMeteoLiveReader(self.options)
+
+
+class OpenMeteoLiveReader(DataSourceReader):
+    def __init__(self, options, transport=None):
+        from .live import live_fetch_enabled
+
+        coords = options.get("coords")
+        if not coords:
+            raise ValueError("openmeteo_live requires a coords option")
+        self.coords = json.loads(coords)
+        self.forecast_days = int(options.get("forecast_days", 7))
+        self.transport = transport
+        if transport is None and not live_fetch_enabled():
+            raise RuntimeError(
+                "openmeteo_live needs WDS_LIVE_FETCH=1 (no network in "
+                "offline runs); use format('openmeteo_hourly') on a "
+                "landing zone instead"
+            )
+
+    def partitions(self):
+        return [_CoordPartition(int(i), float(la), float(lo))
+                for i, la, lo in self.coords]
+
+    def read(self, partition: _CoordPartition):
+        from .live import fetch_forecast_document
+
+        doc = fetch_forecast_document(
+            partition.latitude,
+            partition.longitude,
+            list(DEFAULT_HOURLY_VARS),
+            forecast_days=self.forecast_days,
+            transport=self.transport,
+        )
+        doc.setdefault("location_id", partition.location_id)
+        doc.setdefault("latitude", partition.latitude)
+        doc.setdefault("longitude", partition.longitude)
+        yield from _rows_from_document(doc)
 
 
 def register_openmeteo_source(spark) -> None:
-    """Idempotently register the format with a SparkSession."""
+    """Idempotently register the formats with a SparkSession."""
     spark.dataSource.register(OpenMeteoHourlyDataSource)
+    spark.dataSource.register(OpenMeteoLiveDataSource)

@@ -1,0 +1,120 @@
+"""Live HTTP fetch path — the reference's ``fetch_json`` envelope
+(server.py:57-93) wired behind the existing resilience policies.
+
+The sandbox has no network, so everything here is structured for
+injection and disabled by default: set ``WDS_LIVE_FETCH=1`` to enable
+the real transport.  The transport is a plain callable
+``(url, params) -> (status_code, body_text)`` so tests (and offline
+runs) swap in a fake without monkeypatching sockets; the default
+transport is stdlib ``urllib`` (no third-party HTTP client in the
+container).
+
+Semantics reproduced from the reference:
+
+- retry/backoff/fallback exactly per ``resilience.RetryPolicy``
+  (server.py:68-93): 3 attempts, 1 s → 2 s → 4 s, HTTP status errors
+  fail fast, one final un-retried fallback attempt;
+- HTTP error responses surface as ``HttpStatusError`` carrying the
+  parsed ``reason`` field of the JSON error body and the raw body
+  text (server.py:263-277 consumes exactly these);
+- timeouts / connection failures surface as ``TransientFetchError``
+  (retryable, server.py:80-87);
+- the public endpoints are the reference's own
+  (server.py:27-28): forecast, archive, geocoding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+from collections.abc import Callable
+
+from .resilience import HttpStatusError, RateLimiter, RetryPolicy, TransientFetchError
+
+#: public API bases (reference server.py:27-28)
+FORECAST_API_BASE = "https://api.open-meteo.com/v1/forecast"
+ARCHIVE_API_BASE = "https://archive-api.open-meteo.com/v1/archive"
+
+Transport = Callable[[str, dict], tuple[int, str]]
+
+
+def live_fetch_enabled() -> bool:
+    """Live HTTP is opt-in: ``WDS_LIVE_FETCH=1`` in the environment."""
+    return os.environ.get("WDS_LIVE_FETCH", "") == "1"
+
+
+def _urllib_transport(url: str, params: dict) -> tuple[int, str]:
+    """Default transport: stdlib urllib GET, 30 s timeout (the
+    reference's client timeout, server.py:30)."""
+    full = url + "?" + urllib.parse.urlencode(params) if params else url
+    try:
+        with urllib.request.urlopen(full, timeout=30.0) as resp:  # noqa: S310
+            return resp.status, resp.read().decode("utf-8")
+    except urllib.error.HTTPError as exc:  # remote answered with 4xx/5xx
+        return exc.code, exc.read().decode("utf-8", errors="replace")
+    except (urllib.error.URLError, TimeoutError, OSError) as exc:
+        raise TransientFetchError(str(exc)) from exc
+
+
+def fetch_json(
+    url: str,
+    params: dict,
+    retry: RetryPolicy | None = None,
+    limiter: RateLimiter | None = None,
+    transport: Transport | None = None,
+) -> dict:
+    """GET + parse JSON under the reference's resilience envelope.
+
+    Raises ``HttpStatusError`` (with parsed ``reason`` + raw body) on
+    an error status, ``TransientFetchError`` after retries exhaust.
+    When no transport is injected, requires ``WDS_LIVE_FETCH=1``.
+    """
+    if transport is None:
+        if not live_fetch_enabled():
+            raise RuntimeError(
+                "live HTTP fetch is disabled; set WDS_LIVE_FETCH=1 to "
+                "enable the urllib transport (or inject a transport)"
+            )
+        transport = _urllib_transport
+    retry = retry or RetryPolicy()
+    limiter = limiter or RateLimiter(min_delay=0.0)
+
+    def attempt() -> dict:
+        limiter.wait()
+        status, body = transport(url, params)
+        if status >= 400:
+            reason = ""
+            try:
+                parsed = json.loads(body)
+                reason = str(parsed.get("reason", ""))
+            except (ValueError, AttributeError):
+                pass
+            raise HttpStatusError(status, reason=reason, body=body)
+        return json.loads(body)
+
+    return retry.call(attempt)
+
+
+def fetch_forecast_document(
+    latitude: float,
+    longitude: float,
+    hourly_vars: list[str],
+    forecast_days: int = 7,
+    transport: Transport | None = None,
+) -> dict:
+    """One forecast request in the reference's wire shape
+    (struct-of-arrays ``hourly`` block)."""
+    return fetch_json(
+        FORECAST_API_BASE,
+        {
+            "latitude": latitude,
+            "longitude": longitude,
+            "hourly": ",".join(hourly_vars),
+            "forecast_days": forecast_days,
+            "timezone": "auto",
+        },
+        transport=transport,
+    )
