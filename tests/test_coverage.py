@@ -42,6 +42,7 @@ ORACLE_IDS = {
     "agg_regr_ols", "ext_dedup_cluster", "ext_embed_centroids",
     "ext_text_bigrams", "agg_listagg", "ext_embed_normalize",
     "join_asof_abs_nearest", "ext_dedup_keep", "join_asof_chunked",
+    "ext_text_repetition", "ext_text_contamination", "ext_embed_quantize",
 }
 
 ROWS_ONLY_IDS = {

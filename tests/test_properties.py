@@ -306,6 +306,72 @@ class TestBlasCosineEquivalence:
             assert got == ref, f"n_blocks={n_blocks}"
 
 
+class TestTrainingDataTextOps:
+    def test_repetition_fraction_known_values(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),      # bigrams: ab ba ab ba ab → 5 total, 2 distinct
+                (2, "u v w x y z"),      # all 5 bigrams distinct
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+        assert got[1].n_ngrams == 5 and got[1].n_distinct_ngrams == 2
+        assert got[1].dup_ngram_frac == pytest.approx(3 / 5)
+        assert got[2].dup_ngram_frac == 0.0
+
+    def test_contamination_finds_planted_overlap(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import (
+            contamination_pairs,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten"),
+             (2, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(100, "zzz one two three four five six seven eight qqq"),
+             (200, "completely different words with no overlap at all here")],
+            "doc_id long, text string",
+        )
+        got = {(r.train_id, r.test_id): r.shared_ngrams
+               for r in contamination_pairs(train, test, "doc_id", "text", n=8).collect()}
+        # train 1 tokens 1..8 == test 100 tokens 2..9 → exactly one shared 8-gram
+        assert got == {(1, 100): 1}
+
+    def test_quantize_roundtrip_error_bound(self, spark, sf_dir):
+        """Dequantized values reconstruct within half a quantization
+        step of the original (the defining property of symmetric
+        rounding), and the all-zero vector is representable."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            quantize_embeddings,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        zero = spark.createDataFrame(
+            [(999999, [0.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+        )
+        q = quantize_embeddings(emb.unionByName(zero), "vec_id", "embedding")
+        joined = (
+            emb.unionByName(zero)
+            .join(q, "vec_id")
+            .select("vec_id", "embedding", "qvec", "scale")
+            .collect()
+        )
+        assert len(joined) == emb.count() + 1
+        for r in joined:
+            if r.scale == 0.0:
+                assert all(v == 0 for v in r.qvec)
+                continue
+            for x, qi in zip(r.embedding, r.qvec):
+                assert abs(qi * r.scale - x) <= r.scale / 2 + 1e-12
+                assert -127 <= qi <= 127
+
+
 class TestCosineTopkBroadcastGuard:
     def test_large_query_side_fails_loudly(self, spark, sf_dir):
         from weather_data_ingestion_service_spark.ext.simsearch import cosine_topk

@@ -487,6 +487,43 @@ def embedding_near_dup_pairs_grid(
     return both.groupBy("ba", "bb").applyInPandas(score_block_pair, out_schema)
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (the int8 storage
+    format of large ANN corpora): ``q_i = floor(x_i / max|x| * qmax +
+    0.5)`` with ``qmax = 2^(bits-1) - 1``, plus the per-vector scale
+    to dequantize (``x ≈ q * scale``).
+
+    4× (fp32→int8) corpus shrink before a similarity pass; a narrow
+    projection, no shuffle.  Every step is an IEEE-identical scalar op
+    (abs/max/divide/multiply/floor — no summation), so the output is
+    bit-reproducible and cross-engine exact: the DuckDB oracle hashes
+    equal, no rounding-boundary caveats.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        mx > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") / mx * qmax + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    scale = F.when(mx > 0, mx / qmax).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        q.alias("qvec"),
+        scale.cast("double").alias("scale"),
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str, scale_bits: int = 20
 ) -> DataFrame:

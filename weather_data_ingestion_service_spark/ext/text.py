@@ -117,6 +117,68 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return scored.select(id_col, pred.alias("lang_pred"), best.alias("lang_score"))
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition: the fraction of n-gram
+    occurrences that are repeats of an earlier n-gram in the same
+    document — the C4/Gopher "repeated n-gram" filter signal (docs
+    with a high duplicate fraction are boilerplate/spam).
+
+    Pure expressions: one pass builds the n-gram array, the dup
+    fraction is ``1 - distinct/total``.  No shuffle at all — a narrow
+    projection that runs at scan speed on 100 TB.
+    """
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0))
+    return df.select(
+        id_col,
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct_ngrams"),
+        dup_frac.cast("double").alias("dup_ngram_frac"),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, test_id) pairs sharing at
+    least one word n-gram, with the shared-gram count — the standard
+    n-gram-overlap test-set contamination check (GPT-3 appendix C used
+    13-grams; ``n`` is the knob).
+
+    Scale shape is the same rare-shingle equi-join as exact Jaccard
+    dedup: explode distinct n-grams per side, join on the gram, count
+    per pair.  Long n-grams are near-unique, so bucket sizes stay tiny
+    and the join never degenerates to all-pairs; both aggregations are
+    map-side combinable.
+    """
+
+    def grams(d: DataFrame, out_id: str) -> DataFrame:
+        t = tokens(text_col)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+        return d.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(g)).alias("gram"),
+        )
+
+    return (
+        grams(train, "train_id")
+        .join(grams(test, "test_id"), "gram")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 content hash + rolling polynomial
     hash of the token stream mod the Mersenne prime 2^31-1 (modular so

@@ -1432,3 +1432,90 @@ def q_ext_dedup_keep(spark, sf_dir):
     return dedup_keep_representatives(
         corpus.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
     )
+
+
+@register(
+    "ext_text_repetition",
+    """
+    WITH tok AS (SELECT doc_id,
+                        list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x <> '') AS w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+            FROM tok),
+    g AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram FROM idx),
+    agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_ngrams,
+                   CAST(count(DISTINCT gram) AS INT) AS n_distinct_ngrams
+            FROM g GROUP BY doc_id)
+    SELECT doc_id, n_ngrams, n_distinct_ngrams,
+           CASE WHEN n_ngrams > 0
+                THEN (n_ngrams - n_distinct_ngrams) / CAST(n_ngrams AS DOUBLE)
+                ELSE 0.0 END AS dup_ngram_frac
+    FROM agg
+    """,
+)
+def q_ext_text_repetition(spark, sf_dir):
+    """Per-document repeated-bigram fraction — the C4/Gopher
+    boilerplate/spam repetition signal; a narrow no-shuffle
+    projection."""
+    from .ext.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=2)
+
+
+@register(
+    "ext_text_contamination",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+            FROM tok),
+    g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+          FROM idx)
+    SELECT a.doc_id AS train_id, b.doc_id AS test_id,
+           CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM g a JOIN g b USING (gram)
+    WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+    GROUP BY 1, 2
+    """,
+)
+def q_ext_text_contamination(spark, sf_dir):
+    """Benchmark decontamination: word-8-gram overlap between the base
+    corpus (train) and the held-out perturbed copies (test) — the
+    GPT-3-style n-gram contamination check as a rare-shingle
+    equi-join."""
+    from .ext.text import contamination_pairs
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    train = corpus.filter(F.col("doc_id") < 1000000)
+    test = corpus.filter(F.col("doc_id") >= 1000000)
+    return contamination_pairs(train, test, "doc_id", "text", n=8)
+
+
+@register(
+    "ext_embed_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN mx > 0
+                THEN list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
+                ELSE list_transform(embedding, x -> 0) END AS qvec,
+           CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
+    FROM q
+    """,
+)
+def q_ext_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (per-vector scale) — 4x
+    corpus shrink for the ANN stack; every step an IEEE-identical
+    scalar op, so the oracle hashes equal with no rounding caveats."""
+    from .ext.simsearch import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
