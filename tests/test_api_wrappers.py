@@ -308,6 +308,49 @@ class TestStdioServe:
         assert resp["status"] == "error"
         assert "API Reason: unknown variable" in resp["message"]
 
+    def test_mcp_jsonrpc_framing(self, spark):
+        """MCP protocol surface (reference serves FastMCP over stdio,
+        server.py:24, 378): initialize → tools/list → tools/call, with
+        tool failures in-band as isError content and unknown methods
+        as JSON-RPC errors."""
+        import io
+        import json
+
+        from weather_data_ingestion_service_spark.api.serve import serve_stdio
+
+        msgs = [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+            {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+             "params": {"name": "get_forecast",
+                        "arguments": {"place": "Prague, CZ",
+                                      "forecast_days": 1,
+                                      "variables": "temperature_2m"}}},
+            {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+             "params": {"name": "get_forecast",
+                        "arguments": {"place": "Atlantis"}}},
+            {"jsonrpc": "2.0", "id": 5, "method": "bogus/method"},
+        ]
+        stdin = io.StringIO("".join(json.dumps(m) + "\n" for m in msgs))
+        stdout = io.StringIO()
+        serve_stdio(spark, stdin, stdout)
+        out = [json.loads(l) for l in stdout.getvalue().strip().split("\n")]
+        assert len(out) == 5  # the notification got no reply
+        byid = {r["id"]: r for r in out}
+        assert byid[1]["result"]["serverInfo"]["name"] == "weather-engine"
+        tools = {t["name"] for t in byid[2]["result"]["tools"]}
+        assert tools == {"get_forecast", "get_history"}
+        call = byid[3]["result"]
+        assert call["isError"] is False
+        payload = json.loads(call["content"][0]["text"])
+        assert payload["status"] == "success"
+        assert len(payload["data"]["hourly"]["time"]) == 24
+        bad = byid[4]["result"]
+        assert bad["isError"] is True
+        assert "Atlantis" in json.loads(bad["content"][0]["text"])["message"]
+        assert byid[5]["error"]["code"] == -32601
+
     def test_stdio_loop_round_trip(self, spark):
         import io
         import json

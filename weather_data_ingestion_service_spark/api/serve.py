@@ -115,14 +115,123 @@ def handle_request(spark: SparkSession, request: str | dict) -> dict:
         return {"status": "error", "message": f"invalid parameters: {exc}"}
 
 
+# --- MCP JSON-RPC framing (the reference serves FastMCP over stdio,
+# server.py:24, 378; this is the same protocol surface hand-rolled:
+# newline-delimited JSON-RPC 2.0 with initialize / tools/list /
+# tools/call, tool failures in-band as isError content per the MCP
+# spec, protocol failures as JSON-RPC error objects) ---
+
+PROTOCOL_VERSION = "2024-11-05"
+
+_TOOL_SCHEMAS: dict[str, dict] = {
+    "get_forecast": {
+        "type": "object",
+        "properties": {
+            "place": {"type": "string"},
+            "latitude": {"type": "number"},
+            "longitude": {"type": "number"},
+            "granularity": {"type": "integer"},
+            "forecast_days": {"type": "integer"},
+            "past_days": {"type": "integer"},
+            "variables": {"type": "string"},
+            "daily_variables": {"type": "string"},
+        },
+    },
+    "get_history": {
+        "type": "object",
+        "properties": {
+            "place": {"type": "string"},
+            "latitude": {"type": "number"},
+            "longitude": {"type": "number"},
+            "start_date": {"type": "string"},
+            "end_date": {"type": "string"},
+            "granularity": {"type": "integer"},
+            "variables": {"type": "string"},
+        },
+        "required": ["start_date", "end_date"],
+    },
+}
+
+
+def _rpc_result(req_id, result: dict) -> dict:
+    return {"jsonrpc": "2.0", "id": req_id, "result": result}
+
+
+def _rpc_error(req_id, code: int, message: str) -> dict:
+    return {"jsonrpc": "2.0", "id": req_id,
+            "error": {"code": code, "message": message}}
+
+
+def handle_rpc(spark: SparkSession, req: dict) -> dict | None:
+    """One JSON-RPC 2.0 message → response dict (None for
+    notifications, which get no reply)."""
+    req_id = req.get("id")
+    method = req.get("method")
+    if method is None:
+        return _rpc_error(req_id, -32600, "missing method")
+    if req_id is None:  # notification (e.g. notifications/initialized)
+        return None
+    if method == "initialize":
+        return _rpc_result(req_id, {
+            "protocolVersion": PROTOCOL_VERSION,
+            "capabilities": {"tools": {}},
+            "serverInfo": {"name": "weather-engine", "version": "1.0"},
+        })
+    if method == "tools/list":
+        return _rpc_result(req_id, {
+            "tools": [
+                {
+                    "name": name,
+                    "description": fn.__doc__.splitlines()[0] if fn.__doc__ else "",
+                    "inputSchema": _TOOL_SCHEMAS.get(name, {"type": "object"}),
+                }
+                for name, fn in _TOOLS.items()
+            ]
+        })
+    if method == "tools/call":
+        params = req.get("params") or {}
+        name = params.get("name")
+        if name not in _TOOLS:
+            return _rpc_error(req_id, -32602, f"unknown tool: {name!r}")
+        envelope = handle_request(
+            spark, {"tool": name, "params": params.get("arguments") or {}}
+        )
+        # MCP: tool-level failures are in-band content with isError,
+        # not protocol errors (the envelope is the reference's wire
+        # value either way)
+        return _rpc_result(req_id, {
+            "content": [{"type": "text", "text": json.dumps(envelope)}],
+            "isError": envelope.get("status") == "error",
+        })
+    return _rpc_error(req_id, -32601, f"method not found: {method}")
+
+
 def serve_stdio(spark: SparkSession, stdin: TextIO, stdout: TextIO) -> None:
-    """Line-delimited JSON loop until EOF (transport analog of
-    ``mcp.run(transport="stdio")``, server.py:378)."""
+    """Newline-delimited JSON loop until EOF (transport analog of
+    ``mcp.run(transport="stdio")``, server.py:378).
+
+    Speaks both framings on one socket: messages with a ``jsonrpc``
+    key get the MCP JSON-RPC treatment (notifications are consumed
+    silently); anything else is the legacy ``{"tool": ..., "params":
+    ...}`` envelope."""
     for line in stdin:
         line = line.strip()
         if not line:
             continue
-        resp = handle_request(spark, line)
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as exc:
+            stdout.write(json.dumps(
+                {"status": "error", "message": f"invalid JSON request: {exc}"}
+            ) + "\n")
+            stdout.flush()
+            continue
+        if isinstance(req, dict) and req.get("jsonrpc") == "2.0":
+            resp = handle_rpc(spark, req)
+            if resp is None:
+                continue
+        else:
+            resp = handle_request(spark, req)
         stdout.write(json.dumps(resp) + "\n")
         stdout.flush()
 
