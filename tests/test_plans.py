@@ -178,3 +178,64 @@ def test_train_split_is_narrow(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     assert count_exchanges(hash_split(docs, "doc_id")) == 0
+
+
+def test_grid_near_dup_has_no_corpus_broadcast_or_collect(spark, sf_dir):
+    """The distributed exact embedding near-dup must not ship the
+    corpus anywhere whole: the only broadcast is the tiny block-pair
+    grid, and the plan has no cartesian product."""
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        embedding_near_dup_pairs_grid,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(
+        embedding_near_dup_pairs_grid(emb, "vec_id", "embedding", 0.95)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # grid rows broadcast (tiny); corpus side must arrive via exchange,
+    # not a broadcast of the embedding table
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    # exactly the two grid copies are broadcast, and both build sides
+    # carry only the two block ids — never the embedding column
+    bexch = re.findall(r"\(\d+\) BroadcastExchange\nInput \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert len(bexch) == 2
+    for width, cols in bexch:
+        assert width == "2" and "ba#" in cols and "bb#" in cols
+
+
+def test_repetition_stats_is_narrow(spark, sf_dir):
+    """Repetition scoring is a pure projection: zero exchanges."""
+    from weather_data_ingestion_service_spark.ext.text import repetition_stats
+    from weather_data_ingestion_service_spark.plans import count_exchanges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert count_exchanges(repetition_stats(docs, "doc_id", "text")) == 0
+
+
+def test_quantize_is_narrow(spark, sf_dir):
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        quantize_embeddings,
+    )
+    from weather_data_ingestion_service_spark.plans import count_exchanges
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert count_exchanges(quantize_embeddings(emb)) == 0
+
+
+def test_contamination_join_is_equi_not_cartesian(spark, sf_dir):
+    from weather_data_ingestion_service_spark.ext.text import (
+        contamination_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = formatted_plan(contamination_pairs(train, test, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
