@@ -43,6 +43,7 @@ ORACLE_IDS = {
     "ext_text_bigrams", "agg_listagg", "ext_embed_normalize",
     "join_asof_abs_nearest", "ext_dedup_keep", "join_asof_chunked",
     "ext_text_repetition", "ext_text_contamination", "ext_embed_quantize",
+    "ext_text_pii", "win_sessionize",
 }
 
 ROWS_ONLY_IDS = {

@@ -342,6 +342,46 @@ class TestTrainingDataTextOps:
         # train 1 tokens 1..8 == test 100 tokens 2..9 → exactly one shared 8-gram
         assert got == {(1, 100): 1}
 
+    def test_redact_pii_known_strings(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import redact_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "reach me at jane.doe+spam@mail-server.org thanks"),
+                (2, "call 555-867-5309 or +01 234 5678 x"),
+                (3, "no pii here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in redact_pii(docs, "doc_id", "text").collect()}
+        assert got[1].text_redacted == "reach me at <EMAIL> thanks"
+        assert got[1].n_emails == 1 and got[1].n_phones == 0
+        assert "<PHONE>" in got[2].text_redacted and got[2].n_phones >= 1
+        assert got[3].text_redacted == got[3].text_redacted == "no pii here at all"
+        assert got[3].n_emails == 0 and got[3].n_phones == 0
+
+    def test_sessionize_gap_boundaries(self, spark):
+        """A gap of exactly gap_seconds stays in-session (> starts a
+        new one); sessions are per-key and 1-based."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.operators.windows import (
+            sessionize,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 7, t0),
+            (2, 7, t0 + dt.timedelta(seconds=3600)),   # == gap → same session
+            (3, 7, t0 + dt.timedelta(seconds=7201)),   # > gap → new session
+            (4, 8, t0),                                 # other key restarts
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        got = {r.event_id: r.session_no for r in sessionize(
+            df, ["user_id"], "ts", gap_seconds=3600, tiebreak=["event_id"]
+        ).collect()}
+        assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
     def test_quantize_roundtrip_error_bound(self, spark, sf_dir):
         """Dequantized values reconstruct within half a quantization
         step of the original (the defining property of symmetric

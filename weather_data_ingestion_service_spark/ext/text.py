@@ -179,6 +179,33 @@ def contamination_pairs(
     )
 
 
+#: simple character-class PII patterns — identical semantics under
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookarounds
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for pre-training text: replace emails/phone
+    numbers with placeholder tags and count the hits (the C4-style
+    cleaning step).  Pure ``regexp_replace``/``regexp_count``
+    expressions — no shuffle, runs at scan speed; patterns restricted
+    to constructs with identical semantics across regex engines.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PHONE_RE))
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        id_col,
+        red.alias("text_redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprints: md5 content hash + rolling polynomial
     hash of the token stream mod the Mersenne prime 2^31-1 (modular so

@@ -75,3 +75,36 @@ def moving_avg(
     """Trailing moving average over ``preceding`` prior rows + current."""
     w = _ordered_window(keys, order_by).rowsBetween(-preceding, 0)
     return df.withColumn(alias, F.avg(col).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+    alias: str = "session_no",
+) -> DataFrame:
+    """Gap-based sessionization: per key, a new session starts when the
+    time since the previous event exceeds ``gap_seconds``; rows get the
+    1-based running session number.
+
+    The batch twin of a session window (cf. streaming
+    ``F.session_window``): lag + running sum over one per-key window —
+    a single shuffle, deterministic given a total order (``tiebreak``
+    columns break equal timestamps; pass one to make results
+    hash-stable across engines).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev))
+           > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(alias, F.sum(is_new).over(run))

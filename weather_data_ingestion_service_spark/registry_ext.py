@@ -1519,3 +1519,75 @@ def q_ext_embed_quantize(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+
+
+@register(
+    "ext_text_pii",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or call 555-867-5309'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phones
+    FROM seeded
+    """,
+)
+def q_ext_text_pii(spark, sf_dir):
+    """PII redaction (emails + phone numbers -> placeholder tags) over
+    a corpus with deterministically planted PII in every 7th doc —
+    the C4-style scrubbing step as a no-shuffle projection."""
+    from .ext.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-867-5309"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(docs, "doc_id", "text")
+
+
+@register(
+    "win_sessionize",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(sum(CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    """,
+)
+def q_win_sessionize(spark, sf_dir):
+    """Gap-based sessionization (1-hour inactivity gap) per user —
+    lag + running sum in one per-key window pass; the batch twin of
+    stream_window_session."""
+    from .operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        ev, ["user_id"], "ts", gap_seconds=3600, tiebreak=["event_id"]
+    )
