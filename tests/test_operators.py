@@ -119,6 +119,41 @@ class TestAsofJoinChunked:
         ).collect()))
         assert got == want and len(got) > 0
 
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_randomized_equivalence(self, spark, seed):
+        """Seeded random frames (duplicate timestamps, keys missing on
+        either side, ties at chunk boundaries): chunked ≡ unchunked."""
+        import datetime as dt
+        import random
+
+        from weather_data_ingestion_service_spark.operators.joins import (
+            asof_join_chunked,
+        )
+
+        rng = random.Random(seed)
+        t0 = dt.datetime(2024, 1, 1)
+        left = [
+            (i, rng.randrange(6), t0 + dt.timedelta(minutes=rng.randrange(0, 7 * 1440)))
+            for i in range(300)
+        ]
+        # right unique per (key, ts): dedup the generated pairs
+        seen = {}
+        for j in range(120):
+            k = rng.randrange(8)  # some keys never on the left
+            ts = t0 + dt.timedelta(minutes=rng.randrange(0, 7 * 1440))
+            seen[(k, ts)] = j
+        right = [(k, ts, v) for (k, ts), v in seen.items()]
+        ldf = spark.createDataFrame(left, "eid long, k long, ts timestamp")
+        rdf = spark.createDataFrame(right, "k long, rts timestamp, payload long")
+        want = sorted(map(tuple, asof_join(
+            ldf, rdf, ["k"], "ts", "rts", ["payload"]
+        ).collect()))
+        for chunk in ("1 day", "6 hours"):
+            got = sorted(map(tuple, asof_join_chunked(
+                ldf, rdf, ["k"], "ts", "rts", ["payload"], chunk=chunk
+            ).collect()))
+            assert got == want, chunk
+
     def test_plan_partitions_window_by_key_and_chunk(self, spark, sf_dir):
         """The skew fix is visible in the plan: the main window's
         exchange hashes on (key, __chunk), not the key alone."""
