@@ -239,3 +239,14 @@ def test_contamination_join_is_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_window_pass(spark, sf_dir):
+    """lag + running sum share one window spec: exactly one exchange,
+    one sort — Catalyst must not split them into two shuffles."""
+    from weather_data_ingestion_service_spark.operators.windows import sessionize
+    from weather_data_ingestion_service_spark.plans import count_exchanges
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(ev, ["user_id"], "ts", 3600, tiebreak=["event_id"])
+    assert count_exchanges(out) == 1
