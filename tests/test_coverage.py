@@ -44,6 +44,8 @@ ORACLE_IDS = {
     "join_asof_abs_nearest", "ext_dedup_keep", "join_asof_chunked",
     "ext_text_repetition", "ext_text_contamination", "ext_embed_quantize",
     "ext_text_pii", "win_sessionize",
+    "ext_sample_weighted", "ext_pack_sequences", "agg_histogram",
+    "agg_sigma_outliers", "win_coalesce_intervals", "bench_q5",
 }
 
 ROWS_ONLY_IDS = {

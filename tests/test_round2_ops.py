@@ -1,0 +1,149 @@
+"""Hand-computed unit cases for the round-2 operator batch:
+interval coalescing, histogram, exact-integer sigma outliers,
+weighted sampling, sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_coalesce_intervals_merges_touching_and_overlapping(spark):
+    from weather_data_ingestion_service_spark.operators.windows import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # key a: [1,5] [3,7] overlap -> [1,7]; [8,9] separate;
+            #        [9,10] touches (start == prev end) -> merged
+            ("a", 1, 5),
+            ("a", 3, 7),
+            ("a", 8, 9),
+            ("a", 9, 10),
+            # key b: contained interval [2,3] inside [1,10]
+            ("b", 1, 10),
+            ("b", 2, 3),
+        ],
+        "k string, s int, e int",
+    )
+    out = coalesce_intervals(df, ["k"], "s", "e")
+    rows = {(r.k, r.s, r.e): r.n_merged for r in out.collect()}
+    assert rows == {("a", 1, 7): 2, ("a", 8, 10): 2, ("b", 1, 10): 2}
+
+
+def test_coalesce_intervals_single_row_groups(spark):
+    from weather_data_ingestion_service_spark.operators.windows import (
+        coalesce_intervals,
+    )
+
+    df = spark.createDataFrame([("x", 4, 6)], "k string, s int, e int")
+    assert coalesce_intervals(df, ["k"], "s", "e").collect()[0].asDict() == {
+        "k": "x", "s": 4, "e": 6, "n_merged": 1
+    }
+
+
+def test_value_histogram_bins_and_negatives(spark):
+    from weather_data_ingestion_service_spark.operators.aggregates import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.49,), (0.5,), (0.99,), (-0.25,), (None,)],
+        "v double",
+    )
+    out = value_histogram(df, "v", scale=2)
+    got = {r.bin: (r.n_rows, r.bin_lo) for r in out.collect()}
+    # floor(v*2): 0.0,0.49 -> 0; 0.5,0.99 -> 1; -0.25 -> -1; null -> null
+    assert got[0] == (2, 0.0)
+    assert got[1] == (2, 0.5)
+    assert got[-1] == (1, -0.5)
+    assert got[None] == (1, None)
+
+
+def test_value_histogram_rejects_non_power_of_two(spark):
+    from weather_data_ingestion_service_spark.operators.aggregates import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(AssertionError):
+        value_histogram(df, "v", scale=3)
+
+
+def test_sigma_outliers_flags_only_the_spike(spark):
+    from weather_data_ingestion_service_spark.operators.aggregates import (
+        sigma_outliers,
+    )
+
+    # 20 values at 1.00 and one at 100.00: the spike is the only row
+    # beyond 3 sigma; the cluster rows are well inside.
+    rows = [(i, "g", 1.0) for i in range(20)] + [(99, "g", 100.0)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = sigma_outliers(df, ["g"], "v", n_sigma=3, id_cols=["id"])
+    assert [r.id for r in out.collect()] == [99]
+
+
+def test_sigma_outliers_zero_variance_group_is_silent(spark):
+    from weather_data_ingestion_service_spark.operators.aggregates import (
+        sigma_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 2.5), (2, "g", 2.5), (3, "g", 2.5)],
+        "id long, g string, v double",
+    )
+    assert sigma_outliers(df, ["g"], "v", n_sigma=3, id_cols=["id"]).count() == 0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from weather_data_ingestion_service_spark.ext.sampling import (
+        weighted_sample_topk,
+    )
+
+    # 200 light rows (weight 1) + 200 heavy rows (weight 50): the
+    # sample should be dominated by heavy rows (expected ~98%).
+    rows = [(i, 1) for i in range(200)] + [(i + 1000, 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    picked = weighted_sample_topk(df, "id", "w", k=40).collect()
+    assert len(picked) == 40
+    heavy = sum(1 for r in picked if r.id >= 1000)
+    assert heavy >= 35
+    # deterministic: same input -> same sample
+    again = weighted_sample_topk(df, "id", "w", k=40).collect()
+    assert [r.id for r in picked] == [r.id for r in again]
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
+    from weather_data_ingestion_service_spark.ext.packing import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, toks long")
+    out = pack_sequences(df, "id", "toks", budget=512, n_shards=4).collect()
+    assert len(out) == 300
+    # reconstruct each shard's stream: bins must tile the stream
+    # exactly — every doc's global offset equals the running sum of
+    # token counts in stream order, and bin_id/bin_offset re-derive
+    # from it.
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    import hashlib
+
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: (hashlib.md5(str(r.id).encode()).hexdigest(), r.id))
+        offset = 0
+        for r in docs:
+            assert r.bin_id == offset // 512
+            assert r.bin_offset == offset % 512
+            assert r.straddles == ((offset + r.toks - 1) // 512 > r.bin_id)
+            offset += r.toks
+
+
+def test_pack_sequences_bin_capacity_never_exceeded_by_nonstraddlers(spark):
+    from weather_data_ingestion_service_spark.ext.packing import pack_sequences
+
+    rows = [(i, 10 + i % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, toks long")
+    for r in pack_sequences(df, "id", "toks", budget=256, n_shards=2).collect():
+        if not r.straddles:
+            assert r.bin_offset + r.toks <= 256

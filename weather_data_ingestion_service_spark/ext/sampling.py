@@ -73,3 +73,28 @@ def stratified_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _id_hash_int(id_col: str) -> F.Column:
+    """First 15 hex digits of the id-hash as a BIGINT (60 uniform
+    bits) — DuckDB: ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(_id_hash(id_col), 1, 15), 16, 10).cast("long")
+
+
+def weighted_sample_topk(
+    df: DataFrame, id_col: str, weight_col, k: int
+) -> DataFrame:
+    """Deterministic weight-biased sample: each row gets priority
+    ``hash_int / weight`` and the global ``k`` lowest priorities win —
+    doubling a row's weight halves its priority, so heavy rows are
+    proportionally favored, yet membership stays a pure function of
+    (id, weight): stable across runs, partitionings and engines.
+
+    Priority is one IEEE double division on identical inputs
+    (bit-identical cross-engine); the global top-k compiles to
+    TakeOrderedAndProject — per-partition heaps, only ``k`` rows per
+    partition move to the driver-side merge, no full sort at 100 TB.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    pri = (_id_hash_int(id_col) / w).alias("priority")
+    return df.withColumn("priority", pri).orderBy("priority", id_col).limit(k)

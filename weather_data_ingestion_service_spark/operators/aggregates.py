@@ -157,3 +157,78 @@ def exact_ols(
         intercept.alias("intercept"),
         F.col("n").alias("n_obs"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-width histogram: bin ``i`` covers ``[i/scale, (i+1)/scale)``.
+
+    The bin id is ``floor(value * scale)`` with a power-of-two
+    ``scale`` — scaling a double by 2^k only shifts the exponent, so
+    binning is bit-exact cross-engine (no quantize-then-round
+    ambiguity).  One map-side-combinable hash aggregate: the shuffle
+    carries |groups|·|bins| rows regardless of input size — the shape
+    that survives 100 TB.
+    """
+    assert scale & (scale - 1) == 0, "scale must be a power of two"
+    binned = df.withColumn(
+        "bin", F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
+    )
+    return (
+        binned.groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("bin_lo", F.col("bin").cast("double") / F.lit(float(scale)))
+    )
+
+
+def sigma_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    n_sigma: int = 3,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rows more than ``n_sigma`` standard deviations from their
+    group mean — decided entirely in exact integer arithmetic.
+
+    Float ``stddev`` is partial-aggregation-order-dependent, so a row
+    sitting exactly at the boundary could flip across runs/engines.
+    Instead the test |x-mu| > n*sigma is cross-multiplied into integers
+    over cents-encoded values (s = sum, q = sum of squares, n = count):
+
+        (n*x - s)^2  >  k^2 * (n*q - s^2)
+
+    Both sides are exact DECIMAL(38,0) products of int64 sums —
+    associative, engine-independent, no epsilon.  Plan: one hash
+    aggregate for the per-group moments (tiny result), broadcast back
+    onto the rows — no window over the full table, so a hot group
+    costs a broadcast-join scan, not a single-task sort.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    rows = df.withColumn("_xc", cents)
+    # sums go straight to decimal(38,0): sum(int64) of squared cents
+    # overflows int64 near 10^12 rows; decimal holds to ~10^38 (past
+    # that Spark yields null and rows drop — pre-aggregate per group
+    # or rescale cents if a corpus ever gets there)
+    moments = (
+        rows.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_xc").cast("decimal(38,0)")).alias("_s"),
+            F.sum((F.col("_xc") * F.col("_xc")).cast("decimal(38,0)")).alias("_q"),
+        )
+    )
+    j = rows.join(F.broadcast(moments), list(group_cols), "inner")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs_root = dec("_n") * F.col("_xc").cast("decimal(38,0)") - dec("_s")
+    lhs = lhs_root * lhs_root
+    rhs = F.lit(n_sigma * n_sigma).cast("decimal(38,0)") * (
+        dec("_n") * dec("_q") - dec("_s") * dec("_s")
+    )
+    return j.filter(lhs > rhs).select(
+        *id_cols, *group_cols, F.col(value_col)
+    )

@@ -108,3 +108,42 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(alias, F.sum(is_new).over(run))
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    count_alias: str = "n_merged",
+) -> DataFrame:
+    """Merge overlapping/touching ``[start, end]`` intervals per key
+    into their connected unions (the classic gaps-and-islands pass).
+
+    A new island starts where ``start`` exceeds the running max of all
+    earlier ``end``s; the island id is the running count of such
+    starts.  Both passes share ONE per-key ordered window (single
+    shuffle), then a hash aggregate keyed by (key, island) emits
+    ``min(start) / max(end) / count``.  Scale posture: per-key data
+    only — no global sort; a hot key serializes one task, the same
+    boundary-chunking remedy as asof_join_chunked applies.
+    """
+    order = [F.col(start_col), F.col(end_col)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = df.withColumn("_island", F.sum(is_new).over(run))
+    return (
+        islands.groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias(count_alias),
+        )
+        .drop("_island")
+    )

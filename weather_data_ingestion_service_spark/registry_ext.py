@@ -1591,3 +1591,207 @@ def q_win_sessionize(spark, sf_dir):
     return sessionize(
         ev, ["user_id"], "ts", gap_seconds=3600, tiebreak=["event_id"]
     )
+
+
+@register(
+    "ext_sample_weighted",
+    """
+    SELECT *,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             / n_chars AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 50
+    """,
+)
+def q_ext_sample_weighted(spark, sf_dir):
+    """Deterministic weight-biased sampling (priority = id-hash /
+    weight, global k lowest win) — longer documents proportionally
+    favored, membership a pure function of (id, weight)."""
+    from .ext.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+
+
+@register(
+    "ext_pack_sequences",
+    """
+    WITH s AS (
+      SELECT *,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+               % 8 AS shard
+      FROM documents
+    ),
+    o AS (
+      SELECT *,
+             CAST(COALESCE(sum(n_chars) OVER (
+                    PARTITION BY shard ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS ofs
+      FROM s
+    )
+    SELECT doc_id, text, lang, source, n_chars, shard,
+           ofs // 2048 AS bin_id,
+           ofs % 2048 AS bin_offset,
+           ((ofs + n_chars - 1) // 2048) > (ofs // 2048) AS straddles
+    FROM o
+    """,
+)
+def q_ext_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing into 2048-token
+    bins (n_chars as the token count), sharded id-hash streams so no
+    single task owns the global running offset."""
+    from .ext.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", budget=2048, n_shards=8)
+
+
+@register(
+    "agg_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value * 2.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(floor(value * 2.0) AS BIGINT) / 2.0 AS bin_lo
+    FROM events
+    GROUP BY event_type, bin
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width value histogram per event type (power-of-two bin
+    scale -> bit-exact bin ids cross-engine); shuffle carries only
+    |types|x|bins| rows."""
+    from .operators.aggregates import value_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return value_histogram(ev, "value", scale=2, group_cols=["event_type"])
+
+
+@register(
+    "agg_sigma_outliers",
+    """
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100, 0) AS BIGINT) AS xc
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(xc) AS HUGEINT) AS s,
+             CAST(sum(xc * xc) AS HUGEINT) AS q
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_id, r.event_type, r.value
+    FROM r JOIN m USING (event_type)
+    WHERE (n * xc - s) * (n * xc - s) > 9 * (n * q - s * s)
+    """,
+)
+def q_agg_sigma_outliers(spark, sf_dir):
+    """3-sigma outliers per event type decided in exact integer
+    arithmetic (cross-multiplied variance test over cents moments) —
+    no float stddev, so boundary rows cannot flip across engines or
+    partial-aggregation orders."""
+    from .operators.aggregates import sigma_outliers
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return sigma_outliers(
+        ev, ["event_type"], "value", n_sigma=3, id_cols=["event_id"]
+    )
+
+
+@register(
+    "win_coalesce_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events
+    ),
+    m AS (
+      SELECT *,
+             max(end_ts) OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM iv
+    ),
+    isl AS (
+      SELECT *,
+             sum(CASE WHEN prev_end IS NULL OR start_ts > prev_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY start_ts, end_ts
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    )
+    SELECT user_id, min(start_ts) AS start_ts, max(end_ts) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def q_win_coalesce_intervals(spark, sf_dir):
+    """Gaps-and-islands interval coalescing: merge overlapping
+    30-minute event windows per user into connected unions — one
+    per-key ordered window + one hash aggregate."""
+    from .operators.windows import coalesce_intervals
+
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    return coalesce_intervals(iv, ["user_id"], "start_ts", "end_ts")
+
+
+@register(
+    "bench_q5",
+    """
+    SELECT n_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+             / 100.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_bench_q5(spark, sf_dir):
+    """TPC-H Q5 shape: six-table local-supplier join with the extra
+    c_nationkey = s_nationkey correlation — the join-order benchmark.
+    Dims (nation, region, supplier at this ratio) broadcast; the
+    fact-fact orders-lineitem join carries the only big shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
