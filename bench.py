@@ -63,6 +63,20 @@ def main() -> None:
     # queries, not session startup
     qs[suite[0]](spark, SF_DIR).count()
 
+    # warm the Python-UDF workers + Arrow transfer path too: spawning
+    # the per-core Python workers is a one-time process cost (~2 s on
+    # local[32]) that would otherwise land entirely on whichever
+    # pandas_udf query happens to run first
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf signature inference rejects
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(10_000).select(_warm("id")).count()
+
     timings: dict[str, float] = {}
     for name in suite:
         t0 = time.perf_counter()

@@ -296,9 +296,14 @@ def dedup_clusters(
     "Connected Components in MapReduce"), which halves round count;
     not needed for dedup-shaped graphs.
     """
-    # both edge directions from ONE scan of ``pairs`` (explode, not a
-    # self-union — the union's two branches would each recompute the
-    # candidate-pair plan, which is the expensive part of the query)
+    # both edge directions PLUS a self-loop per endpoint, all from ONE
+    # scan of ``pairs`` (explode, not a self-union — the union's
+    # branches would each recompute the candidate-pair plan, which is
+    # the expensive part of the query).  Self-loops make each round a
+    # single join + hash-agg: min over neighbors *including self*
+    # replaces the join-then-left-join-update two-step.  ``distinct``
+    # compacts the redundant self-loop copies once up front (edges
+    # feed every round).
     edges = (
         pairs.select(
             F.explode(
@@ -309,45 +314,63 @@ def dedup_clusters(
                     F.struct(
                         F.col("id_b").alias("src"), F.col("id_a").alias("dst")
                     ),
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_b").alias("dst")
+                    ),
                 )
             ).alias("e")
         )
         .select("e.src", "e.dst")
+        .distinct()
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lab")
-    ).persist()
+    # iterate ONLY over edge endpoints: a node with no near-dup edge
+    # keeps its own id forever, and in a dedup graph that is almost
+    # every node — the loop's tables shrink from |corpus| to
+    # |touched-by-a-duplicate|.  Isolated nodes rejoin at the end.
+    labels = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"), F.col("src").alias("lab"))
+        .persist()
+    )
+    # convergence via the label-sum: labels only ever decrease, so the
+    # sum strictly drops each round until the fixpoint — one scalar
+    # aggregate per round (also materializing the persist) instead of
+    # a labels-vs-labels join + count job.
+    dec_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
+    prev_sum = labels.agg(dec_sum).collect()[0][0]
     for it in range(max_iter):
-        neigh = (
+        new_labels = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.dst, "left")
-            .select(
-                "id",
-                F.least("lab", F.coalesce("nlab", "lab")).alias("lab"),
-            )
+            .agg(F.min("lab").alias("lab"))
+            .select(F.col("dst").alias("id"), "lab")
         )
         if it % 4 == 3:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") < F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(dec_sum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
-    return labels.select(
-        F.col("id").alias(id_col), F.col("lab").alias("cluster_id")
+    # labels is cached, so sizing it for the join-back strategy is
+    # free; a near-dup label table is tiny next to the corpus, so
+    # broadcast unless the graph is genuinely huge
+    if labels.count() <= 5_000_000:
+        labels = F.broadcast(labels)
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lab", "id").alias("cluster_id"),
+        )
     )
 
 
