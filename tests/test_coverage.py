@@ -46,6 +46,8 @@ ORACLE_IDS = {
     "ext_text_pii", "win_sessionize",
     "ext_sample_weighted", "ext_pack_sequences", "agg_histogram",
     "agg_sigma_outliers", "win_coalesce_intervals", "bench_q5",
+    "win_scd2", "ext_sample_epoch", "agg_gini", "f_url_parse",
+    "win_percent_rank",
 }
 
 ROWS_ONLY_IDS = {

@@ -147,3 +147,62 @@ def test_pack_sequences_bin_capacity_never_exceeded_by_nonstraddlers(spark):
     for r in pack_sequences(df, "id", "toks", budget=256, n_shards=2).collect():
         if not r.straddles:
             assert r.bin_offset + r.toks <= 256
+
+
+def test_scd2_compress_collapses_runs_and_stamps_intervals(spark):
+    from weather_data_ingestion_service_spark.operators.windows import (
+        scd2_compress,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # user u: A A B B A  -> intervals A[1,3) B[3,5) A[5,null)
+            ("u", 1, "A"), ("u", 2, "A"), ("u", 3, "B"),
+            ("u", 4, "B"), ("u", 5, "A"),
+            # user v: null -> X is a change; X -> null is a change
+            ("v", 1, None), ("v", 2, "X"), ("v", 3, None),
+        ],
+        "k string, t int, v string",
+    )
+    out = scd2_compress(df, ["k"], "t", "v").collect()
+    got = {(r.k, r.valid_from): (r.v, r.valid_to) for r in out}
+    assert got == {
+        ("u", 1): ("A", 3), ("u", 3): ("B", 5), ("u", 5): ("A", None),
+        ("v", 1): (None, 2), ("v", 2): ("X", 3), ("v", 3): (None, None),
+    }
+
+
+def test_epoch_shuffle_is_deterministic_and_epoch_dependent(spark):
+    from weather_data_ingestion_service_spark.ext.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    e1 = [(r.shard, r.shuffle_rank, r.id)
+          for r in epoch_shuffle(df, "id", epoch=1).collect()]
+    e1b = [(r.shard, r.shuffle_rank, r.id)
+           for r in epoch_shuffle(df, "id", epoch=1).collect()]
+    e2 = [(r.shard, r.shuffle_rank, r.id)
+          for r in epoch_shuffle(df, "id", epoch=2).collect()]
+    assert sorted(e1) == sorted(e1b)          # reproducible
+    assert sorted(e1) != sorted(e2)           # epochs reshuffle
+    # ranks tile 1..count within each shard
+    by_shard = {}
+    for s, r, _ in e1:
+        by_shard.setdefault(s, []).append(r)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_gini_impurity_known_values(spark):
+    from weather_data_ingestion_service_spark.operators.aggregates import (
+        gini_impurity,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),  # 50/50
+         ("g2", "a"), ("g2", "a"), ("g2", "a")],              # pure
+        "g string, c string",
+    )
+    out = {r.g: (r.n_rows, r.gini)
+           for r in gini_impurity(df, ["g"], "c", ["a", "b"]).collect()}
+    assert out["g1"] == (4, 0.5)
+    assert out["g2"] == (3, 0.0)

@@ -98,3 +98,34 @@ def weighted_sample_topk(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     pri = (_id_hash_int(id_col) / w).alias("priority")
     return df.withColumn("priority", pri).orderBy("priority", id_col).limit(k)
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, epoch: int, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic training-order for one epoch: every row gets a
+    position in a pseudo-random permutation keyed ONLY on
+    ``(id, epoch)`` — rerunning the epoch anywhere reproduces the
+    exact order, and each epoch is an independent reshuffle (the
+    property data loaders need for resumable multi-epoch training).
+
+    The permutation is shard-major: rows hash into ``n_shards``
+    streams and rank within their stream, so no single task ever sorts
+    the whole corpus; a loader consumes shards in id order for the
+    global order ``(shard, shuffle_rank)``.  One shuffle on the shard
+    key; ranking is one ordered window pass per shard.
+    """
+    h = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.lit(str(epoch))
+        ).cast("binary")
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    out = df.withColumn("_eh", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_eh", id_col)
+    return (
+        out.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        .drop("_eh")
+    )

@@ -232,3 +232,42 @@ def sigma_outliers(
     return j.filter(lhs > rhs).select(
         *id_cols, *group_cols, F.col(value_col)
     )
+
+
+def gini_impurity(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+    categories: Sequence[str],
+) -> DataFrame:
+    """Per-group Gini impurity of a categorical column,
+    ``1 - sum((n_i / N)^2)`` over a FIXED category list.
+
+    Concentration metrics usually mean entropy, but ``ln`` is not
+    correctly rounded and differs in the last ulp between libm and the
+    JVM — poison for cross-engine value hashes.  Gini is division,
+    multiplication and a fixed-order sum: every step IEEE-identical on
+    identical inputs.  The pivot to fixed category columns is one
+    map-side-combinable hash aggregate (conditional counts), and the
+    impurity is a scalar expression over the counts — the shuffle
+    carries |groups| rows of |categories| longs.
+    """
+    counts = [
+        F.sum(
+            F.when(F.col(cat_col) == c, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_n_{i}")
+        for i, c in enumerate(categories)
+    ]
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"), *counts
+    )
+    total = F.col("n_rows").cast("double")
+    # left-to-right sum: the expression tree fixes the addition order,
+    # so both engines fold the same way
+    acc = F.lit(0.0)
+    for i in range(len(categories)):
+        p = F.col(f"_n_{i}").cast("double") / total
+        acc = acc + p * p
+    return g.select(
+        *group_cols, "n_rows", (F.lit(1.0) - acc).alias("gini")
+    )

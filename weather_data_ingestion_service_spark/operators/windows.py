@@ -147,3 +147,37 @@ def coalesce_intervals(
         )
         .drop("_island")
     )
+
+
+def scd2_compress(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Compress a change log into SCD-2 validity intervals: one row
+    per *value change* with ``[valid_from, valid_to)`` coverage, the
+    live row carrying a null ``valid_to``.
+
+    Two passes over ONE per-key ordering (single shuffle): a lag pass
+    keeps only rows whose value differs from the previous one (runs of
+    identical values collapse into their first row), then a lead pass
+    over the survivors stamps each interval's end with the next
+    change's timestamp.  Null values participate: null→x and x→null
+    are changes (null-safe inequality), matching warehouse SCD-2
+    semantics.  Skew posture: per-key windows — a hot key serializes,
+    same chunking remedy as asof_join_chunked if one ever dominates.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(value_col).over(w)
+    prev_exists = F.lag(F.lit(1)).over(w)
+    changed = prev_exists.isNull() | ~F.col(value_col).eqNullSafe(prev)
+    compressed = df.withColumn("_chg", changed).filter("_chg").drop("_chg")
+    return (
+        compressed.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lead(ts_col).over(w))
+    )

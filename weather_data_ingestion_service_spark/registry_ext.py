@@ -1795,3 +1795,162 @@ def q_bench_q5(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+@register(
+    "win_scd2",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts, event_type,
+             lag(event_type) OVER w AS prev,
+             lag(1) OVER w AS prev_ex
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    k AS (
+      SELECT event_id, user_id, ts, event_type FROM c
+      WHERE prev_ex IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT event_id, user_id, ts, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM k
+    """,
+)
+def q_win_scd2(spark, sf_dir):
+    """SCD-2 compression of the per-user event-type change log: runs
+    of identical values collapse to their first row, each survivor
+    stamped with its [valid_from, valid_to) coverage — the temporal-
+    table build, two passes over one per-key ordering."""
+    from .operators.windows import scd2_compress
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return scd2_compress(
+        ev, ["user_id"], "ts", "event_type", tiebreak=["event_id"]
+    )
+
+
+@register(
+    "ext_sample_epoch",
+    """
+    WITH s AS (
+      SELECT *,
+             md5(CAST(doc_id AS VARCHAR) || ':1') AS eh,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 2)
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, text, lang, source, n_chars, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY eh, doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM s
+    """,
+)
+def q_ext_sample_epoch(spark, sf_dir):
+    """Deterministic epoch-1 training shuffle: shard-major
+    pseudo-random permutation keyed on (doc_id, epoch) — resumable,
+    engine-independent epoch ordering for data loaders."""
+    from .ext.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+
+
+@register(
+    "agg_gini",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS c1,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS c2,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) AS c3,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS c4
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_rows,
+           1.0 - (((((0.0
+             + (c0 / CAST(n_rows AS DOUBLE)) * (c0 / CAST(n_rows AS DOUBLE)))
+             + (c1 / CAST(n_rows AS DOUBLE)) * (c1 / CAST(n_rows AS DOUBLE)))
+             + (c2 / CAST(n_rows AS DOUBLE)) * (c2 / CAST(n_rows AS DOUBLE)))
+             + (c3 / CAST(n_rows AS DOUBLE)) * (c3 / CAST(n_rows AS DOUBLE)))
+             + (c4 / CAST(n_rows AS DOUBLE)) * (c4 / CAST(n_rows AS DOUBLE)))
+             AS gini
+    FROM g
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """Per-user Gini impurity of the event-type mix — the
+    concentration metric chosen over entropy because ln() is not
+    bit-identical between libm and the JVM; Gini is pure IEEE
+    division/multiply/add in a fixed fold order."""
+    from .operators.aggregates import gini_impurity
+
+    ev = load_table(spark, sf_dir, "events")
+    return gini_impurity(
+        ev, ["user_id"], "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+@register(
+    "f_url_parse",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def q_f_url_parse(spark, sf_dir):
+    """URL decomposition (host / path / query param) with
+    engine-portable regexes — the canonicalization substrate for
+    URL-keyed dedup; both engines return '' on no match."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        F.regexp_extract("url", r"https://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"https://[^/]+([^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?&]lang=([^&]*)", 1).alias("lang_param"),
+    )
+
+
+@register(
+    "win_percent_rank",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_win_percent_rank(spark, sf_dir):
+    """Relative standing within each event type: percent_rank +
+    cume_dist over a fully-ordered window (value, id tiebreak) — both
+    are rank ratios, IEEE-identical across engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
