@@ -79,6 +79,24 @@ def test_no_unclaimed_registry_entries():
     assert not unclaimed, f"not in COVERAGE.md contract: {sorted(unclaimed)}"
 
 
+def test_rotation_keeps_mandated_ids_inside_driver_window():
+    """The driver only correctness-checks a ~50-entry prefix of
+    ``queries()`` per round; every not-yet-driver-verified mandated id
+    (graded ext_* + §2-core priority) must sit inside that window, ahead
+    of bonus and already-verified entries."""
+    order = list(QUERIES)
+    done = registry._driver_verified_ids()
+    mandated = registry._EXT_MANDATED_IDS | registry._CORE_PRIORITY_IDS
+    pending = [n for n in mandated if n in order and n not in done]
+    for name in pending:
+        assert order.index(name) < 50, f"{name} outside driver window"
+    # verified entries never precede unverified ones
+    if pending and done:
+        first_done = min(order.index(n) for n in done if n in order)
+        last_pending = max(order.index(n) for n in pending)
+        assert last_pending < first_done
+
+
 def test_coverage_doc_mentions_every_registered_id():
     text = open("COVERAGE.md").read()
     ids_in_doc = set(re.findall(r"`([a-z0-9_]+)`", text))

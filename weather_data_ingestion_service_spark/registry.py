@@ -1286,6 +1286,40 @@ def _load_extensions() -> None:
 #: of bonus entries when rotating not-yet-driver-verified queries to the
 #: front of the registry (the driver's correctness pass covers a finite
 #: prefix of ``queries()`` per round).
+#: The ``ext_*`` LLM-pipeline ids graded line-by-line in round 1's
+#: VERDICT.md table — served first among not-yet-driver-verified
+#: entries.  Later bonus ``ext_*`` additions rank with the other bonus
+#: entries so the mandated set never falls off the driver's window.
+_EXT_MANDATED_IDS = frozenset(
+    {
+        "ext_dedup_exact",
+        "ext_dedup_ngram",
+        "ext_dedup_near",
+        "ext_dedup_simhash",
+        "ext_dedup_embedding",
+        "ext_dedup_cluster",
+        "ext_dedup_keep",
+        "ext_simsearch_topk",
+        "ext_simsearch_lsh",
+        "ext_simsearch_ivf",
+        "ext_embed_centroids",
+        "ext_embed_normalize",
+        "ext_text_analysis",
+        "ext_text_tokens",
+        "ext_text_quality",
+        "ext_text_langid",
+        "ext_text_fingerprint",
+        "ext_text_bigrams",
+        "ext_sample_hash",
+        "ext_train_split",
+        "ext_sample_stratified",
+        "ext_multimodal_cols",
+        "ext_multimodal_decode",
+        "ext_multimodal_frames",
+        "ext_multimodal_resize",
+    }
+)
+
 _CORE_PRIORITY_IDS = frozenset(
     {
         "wx_daily_summary",
@@ -1348,17 +1382,18 @@ def _rotated(entries: dict) -> dict:
 
     The driver verifies a finite prefix of ``queries()`` each round, so
     ordering is coverage: (0) mandated ``ext_*`` LLM-pipeline operators,
-    (1) remaining §2-core ids, (2) bonus entries, (3) everything a prior
-    round already verified (still locked by the identical local
-    differential suite in tests/test_correctness.py).  Stable within a
-    class, so registration order remains the tiebreak.
+    (1) remaining §2-core ids, (2) bonus entries (including later bonus
+    ``ext_*`` additions), (3) everything a prior round already verified
+    (still locked by the identical local differential suite in
+    tests/test_correctness.py).  Stable within a class, so registration
+    order remains the tiebreak.
     """
     done = _driver_verified_ids()
 
     def cls(name: str) -> int:
         if name in done:
             return 3
-        if name.startswith("ext_"):
+        if name in _EXT_MANDATED_IDS:
             return 0
         if name in _CORE_PRIORITY_IDS:
             return 1
