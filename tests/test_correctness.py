@@ -19,14 +19,20 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     ok, msg = compare_query(df, duck, ORACLE[name])
     assert ok, f"{name}: {msg}"
+    # Non-vacuousness: an empty result hash-matches an empty oracle
+    # without exercising the operator (this bit ext_dedup_embedding,
+    # whose planted near-dups sat below the threshold, and join_anti,
+    # whose unrestricted subquery matched every row).
+    assert df.count() > 0, f"{name}: vacuously empty result"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(name, spark, sf_dir):
-    """Non-SQL-expressible ops: schema is stable and the query runs."""
+    """Non-SQL-expressible ops: schema is stable, the query runs, and
+    the result is non-vacuous (see above)."""
     df = QUERIES[name](spark, sf_dir)
     assert df.columns
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: vacuously empty result"
 
 
 def test_entry_smoke(spark):

@@ -394,12 +394,23 @@ def q_join_semi(spark, sf_dir):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    )
     """,
 )
 def q_join_anti(spark, sf_dir):
+    """NOT EXISTS as left-anti join.  The subquery is date-restricted
+    (customers with no 1995 order — the complement of ``join_semi``):
+    every fixture customer has SOME order, so an unrestricted anti-join
+    is vacuously empty and would green-match the oracle without
+    exercising the operator at all."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = filter_date_range(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1995-01-01", "1995-12-31"
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

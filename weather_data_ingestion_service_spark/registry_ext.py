@@ -81,12 +81,17 @@ _NEAR_DUP_CORPUS_SQL = """
 
 def _emb_dup_corpus(spark, sf_dir):
     """embeddings ∪ perturbed copies of every 20th vector (first
-    coordinate +0.5): cosine vs original ≈ 0.99, random pairs ≪."""
+    coordinate +0.1).  The fixture vectors are unit-normalized, so the
+    perturbation size matters: +0.1 keeps cosine vs the original at
+    ~0.995 (≥ the 0.95 threshold → planted pairs ARE found), while
+    random unit-vector pairs in 64-dim sit at |cos| ≲ 0.6 — a +0.5
+    perturbation would drop planted pairs to ~0.88 and make the query
+    vacuously empty."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pert = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(
-            F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+            F.array((F.element_at("embedding", 1) + F.lit(0.1)).cast("float")),
             F.slice("embedding", 2, 100000),
         ).alias("embedding"),
     )
@@ -98,7 +103,7 @@ _EMB_DUP_CORPUS_SQL = """
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 100000 AS vec_id,
-             [CAST(embedding[1] + 0.5 AS FLOAT)] || embedding[2:len(embedding)] AS embedding
+             [CAST(embedding[1] + 0.1 AS FLOAT)] || embedding[2:len(embedding)] AS embedding
       FROM embeddings WHERE vec_id % 20 = 0
     )
 """
