@@ -48,6 +48,8 @@ ORACLE_IDS = {
     "agg_sigma_outliers", "win_coalesce_intervals", "bench_q5",
     "win_scd2", "ext_sample_epoch", "agg_gini", "f_url_parse",
     "win_percent_rank",
+    "ext_text_tfidf", "ext_sample_balance", "ext_dedup_url",
+    "ext_source_stats", "stream_join_static",
 }
 
 ROWS_ONLY_IDS = {

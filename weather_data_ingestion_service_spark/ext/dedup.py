@@ -490,3 +490,41 @@ def dedup_keep_representatives(
     deduplicated dataset."""
     clusters = dedup_clusters(nodes, pairs, id_col, max_iter)
     return clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+
+
+def url_canonicalize(url_col) -> "F.Column":
+    """Canonical form of a URL for URL-keyed dedup: lowercase, strip
+    fragment, tracking (``utm_*``) query params, ``www.`` host prefix,
+    the https default port, and trailing slashes.
+
+    Every step is a literal/anchored regexp with no backreferences —
+    the subset where Java (Spark) and RE2-style (DuckDB) dialects
+    agree byte-for-byte, so the same canonical key is derivable in the
+    oracle.  Pure projection: narrow, pipelines into the scan.
+    """
+    c = F.lower(url_col if not isinstance(url_col, str) else F.col(url_col))
+    c = F.regexp_replace(c, r"#.*$", "")            # fragment
+    c = F.regexp_replace(c, r"&utm_[^&#]*", "")     # tracking params
+    c = F.regexp_replace(c, r"https://www\.", "https://")
+    c = F.regexp_replace(c, r":443/", "/")          # https default port
+    c = F.regexp_replace(c, r"/\?", "?")            # slash before query
+    c = F.regexp_replace(c, r"/$", "")              # trailing slash
+    return c
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
+    """URL-keyed exact dedup after canonicalization: one row per
+    canonical URL with the duplicate count and the minimum-id survivor
+    (same keep rule as ``dedup_exact``).  One map-side-combinable
+    hash-agg on the canonical key."""
+    return (
+        df.select(
+            url_canonicalize(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

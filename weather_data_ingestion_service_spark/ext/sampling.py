@@ -100,6 +100,31 @@ def weighted_sample_topk(
     return df.withColumn("priority", pri).orderBy("priority", id_col).limit(k)
 
 
+def balanced_sample(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """Domain-balanced downsample: every group keeps exactly
+    min-group-size rows, chosen by the deterministic id-hash order —
+    the "equalize the mixture" step of multi-source training-data
+    pipelines (no domain dominates the batch stream), reproducible
+    across runs and engines.
+
+    Cost shape: one tiny hash-agg for group sizes (rows = |groups|,
+    reduced to a single min and broadcast back — no driver collect),
+    plus one window on the group key.  Skew posture matches
+    ``stratified_topk``: group count is small and bounded (sources,
+    languages), and the per-group ordering prunes to a streaming
+    row_number, not a sort of the corpus.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    floor_df = sizes.agg(F.min("__cnt").alias("__m"))
+    w = Window.partitionBy(group_col).orderBy(_id_hash(id_col), id_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor_df))
+        .filter(F.col("rn") <= F.col("__m"))
+        .drop("__m")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str, epoch: int, n_shards: int = 8
 ) -> DataFrame:

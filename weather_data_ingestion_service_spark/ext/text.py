@@ -224,3 +224,92 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("content_md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/salience
+    extractor over a corpus: tf from the per-doc term counts, idf =
+    ln((N+1)/(df+1)) from the corpus-wide document frequencies.
+
+    Cross-engine determinism: ``ln`` is the one operation here without
+    a pinned IEEE result (engines may disagree in the final ulp), so
+    the score is published as ``score_micro = floor(1e6 * tf * idf)``
+    and the per-doc ranking orders by that INTEGER (term as tiebreak) —
+    a last-ulp wobble cannot reorder ranks or change the hashed value
+    except exactly at a 1e-6 floor boundary, which irrational ``ln``
+    outputs do not sit on.
+
+    Scale shape: term-count and doc-frequency aggs both collapse
+    map-side; the doc-frequency table is vocabulary-sized and the
+    corpus count is one row — both broadcast, so the only wide exchange
+    of corpus-sized data is the tf agg and the per-doc window.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_micro",
+            F.floor(
+                1e6
+                * F.col("tf")
+                * F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score_micro", "rnk")
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    group_col: str,
+    len_col: str,
+    id_col: str,
+    pcts: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Exact per-group length statistics with discrete (type-1 /
+    lower-rank) percentiles — the corpus length report a pre-training
+    pipeline cuts truncation budgets from.
+
+    Discrete selection (the value AT rank ``floor((n-1)*p)+1``, ids as
+    tiebreak) instead of interpolation: outputs stay INTEGER, so
+    cross-engine hashing is exact with no float-interpolation rules to
+    reconcile.  One window pass on the group key + one hash-agg; group
+    cardinality (sources, languages) is small, and the conditional-max
+    percentile picks are plain map-side aggregables.
+    """
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy(group_col).orderBy(F.col(len_col), F.col(id_col))
+    w_all = Window.partitionBy(group_col)
+    t = (
+        df.select(group_col, len_col, id_col)
+        .withColumn("rn", F.row_number().over(w_order))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_all))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(len_col).alias("min_len"),
+        F.max(len_col).alias("max_len"),
+        F.sum(len_col).alias("total_len"),
+    ]
+    for p in pcts:
+        sel = F.floor((F.col("cnt") - F.lit(1)) * F.lit(p)) + F.lit(1)
+        aggs.append(
+            F.max(F.when(F.col("rn") == sel, F.col(len_col))).alias(
+                f"p{int(p * 100)}_len"
+            )
+        )
+    return t.groupBy(group_col).agg(*aggs)

@@ -1959,3 +1959,199 @@ def q_win_percent_rank(spark, sf_dir):
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# =====================================================================
+# Round-2 additions: TF-IDF salience, balanced mixture sampling,
+# URL-keyed dedup, corpus length report, stream-static join
+# =====================================================================
+
+
+@register(
+    "ext_text_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents),
+    s AS (
+      SELECT doc_id, term, tf, df,
+             CAST(floor(1000000.0 * tf * ln((n + 1.0) / (df + 1.0))) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rnk
+      FROM s
+    )
+    SELECT doc_id, term, tf, df, score_micro, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_ext_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — corpus salience extraction;
+    ranking on the floored-micro integer score keeps the one
+    non-IEEE-pinned op (ln) out of the cross-engine hash."""
+    from .ext.text import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "ext_sample_balance",
+    """
+    WITH base AS (SELECT doc_id, source FROM documents WHERE n_chars >= 150),
+    m AS (SELECT min(cnt) AS m
+          FROM (SELECT source, count(*) AS cnt FROM base GROUP BY source)),
+    r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM base
+    )
+    SELECT doc_id, source, CAST(rn AS INT) AS rn
+    FROM r CROSS JOIN m WHERE rn <= m.m
+    """,
+)
+def q_ext_sample_balance(spark, sf_dir):
+    """Domain-balanced downsample: every source keeps exactly
+    min-source-size docs in deterministic id-hash order (the corpus is
+    pre-filtered to n_chars ≥ 150 so source sizes genuinely differ —
+    the balancer must actually drop rows)."""
+    from .ext.sampling import balanced_sample
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 150)
+        .select("doc_id", "source")
+    )
+    return balanced_sample(docs, "source", "doc_id").select(
+        "doc_id", "source", "rn"
+    )
+
+
+@register(
+    "ext_dedup_url",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+             || source || '.Example.COM'
+             || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+             || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || '?id=' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '&utm_source=feed&utm_campaign=c1' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+               AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                 lower(url),
+                 '#.*$', '', 'g'),
+                 '&utm_[^&#]*', '', 'g'),
+                 'https://www\\.', 'https://', 'g'),
+                 ':443/', '/', 'g'),
+                 '/\\?', '?', 'g'),
+                 '/$', '', 'g') AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keep_id
+    FROM c GROUP BY canonical_url
+    """,
+)
+def q_ext_dedup_url(spark, sf_dir):
+    """URL-keyed dedup after canonicalization (case, www., default
+    port, trailing slash, utm_* params, fragment) over messy synthetic
+    variants — min-id survivor per canonical URL."""
+    from .ext.dedup import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    mk = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="), (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("&utm_source=feed&utm_campaign=c1")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return url_dedup(docs.select("doc_id", mk.alias("url")), "url", "doc_id")
+
+
+@register(
+    "ext_source_stats",
+    """
+    WITH t AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_len,
+           CAST(max(n_chars) AS BIGINT) AS max_len,
+           CAST(sum(n_chars) AS BIGINT) AS total_len,
+           CAST(max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1
+                         THEN n_chars END) AS BIGINT) AS p50_len,
+           CAST(max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) + 1
+                         THEN n_chars END) AS BIGINT) AS p90_len
+    FROM t GROUP BY source
+    """,
+)
+def q_ext_source_stats(spark, sf_dir):
+    """Per-source corpus length report with exact discrete percentiles
+    (type-1 selection — integer outputs, no interpolation rules to
+    reconcile across engines)."""
+    from .ext.text import length_percentiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_percentiles(docs, "source", "n_chars", "doc_id")
+
+
+@register(
+    "stream_join_static",
+    """
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events JOIN nation ON n_nationkey = user_id % 25
+    GROUP BY n_name
+    """,
+)
+def q_stream_join_static(spark, sf_dir):
+    """A REAL stream-static join run: file-source event stream ×
+    broadcast nation dimension → per-nation aggregate, availableNow →
+    memory sink.  Complete output mode makes the result equal the
+    batch join-aggregate, so the oracle still applies."""
+    from .streaming.jobs import (
+        run_stream_to_memory,
+        streamed_static_join_aggregate,
+        streaming_events_source,
+    )
+
+    src = streaming_events_source(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = streamed_static_join_aggregate(
+        src, dim, (F.col("user_id") % 25).cast("long"), "n_name"
+    )
+    return run_stream_to_memory(agg, "complete")

@@ -143,3 +143,29 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streamed_static_join_aggregate(
+    events: DataFrame,
+    dim: DataFrame,
+    key_expr,
+    name_col: str = "n_name",
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a small
+    static dimension (broadcast — re-read per micro-batch, never
+    stateful) and aggregate per dimension attribute.
+
+    The canonical streaming-ETL shape: dimension lookups on a stream
+    need NO watermark and NO join state because the static side is a
+    batch plan; only the downstream aggregate keeps state.  Cents-exact
+    value sum (same rule as ``streamed_daily_aggregate``)."""
+    keyed = events.withColumn("__k", key_expr)
+    joined = keyed.join(
+        F.broadcast(dim.withColumnRenamed(dim.columns[0], "__k")), "__k"
+    )
+    return joined.groupBy(name_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+            "value_sum"
+        ),
+    )
