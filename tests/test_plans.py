@@ -250,3 +250,59 @@ def test_sessionize_single_window_pass(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = sessionize(ev, ["user_id"], "ts", 3600, tiebreak=["event_id"])
     assert count_exchanges(out) == 1
+
+
+def test_tfidf_broadcasts_vocab_and_corpus_count(spark, sf_dir):
+    """The df-table and corpus-count joins must broadcast (vocab- and
+    one-row-sized); the corpus-sized side never broadcasts, and the
+    shuffle-vocab fallback swaps the join without a cartesian."""
+    from weather_data_ingestion_service_spark.ext.text import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = formatted_plan(tfidf_topk(docs, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    fallback = formatted_plan(
+        tfidf_topk(docs, "doc_id", "text", broadcast_vocab=False)
+    )
+    assert "CartesianProduct" not in fallback
+
+
+def test_balanced_sample_broadcasts_only_the_floor(spark, sf_dir):
+    """The min-group-size scalar arrives by broadcast; the corpus side
+    is one window exchange on the group key — no corpus broadcast, no
+    cartesian blow-up (the floor join is a 1-row nested loop)."""
+    from weather_data_ingestion_service_spark.ext.sampling import (
+        balanced_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    plan = formatted_plan(balanced_sample(docs, "source", "doc_id"))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_url_dedup_is_single_partial_agg(spark, sf_dir):
+    """Canonicalization is a pure projection; the whole operator is
+    one map-side-combinable hash-agg on the canonical key."""
+    from weather_data_ingestion_service_spark.ext.dedup import url_dedup
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("https://x.com/"), "source").alias("url")
+    )
+    df = url_dedup(docs, "url", "doc_id")
+    assert count_exchanges(df) == 1
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_source_stats_single_window_exchange(spark, sf_dir):
+    """rn + cnt + the final agg all share the source-key partitioning:
+    exactly one exchange end-to-end."""
+    from weather_data_ingestion_service_spark.ext.text import (
+        length_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = length_percentiles(docs, "source", "n_chars", "doc_id")
+    assert count_exchanges(df) <= 2, formatted_plan(df)

@@ -226,7 +226,13 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
     """Top-k TF-IDF terms per document — the classic keyword/salience
     extractor over a corpus: tf from the per-doc term counts, idf =
     ln((N+1)/(df+1)) from the corpus-wide document frequencies.
@@ -241,8 +247,12 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
 
     Scale shape: term-count and doc-frequency aggs both collapse
     map-side; the doc-frequency table is vocabulary-sized and the
-    corpus count is one row — both broadcast, so the only wide exchange
-    of corpus-sized data is the tf agg and the per-doc window.
+    corpus count is one row — both broadcast by default, so the only
+    wide exchange of corpus-sized data is the tf agg and the per-doc
+    window.  At web scale the vocabulary itself can outgrow a
+    broadcast (same failure mode as the ngram-dedup vocab): pass
+    ``broadcast_vocab=False`` to shuffle-join tf against the
+    document-frequency table on the term key instead.
     """
     from pyspark.sql import Window
 
@@ -251,7 +261,7 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score_micro",
