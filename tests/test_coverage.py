@@ -49,7 +49,7 @@ ORACLE_IDS = {
     "win_scd2", "ext_sample_epoch", "agg_gini", "f_url_parse",
     "win_percent_rank",
     "ext_text_tfidf", "ext_sample_balance", "ext_dedup_url",
-    "ext_source_stats", "stream_join_static",
+    "ext_source_stats", "stream_join_static", "ext_sample_temperature",
 }
 
 ROWS_ONLY_IDS = {

@@ -306,3 +306,20 @@ def test_source_stats_single_window_exchange(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     df = length_percentiles(docs, "source", "n_chars", "doc_id")
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_temperature_sample_no_corpus_shuffle(spark, sf_dir):
+    """Domain sizes broadcast back; the corpus side is filter-only —
+    no exchange of corpus rows (the size agg's own tiny exchange is
+    the only one)."""
+    from weather_data_ingestion_service_spark.ext.sampling import (
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = formatted_plan(temperature_sample(docs, "lang", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # corpus-side rows never hit a shuffle exchange: every Exchange in
+    # the plan belongs to the tiny per-group size aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -154,3 +154,43 @@ def epoch_shuffle(
         out.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
         .drop("_eh")
     )
+
+
+def _id_hash_u52(id_col: str) -> F.Column:
+    """First 13 hex digits of the id-hash as a BIGINT: 52 uniform bits,
+    chosen because 2^52 < 2^53 — the value round-trips EXACTLY through
+    an IEEE double, so a ``hash < rate * 2^52`` comparison cannot
+    diverge between engines that compare int-vs-float via a double
+    cast (DuckDB: ``CAST('0x' || substr(md5(...), 1, 13) AS BIGINT)``)."""
+    return F.conv(F.substring(_id_hash(id_col), 1, 13), 16, 10).cast("long")
+
+
+def temperature_sample(
+    df: DataFrame, group_col: str, id_col: str
+) -> DataFrame:
+    """Temperature-based mixture resampling at α = 0.5 — the standard
+    rebalancing for skewed multi-domain / multilingual corpora (mT5 /
+    XLM-R style): post-sample domain counts are ∝ n_d^α, boosting tail
+    domains' share without equalizing outright.
+
+    Per-domain keep rate ``r_d = sqrt(n_min / n_d)`` (≤ 1, = 1 for the
+    smallest domain); membership is the deterministic id-hash Bernoulli
+    ``hash52 < r_d * 2^52``.  α is fixed at 0.5 because that exponent
+    is ``sqrt`` — correctly rounded in IEEE 754, so both engines
+    compute the identical threshold double (a general ``pow(x, α)`` has
+    no such guarantee); the 2^52 scale is a power of two (exact) and
+    52-bit hashes fit a double exactly.  Membership is a pure function
+    of (id, domain counts): stable across runs, partitionings, engines.
+
+    Cost shape: one tiny hash-agg for domain sizes (broadcast back),
+    then a narrow filter — no shuffle of the corpus.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    floor_df = sizes.agg(F.min("__n_d").alias("__n_min"))
+    rate = F.sqrt(F.col("__n_min").cast("double") / F.col("__n_d"))
+    return (
+        df.join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(floor_df))
+        .filter(_id_hash_u52(id_col) < rate * F.lit(4503599627370496.0))
+        .drop("__n_d", "__n_min")
+    )

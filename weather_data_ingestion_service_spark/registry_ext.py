@@ -2155,3 +2155,31 @@ def q_stream_join_static(spark, sf_dir):
         src, dim, (F.col("user_id") % 25).cast("long"), "n_name"
     )
     return run_stream_to_memory(agg, "complete")
+
+
+@register(
+    "ext_sample_temperature",
+    """
+    WITH s AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY lang),
+    m AS (SELECT min(n_d) AS n_min FROM s),
+    h AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+               AS h52
+      FROM documents
+    )
+    SELECT doc_id, lang
+    FROM h JOIN s USING (lang) CROSS JOIN m
+    WHERE h52 < sqrt(CAST(n_min AS DOUBLE) / n_d) * 4503599627370496.0
+    """,
+)
+def q_ext_sample_temperature(spark, sf_dir):
+    """α=0.5 temperature mixture resampling over the skewed ``lang``
+    distribution (en dominates the fixture ~3:1): tail languages keep
+    everything, dominant ones down-sample to ∝ sqrt(n) — deterministic
+    id-hash Bernoulli, cross-engine exact (sqrt is correctly rounded,
+    52-bit hashes fit a double)."""
+    from .ext.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "lang", "doc_id")
