@@ -2183,3 +2183,33 @@ def q_ext_sample_temperature(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return temperature_sample(docs, "lang", "doc_id")
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.user_id AS user_id, a.ts AS left_ts, b.ts AS right_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """A REAL stream-stream interval join run (view → purchase within
+    6 h per user): watermarks on both sides + the range predicate
+    bound the join state; availableNow append output equals the batch
+    interval join, so the oracle applies."""
+    from .streaming.jobs import (
+        run_stream_to_memory,
+        streamed_interval_join,
+        streaming_events_source,
+    )
+
+    src = streaming_events_source(spark, sf_dir)
+    joined = streamed_interval_join(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "purchase"),
+    )
+    return run_stream_to_memory(joined, "append")

@@ -169,3 +169,36 @@ def streamed_static_join_aggregate(
             "value_sum"
         ),
     )
+
+
+def streamed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "6 hours",
+    watermark: str = LATE_HORIZON,
+) -> DataFrame:
+    """Stream-stream inner join within a time interval — the funnel /
+    attribution shape (left event followed by a right event from the
+    same key within ``horizon``).
+
+    Both sides carry watermarks and the join predicate bounds
+    ``r.ts`` to ``[l.ts, l.ts + horizon]``; together those let Spark
+    evict join state once the watermark passes a row's last possible
+    match time — without the range condition, stream-stream join state
+    grows forever.  Inner-join append output over ``availableNow``
+    equals the batch interval join, so the DuckDB oracle applies."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col(f"l.{key}").alias(key),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
