@@ -2213,3 +2213,44 @@ def q_stream_stream_join(spark, sf_dir):
         src.filter(F.col("event_type") == "purchase"),
     )
     return run_stream_to_memory(joined, "append")
+
+
+@register(
+    "ext_dedup_semantic",
+    f"""
+    WITH RECURSIVE {_EMB_DUP_CORPUS_SQL},
+    a AS (SELECT vec_id AS id_a, embedding AS va FROM corpus),
+    b AS (SELECT vec_id AS id_b, embedding AS vb FROM corpus),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM a JOIN b ON id_a < id_b
+      WHERE {_COSINE_SQL.format(a="va", b="vb")} >= 0.95
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lab) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lab < e.dst
+    )
+    SELECT id AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_ext_dedup_semantic(spark, sf_dir):
+    """Semantic dedup end-to-end: distributed block-grid exact
+    embedding-cosine near-dup pairs (≥ 0.95) feed the same
+    connected-components clustering as the lexical path — every vector
+    labeled with its min-id semantic-cluster representative."""
+    from .ext.dedup import dedup_clusters
+    from .ext.simsearch import embedding_near_dup_pairs_grid
+
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    pairs = embedding_near_dup_pairs_grid(
+        corpus, "vec_id", "embedding", threshold=0.95
+    )
+    return dedup_clusters(
+        corpus.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
+    )
