@@ -50,7 +50,7 @@ ORACLE_IDS = {
     "win_percent_rank",
     "ext_text_tfidf", "ext_sample_balance", "ext_dedup_url",
     "ext_source_stats", "stream_join_static", "ext_sample_temperature",
-    "stream_stream_join", "ext_dedup_semantic",
+    "stream_stream_join", "ext_dedup_semantic", "join_asof_tolerance",
 }
 
 ROWS_ONLY_IDS = {

@@ -339,3 +339,35 @@ def asof_join_nearest(
             *[F.col("__chosen")[c].alias(c) for c in payload_cols],
         )
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    tolerance_seconds: int,
+) -> DataFrame:
+    """Backward as-of join with a staleness bound: the latest right row
+    per key at or before the left timestamp, REJECTED (payload nulled)
+    when it is older than ``tolerance_seconds`` — the standard "don't
+    serve stale quotes" variant of as-of.
+
+    Implementation rides ``asof_join`` (same single shuffle per side)
+    with the matched right timestamp carried through the payload
+    struct; the staleness test is one projection afterwards, so the
+    plan shape and scale posture are identical to the unbounded
+    as-of."""
+    r2 = right.withColumn("__match_ts", F.col(right_ts))
+    out = asof_join(
+        left, r2, on, left_ts, right_ts, [*payload_cols, "__match_ts"]
+    )
+    fresh = F.col("__match_ts").isNotNull() & (
+        F.col(left_ts).cast("long") - F.col("__match_ts").cast("long")
+        <= F.lit(tolerance_seconds)
+    )
+    for c in payload_cols:
+        out = out.withColumn(c, F.when(fresh, F.col(c)))
+    return out.drop("__match_ts")

@@ -2254,3 +2254,45 @@ def q_ext_dedup_semantic(spark, sf_dir):
     return dedup_clusters(
         corpus.select("vec_id"), pairs.select("id_a", "id_b"), "vec_id"
     )
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (dayofyear(o_orderdate) % 30) DAY AS rdate,
+             CAST(max(o_orderkey) AS BIGINT) AS asof_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id,
+           CASE WHEN r.rdate IS NOT NULL
+                 AND e.ts - r.rdate <= INTERVAL 3 DAY
+                THEN r.asof_orderkey END AS asof_orderkey
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts >= r.rdate
+    """,
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a 3-day staleness bound — matches older
+    than the tolerance are rejected (nulled), same plan shape as the
+    unbounded as-of (DuckDB ASOF JOIN + CASE as oracle)."""
+    from .operators.joins import asof_join_tolerance
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "timestampadd(DAY, dayofyear(o_orderdate) % 30, timestamp'2024-01-01')"
+            ).alias("rdate"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "rdate")
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+    return asof_join_tolerance(
+        ev, right, on=["user_id"], left_ts="ts", right_ts="rdate",
+        payload_cols=["asof_orderkey"], tolerance_seconds=3 * 86400,
+    )
