@@ -59,7 +59,7 @@ ROWS_ONLY_IDS = {
     "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
     "stream_stateful_latest", "ext_simsearch_ivf",
-    "stream_dedup_watermark",
+    "stream_dedup_watermark", "ext_embed_pca",
 }
 
 

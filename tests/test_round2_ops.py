@@ -206,3 +206,34 @@ def test_gini_impurity_known_values(spark):
            for r in gini_impurity(df, ["g"], "c", ["a", "b"]).collect()}
     assert out["g1"] == (4, 0.5)
     assert out["g2"] == (3, 0.0)
+
+
+def test_pca_project_matches_numpy_and_is_orthonormal(spark, sf_dir):
+    """Distributed partials must reproduce single-node PCA: projection
+    equals (X - mean) @ top-k eigenvectors (up to sign, which the
+    convention pins), components orthonormal, variance descending."""
+    import numpy as np
+
+    from weather_data_ingestion_service_spark.ext.simsearch import pca_project
+    from weather_data_ingestion_service_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.orderBy("vec_id").collect()
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    got = {
+        r.vec_id: np.asarray(r.pca)
+        for r in pca_project(emb, "vec_id", "embedding", k=4).collect()
+    }
+    P = np.stack([got[r.vec_id] for r in rows])
+
+    mu = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    W = vecs[:, order]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(4)])
+    want = (X - mu) @ (W * flip)
+    assert np.allclose(P, want, atol=1e-8)
+    # projected variance is descending
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3))

@@ -129,7 +129,7 @@ def test_source_throttle_option_limits_batch_size(spark, staged_dir):
     assert n_batches >= 2  # two files → at least two micro-batches
 
 
-def test_stateful_latest_per_key_supersedes(spark, staged_dir):
+def test_stateful_latest_per_key_supersedes(spark, staged_dir, sf_dir):
     """applyInPandasWithState keep-latest: the managed-state variant of
     revision upsert — later event times replace state, final state per
     key equals the batch argmax(ts)."""
@@ -163,7 +163,10 @@ def test_stateful_latest_per_key_supersedes(spark, staged_dir):
     )
     got = {r.key: r.value for r in got_df.collect()}
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+    # batch twin over the SAME sf_dir the staged stream was cut from
+    # (a hardcoded sf0.001 here silently diverges when the suite runs
+    # at the driver's sf0.01 via WDS_TEST_SF_DIR)
+    ev = load_table(spark, sf_dir, "events").withColumn(
         "key", F.col("event_id") % 10
     )
     from pyspark.sql import Window
@@ -179,7 +182,7 @@ def test_stateful_latest_per_key_supersedes(spark, staged_dir):
     assert got == want
 
 
-def test_foreachbatch_merge_upsert_sink(spark, staged_dir):
+def test_foreachbatch_merge_upsert_sink(spark, staged_dir, sf_dir):
     """foreachBatch MERGE emulation: after draining all files the
     parquet target holds exactly one row per key — the latest."""
     import shutil
@@ -204,7 +207,7 @@ def test_foreachbatch_merge_upsert_sink(spark, staged_dir):
 
     got = spark.read.parquet(target)
     assert got.count() == got.select("key").distinct().count()
-    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+    ev = load_table(spark, sf_dir, "events").withColumn(
         "key", F.col("event_id") % 50
     )
     from pyspark.sql import Window

@@ -561,3 +561,90 @@ def label_centroids(
             ).alias("centroid")
         )
     )
+
+
+def pca_project(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed PCA projection of an embedding column to ``k``
+    components — the whitening / dimensionality-reduction step of
+    retrieval and clustering pipelines.
+
+    Scale shape (the treeAggregate pattern): each Arrow batch reduces
+    to a (count, sum-vector, X^T X) partial — d + d² doubles, INDEPENDENT
+    of row count — so the driver combines |partitions| tiny partials,
+    never rows.  The d×d covariance eigensolve is O(d³) on the driver
+    (microseconds for embedding-sized d), components broadcast back,
+    and the projection is one BLAS matmul per batch.  Nothing
+    corpus-sized ever leaves the executors.
+
+    Deterministic: eigenvectors get a sign convention (largest-|coord|
+    component positive), so output is stable across runs/partitionings
+    up to float summation order.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(m) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "xtx": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = corpus.select(vec_col).mapInPandas(partials, part_schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(dim, dim) for r in rows], axis=0)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order]  # (dim, k)
+    # sign convention: largest-|coordinate| entry of each component > 0
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+
+    spark = corpus.sparkSession
+    b_mean = spark.sparkContext.broadcast(mean)
+    b_comps = spark.sparkContext.broadcast(comps)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("pca", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def project(batches):
+        mu, w = b_mean.value, b_comps.value
+        for pdf in batches:
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(m) == 0:
+                continue
+            proj = (m - mu) @ w
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "pca": list(proj)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(project, out_schema)

@@ -2296,3 +2296,16 @@ def q_join_asof_tolerance(spark, sf_dir):
         ev, right, on=["user_id"], left_ts="ts", right_ts="rdate",
         payload_cols=["asof_orderkey"], tolerance_seconds=3 * 86400,
     )
+
+
+@register("ext_embed_pca")  # eigensolve — not SQL-expressible, rows-only
+def q_ext_embed_pca(spark, sf_dir):
+    """Distributed PCA to 8 components over the embedding corpus:
+    per-Arrow-batch (count, sum, X^T X) partials (d+d² doubles each,
+    row-count independent), driver-side d×d eigensolve, broadcast
+    projection matmul — unit-tested for orthonormality, variance
+    ordering and numpy-PCA agreement."""
+    from .ext.simsearch import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, "vec_id", "embedding", k=8)
