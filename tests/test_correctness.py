@@ -26,6 +26,28 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert df.count() > 0, f"{name}: vacuously empty result"
 
 
+def test_oracle_paired_outputs_have_no_complex_columns(spark, sf_dir):
+    """The driver's canonicalizer sorts collected rows with pandas;
+    array/map/struct cells arrive as unhashable numpy/Row objects and
+    crash it (this bit ext_embed_centroids / ext_embed_normalize in
+    round 2 even though the math matched).  Every oracle-paired entry
+    must publish scalar columns only — explode vectors to
+    (id, pos, value) rows instead."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name in sorted(ORACLE):
+        df = QUERIES[name](spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"oracle-paired entries with complex output columns: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(name, spark, sf_dir):
     """Non-SQL-expressible ops: schema is stable, the query runs, and

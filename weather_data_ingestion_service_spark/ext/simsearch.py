@@ -541,6 +541,29 @@ def label_centroids(
     partial aggregation collapses them to (labels x dims) before the
     exchange.
     """
+    mean = F.col("value").alias("m")
+    return (
+        label_centroid_components(df, label_col, vec_col, scale_bits)
+        .select("label", "pos", mean)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x.m,
+            ).alias("centroid")
+        )
+    )
+
+
+def label_centroid_components(
+    df: DataFrame, label_col: str, vec_col: str, scale_bits: int = 20
+) -> DataFrame:
+    """Long/tidy form of :func:`label_centroids`: one scalar row per
+    ``(label, pos)`` centroid component instead of an ``array<double>``
+    column.  This is the cross-engine-comparable shape (hash/canonical
+    tooling can sort scalar rows; it cannot hash arrays), and the shape
+    the collapsed-to-array variant builds on.  Same exact-integer-moment
+    math; ``pos`` is 0-based."""
     scale = float(1 << scale_bits)
     ex = df.select(
         F.col(label_col).alias("label"),
@@ -550,17 +573,8 @@ def label_centroids(
         F.sum(F.floor(F.col("val").cast("double") * scale)).alias("s"),
         F.count(F.lit(1)).alias("c"),
     )
-    mean = (F.col("s").cast("double") / (F.lit(scale) * F.col("c"))).alias("m")
-    return (
-        q.select("label", "pos", mean)
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda x: x.m,
-            ).alias("centroid")
-        )
-    )
+    value = (F.col("s").cast("double") / (F.lit(scale) * F.col("c"))).alias("value")
+    return q.select("label", F.col("pos").cast("int").alias("pos"), value)
 
 
 def pca_project(

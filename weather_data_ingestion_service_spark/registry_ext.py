@@ -1155,26 +1155,31 @@ def q_ext_dedup_cluster(spark, sf_dir):
     "ext_embed_centroids",
     """
     WITH ex AS (
-      SELECT label, generate_subscripts(embedding, 1) AS pos,
+      SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
              unnest(embedding) AS val
       FROM embeddings),
     q AS (SELECT label, pos,
             CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS s,
             count(*) AS c
           FROM ex GROUP BY 1, 2)
-    SELECT label, list(CAST(s AS DOUBLE) / (1048576.0 * c) ORDER BY pos) AS centroid
-    FROM q GROUP BY label
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(s AS DOUBLE) / (1048576.0 * c) AS value
+    FROM q
     """,
 )
 def q_ext_embed_centroids(spark, sf_dir):
     """Per-label mean embedding (class centroids) via exact
     power-of-two integer quantization — float sums are
     order-dependent; scaled-int64 sums are associative and
-    engine-exact."""
-    from .ext.simsearch import label_centroids
+    engine-exact.  Published as scalar ``(label, pos, value)`` rows
+    (0-based ``pos``): hash-comparison tooling sorts rows, and rows
+    with array cells are unsortable/unhashable — the collapsed
+    ``array<double>`` form stays available as
+    ``simsearch.label_centroids``."""
+    from .ext.simsearch import label_centroid_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return label_centroids(emb, "label", "embedding")
+    return label_centroid_components(emb, "label", "embedding")
 
 
 @register("ext_multimodal_frames")  # stubbed codec — rows-only
@@ -1277,17 +1282,24 @@ def q_agg_listagg(spark, sf_dir):
 @register(
     "ext_embed_normalize",
     """
-    SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
-                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit_vec
-    FROM embeddings
+    WITH u AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+      FROM embeddings)
+    SELECT vec_id, CAST(generate_subscripts(uv, 1) - 1 AS INT) AS pos,
+           unnest(uv) AS value
+    FROM u
     """,
 )
 def q_ext_embed_normalize(spark, sf_dir):
     """L2-normalize embedding vectors to unit length — per-row float
     arithmetic, unrounded (identical IEEE op sequence in both engines
-    is bit-identical; both sum the squares left-to-right)."""
+    is bit-identical; both sum the squares left-to-right).  Published
+    as scalar ``(vec_id, pos, value)`` rows (0-based ``pos``) so
+    hash-comparison tooling can sort them — array cells are
+    unhashable."""
     emb = load_table(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -1295,11 +1307,9 @@ def q_ext_embed_normalize(spark, sf_dir):
         lambda acc, v: acc + v,
     )
     norm = F.sqrt(sq)
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
     return emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias(
-            "unit_vec"
-        ),
+        "vec_id", F.posexplode(unit).alias("pos", "value")
     )
 
 
@@ -1506,24 +1516,36 @@ def q_ext_text_contamination(spark, sf_dir):
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
       FROM embeddings
+    ),
+    ql AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qvec,
+             CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
+      FROM q
     )
-    SELECT vec_id,
-           CASE WHEN mx > 0
-                THEN list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
-                ELSE list_transform(embedding, x -> 0) END AS qvec,
-           CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
-    FROM q
+    SELECT vec_id, CAST(generate_subscripts(qvec, 1) - 1 AS INT) AS pos,
+           unnest(qvec) AS qval, scale
+    FROM ql
     """,
 )
 def q_ext_embed_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization (per-vector scale) — 4x
     corpus shrink for the ANN stack; every step an IEEE-identical
-    scalar op, so the oracle hashes equal with no rounding caveats."""
+    scalar op, so the oracle hashes equal with no rounding caveats.
+    Published as scalar ``(vec_id, pos, qval, scale)`` rows (0-based
+    ``pos``) so hash-comparison tooling can sort them; the packed
+    ``array<int>`` form stays available as
+    ``simsearch.quantize_embeddings``."""
     from .ext.simsearch import quantize_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    q = quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "qval")
+    ).select("vec_id", "pos", "qval", "scale")
 
 
 @register(
