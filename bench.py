@@ -6,7 +6,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the sum of per-query wall-clock seconds (each query fully
-executed via a count-collect so every operator materializes).
+executed via a noop-sink write so every operator materializes).
+
+Each query runs ``SPARK_GRAFT_BENCH_REPS`` times (default 3) and
+reports the per-query MINIMUM: shared-session noise (GC pressure from
+neighboring queries, scheduler contention, JIT warmup) inflates
+individual samples uniformly upward, so the min is the attributable
+plan cost — a regression in min-of-3 is a plan regression, not session
+drift (the round-2 bench showed a uniform ~1.28x drift on unchanged
+plans with single samples).
 """
 
 from __future__ import annotations
@@ -77,12 +85,19 @@ def main() -> None:
 
     spark.range(10_000).select(_warm("id")).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in suite:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {}
+    # rep-major order (full suite, then the next pass) so one query's
+    # reps aren't back-to-back benefiting from its own hot caches more
+    # than the single-sample rounds did
+    for rep in range(reps):
+        for name in suite:
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -91,6 +106,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "reps": reps,
+        "agg": "min",
     }
     print(json.dumps(out))
     spark.stop()
