@@ -257,20 +257,33 @@ def ivf_topk(
     The scale shape of FAISS-IVF on Spark: the corpus is partitioned by
     cluster id (at 100 TB: written bucketed by ``cluster``), a query
     touches ~``nprobe/n_clusters`` of it, and the only full pass is the
-    one-off training sample + assignment.  Recall is tuned with
-    ``nprobe``; ``nprobe = n_clusters`` degrades gracefully to exact
-    brute force.
+    one-off assignment.  The coarse quantizer trains on a bounded
+    deterministic sample (``fit_sample`` vectors, FAISS-style — IVF
+    training needs ~O(100) points per centroid, not the corpus): a
+    KMeans ``maxIter=20`` fit on the full corpus would be ~20 complete
+    passes over 100 TB before the first query runs, while the sample
+    fit is constant-cost and each full-corpus vector is still assigned
+    to its true nearest centroid in the single assignment pass.  Recall
+    is tuned with ``nprobe``; ``nprobe = n_clusters`` degrades
+    gracefully to exact brute force.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    fit_sample = 100_000
     corpus_v = corpus.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
+    # deterministic bounded training set: hash-ranked take, not
+    # .sample() (which needs a count to size the fraction) — one
+    # narrow pass that short-circuits via TakeOrderedAndProject
+    train = corpus_v.select("match_id", "features").orderBy(
+        F.xxhash64("match_id", F.lit(seed))
+    ).limit(fit_sample)
     km = KMeans(k=n_clusters, seed=seed, maxIter=20)
-    model = km.fit(corpus_v.select("features"))
+    model = km.fit(train.select("features"))
     assigned = model.transform(corpus_v).select(
         "match_id", "cvec", F.col(model.getPredictionCol()).alias("cluster")
     )
