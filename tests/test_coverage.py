@@ -51,13 +51,14 @@ ORACLE_IDS = {
     "ext_text_tfidf", "ext_sample_balance", "ext_dedup_url",
     "ext_source_stats", "stream_join_static", "ext_sample_temperature",
     "stream_stream_join", "ext_dedup_semantic", "join_asof_tolerance",
+    "wx_sunrise_sunset",
 }
 
 ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
     "ext_simsearch_lsh", "ext_multimodal_decode",
     "ext_multimodal_frames", "ext_multimodal_resize",
-    "wx_forecast_hourly", "wx_history_daily", "wx_sunrise_sunset",
+    "wx_forecast_hourly", "wx_history_daily",
     "stream_stateful_latest", "ext_simsearch_ivf",
     "stream_dedup_watermark", "ext_embed_pca",
 }

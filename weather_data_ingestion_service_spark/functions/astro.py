@@ -26,14 +26,19 @@ _OUT = T.StructType(
 )
 
 
-@pandas_udf(_OUT)
-def _solar(lat: pd.Series, lon: pd.Series, day_of_year: pd.Series) -> pd.DataFrame:
-    """NOAA-style sunrise-equation approximation, vectorized.
+def solar_components(
+    lat: "np.ndarray", lon: "np.ndarray", day_of_year: "np.ndarray"
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """NOAA-style sunrise-equation approximation, pure numpy.
 
+    Returns ``(sunrise_utc_hour, sunset_utc_hour, daylight_seconds)``.
     Good to a few minutes — adequate for daylight-duration features;
-    polar day/night saturate to 24h/0h."""
-    phi = np.radians(lat.to_numpy(dtype="float64"))
-    n = day_of_year.to_numpy(dtype="float64")
+    polar day/night saturate to 24h/0h.  Factored out of the pandas
+    UDF so the SAME float64 op sequence can precompute the solar
+    dimension table driver-side (the oracle route for
+    ``wx_sunrise_sunset``: identical code → bit-identical doubles)."""
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    n = np.asarray(day_of_year, dtype="float64")
     # solar declination (Cooper's equation)
     decl = np.radians(23.44) * np.sin(2 * np.pi * (284 + n) / 365.0)
     cos_h0 = -np.tan(phi) * np.tan(decl)
@@ -41,14 +46,24 @@ def _solar(lat: pd.Series, lon: pd.Series, day_of_year: pd.Series) -> pd.DataFra
     h0 = np.degrees(np.arccos(cos_h0))  # half day-arc, degrees
     daylight_hours = 2.0 * h0 / 15.0
     # solar noon in UTC hours (mean-sun approximation)
-    noon_utc = 12.0 - lon.to_numpy(dtype="float64") / 15.0
+    noon_utc = 12.0 - np.asarray(lon, dtype="float64") / 15.0
     sunrise = noon_utc - daylight_hours / 2.0
     sunset = noon_utc + daylight_hours / 2.0
+    return sunrise, sunset, daylight_hours * 3600.0
+
+
+@pandas_udf(_OUT)
+def _solar(lat: pd.Series, lon: pd.Series, day_of_year: pd.Series) -> pd.DataFrame:
+    sunrise, sunset, daylight = solar_components(
+        lat.to_numpy(dtype="float64"),
+        lon.to_numpy(dtype="float64"),
+        day_of_year.to_numpy(dtype="float64"),
+    )
     return pd.DataFrame(
         {
             "sunrise_utc_hour": sunrise,
             "sunset_utc_hour": sunset,
-            "daylight_duration": daylight_hours * 3600.0,
+            "daylight_duration": daylight,
         }
     )
 

@@ -542,10 +542,57 @@ def q_wx_history_daily(spark, sf_dir):
     )
 
 
-@register("wx_sunrise_sunset")
+def _sunrise_oracle_sql() -> str:
+    """Precomputed solar dimension as inline VALUES (SURVEY.md §7: the
+    oracle for a formula-backed query is the precomputed table, not a
+    SQL re-derivation of the trigonometry).  Runs the SAME
+    ``solar_components`` float64 numpy code the pandas UDF runs.
+
+    numpy trig is NOT bit-stable across batch shapes (SIMD body vs
+    scalar tail can differ in the last ULP, and the Arrow batch shape
+    reaching the UDF is not pinned), so raw doubles cannot be hashed.
+    Both sides therefore publish integer minor units — micro-hours and
+    milliseconds via ``floor(x * scale + 0.5)`` — which a 1-ULP input
+    wiggle cannot flip unless the scaled value sits within ~1e-10 of
+    an integer boundary (deterministic fixture, checked by the
+    differential test)."""
+    import math
+
+    import numpy as np
+
+    from .fixtures import LATS, LONS, PLACES
+    from .functions.astro import solar_components
+
+    rows = []
+    for i, place in enumerate(PLACES):
+        for d in range(7):
+            sr, ss, dl = solar_components(
+                np.array([LATS[i]]), np.array([LONS[i]]), np.array([float(d + 1)])
+            )
+            sr_uh = math.floor(float(sr[0]) * 1e6 + 0.5)
+            ss_uh = math.floor(float(ss[0]) * 1e6 + 0.5)
+            dl_ms = math.floor(float(dl[0]) * 1e3 + 0.5)
+            esc = place.replace("'", "''")
+            rows.append(
+                f"('{esc}', DATE '2024-01-{d + 1:02d}', "
+                f"CAST({sr_uh} AS BIGINT), CAST({ss_uh} AS BIGINT), "
+                f"CAST({dl_ms} AS BIGINT))"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(place, day, sunrise_uh, sunset_uh, daylight_ms)"
+    )
+
+
+@register("wx_sunrise_sunset", _sunrise_oracle_sql())
 def q_wx_sunrise_sunset(spark, sf_dir):
     """Solar events per (location, day): NOAA equations as a
-    vectorized pandas UDF (reference server.py:133 daily variables)."""
+    vectorized pandas UDF (reference server.py:133 daily variables).
+    Oracle-paired via the precomputed solar dimension (same numpy
+    float64 code driver-side); outputs integer micro-hours /
+    milliseconds — see ``_sunrise_oracle_sql`` for why doubles can't
+    be hashed here."""
     from . import fixtures
     from .functions.astro import solar_events
 
@@ -553,8 +600,13 @@ def q_wx_sunrise_sunset(spark, sf_dir):
     days = spark.range(7).select(
         F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("day")
     )
-    return solar_events(geo.crossJoin(days), "latitude", "longitude", "day").select(
-        "place", "day", "sunrise_utc_hour", "sunset_utc_hour", "daylight_duration"
+    sol = solar_events(geo.crossJoin(days), "latitude", "longitude", "day")
+    return sol.select(
+        "place",
+        "day",
+        F.floor(F.col("sunrise_utc_hour") * 1e6 + 0.5).cast("long").alias("sunrise_uh"),
+        F.floor(F.col("sunset_utc_hour") * 1e6 + 0.5).cast("long").alias("sunset_uh"),
+        F.floor(F.col("daylight_duration") * 1e3 + 0.5).cast("long").alias("daylight_ms"),
     )
 
 
