@@ -32,29 +32,66 @@ from .operators.setops import union_prefer
 # ---------------------------------------------------------------------
 
 
-def _dup_corpus(spark, sf_dir):
-    """documents ∪ exact copies of every 10th doc (id + 1,000,000)."""
+#: adversarial whitespace document injected into every derived corpus:
+#: tab, double space, and newline separators.  Fixture text is
+#: single-space separated, so without this row a space-split oracle and
+#: a \\s+-split Spark side would agree by luck; with it, any
+#: tokenization asymmetry fails the differential suite immediately.
+_ADV_DOC_ID = 424240  # % 10 == 0 → flows through the dup/trunc paths
+_ADV_DOC_TEXT = "alpha\tbeta  gamma\ndelta epsilon zeta eta theta iota kappa"
+_ADV_DOC_SQL = (
+    "SELECT CAST(424240 AS BIGINT) AS doc_id, "
+    "'alpha' || chr(9) || 'beta  gamma' || chr(10) || "
+    "'delta epsilon zeta eta theta iota kappa' AS text"
+)
+
+#: shared base for the derived corpora: documents + the adversarial doc
+_DOCS_SRC_SQL = f"""
+    docs_src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_ADV_DOC_SQL}
+    )
+"""
+
+
+def _docs_src(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    adv = spark.createDataFrame(
+        [(_ADV_DOC_ID, _ADV_DOC_TEXT)], "doc_id long, text string"
+    )
+    return docs.unionByName(adv)
+
+
+def _dup_corpus(spark, sf_dir):
+    """documents (+ adversarial-whitespace doc) ∪ exact copies of every
+    10th doc (id + 1,000,000)."""
+    docs = _docs_src(spark, sf_dir)
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     return docs.unionByName(dups)
 
 
-_DUP_CORPUS_SQL = """
+_DUP_CORPUS_SQL = f"""
+    {_DOCS_SRC_SQL},
     corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM docs_src
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      SELECT doc_id + 1000000 AS doc_id, text FROM docs_src WHERE doc_id % 10 = 0
     )
 """
 
 
 def _near_dup_corpus(spark, sf_dir):
-    """documents ∪ 80%-prefix truncations of every 10th doc — Jaccard
-    vs the original ≈ 0.8, far above random-pair similarity."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = F.split(F.lower(F.col("text")), " ")
+    """documents (+ adversarial-whitespace doc) ∪ 80%-prefix
+    truncations of every 10th doc — Jaccard vs the original ≈ 0.8, far
+    above random-pair similarity.  Truncation tokenizes on ``\\s+``
+    with an empty-token filter, identical to the oracle's
+    ``regexp_split_to_array`` + ``list_filter`` — NOT a single-space
+    split, which would diverge on the adversarial doc."""
+    docs = _docs_src(spark, sf_dir)
+    tok = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     trunc = F.concat_ws(
         " ",
         F.slice(tok, 1, F.greatest(F.floor(F.size(tok) * 0.8).cast("int"), F.lit(1))),
@@ -65,16 +102,19 @@ def _near_dup_corpus(spark, sf_dir):
     return docs.unionByName(pert)
 
 
-_NEAR_DUP_CORPUS_SQL = """
+_NEAR_DUP_CORPUS_SQL = f"""
+    {_DOCS_SRC_SQL},
     corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM docs_src
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
              array_to_string(
-               string_split(lower(text), ' ')[1:greatest(
-                 CAST(floor(len(string_split(lower(text), ' ')) * 0.8) AS INT), 1)],
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')[1:greatest(
+                 CAST(floor(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                            x -> x <> '')) * 0.8) AS INT), 1)],
                ' ') AS text
-      FROM documents WHERE doc_id % 10 = 0
+      FROM docs_src WHERE doc_id % 10 = 0
     )
 """
 
@@ -287,7 +327,7 @@ def q_ext_text_analysis(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id, text,
-             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INT) AS n_tokens
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
       FROM documents
     )
     SELECT doc_id, n_tokens,
@@ -310,7 +350,7 @@ def q_ext_text_tokens(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id, text,
-             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
       FROM documents
@@ -343,7 +383,7 @@ def q_ext_text_quality(spark, sf_dir):
     """
     WITH t AS (
       SELECT doc_id,
-             list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS toks
+             list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS toks
       FROM documents
     ), s AS (
       SELECT doc_id,

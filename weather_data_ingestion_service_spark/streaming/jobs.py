@@ -55,7 +55,18 @@ def streaming_events_source(
         # source throttling — the rate-limit analog (server.py:108)
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The batch reader (io.load_table, nanosAsLong) surfaces the NANOS
+    # column as raw nanosecond longs, but the file-source streaming
+    # reader converts to MICROSECONDS when the user schema declares
+    # LongType — regardless of the nanos conf (verified empirically on
+    # Spark 4.1: raw streamed max(ts) ≈ 1.7e15 for the 2024 fixture vs
+    # 1.7e18 batch-side).  Normalize by magnitude so either unit maps
+    # to micros: any epoch value > 5e17 (≈ 1985 in nanos, ≈ year 17k
+    # in micros) must be nanoseconds.
+    micros = F.when(
+        F.col("ts") > F.lit(500_000_000_000_000_000), F.expr("ts div 1000")
+    ).otherwise(F.col("ts"))
+    return df.withColumn("ts", F.timestamp_micros(micros))
 
 
 def streamed_daily_aggregate(
