@@ -153,6 +153,29 @@ class TestGeocode:
         with pytest.raises(ForecastRequestError):
             geocode(spark, "Nowhere At All")  # server.py:112-114
 
+    @pytest.mark.parametrize(
+        "variant,want_loc",
+        [
+            ("paris, fr", 2),       # case
+            ("  Paris,  FR ", 2),   # spacing + punctuation
+            ("Paris, France", 2),   # alias
+            ("paris france", 2),    # normalized alias
+            ("Praha", 0),           # non-English alias
+            ("WIEN", 4),            # alias, cased
+            ("berlin germany", 1),  # alias, no punctuation
+        ],
+    )
+    def test_free_text_variants_resolve(self, spark, variant, want_loc):
+        """Nominatim-style free-text tolerance (server.py:96-119):
+        case/spacing/punctuation variants and aliases resolve to the
+        canonical location."""
+        loc_id, _, _ = geocode(spark, variant)
+        assert loc_id == want_loc
+
+    def test_fuzzy_still_rejects_unknown(self, spark):
+        with pytest.raises(ForecastRequestError):
+            geocode(spark, "atlantis, ocean")
+
 
 class TestHistoryForecastUnion:
     def test_revision_supersedes_original(self, spark):

@@ -51,7 +51,7 @@ ORACLE_IDS = {
     "ext_text_tfidf", "ext_sample_balance", "ext_dedup_url",
     "ext_source_stats", "stream_join_static", "ext_sample_temperature",
     "stream_stream_join", "ext_dedup_semantic", "join_asof_tolerance",
-    "wx_sunrise_sunset",
+    "wx_sunrise_sunset", "join_geocode_fuzzy",
 }
 
 ROWS_ONLY_IDS = {

@@ -42,6 +42,16 @@ def test_star_join_broadcasts_nation(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_geocode_fuzzy_broadcasts_and_hash_joins(spark, sf_dir):
+    """The normalized-key variant must keep geocode_lookup's physical
+    shape: broadcast HASH join on the computed key (an equi-join — NOT
+    a nested-loop from an expression-typed condition)."""
+    df = QS["join_geocode_fuzzy"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     df = QS["sort_topk"](spark, sf_dir)
     assert "TakeOrderedAndProject" in formatted_plan(df)

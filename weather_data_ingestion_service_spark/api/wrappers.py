@@ -70,12 +70,30 @@ def http_error_message(err: Exception, tool: str = "forecast") -> str:
 def geocode(spark: SparkSession, place: str, geo: DataFrame | None = None):
     """place → (location_id, lat, lon) via the broadcast geo dimension.
 
-    The reference geocodes per request with ``exactly_one=True`` and
-    raises ``ValueError`` on a miss (server.py:110-114); here a miss
-    on the dimension behaves the same.
+    Resolution order mirrors the reference's free-text tolerance
+    (Nominatim resolves "Paris, France", "paris" and "PARIS FRANCE"
+    alike, server.py:96-119): exact match first, then the
+    alias-expanded dimension on the normalized key (case /
+    punctuation / spacing-insensitive), then the normalized key
+    against the dimension's own names.  A miss still raises, matching
+    ``exactly_one=True`` → ``ValueError`` (server.py:110-114).
     """
+    from ..operators.joins import normalize_place_key
+
+    default_dim = geo is None
     geo = geo if geo is not None else fixtures.geo_dim(spark)
     rows = geo.filter(F.col("place") == place).limit(2).collect()
+    if not rows and default_dim:
+        # alias table: 'Praha' / 'berlin germany' / 'WIEN' → canonical
+        alias = fixtures.geo_alias_dim(spark)
+        rows = alias.filter(
+            normalize_place_key(F.col("alias")) == normalize_place_key(F.lit(place))
+        ).limit(2).collect()
+    if not rows:
+        # last chance: normalized match on the dimension's own names
+        rows = geo.filter(
+            normalize_place_key(F.col("place")) == normalize_place_key(F.lit(place))
+        ).limit(2).collect()
     if not rows:
         raise ForecastRequestError(f"Could not find coordinates for {place!r}")
     r = rows[0]

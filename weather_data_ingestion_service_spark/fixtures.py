@@ -26,6 +26,19 @@ PLACES = ["Prague, CZ", "Berlin, DE", "Paris, FR", "Madrid, ES", "Vienna, AT"]
 LATS = [50.08, 52.52, 48.86, 40.42, 48.21]
 LONS = [14.44, 13.40, 2.35, -3.70, 16.37]
 
+#: accepted alternative names per canonical place — the engine-side
+#: analog of Nominatim's free-text tolerance (reference
+#: server.py:96-119).  Matching is on the NORMALIZED key
+#: (operators.joins.normalize_place_key), so each alias also covers
+#: its case/punctuation/spacing variants.
+PLACE_ALIASES: dict[str, list[str]] = {
+    "Prague, CZ": ["Prague", "Praha", "Prague, Czech Republic"],
+    "Berlin, DE": ["Berlin", "Berlin, Germany"],
+    "Paris, FR": ["Paris", "Paris, France"],
+    "Madrid, ES": ["Madrid", "Madrid, Spain"],
+    "Vienna, AT": ["Vienna", "Wien", "Vienna, Austria"],
+}
+
 
 def _noise(seed_col, lo: float, hi: float) -> F.Column:
     """Deterministic uniform noise in [lo, hi) from a hash of the key."""
@@ -46,6 +59,23 @@ def geo_dim(spark: SparkSession) -> DataFrame:
     rows.append(("Nowhere, XX", 98, 123.0, 500.0, "UTC"))  # invalid coords
     return spark.createDataFrame(
         rows, "place string, location_id long, latitude double, longitude double, timezone string"
+    )
+
+
+def geo_alias_dim(spark: SparkSession) -> DataFrame:
+    """Alias-expanded geocoding dimension: one row per accepted name
+    (canonical + every ``PLACE_ALIASES`` entry), each carrying its
+    canonical place's id/coordinates.  Feed to
+    ``operators.joins.geocode_lookup_fuzzy`` for free-text
+    resolution."""
+    rows = []
+    for i, place in enumerate(PLACES):
+        for alias in [place, *PLACE_ALIASES.get(place, [])]:
+            rows.append((alias, place, i, LATS[i], LONS[i], "UTC"))
+    return spark.createDataFrame(
+        rows,
+        "alias string, place string, location_id long, "
+        "latitude double, longitude double, timezone string",
     )
 
 

@@ -32,6 +32,44 @@ def geocode_lookup(
     return df.join(F.broadcast(geo_dim), on=on, how=how)
 
 
+def normalize_place_key(c: Column | str) -> Column:
+    """Canonical join key for free-text place names: lowercase, strip
+    punctuation to spaces, collapse runs of spaces, trim.
+
+    'PRAGUE, CZ', '  prague cz ' and 'Prague,CZ' all map to
+    'prague cz' — the cheap engine-side analog of the reference's
+    Nominatim free-text tolerance (server.py:96-119).  Restricted to
+    ASCII classes (``[^a-z0-9 ]`` / ``' +'``) so the identical pattern
+    behaves identically under Java regex and RE2."""
+    c = F.col(c) if isinstance(c, str) else c
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def geocode_lookup_fuzzy(
+    df: DataFrame,
+    geo_dim: DataFrame,
+    query_col: str = "place",
+    dim_col: str = "place",
+    how: str = "left",
+) -> DataFrame:
+    """Free-text place → coordinates: broadcast join on the NORMALIZED
+    key instead of exact string equality, so case / punctuation /
+    spacing variants (a user's first "paris,  france") still resolve.
+
+    Alias tolerance is data, not code: hand an alias-expanded dimension
+    (one row per accepted name, e.g. ``fixtures.geo_alias_dim``) and
+    every alias resolves to its canonical place.  Same physical shape
+    as :func:`geocode_lookup` — broadcast hash join, no shuffle of the
+    fact side; the normalization is a narrow projection on both sides.
+    """
+    dim = geo_dim.withColumn("__geo_key", normalize_place_key(dim_col))
+    fact = df.withColumn("__geo_key", normalize_place_key(query_col))
+    out = fact.join(F.broadcast(dim), on="__geo_key", how=how)
+    return out.drop("__geo_key")
+
+
 def range_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -295,6 +295,62 @@ def q_join_geocode_lookup(spark, sf_dir):
 
 
 @register(
+    "join_geocode_fuzzy",
+    """
+    WITH geo AS (
+      SELECT n_name AS place,
+             n_nationkey * 6.0 - 75.0 AS latitude,
+             n_nationkey * 13.0 - 160.0 AS longitude
+      FROM nation
+    ),
+    req AS (
+      SELECT unnest([
+        '  ' || n_name || '!!',
+        lower(n_name),
+        replace(n_name, ' ', '  ') || ' ',
+        'zz-unknown-place'
+      ]) AS query
+      FROM nation
+    ),
+    n_req AS (
+      SELECT query,
+             trim(regexp_replace(regexp_replace(lower(query),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS k
+      FROM req
+    ),
+    n_geo AS (
+      SELECT place, latitude, longitude,
+             trim(regexp_replace(regexp_replace(lower(place),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS k
+      FROM geo
+    )
+    SELECT query, place, latitude, longitude
+    FROM n_req LEFT JOIN n_geo USING (k)
+    """,
+)
+def q_join_geocode_fuzzy(spark, sf_dir):
+    """Free-text geocode resolution: case / punctuation / spacing
+    variants of every place name resolve through the normalized-key
+    broadcast join (the reference's Nominatim tolerance,
+    server.py:96-119); an unknown query surfaces NULL coordinates,
+    the reference's miss-as-value."""
+    from .operators.joins import geocode_lookup_fuzzy
+
+    nation = load_table(spark, sf_dir, "nation")
+    geo = _geo_dim(spark, sf_dir).drop("nationkey")
+    variants = F.array(
+        F.concat(F.lit("  "), F.col("n_name"), F.lit("!!")),
+        F.lower(F.col("n_name")),
+        F.concat(F.regexp_replace(F.col("n_name"), " ", "  "), F.lit(" ")),
+        F.lit("zz-unknown-place"),
+    )
+    req = nation.select(F.explode(variants).alias("query"))
+    return geocode_lookup_fuzzy(
+        req, geo, query_col="query", dim_col="place", how="left"
+    ).select("query", "place", "latitude", "longitude")
+
+
+@register(
     "join_equi_inner",
     """
     SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
