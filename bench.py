@@ -55,6 +55,13 @@ HEADLINE = [
     "ext_simsearch_lsh",
     "ext_dedup_embedding",
     "join_asof_chunked",
+    # round-3 additions (r01 ⊂ r02 ⊂ r03): the remaining heavy
+    # LLM-pipeline stages — TF-IDF keywording, n-gram decontamination,
+    # sequence packing, semantic dedup end-to-end
+    "ext_text_tfidf",
+    "ext_text_contamination",
+    "ext_pack_sequences",
+    "ext_dedup_semantic",
 ]
 
 

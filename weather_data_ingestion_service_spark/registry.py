@@ -1417,8 +1417,12 @@ def _driver_verified_ids() -> frozenset[str]:
 
     Green = hash-matched against the DuckDB oracle, or completed its
     rows-only check for by-design oracle-less (approximate / streaming /
-    ML-backed) entries.  Missing/unreadable files → empty set, so a
-    fresh checkout just serves registration order.
+    ML-backed) entries.  A rows-only pass does NOT count for an entry
+    that has SINCE gained oracle SQL (e.g. ``wx_sunrise_sunset`` after
+    the precomputed-dimension oracle landed): the stronger hash gate
+    hasn't run yet, so the entry rotates back into the window.
+    Missing/unreadable files → empty set, so a fresh checkout just
+    serves registration order.
     """
     import glob
     import json
@@ -1439,7 +1443,11 @@ def _driver_verified_ids() -> frozenset[str]:
                 continue
             if row.get("hash_match") is True:
                 done.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name not in _ORACLE
+            ):
                 done.add(name)
     return frozenset(done)
 
