@@ -52,6 +52,8 @@ ORACLE_IDS = {
     "ext_source_stats", "stream_join_static", "ext_sample_temperature",
     "stream_stream_join", "ext_dedup_semantic", "join_asof_tolerance",
     "wx_sunrise_sunset", "join_geocode_fuzzy",
+    "ext_shard_assign", "ext_sample_interleave", "ext_text_diversity",
+    "win_cume_dist", "f_regexp_extract",
 }
 
 ROWS_ONLY_IDS = {

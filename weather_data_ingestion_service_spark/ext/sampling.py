@@ -165,6 +165,63 @@ def _id_hash_u52(id_col: str) -> F.Column:
     return F.conv(F.substring(_id_hash(id_col), 1, 13), 16, 10).cast("long")
 
 
+def shard_assign(df: DataFrame, id_col: str, n_shards: int = 16) -> DataFrame:
+    """Deterministic output sharding: every row lands in shard
+    ``id_hash52 % n_shards`` — the writer-side partitioning of a
+    training corpus into fixed output files/webdataset tars.
+
+    A pure function of the id (stable across runs/engines/cluster
+    sizes, unlike ``spark.write``'s task-dependent file split), narrow
+    (no shuffle — at 100 TB follow with
+    ``repartition(n_shards, "shard")`` only when the sink needs
+    physical co-location).  Modulo on 52 uniform bits: shard-size skew
+    from the bias is < 2^-40.
+    """
+    return df.withColumn(
+        "shard", (_id_hash_u52(id_col) % n_shards).cast("long")
+    )
+
+
+def interleave_sources(
+    df: DataFrame, source_col: str, id_col: str
+) -> DataFrame:
+    """Deterministic multi-source interleaving: global training-stream
+    position ``mix_pos`` such that consuming rows in ``mix_pos`` order
+    round-robins across sources (position ``(rank_in_source - 1) *
+    n_sources + source_index - 1``) with a deterministic id-hash order
+    inside each source — the "mix the domains evenly" step of a
+    multi-corpus loader, reproducible anywhere.
+
+    Cost shape: one window on the source key (per-source streaming
+    row_number), a distinct over sources (tiny — domains, not rows)
+    ranked on the driver-sized side and broadcast back, and a
+    broadcast of the single-row source count.  No corpus-wide sort:
+    the loader ORDER BY mix_pos is the consumer's concern (or a
+    ``shard_assign`` + per-shard order at scale).
+    """
+    w_src = Window.partitionBy(source_col).orderBy(_id_hash(id_col), id_col)
+    # tiny dim: deterministic 1-based source index (|sources| rows —
+    # the unpartitioned window is fine because only domains flow in)
+    src_dim = (
+        df.select(source_col).distinct()
+        .withColumn(
+            "__src_idx",
+            F.row_number().over(Window.orderBy(source_col)).cast("long"),
+        )
+    )
+    n_src = src_dim.agg(F.count(F.lit(1)).alias("__n_src"))
+    ranked = df.withColumn("__rn", F.row_number().over(w_src).cast("long"))
+    return (
+        ranked.join(F.broadcast(src_dim), source_col)
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "mix_pos",
+            (F.col("__rn") - 1) * F.col("__n_src") + F.col("__src_idx") - 1,
+        )
+        .drop("__rn", "__src_idx", "__n_src")
+    )
+
+
 def temperature_sample(
     df: DataFrame, group_col: str, id_col: str
 ) -> DataFrame:

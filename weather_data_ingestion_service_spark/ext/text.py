@@ -282,6 +282,40 @@ def tfidf_topk(
     )
 
 
+def token_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document lexical-diversity signal via the Gini–Simpson
+    index: ``1 - Σ c_i² / n²`` over the token counts (probability two
+    random tokens differ) — the repetition/diversity filter signal of
+    quality pipelines, like Shannon entropy but EXACTLY computable:
+    ``Σ c_i²`` and ``n²`` are integer aggregates (associative — no
+    float-summation order to disagree on), so the index is one IEEE
+    division of exact integers and ``simpson_micro = floor(1e6 * ...)``
+    is bit-identical across engines (Shannon's ``Σ c ln c`` is a
+    float sum with no such guarantee).
+
+    Two map-side-combinable hash aggs (doc×term, then doc); no window.
+    """
+    tc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"),
+    )
+    simpson = F.lit(1.0) - F.col("c2").cast("double") / (
+        F.col("n_tokens") * F.col("n_tokens")
+    ).cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.floor(simpson * 1e6).cast("long").alias("simpson_micro"),
+    )
+
+
 def length_percentiles(
     df: DataFrame,
     group_col: str,

@@ -2300,6 +2300,141 @@ def q_ext_sample_temperature(spark, sf_dir):
 
 
 @register(
+    "ext_shard_assign",
+    """
+    WITH h AS (
+      SELECT doc_id, length(text) AS len,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+               % 16 AS shard
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS total_chars
+    FROM h GROUP BY shard
+    """,
+)
+def q_ext_shard_assign(spark, sf_dir):
+    """Deterministic output sharding (writer-side corpus partitioning
+    into fixed shards/tars) + per-shard size accounting — id-hash
+    modulo, stable across runs/engines/cluster sizes."""
+    from .ext.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shard_assign(docs, "doc_id", n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "ext_sample_interleave",
+    """
+    WITH s AS (
+      SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+      FROM (SELECT DISTINCT source FROM documents)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM s),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      FROM documents)
+    SELECT doc_id, source, (rn - 1) * n_src + src_idx - 1 AS mix_pos
+    FROM r JOIN s USING (source) CROSS JOIN n
+    """,
+)
+def q_ext_sample_interleave(spark, sf_dir):
+    """Deterministic multi-source round-robin interleaving: consuming
+    rows in mix_pos order alternates domains evenly — the corpus-mixing
+    step of a multi-source training loader, reproducible anywhere."""
+    from .ext.sampling import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_sources(docs, "source", "doc_id").select(
+        "doc_id", "source", "mix_pos"
+    )
+
+
+@register(
+    "ext_text_diversity",
+    """
+    WITH tc AS (
+      SELECT doc_id, word, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM documents) GROUP BY doc_id, word
+    ),
+    a AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * c) AS BIGINT) AS c2
+      FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(floor((1.0 - CAST(c2 AS DOUBLE)
+                 / CAST(n_tokens * n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS simpson_micro
+    FROM a
+    """,
+)
+def q_ext_text_diversity(spark, sf_dir):
+    """Lexical diversity per document (Gini–Simpson index, floored to
+    integer micro-units): the entropy-style repetition filter signal,
+    restated on exact integer moments so cross-engine hashing is safe
+    (Shannon's float sum is not)."""
+    from .ext.text import token_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_diversity(docs, "doc_id", "text")
+
+
+@register(
+    "win_cume_dist",
+    """
+    SELECT event_id, event_type,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+    FROM events
+    """,
+)
+def q_win_cume_dist(spark, sf_dir):
+    """Cumulative distribution within each event-type partition —
+    value-based (tie rows share a cd), so the output is deterministic
+    without an id tiebreak: cd = rows_le/rows, one exact integer
+    division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id", "event_type", F.cume_dist().over(w).alias("cd")
+    )
+
+
+@register(
+    "f_regexp_extract",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last,
+           regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+    FROM part
+    """,
+)
+def q_f_regexp_extract(spark, sf_dir):
+    """Regex group extraction (first/last token of categorical
+    attributes) — anchors + ASCII classes only, identical semantics
+    under Java regex and RE2."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last"),
+        F.regexp_extract("p_brand", r"([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+@register(
     "stream_stream_join",
     """
     SELECT a.event_id AS left_id, b.event_id AS right_id,
