@@ -240,6 +240,34 @@ class TestAnnRecall:
         hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
         assert hits / queries.count() >= 0.9
 
+    def test_pq_finds_planted_neighbors(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import pq_topk
+
+        corpus, queries = self._planted(spark, sf_dir)
+        top1 = pq_topk(corpus, queries, k=1, m=8, ksub=16).collect()
+        hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
+        assert hits / queries.count() >= 0.9
+
+    def test_pq_result_is_partitioning_independent(self, spark, sf_dir):
+        """Per-batch partial top-k under the (adc_d2, match_id) total
+        order must merge to the same global result for any
+        partitioning."""
+        from weather_data_ingestion_service_spark.ext.simsearch import pq_topk
+
+        corpus, queries = self._planted(spark, sf_dir)
+        a = pq_topk(corpus, queries.limit(5), k=3).collect()
+        b = pq_topk(corpus.repartition(13), queries.limit(5), k=3).collect()
+        assert sorted(((r.query_id, r.rank, r.match_id) for r in a)) == sorted(
+            ((r.query_id, r.rank, r.match_id) for r in b)
+        )
+
+    def test_pq_query_guard(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import pq_topk
+
+        corpus, queries = self._planted(spark, sf_dir)
+        with pytest.raises(ValueError, match="pq_topk"):
+            pq_topk(corpus, corpus, max_queries=10)
+
 
 class TestBlasCosineEquivalence:
     def test_blas_pairs_match_expression_pairs(self, spark, sf_dir):

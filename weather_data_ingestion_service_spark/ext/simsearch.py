@@ -590,6 +590,191 @@ def label_centroid_components(
     return q.select("label", F.col("pos").cast("int").alias("pos"), value)
 
 
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    fit_sample: int = 10_000,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Product-quantization ANN (the FAISS PQ/ADC scheme on Spark):
+    approximate top-k nearest corpus vectors per query by asymmetric
+    distance over ``m``-subspace codes.
+
+    Scale shape, stage by stage:
+
+    - **Train** — ``m`` sub-codebooks × ``ksub`` centroids, Lloyd
+      k-means on a hash-ranked sample of ≤ ``fit_sample`` vectors
+      collected to the driver.  Constant-cost by construction (same
+      posture as ``ivf_topk``'s sample fit): the codebook is
+      ``m·ksub·(dim/m)`` floats and the sample is capped — nothing
+      corpus-sized moves, and at 100 TB the one full pass is encoding.
+    - **Encode** — codebooks ship in the task closure (KBs); one BLAS
+      distance-matrix + argmin per Arrow batch via ``mapInPandas``
+      (never per-row Python).  Output is ``m`` uint8 codes per vector:
+      a 32× shrink of a float32 64-dim corpus, which is the point —
+      the residency format for web-scale ANN.
+    - **Search** — per query an ADC lookup table (``m × ksub`` exact
+      subspace distances, computed once), all query LUTs in the
+      closure (``Q·m·ksub`` doubles, guarded by ``max_queries``);
+      scoring is a numpy gather+sum per batch, and each batch emits
+      only its per-batch top-k per query under the total order
+      ``(adc_d2, match_id)`` — top-k of a union is the merge of
+      per-part top-k under a total order, so the global window sees
+      ``Q·k`` rows per batch, not ``Q·N`` pairs, and the result is
+      partitioning-independent.
+
+    Approximate by design (codebook quantization error) → rows-only
+    correctness + planted/recall tests, like the LSH and IVF paths.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    over = queries.limit(max_queries + 1).count()
+    if over > max_queries:
+        raise ValueError(
+            f"pq_topk ships per-query ADC tables to every task; got > "
+            f"{max_queries} query rows — batch the query set or raise "
+            f"max_queries."
+        )
+
+    train = np.asarray(
+        [
+            r["v"]
+            for r in corpus.select(
+                F.col(vec_col).alias("v"),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(fit_sample)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+    def _lloyd(x: "np.ndarray", kk: int, rng: "np.random.Generator") -> "np.ndarray":
+        # deterministic Lloyd iterations; empty clusters re-seeded from
+        # the farthest points so ksub centroids always survive
+        cent = x[rng.choice(len(x), size=kk, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            far = d2.min(axis=1).argsort()[::-1]
+            spare = iter(far)
+            for j in range(kk):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = x[mask].mean(axis=0)
+                else:
+                    cent[j] = x[next(spare)]
+        return cent
+
+    codebooks = np.stack(
+        [
+            _lloyd(
+                train[:, j * dsub : (j + 1) * dsub],
+                ksub,
+                np.random.default_rng(seed * 1000 + j),
+            )
+            for j in range(m)
+        ]
+    )  # (m, ksub, dsub)
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("match_id", T.LongType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            vs = np.asarray(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(vs), m), dtype=np.int32)
+            for j in range(m):
+                sub = vs[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"match_id": pdf["id"].to_numpy(), "code": list(codes)}
+            )
+
+    encoded = (
+        corpus.select(
+            F.col(id_col).alias("id").cast("long"), F.col(vec_col).alias("v")
+        )
+        .mapInPandas(encode, enc_schema)
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid").cast("long"), F.col(vec_col).alias("v")
+    ).collect()
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qvecs = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+    # ADC tables: exact distance from each query subvector to every
+    # centroid — (Q, m, ksub)
+    luts = np.stack(
+        [
+            ((qvecs[:, j * dsub : (j + 1) * dsub][:, None, :]
+              - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    score_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("match_id", T.LongType()),
+            T.StructField("adc_d2", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["match_id"].to_numpy()
+            codes = np.asarray(list(pdf["code"]), dtype=np.int64)  # (B, m)
+            out_q, out_id, out_d = [], [], []
+            for qi in range(len(qids)):
+                # gather+sum: d2[b] = Σ_j LUT[qi, j, codes[b, j]]
+                d2 = luts[qi, np.arange(m)[None, :], codes].sum(axis=1)
+                mask = ids != qids[qi]  # self-match excluded
+                cid, cd2 = ids[mask], d2[mask]
+                top = np.lexsort((cid, cd2))[:k]  # total order (d2, id)
+                out_q.append(np.full(len(top), qids[qi]))
+                out_id.append(cid[top])
+                out_d.append(cd2[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "match_id": np.concatenate(out_id),
+                    "adc_d2": np.concatenate(out_d),
+                }
+            )
+
+    candidates = encoded.mapInPandas(score, score_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("match_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adc_d2", "rank")
+    )
+
+
 def pca_project(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -868,6 +868,20 @@ def q_stream_stateful_latest(spark, sf_dir):
     return run_stream_to_memory(out, "update")
 
 
+@register("ext_simsearch_pq")  # PQ/ADC quantized ANN — rows-only
+def q_ext_simsearch_pq(spark, sf_dir):
+    """Product-quantization ANN: 8-subspace codebooks (sample-fit),
+    32x-compressed corpus codes, ADC gather+sum scoring with per-batch
+    partial top-k (ext/simsearch.pq_topk)."""
+    from .ext.simsearch import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=3, m=8, ksub=16,
+    )
+
+
 @register("ext_simsearch_ivf")  # KMeans-seeded ANN — rows-only
 def q_ext_simsearch_ivf(spark, sf_dir):
     """IVF-style ANN: KMeans(16) coarse quantizer, 4-probe, exact
