@@ -47,6 +47,21 @@ class TestGetForecast:
         q = get_forecast(spark, place="Prague, CZ", granularity=15, weather=weather)
         assert q.count() == 4 * hourly.count()  # server.py:213-217
 
+    def test_granularity_15_default_is_native_quarter_hour(self, spark):
+        """Without an injected hourly frame, minutely_15 comes from the
+        TRUE 15-min fixture (server.py:213-217 is real quarter-hour
+        model output): values vary WITHIN an hour, which an hourly
+        forward-fill cannot produce."""
+        df = get_forecast(spark, place="Prague, CZ", granularity=15)
+        assert df.count() == 4 * 7 * 24
+        within_hour = (
+            df.groupBy(F.date_trunc("hour", "ts").alias("h"))
+            .agg(F.countDistinct("temperature_2m").alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert within_hour > 1
+
     def test_daily_variables_fallback_chain(self, spark, weather):
         """Reference server.py:223: at daily granularity the selection
         is `daily_variables or variables or defaults` — a caller

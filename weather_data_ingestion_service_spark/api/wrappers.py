@@ -132,10 +132,12 @@ def _resolve_location(spark, place, latitude, longitude, geo):
 
 
 def _materialize(
-    wh: DataFrame, granularity: int, variables, loc_id: int
+    wh: DataFrame, granularity: int, variables, loc_id: int,
+    native_15min: bool = False,
 ) -> DataFrame:
     """Granularity dispatch (reference server.py:213-225): 15 → 15-min
-    resample, 60 → hourly passthrough, ≥1440 → daily aggregates."""
+    resample (skipped when the source is already quarter-hour), 60 →
+    hourly passthrough, ≥1440 → daily aggregates."""
     base = wh.filter(F.col("location_id") == loc_id)
     if granularity >= 1440:
         specs = {
@@ -154,10 +156,12 @@ def _materialize(
             )
             out = out.join(mode, ["location_id", "day"])
         return out.orderBy("day")
-    if granularity == 15:
-        # 15-min resample of an hourly series: forward-fill within the
-        # hour via explode of 4 offsets (the fixture is hourly; a true
-        # 15-min source would skip this step)
+    if granularity == 15 and not native_15min:
+        # caller injected an HOURLY frame: resample by forward-fill
+        # within the hour (explode of 4 offsets).  The default path
+        # reads the native quarter-hour source instead — the
+        # reference's minutely_15 is real 15-min model output
+        # (server.py:213-217), not an hourly ffill.
         offs = F.explode(F.array(*[F.lit(m) for m in (0, 15, 30, 45)]))
         base = (
             base.withColumn("__m", offs)
@@ -202,7 +206,16 @@ def get_forecast(
     if granularity not in (15, 60) and granularity < 1440:
         raise ForecastRequestError(f"unsupported granularity: {granularity}")
     loc_id, _, _ = _resolve_location(spark, place, latitude, longitude, geo)
-    wh = weather if weather is not None else fixtures.weather_hourly(spark)
+    # default 15-min path reads the TRUE quarter-hour source (the
+    # reference's minutely_15 block is real 15-min model output,
+    # server.py:213-217); an injected hourly frame is resampled instead
+    native_15 = weather is None and granularity == 15
+    if weather is not None:
+        wh = weather
+    elif native_15:
+        wh = fixtures.weather_15min(spark)
+    else:
+        wh = fixtures.weather_hourly(spark)
     horizon = filter_horizon_relative(
         wh, "ts", now, past_days=past_days, forecast_days=forecast_days
     )
@@ -211,7 +224,7 @@ def get_forecast(
     # `daily_variables or variables or defaults` — a caller supplying
     # only `variables` still gets their selection at daily granularity
     vars_ = (daily_variables or variables) if gran == 1440 else variables
-    return _materialize(horizon, gran, vars_, loc_id)
+    return _materialize(horizon, gran, vars_, loc_id, native_15min=native_15)
 
 
 def get_history(

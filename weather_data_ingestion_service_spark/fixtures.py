@@ -150,6 +150,79 @@ def weather_hourly(
     return df
 
 
+def weather_15min(
+    spark: SparkSession,
+    n_locations: int = FIXTURE_LOCATIONS,
+    n_days: int = FIXTURE_DAYS,
+    start: str = FIXTURE_START,
+) -> DataFrame:
+    """TRUE 15-minute-resolution series — the reference's
+    ``minutely_15`` block is real quarter-hour model output
+    (server.py:213-217), not an hourly forward-fill, so this fixture
+    samples the diurnal/noise process at quarter-hour phase: values
+    CHANGE within the hour.  Same variable set and recipe as
+    ``weather_hourly`` (which stays byte-identical for the queries
+    hashed against it)."""
+    n_steps = n_days * 96
+    base = (
+        spark.range(n_locations * n_steps)
+        .withColumn("location_id", F.col("id") % n_locations)
+        .withColumn("step_idx", (F.col("id") / n_locations).cast("long"))
+        .withColumn(
+            "ts",
+            F.lit(start).cast("timestamp")
+            + F.make_interval(mins=F.col("step_idx") * 15),
+        )
+    )
+    hod = (F.col("step_idx") % 96) / 4.0  # fractional hour of day
+    diurnal = F.sin((hod - 6) * (3.14159265 / 12.0))
+    temp = (
+        F.lit(2.0)
+        + F.col("location_id") * 1.5
+        + diurnal * 6.0
+        + _noise(F.struct("id", F.lit("t")), -1.5, 1.5)
+    )
+    rh = F.lit(70.0) - diurnal * 15.0 + _noise(F.struct("id", F.lit("rh")), -8, 8)
+    rain_gate = _noise(F.struct("id", F.lit("pg")), 0, 1) > 0.8
+    precip = F.when(rain_gate, _noise(F.struct("id", F.lit("pa")), 0.1, 4.0)).otherwise(0.0)
+    snow_gate = temp < 0
+    solar = F.greatest(diurnal, F.lit(0.0)) * 500.0
+
+    return base.select(
+        "location_id",
+        "ts",
+        temp.alias("temperature_2m"),
+        F.least(F.greatest(rh, F.lit(0.0)), F.lit(100.0)).alias("relative_humidity_2m"),
+        (temp - 2.5).alias("dew_point_2m"),
+        (temp - 1.0 + _noise(F.struct("id", F.lit("ap")), -0.5, 0.5)).alias(
+            "apparent_temperature"
+        ),
+        precip.alias("precipitation"),
+        F.when(~snow_gate, precip).otherwise(0.0).alias("rain"),
+        F.when(snow_gate, precip * 0.7).otherwise(0.0).alias("snowfall"),
+        F.when(snow_gate, precip * 2).otherwise(0.0).alias("snow_depth"),
+        F.when(precip > 2.0, 63)
+        .when(precip > 0, 61)
+        .when(rh > 85, 3)
+        .otherwise(F.when(F.floor(hod) % 5 == 0, 1).otherwise(0))
+        .cast("int")
+        .alias("weather_code"),
+        (F.lit(1013.0) + _noise(F.struct("id", F.lit("pm")), -12, 12)).alias(
+            "pressure_msl"
+        ),
+        F.least(
+            F.greatest(rh - 20 + _noise(F.struct("id", F.lit("cc")), -20, 20), F.lit(0.0)),
+            F.lit(100.0),
+        ).alias("cloud_cover"),
+        solar.alias("shortwave_radiation"),
+        (solar * 0.7).alias("direct_radiation"),
+        (solar * 0.3).alias("diffuse_radiation"),
+        F.when(F.col("step_idx") % 97 == 0, F.lit(None).cast("double"))
+        .otherwise(F.greatest(diurnal, F.lit(0.0)) * 8.0)
+        .alias("uv_index"),
+    )
+
+
 def weather_revisions(
     spark: SparkSession,
     n_locations: int = FIXTURE_LOCATIONS,
