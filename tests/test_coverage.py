@@ -54,6 +54,7 @@ ORACLE_IDS = {
     "wx_sunrise_sunset", "join_geocode_fuzzy",
     "ext_shard_assign", "ext_sample_interleave", "ext_text_diversity",
     "win_cume_dist", "f_regexp_extract",
+    "join_nearest_gridpoint", "win_gap_islands",
 }
 
 ROWS_ONLY_IDS = {

@@ -70,6 +70,50 @@ def geocode_lookup_fuzzy(
     return out.drop("__geo_key")
 
 
+def nearest_gridpoint_join(
+    facts: DataFrame,
+    grid: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    grid_lat: str = "latitude",
+    grid_lon: str = "longitude",
+) -> DataFrame:
+    """Snap every fact coordinate to its nearest grid point — the
+    reference API's grid-point snap (forecasts come from the nearest
+    model grid node, WetIng.pdf p.1-2; the engine's lat/lon resolution
+    does the same per request at api/wrappers._resolve_location).
+
+    Distance is squared degree distance — subtraction/multiply/add on
+    identical doubles, bit-exact in any engine.  Physical shape:
+    broadcast the grid (model grids are ≤ millions of rows; here a
+    dim), nested-loop against facts, then a map-side-combinable
+    ``min(struct(d2, tiebreak…))`` argmin — NO per-fact window sort, so
+    the only wide exchange is the final hash-agg on the fact key.
+    Ties break on the grid name, deterministically.
+    """
+    g = F.broadcast(grid)
+    dlat = F.col(lat_col) - F.col(grid_lat)
+    dlon = F.col(lon_col) - F.col(grid_lon)
+    # explicit multiply, not **2: pow() has no cross-engine rounding
+    # guarantee; x*x does
+    d2 = dlat * dlat + dlon * dlon
+    other = [c for c in grid.columns if c not in (grid_lat, grid_lon)]
+    paired = facts.crossJoin(g).withColumn("__d2", d2)
+    fact_cols = facts.columns
+    best = paired.groupBy(*fact_cols).agg(
+        F.min(
+            F.struct(F.col("__d2"), *[F.col(c) for c in other],
+                     F.col(grid_lat), F.col(grid_lon))
+        ).alias("__best")
+    )
+    sel = [F.col(f"__best.{c}").alias(c) for c in other]
+    return best.select(
+        *fact_cols,
+        *sel,
+        F.col("__best.__d2").alias("snap_d2"),
+    )
+
+
 def range_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -181,3 +181,42 @@ def scd2_compress(
         compressed.withColumn(valid_from, F.col(ts_col))
         .withColumn(valid_to, F.lead(ts_col).over(w))
     )
+
+
+def gap_islands(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_micros: int,
+) -> DataFrame:
+    """Gaps-and-islands: split each key's event stream into maximal
+    runs ("islands") where consecutive events are ≤ ``gap_micros``
+    apart — the sensor-outage / coverage-hole report for an ingested
+    time series (which stretches of the feed arrived contiguously, and
+    where the gaps are).
+
+    Exactly one shuffle on the key: a lag pass flags island breaks
+    (time delta in INTEGER microseconds — exact in any engine), a
+    running sum numbers the islands, and a map-side-combinable agg
+    emits each island's span.  Per-key windows — a hot key serializes;
+    chunk like ``asof_join_chunked`` if one ever dominates.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    brk = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_micros),
+        1,
+    ).otherwise(0)
+    islands = df.withColumn("__brk", brk).withColumn(
+        "island",
+        F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return islands.groupBy(key_col, "island").agg(
+        F.min(ts_col).alias("island_start"),
+        F.max(ts_col).alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -2406,6 +2406,86 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "join_nearest_gridpoint",
+    """
+    WITH f AS (
+      SELECT c_custkey, c_acctbal / 60.0 AS lat,
+             CAST(c_custkey % 500 AS DOUBLE) - 200.0 AS lon
+      FROM customer),
+    g AS (
+      SELECT n_name AS place,
+             n_nationkey * 6.0 - 75.0 AS glat,
+             n_nationkey * 13.0 - 160.0 AS glon
+      FROM nation),
+    p AS (
+      SELECT c_custkey, lat, lon, place,
+             (lat - glat) * (lat - glat) + (lon - glon) * (lon - glon) AS d2
+      FROM f CROSS JOIN g),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d2, place) AS rn
+      FROM p)
+    SELECT c_custkey, lat, lon, place, d2 AS snap_d2 FROM r WHERE rn = 1
+    """,
+)
+def q_join_nearest_gridpoint(spark, sf_dir):
+    """Grid-point snap as a distributed operator: every fact coordinate
+    resolves to its nearest model grid node (WetIng.pdf p.1-2 — the
+    per-request snap in api/wrappers._resolve_location, vectorized).
+    Broadcast grid + map-side-combinable struct-min argmin; squared
+    degree distance is exact double arithmetic."""
+    from .operators.joins import nearest_gridpoint_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") / 60.0).alias("lat"),
+        ((F.col("c_custkey") % 500).cast("double") - 200.0).alias("lon"),
+    )
+    grid = load_table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("place"),
+        (F.col("n_nationkey") * 6.0 - 75.0).alias("latitude"),
+        (F.col("n_nationkey") * 13.0 - 160.0).alias("longitude"),
+    )
+    return nearest_gridpoint_join(cust, grid).select(
+        "c_custkey", "lat", "lon", "place", "snap_d2"
+    )
+
+
+@register(
+    "win_gap_islands",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 172800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM o)
+    SELECT user_id, island,
+           min(ts) AS island_start, max(ts) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM i GROUP BY user_id, island
+    """,
+)
+def q_win_gap_islands(spark, sf_dir):
+    """Gaps-and-islands coverage report per user (2-day gap threshold):
+    which stretches of the feed arrived contiguously and where the
+    outages are — integer-microsecond deltas, exact in any engine."""
+    from .operators.windows import gap_islands
+
+    ev = load_table(spark, sf_dir, "events")
+    return gap_islands(
+        ev, "user_id", "ts", "event_id", gap_micros=172_800_000_000
+    )
+
+
+@register(
     "win_cume_dist",
     """
     SELECT event_id, event_type,
