@@ -54,7 +54,7 @@ ORACLE_IDS = {
     "wx_sunrise_sunset", "join_geocode_fuzzy",
     "ext_shard_assign", "ext_sample_interleave", "ext_text_diversity",
     "win_cume_dist", "f_regexp_extract",
-    "join_nearest_gridpoint", "win_gap_islands",
+    "join_nearest_gridpoint", "win_gap_islands", "win_first_last",
 }
 
 ROWS_ONLY_IDS = {
@@ -64,7 +64,7 @@ ROWS_ONLY_IDS = {
     "wx_forecast_hourly", "wx_history_daily",
     "stream_stateful_latest", "ext_simsearch_ivf",
     "stream_dedup_watermark", "ext_embed_pca",
-    "ext_simsearch_pq",
+    "ext_simsearch_pq", "ext_pack_bestfit",
 }
 
 

@@ -42,6 +42,21 @@ def test_star_join_broadcasts_nation(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_nearest_gridpoint_partial_aggregates(spark, sf_dir):
+    """The argmin must be a hash aggregate with a map-side partial
+    (struct-min combines before the exchange) — not a per-fact window
+    sort of the exploded fact×grid rows."""
+    df = QS["join_nearest_gridpoint"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "Window" not in plan
+
+
+def test_interleave_broadcasts_source_dim(spark, sf_dir):
+    df = QS["ext_sample_interleave"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
 def test_geocode_fuzzy_broadcasts_and_hash_joins(spark, sf_dir):
     """The normalized-key variant must keep geocode_lookup's physical
     shape: broadcast HASH join on the computed key (an equi-join — NOT

@@ -149,6 +149,33 @@ def test_pack_sequences_bin_capacity_never_exceeded_by_nonstraddlers(spark):
             assert r.bin_offset + r.toks <= 256
 
 
+def test_pack_bestfit_budget_exactly_once_deterministic(spark):
+    from weather_data_ingestion_service_spark.ext.packing import pack_bestfit
+
+    rows = [(i, 10 + (i * 53) % 300) for i in range(250)]  # some > budget
+    df = spark.createDataFrame(rows, "id long, toks long")
+    out = pack_bestfit(df, "id", "toks", budget=256, n_shards=4).collect()
+    # every doc exactly once
+    assert sorted(r.id for r in out) == list(range(250))
+    # per-(shard, bin) totals: within budget unless a single oversized doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in out:
+        bins[(r.shard, r.bin_id)].append(r)
+    for members in bins.values():
+        total = sum(r.n_tokens for r in members)
+        if total > 256:
+            assert len(members) == 1 and members[0].oversized
+    # deterministic for any partitioning
+    again = pack_bestfit(
+        df.repartition(7), "id", "toks", budget=256, n_shards=4
+    ).collect()
+    assert sorted((r.id, r.shard, r.bin_id) for r in out) == sorted(
+        (r.id, r.shard, r.bin_id) for r in again
+    )
+
+
 def test_scd2_compress_collapses_runs_and_stamps_intervals(spark):
     from weather_data_ingestion_service_spark.operators.windows import (
         scd2_compress,

@@ -81,3 +81,69 @@ def pack_sequences(
         )
         .drop("_offset", "_end")
     )
+
+
+def pack_bestfit(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Best-fit-decreasing packing WITHOUT document straddling: each
+    document lands wholly in one bin (instruction-tuning / SFT packing,
+    where examples must not be split), bins filled by the classic BFD
+    heuristic — sort by length descending, place each doc in the
+    fullest bin that still fits, open a new bin otherwise.  A doc
+    longer than ``budget`` gets a bin of its own (the loader's
+    truncation problem, flagged by ``oversized``).
+
+    Bin packing is inherently sequential, so this is the honest
+    ``applyInPandas`` case (SURVEY.md §2.J udf_scalar_pattern): the
+    sequential loop runs per (shard) group over Arrow batches, never
+    over the whole corpus — shards are id-hash streams exactly like
+    ``pack_sequences``, so the packing is deterministic for any
+    partitioning and any cluster size, and each task packs a bounded
+    slice.  In-loop cost is O(docs × open-bins) per shard; raise
+    ``n_shards`` so a shard's documents fit one task.
+
+    Emits one row per document: ``(id, n_tokens, shard, bin_id,
+    oversized)`` with bins numbered densely per shard in creation
+    order.
+    """
+    import pandas as pd
+
+    shard = (
+        F.conv(F.substring(_id_hash(id_col), 1, 2), 16, 10).cast("long")
+        % n_shards
+    ).alias("shard")
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        shard,
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []
+        assign: list[int] = []
+        for tok in pdf["n_tokens"]:
+            best, best_rem = -1, None
+            for i, rem in enumerate(remaining):
+                if rem >= tok and (best_rem is None or rem < best_rem):
+                    best, best_rem = i, rem
+            if best < 0:
+                remaining.append(max(budget - int(tok), 0))
+                assign.append(len(remaining) - 1)
+            else:
+                remaining[best] -= int(tok)
+                assign.append(best)
+        pdf["bin_id"] = pd.Series(assign, dtype="int64")
+        pdf["oversized"] = pdf["n_tokens"] > budget
+        return pdf
+
+    return src.groupBy("shard").applyInPandas(
+        pack, "id long, n_tokens long, shard long, bin_id long, oversized boolean"
+    )

@@ -2405,6 +2405,63 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register("ext_pack_bestfit")  # sequential bin packing — rows-only
+def q_ext_pack_bestfit(spark, sf_dir):
+    """Best-fit-decreasing no-straddle packing (SFT-style: documents
+    never split across bins) over id-hash shard streams — the
+    sequential-loop complement to ext_pack_sequences' concat-and-chunk
+    (ext/packing.pack_bestfit); deterministic for any partitioning."""
+    from .ext.packing import pack_bestfit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.ceil(F.col("n_chars") / 4).cast("long").alias("tok")
+    )
+    return pack_bestfit(docs, "doc_id", "tok", budget=256)
+
+
+@register(
+    "win_first_last",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events)
+    SELECT user_id, day,
+           max(CASE WHEN rf = 1 THEN value END) AS first_val,
+           max(CASE WHEN rl = 1 THEN value END) AS last_val,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY user_id, day
+    """,
+)
+def q_win_first_last(spark, sf_dir):
+    """Opening/closing observation per (user, day) — the OHLC
+    first/last-in-window shape, deterministic via (ts, id) tiebreaks;
+    values pass through untouched, so the hash is exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    wf = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    t = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return t.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("first_val"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("last_val"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 @register(
     "join_nearest_gridpoint",
     """
