@@ -57,8 +57,14 @@ _DOCS_SRC_SQL = f"""
 
 def _docs_src(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    adv = spark.createDataFrame(
-        [(_ADV_DOC_ID, _ADV_DOC_TEXT)], "doc_id long, text string"
+    # single-partition JVM Range + literals, NOT createDataFrame: a
+    # Python local relation plans as Scan ExistingRDD (a Python-worker
+    # round trip per execution, measured ~4 s/run at sf0.1) and
+    # inherits default parallelism (32 near-empty partitions per union
+    # arm); this is one JVM task and zero Python
+    adv = spark.range(0, 1, 1, 1).select(
+        F.lit(_ADV_DOC_ID).cast("long").alias("doc_id"),
+        F.lit(_ADV_DOC_TEXT).alias("text"),
     )
     return docs.unionByName(adv)
 
