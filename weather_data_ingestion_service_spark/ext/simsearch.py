@@ -435,9 +435,15 @@ def embedding_near_dup_pairs_grid(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    grid = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
-        "ba int, bb int",
+    # JVM range, not createDataFrame: a Python local relation plans as
+    # Scan ExistingRDD — a Python-worker round trip on every execution
+    grid = (
+        spark.range(0, n_blocks * n_blocks, 1, 1)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("ba"),
+            (F.col("id") % n_blocks).cast("int").alias("bb"),
+        )
+        .filter(F.col("ba") <= F.col("bb"))
     )
     tagged = corpus.select(
         F.col(id_col).alias("vid"),
