@@ -2411,6 +2411,68 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register(
+    "agg_weighted_avg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS wsum_cents,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wtotal,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * sum(CAST(l_quantity AS BIGINT))) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted mean price per return flag: integer
+    cross-products (weight × cents) summed associatively, ONE final
+    division — the float-safe weighted average (a naive
+    sum(w*x)/sum(w) over doubles is partial-agg-order dependent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    wsum = F.sum(w * _cents("l_extendedprice")).cast("long")
+    wtot = F.sum(w).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        wsum.alias("wsum_cents"),
+        wtot.alias("wtotal"),
+        (wsum.cast("double") / (100.0 * wtot)).alias("weighted_avg_price"),
+    )
+
+
+@register(
+    "ext_dedup_normtext",
+    f"""
+    WITH {_DOCS_SRC_SQL},
+    n AS (
+      SELECT doc_id,
+             array_to_string(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> ''), ' ') AS norm_text
+      FROM docs_src)
+    SELECT norm_text, CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM n GROUP BY norm_text
+    """,
+)
+def q_ext_dedup_normtext(spark, sf_dir):
+    """Normalization-aware exact dedup (C4-style): casefold + collapse
+    whitespace BEFORE content hashing, so reformatted copies of the
+    same text dedup together — catches what byte-exact dedup misses at
+    zero extra shuffle cost (the normalization is a narrow
+    projection)."""
+    from .ext.dedup import dedup_exact
+
+    docs = _docs_src(spark, sf_dir)
+    norm = F.concat_ws(
+        " ", F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    return dedup_exact(
+        docs.select("doc_id", norm.alias("norm_text")), ["norm_text"], "doc_id"
+    )
+
+
 @register("ext_pack_bestfit")  # sequential bin packing — rows-only
 def q_ext_pack_bestfit(spark, sf_dir):
     """Best-fit-decreasing no-straddle packing (SFT-style: documents
