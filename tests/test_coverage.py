@@ -55,7 +55,7 @@ ORACLE_IDS = {
     "ext_shard_assign", "ext_sample_interleave", "ext_text_diversity",
     "win_cume_dist", "f_regexp_extract",
     "join_nearest_gridpoint", "win_gap_islands", "win_first_last",
-    "agg_weighted_avg", "ext_dedup_normtext",
+    "agg_weighted_avg", "ext_dedup_normtext", "ext_data_manifest",
 }
 
 ROWS_ONLY_IDS = {

@@ -2412,6 +2412,38 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "ext_data_manifest",
+    """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(ceil(n_chars / 4) AS BIGINT)) AS BIGINT) AS est_tokens,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def q_ext_data_manifest(spark, sf_dir):
+    """Corpus manifest / data card: doc, char, estimated-token and
+    unique-content counts at every (source × lang) rollup level in one
+    grouping-sets pass — the accounting table a training-mixture
+    config is cut from."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("wds_docs_manifest")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(CAST(ceil(n_chars / 4) AS BIGINT)) AS est_tokens,
+               count(DISTINCT md5(text)) AS n_unique
+        FROM wds_docs_manifest
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """
+    )
+
+
+@register(
     "agg_weighted_avg",
     """
     SELECT l_returnflag,
