@@ -42,6 +42,16 @@ def test_star_join_broadcasts_nation(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_weighted_avg_single_shuffle(spark, sf_dir):
+    df = QS["agg_weighted_avg"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_normtext_dedup_single_shuffle(spark, sf_dir):
+    df = QS["ext_dedup_normtext"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
 def test_nearest_gridpoint_partial_aggregates(spark, sf_dir):
     """The argmin must be a hash aggregate with a map-side partial
     (struct-min combines before the exchange) — not a per-fact window
