@@ -528,3 +528,40 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-LINE detection — the line-level dedup
+    signal of C4/RefinedWeb-style cleaning: lines recurring across
+    many documents (navigation chrome, cookie banners, copyright
+    footers) are boilerplate to strip, while within-document repeats
+    alone are not.
+
+    Explode lines → one hash-agg keyed by line text with two counts
+    (distinct docs via a two-level agg, total occurrences); lines are
+    near-unique outside true boilerplate so the groups stay tiny, and
+    both aggregations combine map-side.  Emits ``(line, n_docs,
+    n_total)`` for lines seen in ≥ ``min_docs`` documents.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select("__doc", F.trim(F.col("raw")).alias("line")).filter(
+        F.col("line") != ""
+    )
+    per_doc = lines.groupBy("line", "__doc").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

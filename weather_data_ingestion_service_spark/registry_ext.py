@@ -2412,6 +2412,55 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "ext_dedup_lines",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || 'subscribe to our newsletter'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || '(c) example.com all rights reserved'
+                     ELSE '' END AS text
+      FROM documents),
+    l AS (
+      SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS line
+      FROM seeded),
+    pd AS (
+      SELECT line, doc_id, count(*) AS n
+      FROM l WHERE line <> '' GROUP BY line, doc_id)
+    SELECT line, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_total
+    FROM pd GROUP BY line HAVING count(*) >= 2
+    """,
+)
+def q_ext_dedup_lines(spark, sf_dir):
+    """Line-level boilerplate detection (C4/RefinedWeb repeated-line
+    removal): lines recurring across ≥2 documents — exercised by
+    seeding shared newsletter/copyright footer lines into the fixture
+    docs on both engines."""
+    from .ext.dedup import boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n(c) example.com all rights reserved"),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return boilerplate_lines(seeded, "doc_id", "text", min_docs=2)
+
+
+@register(
     "ext_data_manifest",
     """
     SELECT source, lang,
