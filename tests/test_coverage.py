@@ -66,7 +66,7 @@ ROWS_ONLY_IDS = {
     "wx_forecast_hourly", "wx_history_daily",
     "stream_stateful_latest", "ext_simsearch_ivf",
     "stream_dedup_watermark", "ext_embed_pca",
-    "ext_simsearch_pq", "ext_pack_bestfit",
+    "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
 }
 
 

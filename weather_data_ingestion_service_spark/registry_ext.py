@@ -2411,6 +2411,31 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register("ext_multimodal_tar")  # executor-side tar I/O — rows-only
+def q_ext_multimodal_tar(spark, sf_dir):
+    """WebDataset tar-shard round trip: documents hash-route to tar
+    shards written executor-side (stdlib tarfile — real plumbing, not
+    a stub), then scan back through format('webdataset') with one
+    partition per shard (sources/webdataset.py)."""
+    import os
+    import shutil
+
+    from .sources.webdataset import register_webdataset_source, write_webdataset
+
+    register_webdataset_source(spark)
+    out_dir = f"/tmp/wds_webdataset_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("txt").alias("member"), F.col("text").cast("binary").alias("payload")
+    )
+    write_webdataset(docs, "doc_id", "member", "payload", out_dir, n_shards=4)
+    return (
+        spark.read.format("webdataset")
+        .load(out_dir)
+        .select("shard", "key", "member", "n_bytes")
+    )
+
+
 @register(
     "ext_dedup_lines",
     """
