@@ -42,6 +42,39 @@ def test_star_join_broadcasts_nation(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+#: shuffle budget per headline query — a regression that ADDS an
+#: exchange to one of these is a scale regression even when results
+#: stay correct (every exchange is corpus-sized I/O at 100 TB).
+#: Budgets are the current plan's count; lower is always fine.
+EXCHANGE_BUDGET = {
+    "wx_daily_summary": 3,       # daily families + mode join
+    "agg_multi": 1,
+    "bench_q3": 1,
+    "bench_q6": 1,
+    "join_equi_inner": 1,
+    "join_asof_nearest": 2,      # union repartition + window
+    "bucket_hourly": 1,
+    "win_rank": 1,
+    "set_union_history_forecast": 1,
+    "sort_topk": 0,              # TakeOrderedAndProject
+    "agg_rollup": 1,
+    "ext_dedup_exact": 1,
+    "ext_simsearch_topk": 1,     # broadcast queries, top-k window
+    "ext_text_analysis": 1,
+    "ext_dedup_normtext": 1,
+    "agg_weighted_avg": 1,
+}
+
+
+def test_headline_queries_stay_within_shuffle_budget(spark, sf_dir):
+    over = {}
+    for name, budget in EXCHANGE_BUDGET.items():
+        n = count_exchanges(QS[name](spark, sf_dir))
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded (got, budget): {over}"
+
+
 def test_weighted_avg_single_shuffle(spark, sf_dir):
     df = QS["agg_weighted_avg"](spark, sf_dir)
     assert count_exchanges(df) == 1
