@@ -2411,6 +2411,60 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register(
+    "win_resample_ffill",
+    """
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT k.user_id, g.ts
+      FROM keys k CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-30',
+                                      INTERVAL 1 DAY)) AS ts) g),
+    obs AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events GROUP BY user_id, ts)
+    SELECT g.user_id, g.ts, o.value AS ffill_value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.ts >= o.ts
+    """,
+)
+def q_win_resample_ffill(spark, sf_dir):
+    """Regular-grid resample with forward fill: project each user's
+    irregular event stream onto a daily grid, carrying the last
+    observation forward (the reference's hourly→15-min resample
+    semantic generalized, server.py:213-217) — expressed as
+    grid × backward as-of join, so it reuses the single-shuffle as-of
+    plan; DuckDB ASOF JOIN is the oracle."""
+    from .operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 00:00:00").cast("timestamp"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    out = asof_join(
+        grid, obs, on=["user_id"], left_ts="grid_ts", right_ts="ts",
+        payload_cols=["value"],
+    )
+    return out.select(
+        "user_id",
+        F.col("grid_ts").alias("ts"),
+        F.col("value").alias("ffill_value"),
+    )
+
+
 @register("ext_multimodal_tar")  # executor-side tar I/O — rows-only
 def q_ext_multimodal_tar(spark, sf_dir):
     """WebDataset tar-shard round trip: documents hash-route to tar
