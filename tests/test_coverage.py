@@ -56,7 +56,7 @@ ORACLE_IDS = {
     "win_cume_dist", "f_regexp_extract",
     "join_nearest_gridpoint", "win_gap_islands", "win_first_last",
     "agg_weighted_avg", "ext_dedup_normtext", "ext_data_manifest",
-    "ext_dedup_lines", "win_resample_ffill",
+    "ext_dedup_lines", "win_resample_ffill", "ext_simsearch_rrf",
 }
 
 ROWS_ONLY_IDS = {

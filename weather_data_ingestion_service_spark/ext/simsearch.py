@@ -596,6 +596,51 @@ def label_centroid_components(
     return q.select("label", F.col("pos").cast("int").alias("pos"), value)
 
 
+def rrf_fuse(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 3,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval runs — the standard
+    hybrid-search combiner (Cormack et al.): ``score(d) = Σ_runs
+    1/(c + rank_run(d))`` over the runs that retrieved ``d``, then
+    re-rank.  Inputs are ``(query_id, match_id, rank)`` runs; ranks
+    are integers, so the fused score is the same IEEE double in any
+    engine — RRF is the rare ranking combiner that is exactly
+    cross-engine reproducible (score-fusion of floats is not).
+
+    One full-outer join on (query, doc) + a per-query top-k window
+    over candidate rows only (|queries|·R per run) — nothing
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    fa = run_a.select(
+        "query_id", "match_id",
+        (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("__sa"),
+    )
+    fb = run_b.select(
+        "query_id", "match_id",
+        (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("__sb"),
+    )
+    fused = fa.join(fb, ["query_id", "match_id"], "full").select(
+        "query_id",
+        "match_id",
+        (
+            F.coalesce(F.col("__sa"), F.lit(0.0))
+            + F.coalesce(F.col("__sb"), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("match_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "rrf", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2411,6 +2411,82 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+_RRF_RANKING_SQL = """
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    ra AS (
+      SELECT query_id, vec_id AS match_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {cos_raw} DESC, vec_id) AS rank
+      FROM q CROSS JOIN embeddings WHERE vec_id <> query_id
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qv
+      FROM (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)
+    ),
+    qq AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5),
+    rb AS (
+      SELECT query_id, vec_id AS match_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {cos_q} DESC, vec_id) AS rank
+      FROM qq CROSS JOIN qz WHERE vec_id <> query_id
+    )
+"""
+
+
+@register(
+    "ext_simsearch_rrf",
+    "WITH "
+    + _RRF_RANKING_SQL.format(
+        cos_raw=_COSINE_SQL.format(a="qe", b="embedding"),
+        cos_q=_COSINE_SQL.format(a="qqv", b="qv"),
+    )
+    + """
+    , fa AS (SELECT query_id, match_id, 1.0 / (60.0 + rank) AS sa
+             FROM ra WHERE rank <= 10),
+    fb AS (SELECT query_id, match_id, 1.0 / (60.0 + rank) AS sb
+           FROM rb WHERE rank <= 10),
+    fused AS (
+      SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+             coalesce(fa.match_id, fb.match_id) AS match_id,
+             coalesce(sa, 0.0) + coalesce(sb, 0.0) AS rrf
+      FROM fa FULL OUTER JOIN fb
+        ON fa.query_id = fb.query_id AND fa.match_id = fb.match_id)
+    SELECT query_id, match_id, rrf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, match_id) AS INT) AS rank
+      FROM fused)
+    WHERE rank <= 3
+    """,
+)
+def q_ext_simsearch_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: the exact cosine
+    ranking fused with the int8-quantized cosine ranking (coarse/fine
+    hybrid) — RRF works on integer ranks, so the fused score is
+    bit-identical cross-engine where raw score fusion would not be."""
+    from .ext.simsearch import cosine_topk, quantize_embeddings, rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    run_a = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
+        "query_id", "match_id", "rank"
+    )
+    qz = quantize_embeddings(emb, "vec_id", "embedding", bits=8).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    run_b = cosine_topk(
+        qz, qz.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    ).select("query_id", "match_id", "rank")
+    return rrf_fuse(run_a, run_b, k=3).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
 @register(
     "win_resample_ffill",
     """
