@@ -2411,6 +2411,30 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register(
+    "agg_bitmap_distinct",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via roaring-style bitmaps (Spark 3.5+
+    bitmap functions): per (group, 32k-bucket) partial bitmaps OR-merge
+    map-side, then bucket counts sum — the scale path for exact
+    count-distinct, whose naive form must shuffle every distinct value.
+    The oracle is plain COUNT(DISTINCT): same answer, different
+    physics."""
+    ev = load_table(spark, sf_dir, "events")
+    inner = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("__b")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("__bm"))
+    return (
+        inner.groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("nd"))
+    )
+
+
 _RRF_RANKING_SQL = """
     q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
     ra AS (
