@@ -57,7 +57,7 @@ ORACLE_IDS = {
     "join_nearest_gridpoint", "win_gap_islands", "win_first_last",
     "agg_weighted_avg", "ext_dedup_normtext", "ext_data_manifest",
     "ext_dedup_lines", "win_resample_ffill", "ext_simsearch_rrf",
-    "agg_bitmap_distinct",
+    "agg_bitmap_distinct", "join_salted_skew", "f_geo_tile",
 }
 
 ROWS_ONLY_IDS = {

@@ -1465,7 +1465,8 @@ _ROUND3_NEW_IDS = frozenset(
         "f_regexp_extract", "win_first_last", "agg_weighted_avg",
         "ext_dedup_normtext", "ext_data_manifest", "ext_dedup_lines",
         "ext_multimodal_tar", "win_resample_ffill", "ext_simsearch_rrf",
-        "agg_bitmap_distinct", "ext_pack_bestfit",
+        "agg_bitmap_distinct", "ext_pack_bestfit", "join_salted_skew",
+        "f_geo_tile",
     }
 )
 

@@ -2412,6 +2412,77 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "join_salted_skew",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS type_len
+      FROM events)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d.type_len) AS BIGINT) AS len_sum
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted_skew(spark, sf_dir):
+    """Hot-key mitigation made driver-visible: the events fact side
+    (few, heavily repeated event_type keys — exactly the celebrity-key
+    shape) joins its dimension through an 8-way salted join, and the
+    ORACLE is the plain unsalted join — proving salting is
+    row-identical for inner joins while the hot key's rows spread over
+    ``salt`` reducers (operators/skew.salted_join)."""
+    from .operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    dim = (
+        ev.distinct()
+        .select(
+            "event_type",
+            F.length("event_type").cast("long").alias("type_len"),
+        )
+    )
+    joined = salted_join(ev, dim, on="event_type", salt=8, how="inner")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("type_len").cast("long").alias("len_sum"),
+    )
+
+
+@register(
+    "f_geo_tile",
+    """
+    SELECT c_custkey,
+           CAST(floor((CAST(c_custkey % 500 AS DOUBLE) - 200.0 + 180.0)
+                / 360.0 * 256.0) AS BIGINT) AS tile_x,
+           CAST(floor((90.0 - c_acctbal / 60.0) / 180.0 * 256.0) AS BIGINT) AS tile_y
+    FROM customer
+    WHERE c_acctbal / 60.0 BETWEEN -90 AND 90
+      AND CAST(c_custkey % 500 AS DOUBLE) - 200.0 BETWEEN -180 AND 180
+    """,
+)
+def q_f_geo_tile(spark, sf_dir):
+    """Equirectangular tile binning at zoom 8 (2^8 × 2^8 grid): the
+    spatial join key for co-locating observations with forecast grid
+    cells — pure exact double arithmetic + floor, no trig."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") / 60.0).alias("lat"),
+        ((F.col("c_custkey") % 500).cast("double") - 200.0).alias("lon"),
+    )
+    z = 256.0  # 2^8 tiles per axis
+    return (
+        cust.filter(
+            F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180)
+        )
+        .select(
+            "c_custkey",
+            F.floor((F.col("lon") + 180.0) / 360.0 * z).cast("long").alias("tile_x"),
+            F.floor((90.0 - F.col("lat")) / 180.0 * z).cast("long").alias("tile_y"),
+        )
+    )
+
+
+@register(
     "agg_bitmap_distinct",
     """
     SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd
