@@ -68,6 +68,7 @@ ROWS_ONLY_IDS = {
     "stream_stateful_latest", "ext_simsearch_ivf",
     "stream_dedup_watermark", "ext_embed_pca",
     "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
+    "agg_approx_quantile",
 }
 
 

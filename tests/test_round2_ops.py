@@ -264,3 +264,29 @@ def test_pca_project_matches_numpy_and_is_orthonormal(spark, sf_dir):
     # projected variance is descending
     var = P.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3))
+
+
+def test_approx_quantile_within_rank_error_of_exact(spark, sf_dir):
+    """GK sketch rank error is bounded by 1/accuracy; at accuracy=1000
+    on the fixture the approximate p50/p90 must sit within a small
+    rank window of the exact order statistic."""
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_service_spark import registry
+    from weather_data_ingestion_service_spark.io import load_table
+
+    approx = {
+        r.event_type: r
+        for r in registry.queries()["agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    for etype, row in approx.items():
+        vals = sorted(
+            x.value for x in ev.filter(F.col("event_type") == etype).collect()
+        )
+        n = len(vals)
+        for p, got in ((0.5, row.p50_approx), (0.9, row.p90_approx)):
+            # value must lie within +-1% of n around the exact rank
+            lo = vals[max(0, int(n * (p - 0.01)) - 1)]
+            hi = vals[min(n - 1, int(n * (p + 0.01)))]
+            assert lo <= got <= hi, (etype, p, got, lo, hi)

@@ -2411,6 +2411,23 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register("agg_approx_quantile")  # GK sketch — approximate, rows-only
+def q_agg_approx_quantile(spark, sf_dir):
+    """Sketch-based quantiles per group (Greenwald–Khanna via
+    percentile_approx): the mergeable, bounded-memory quantile path
+    for 100 TB where exact percentiles would shuffle every value —
+    the quantile twin of the HLL distinct path (rank error bounded by
+    the accuracy knob; unit test pins it against the exact
+    percentile)."""
+    ev = load_table(spark, sf_dir, "events")
+    pa = F.percentile_approx("value", [0.5, 0.9], 1000)
+    return ev.groupBy("event_type").agg(
+        F.element_at(pa, 1).alias("p50_approx"),
+        F.element_at(pa, 2).alias("p90_approx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 @register(
     "join_salted_skew",
     """
