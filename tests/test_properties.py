@@ -456,3 +456,56 @@ class TestCosineTopkBroadcastGuard:
         emb = load_table(spark, sf_dir, "embeddings")
         out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
         assert out.count() == 6
+
+
+class TestNormalizeKeyProperties:
+    @given(
+        names=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs")
+                ),
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_normalize_place_key_idempotent_and_variant_stable(self, spark, names):
+        """norm(norm(x)) == norm(x), and case/extra-space variants of a
+        name normalize identically — the property the fuzzy geocode
+        join depends on."""
+        from weather_data_ingestion_service_spark.operators.joins import (
+            normalize_place_key,
+        )
+
+        rows = [(n,) for n in names]
+        df = spark.createDataFrame(rows, "name string")
+        out = df.select(
+            normalize_place_key("name").alias("n1"),
+            normalize_place_key(normalize_place_key("name")).alias("n2"),
+            normalize_place_key(F.upper(F.col("name"))).alias("nu"),
+            normalize_place_key(F.concat(F.lit("  "), F.col("name"), F.lit("  "))).alias("np"),
+        ).collect()
+        for r in out:
+            assert r.n1 == r.n2 == r.nu == r.np
+
+
+class TestRrfProperties:
+    def test_rrf_agreement_ranks_first(self, spark):
+        """A doc ranked #1 by BOTH runs must outrank any doc retrieved
+        by only one run — the fusion property RRF exists for."""
+        from weather_data_ingestion_service_spark.ext.simsearch import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, match_id long, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, 10, 1), (1, 13, 2), (1, 14, 3)],
+            "query_id long, match_id long, rank int",
+        )
+        out = rrf_fuse(a, b, k=5).collect()
+        best = min(out, key=lambda r: r.rank)
+        assert best.match_id == 10
