@@ -160,12 +160,27 @@ def contamination_pairs(
     per pair.  Long n-grams are near-unique, so bucket sizes stay tiny
     and the join never degenerates to all-pairs; both aggregations are
     map-side combinable.
+
+    The join key is the COMPOSED 64-bit gram hash (each token
+    xxhash64'd once, gram hash over the token hashes — same scheme as
+    ``dedup.hashed_shingles``), not the joined n-gram string: at n=8
+    the string key averages ~50 bytes, so hashing cuts the exploded
+    shuffle ~6× and the join comparator runs on primitive longs.
+    Counts can only diverge from the textual join on a 64-bit
+    collision (~n²/2⁶⁴ — negligible and deterministic).
     """
 
     def grams(d: DataFrame, out_id: str) -> DataFrame:
         t = tokens(text_col)
-        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-        g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+        th = F.transform(t, lambda tok: F.xxhash64(tok))
+        d = d.withColumn("_th", th)
+        idx = F.sequence(F.lit(1), F.greatest(F.size("_th") - (n - 1), F.lit(1)))
+        g = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.try_element_at(F.col("_th"), i + k) for k in range(n)]
+            ),
+        )
         return d.select(
             F.col(id_col).alias(out_id),
             F.explode(F.array_distinct(g)).alias("gram"),
