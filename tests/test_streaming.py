@@ -229,6 +229,63 @@ def test_foreachbatch_merge_upsert_sink(spark, staged_dir, sf_dir):
     shutil.rmtree(target, ignore_errors=True)
 
 
+def test_merge_upsert_sink_restart_continues_merging(spark, staged_dir, sf_dir):
+    """Restart durability: a SECOND run against an existing target
+    (the job restarting after a stop) must MERGE into prior state, not
+    replace it — late keys keep their newer values, keys only in the
+    old target survive."""
+    import shutil as sh
+
+    from pyspark.sql import Window
+    from weather_data_ingestion_service_spark.io import load_table
+    from weather_data_ingestion_service_spark.streaming.stateful import (
+        merge_upsert_sink,
+    )
+
+    target = TMP + "/merge_restart_target"
+    sh.rmtree(target, ignore_errors=True)
+    schema = "event_id long, ts timestamp, value double"
+
+    def run(glob_pat):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged_dir + glob_pat)
+            .withColumn("key", F.col("event_id") % 50)
+        )
+        q = merge_upsert_sink(src, target, ["key"], "ts")
+        q.awaitTermination()
+        q.stop()
+
+    # first run sees only the on-time files; the "restarted" run sees
+    # only the late file (days 1-9) — its rows are OLDER per key, so
+    # the merged target must still show the first run's newer values
+    run("/f0")
+    first = {r.key: r.ts for r in spark.read.parquet(target).collect()}
+    run("/f2")
+    merged = {r.key: r.ts for r in spark.read.parquet(target).collect()}
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "key", F.col("event_id") % 50
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id"))
+    want = {
+        r.key: r.ts
+        for r in ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            | (F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert merged == want
+    # every key from the first run survived with its newer value
+    for k, ts in first.items():
+        assert merged[k] >= ts
+    sh.rmtree(target, ignore_errors=True)
+
+
 def test_merge_upsert_sink_existing_target_read_failure_propagates(
     spark, staged_dir
 ):
