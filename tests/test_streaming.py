@@ -229,6 +229,53 @@ def test_foreachbatch_merge_upsert_sink(spark, staged_dir, sf_dir):
     shutil.rmtree(target, ignore_errors=True)
 
 
+def test_checkpoint_resume_processes_only_new_files(spark, staged_dir):
+    """Exactly-once source bookkeeping: resuming a query from its
+    checkpointLocation after new files arrived processes ONLY the new
+    files — no reprocessing, no loss."""
+    import glob as g
+    import shutil as sh
+
+    live = TMP + "/ckpt_live"
+    ckpt = TMP + "/ckpt_state"
+    sink = TMP + "/ckpt_sink"
+    for d in (live, ckpt, sink):
+        sh.rmtree(d, ignore_errors=True)
+    os.makedirs(live)
+    schema = "event_id long, ts timestamp, value double"
+
+    def arrive(sub):
+        for f in g.glob(os.path.join(staged_dir, sub, "*.parquet")):
+            sh.copy(f, os.path.join(live, f"{sub}_{os.path.basename(f)}"))
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(live)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    n0 = spark.read.parquet(staged_dir + "/f0").count()
+    n2 = spark.read.parquet(staged_dir + "/f2").count()
+    arrive("f0")
+    drain()
+    assert spark.read.parquet(sink).count() == n0
+    arrive("f2")
+    drain()  # resume from the same checkpoint
+    got = spark.read.parquet(sink)
+    assert got.count() == n0 + n2  # new file only — nothing replayed
+    assert got.select("event_id").distinct().count() == n0 + n2
+    for d in (live, ckpt, sink):
+        sh.rmtree(d, ignore_errors=True)
+
+
 def test_merge_upsert_sink_restart_continues_merging(spark, staged_dir, sf_dir):
     """Restart durability: a SECOND run against an existing target
     (the job restarting after a stop) must MERGE into prior state, not
