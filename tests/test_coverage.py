@@ -58,6 +58,7 @@ ORACLE_IDS = {
     "agg_weighted_avg", "ext_dedup_normtext", "ext_data_manifest",
     "ext_dedup_lines", "win_resample_ffill", "ext_simsearch_rrf",
     "agg_bitmap_distinct", "join_salted_skew", "f_geo_tile",
+    "set_except_all", "set_intersect_all",
 }
 
 ROWS_ONLY_IDS = {

@@ -2411,6 +2411,49 @@ def q_ext_text_diversity(spark, sf_dir):
     return token_diversity(docs, "doc_id", "text")
 
 
+@register(
+    "set_except_all",
+    """
+    SELECT l_orderkey AS okey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    """Multiset difference (EXCEPT ALL): bag semantics preserve
+    multiplicity — each orderkey keeps (line-count − 1) copies after
+    removing the single orders-side occurrence, which set EXCEPT would
+    collapse to nothing."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return li.exceptAll(o)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_orderkey AS okey FROM lineitem
+    INTERSECT ALL
+    SELECT o_orderkey FROM orders
+    """,
+)
+def q_set_intersect_all(spark, sf_dir):
+    """Multiset intersection (INTERSECT ALL): min-multiplicity bag
+    semantics — one copy per orderkey here (orders side is unique),
+    distinct from plain INTERSECT only in its general contract."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    return li.intersectAll(o)
+
+
 @register("agg_approx_quantile")  # GK sketch — approximate, rows-only
 def q_agg_approx_quantile(spark, sf_dir):
     """Sketch-based quantiles per group (Greenwald–Khanna via
