@@ -63,6 +63,19 @@ EXCHANGE_BUDGET = {
     "ext_text_analysis": 1,
     "ext_dedup_normtext": 1,
     "agg_weighted_avg": 1,
+    "f_geo_tile": 0,             # narrow projection
+    "ext_shard_assign": 1,
+    "win_gap_islands": 1,
+    "join_nearest_gridpoint": 1,  # broadcast grid + argmin agg
+    "ext_dedup_lines": 2,         # line×doc agg, then line agg
+    "ext_text_diversity": 2,      # doc×term agg, then doc agg
+    "agg_bitmap_distinct": 2,     # bucket bitmaps, then group sum
+    "set_except_all": 1,
+    "win_first_last": 2,
+    "join_salted_skew": 2,        # salted join + final agg
+    # 4 of interleave's 5 exchanges sit on the domains-only dim branch
+    # (distinct, rank window, count); the corpus shuffles ONCE
+    "ext_sample_interleave": 5,
 }
 
 
