@@ -596,6 +596,74 @@ def label_centroid_components(
     return q.select("label", F.col("pos").cast("int").alias("pos"), value)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip: int = 10,
+    take: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: per
+    query, the documents ranked just BELOW the top-``skip`` — similar
+    enough to be informative negatives, far enough to (heuristically)
+    not be unlabeled positives.  The standard contrastive-training
+    sampler (DPR/ANCE-style), expressed as a rank-band slice of the
+    exact ranking; swap ``cosine_topk`` for ``lsh_topk``/``pq_topk``
+    at corpus scale — the band logic is identical."""
+    ranked = cosine_topk(
+        corpus, queries, id_col, vec_col, k=skip + take
+    )
+    return (
+        ranked.filter(F.col("rank") > skip)
+        .select(
+            "query_id",
+            F.col("match_id").alias("negative_id"),
+            "cosine",
+            (F.col("rank") - skip).alias("neg_rank"),
+        )
+    )
+
+
+def recall_at_k(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Distributed recall@k: per query, the fraction of the exact
+    top-k (``truth``) recovered by an approximate run (``approx``) —
+    the QA metric every ANN deployment tracks, as an engine operator
+    rather than a driver-side script.  Inputs are ``(query_id,
+    match_id, rank)`` runs; one left-semi-ish join + count per query,
+    exact integer division published as micro-units.  Scale: both runs
+    are Q·k rows — nothing corpus-sized."""
+    t = truth.filter(F.col("rank") <= k).select("query_id", "match_id")
+    a = approx.filter(F.col("rank") <= k).select(
+        "query_id", F.col("match_id").alias("amatch")
+    )
+    hits = (
+        t.join(
+            a,
+            (t["query_id"] == a["query_id"]) & (t["match_id"] == a["amatch"]),
+            "left",
+        )
+        .select(t["query_id"], F.col("amatch").isNotNull().alias("hit"))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("hit").cast("long")).alias("n_hit"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.floor(F.col("n_hit") * 1000000 / F.col("n_truth"))
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
 def rrf_fuse(
     run_a: DataFrame,
     run_b: DataFrame,

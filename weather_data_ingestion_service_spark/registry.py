@@ -1467,7 +1467,7 @@ _ROUND3_NEW_IDS = frozenset(
         "ext_multimodal_tar", "win_resample_ffill", "ext_simsearch_rrf",
         "agg_bitmap_distinct", "ext_pack_bestfit", "join_salted_skew",
         "f_geo_tile", "agg_approx_quantile", "set_except_all",
-        "set_intersect_all",
+        "set_intersect_all", "ext_sample_negatives", "ext_eval_recall",
     }
 )
 

@@ -160,6 +160,36 @@ _COSINE_SQL = """
        * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
 
+#: shared ranking CTEs for the retrieval entries (RRF fusion, hard
+#: negatives, recall@k): ``ra`` = exact-cosine ranking, ``rb`` =
+#: int8-quantized-cosine ranking, for query vectors vec_id < 5.
+_RRF_RANKING_SQL = """
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    ra AS (
+      SELECT query_id, vec_id AS match_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {cos_raw} DESC, vec_id) AS rank
+      FROM q CROSS JOIN embeddings WHERE vec_id <> query_id
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qv
+      FROM (SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings)
+    ),
+    qq AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5),
+    rb AS (
+      SELECT query_id, vec_id AS match_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {cos_q} DESC, vec_id) AS rank
+      FROM qq CROSS JOIN qz WHERE vec_id <> query_id
+    )
+"""
+
 # =====================================================================
 # Deduplication (ext_dedup_*)
 # =====================================================================
@@ -2412,6 +2442,79 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "ext_sample_negatives",
+    "WITH "
+    + _RRF_RANKING_SQL.format(
+        cos_raw=_COSINE_SQL.format(a="qe", b="embedding"),
+        cos_q=_COSINE_SQL.format(a="qqv", b="qv"),
+    )
+    + f"""
+    , full_rank AS (
+      SELECT query_id, vec_id AS match_id,
+             {_COSINE_SQL.format(a="qe", b="embedding")} AS cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY {_COSINE_SQL.format(a="qe", b="embedding")} DESC, vec_id)
+               AS rnk
+      FROM q CROSS JOIN embeddings WHERE vec_id <> query_id)
+    SELECT query_id, match_id AS negative_id, cosine,
+           CAST(rnk - 10 AS INT) AS neg_rank
+    FROM full_rank WHERE rnk > 10 AND rnk <= 15
+    """,
+)
+def q_ext_sample_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR/ANCE-style): per query the documents
+    ranked 11-15 by exact cosine — similar enough to teach the
+    contrastive margin, below the top-10 presumed-positive band."""
+    from .ext.simsearch import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        skip=10, take=5,
+    )
+    return out.withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
+@register(
+    "ext_eval_recall",
+    "WITH "
+    + _RRF_RANKING_SQL.format(
+        cos_raw=_COSINE_SQL.format(a="qe", b="embedding"),
+        cos_q=_COSINE_SQL.format(a="qqv", b="qv"),
+    )
+    + """
+    , t AS (SELECT query_id, match_id FROM ra WHERE rank <= 5),
+    a AS (SELECT query_id, match_id FROM rb WHERE rank <= 5),
+    h AS (
+      SELECT t.query_id,
+             CAST(sum(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             CAST(count(*) AS BIGINT) AS n_truth
+      FROM t LEFT JOIN a
+        ON t.query_id = a.query_id AND t.match_id = a.match_id
+      GROUP BY t.query_id)
+    SELECT query_id, n_hit, n_truth,
+           CAST(floor(n_hit * 1000000 / n_truth) AS BIGINT) AS recall_micro
+    FROM h
+    """,
+)
+def q_ext_eval_recall(spark, sf_dir):
+    """ANN quality assurance as an engine operator: recall@5 of the
+    int8-quantized ranking against the exact ranking, per query —
+    integer hit counts, floored-micro recall, cross-engine exact."""
+    from .ext.simsearch import cosine_topk, quantize_embeddings, recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    qz = quantize_embeddings(emb, "vec_id", "embedding", bits=8).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    approx = cosine_topk(qz, qz.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5)
+    return recall_at_k(truth, approx, k=5)
+
+
+@register(
     "set_except_all",
     """
     SELECT l_orderkey AS okey FROM lineitem
@@ -2564,34 +2667,6 @@ def q_agg_bitmap_distinct(spark, sf_dir):
         inner.groupBy("event_type")
         .agg(F.sum(F.expr("bitmap_count(__bm)")).cast("long").alias("nd"))
     )
-
-
-_RRF_RANKING_SQL = """
-    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    ra AS (
-      SELECT query_id, vec_id AS match_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY {cos_raw} DESC, vec_id) AS rank
-      FROM q CROSS JOIN embeddings WHERE vec_id <> query_id
-    ),
-    qz AS (
-      SELECT vec_id,
-             CASE WHEN mx > 0
-                  THEN list_transform(embedding,
-                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5) AS INT))
-                  ELSE list_transform(embedding, x -> 0) END AS qv
-      FROM (SELECT vec_id, embedding,
-              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
-            FROM embeddings)
-    ),
-    qq AS (SELECT vec_id AS query_id, qv AS qqv FROM qz WHERE vec_id < 5),
-    rb AS (
-      SELECT query_id, vec_id AS match_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY {cos_q} DESC, vec_id) AS rank
-      FROM qq CROSS JOIN qz WHERE vec_id <> query_id
-    )
-"""
 
 
 @register(
