@@ -308,3 +308,20 @@ class TestWebDataset:
                 h.update(open(t, "rb").read())
             sums.append(h.hexdigest())
         assert sums[0] == sums[1]
+
+
+def test_scan_merges_evolving_schema(spark, tmp_path):
+    """Landing zones drift: a newer file adds a column. mergeSchema
+    unifies the scan — old files surface NULL for the new column,
+    nothing is dropped."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10.0)], "id long, temp double").write.parquet(
+        d + "/day=1"
+    )
+    spark.createDataFrame(
+        [(2, 11.0, 55.0)], "id long, temp double, humidity double"
+    ).write.parquet(d + "/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert {"id", "temp", "humidity", "day"} <= set(df.columns)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].humidity is None and rows[2].humidity == 55.0
