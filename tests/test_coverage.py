@@ -59,7 +59,7 @@ ORACLE_IDS = {
     "ext_dedup_lines", "win_resample_ffill", "ext_simsearch_rrf",
     "agg_bitmap_distinct", "join_salted_skew", "f_geo_tile",
     "set_except_all", "set_intersect_all",
-    "ext_sample_negatives", "ext_eval_recall",
+    "ext_sample_negatives", "ext_eval_recall", "sink_partitioned_scan",
 }
 
 ROWS_ONLY_IDS = {

@@ -2442,6 +2442,35 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "sink_partitioned_scan",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    """,
+)
+def q_sink_partitioned_scan(spark, sf_dir):
+    """The 100 TB layout end-to-end: events written partitioned by
+    ``date(ts)`` (the SURVEY §1.3 physical design), one day read back
+    through partition pruning, aggregates matching the raw table —
+    the write → pruned-scan → agg parity check as a driver-verified
+    query rather than only a plan assertion (tests/test_plans.py pins
+    the PartitionFilters side)."""
+    import os
+
+    out = f"/tmp/wds_partitioned_{os.path.basename(sf_dir.rstrip('/'))}"
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("day") == F.lit("2024-01-15"))
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(_cents("value")) / 100.0).alias("value_sum"),
+    )
+
+
+@register(
     "ext_sample_negatives",
     "WITH "
     + _RRF_RANKING_SQL.format(
