@@ -60,6 +60,7 @@ ORACLE_IDS = {
     "agg_bitmap_distinct", "join_salted_skew", "f_geo_tile",
     "set_except_all", "set_intersect_all",
     "ext_sample_negatives", "ext_eval_recall", "sink_partitioned_scan",
+    "f_bit_ops",
 }
 
 ROWS_ONLY_IDS = {

@@ -1468,7 +1468,7 @@ _ROUND3_NEW_IDS = frozenset(
         "agg_bitmap_distinct", "ext_pack_bestfit", "join_salted_skew",
         "f_geo_tile", "agg_approx_quantile", "set_except_all",
         "set_intersect_all", "ext_sample_negatives", "ext_eval_recall",
-        "sink_partitioned_scan",
+        "sink_partitioned_scan", "f_bit_ops",
     }
 )
 

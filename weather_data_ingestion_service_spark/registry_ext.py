@@ -2442,6 +2442,31 @@ def q_ext_text_diversity(spark, sf_dir):
 
 
 @register(
+    "f_bit_ops",
+    """
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS lo_byte,
+           CAST(xor(user_id, event_id) AS BIGINT) AS x,
+           CAST(user_id << 2 AS BIGINT) AS shl,
+           CAST(user_id >> 3 AS BIGINT) AS shr
+    FROM events
+    """,
+)
+def q_f_bit_ops(spark, sf_dir):
+    """Bitwise scalar family (mask / xor / shifts) — exact two's-
+    complement integer semantics, identical in any engine; the
+    flag-unpacking idiom for packed telemetry fields."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("user_id & 255").cast("long").alias("lo_byte"),
+        F.expr("user_id ^ event_id").cast("long").alias("x"),
+        F.expr("shiftleft(user_id, 2)").cast("long").alias("shl"),
+        F.expr("shiftright(user_id, 3)").cast("long").alias("shr"),
+    )
+
+
+@register(
     "sink_partitioned_scan",
     """
     SELECT CAST(count(*) AS BIGINT) AS n,
