@@ -26,17 +26,18 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert df.count() > 0, f"{name}: vacuously empty result"
 
 
-def test_oracle_paired_outputs_have_no_complex_columns(spark, sf_dir):
+def test_registry_outputs_have_no_complex_columns(spark, sf_dir):
     """The driver's canonicalizer sorts collected rows with pandas;
     array/map/struct cells arrive as unhashable numpy/Row objects and
     crash it (this bit ext_embed_centroids / ext_embed_normalize in
-    round 2 even though the math matched).  Every oracle-paired entry
-    must publish scalar columns only — explode vectors to
-    (id, pos, value) rows instead."""
+    round 2 and — because this guard only covered oracle-paired ids —
+    ext_embed_pca AGAIN in round 3: the rows-only path canonicalizes
+    too).  Every registry entry, oracle-paired or not, must publish
+    scalar columns only — explode vectors to (id, pos, value) rows."""
     from pyspark.sql import types as T
 
     bad = {}
-    for name in sorted(ORACLE):
+    for name in sorted(QUERIES):
         df = QUERIES[name](spark, sf_dir)
         complex_cols = [
             f.name
@@ -45,7 +46,7 @@ def test_oracle_paired_outputs_have_no_complex_columns(spark, sf_dir):
         ]
         if complex_cols:
             bad[name] = complex_cols
-    assert not bad, f"oracle-paired entries with complex output columns: {bad}"
+    assert not bad, f"registry entries with complex output columns: {bad}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))

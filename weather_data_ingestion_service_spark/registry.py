@@ -1452,25 +1452,19 @@ def _driver_verified_ids() -> frozenset[str]:
     return frozenset(done)
 
 
-#: entries first registered in round 3 — when the pending set exceeds
-#: the driver's ~50-entry window, ids carried over from EARLIER rounds
-#: must be served first (they have waited longer and the round-2
-#: verdict names them explicitly); same-round additions queue behind
-#: them and roll into the next round's window.
-_ROUND3_NEW_IDS = frozenset(
-    {
-        "join_geocode_fuzzy", "ext_simsearch_pq", "ext_shard_assign",
-        "ext_sample_interleave", "ext_text_diversity",
-        "join_nearest_gridpoint", "win_gap_islands", "win_cume_dist",
-        "f_regexp_extract", "win_first_last", "agg_weighted_avg",
-        "ext_dedup_normtext", "ext_data_manifest", "ext_dedup_lines",
-        "ext_multimodal_tar", "win_resample_ffill", "ext_simsearch_rrf",
-        "agg_bitmap_distinct", "ext_pack_bestfit", "join_salted_skew",
-        "f_geo_tile", "agg_approx_quantile", "set_except_all",
-        "set_intersect_all", "ext_sample_negatives", "ext_eval_recall",
-        "sink_partitioned_scan", "f_bit_ops",
-    }
-)
+#: entries first registered in the CURRENT round — when the pending set
+#: exceeds the driver's ~50-entry window, ids carried over from EARLIER
+#: rounds must be served first (they have waited longer and the verdict
+#: names them explicitly); same-round additions queue behind them and
+#: roll into the next round's window.  ROUND-START CHECKLIST
+#: (CLAUDE.md): empty this set (its members become carryovers) and
+#: refill with the ids registered this round.
+_THIS_ROUND_NEW_IDS: set = set()
+
+
+def _register_new_this_round(*names: str) -> None:
+    """Record ids first registered this round for rotation priority."""
+    _THIS_ROUND_NEW_IDS.update(names)
 
 
 def _rotated(entries: dict) -> dict:
@@ -1493,7 +1487,7 @@ def _rotated(entries: dict) -> dict:
             return 0
         if name in _CORE_PRIORITY_IDS:
             return 1
-        if name in _ROUND3_NEW_IDS:
+        if name in _THIS_ROUND_NEW_IDS:
             return 3
         return 2
 

@@ -3292,8 +3292,15 @@ def q_ext_embed_pca(spark, sf_dir):
     per-Arrow-batch (count, sum, X^T X) partials (d+d² doubles each,
     row-count independent), driver-side d×d eigensolve, broadcast
     projection matmul — unit-tested for orthonormality, variance
-    ordering and numpy-PCA agreement."""
+    ordering and numpy-PCA agreement.  Published as scalar
+    ``(vec_id, component, value)`` rows — the driver canonicalizer
+    sorts rows and array cells are unhashable (the centroids/normalize
+    lesson); the packed ``array<double>`` form stays available as
+    ``simsearch.pca_project``."""
     from .ext.simsearch import pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_project(emb, "vec_id", "embedding", k=8)
+    packed = pca_project(emb, "vec_id", "embedding", k=8)
+    return packed.select(
+        "vec_id", F.posexplode("pca").alias("component", "value")
+    )
