@@ -6,10 +6,13 @@ metadata travels in sibling typed columns, and decode/feature-extract
 runs as Arrow-batched ``mapInPandas`` so the raw bytes never round-trip
 through Python row-at-a-time.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image_features`` stubs the decode behind an import-try with a
-deterministic fake — the Spark-side plumbing (schema, batching,
-partition shape) is real and tested.
+Image decode is REAL: ``decode_image_features(use_real_codec=True)``
+uses PIL when importable and otherwise a pure-stdlib PNG decoder
+(zlib + struct, all five filter types) — tested against committed PNG
+fixtures.  Video/audio codecs (ffmpeg/librosa) are NOT in this
+container, so frame-sampling/resize keep a deterministic fake behind
+an import-try; the Spark-side plumbing (schema, batching, partition
+shape) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -44,16 +47,115 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+#: PNG magic — the stdlib decoder below handles this format natively
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth)."""
+    stride = width * bpp
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out += line
+        prev = line
+    return out
+
+
+def _decode_png_stdlib(payload: bytes) -> tuple[int, int, int, float]:
+    """Pure-stdlib PNG decode (zlib + struct): 8-bit depth, color types
+    0/2/4/6, no interlace — enough to decode any PNG this engine's own
+    sink writes, with zero third-party codecs."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={color} "
+                    f"interlace={interlace})"
+                )
+            meta = (w, h, color)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, color = meta
+    n_channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    pixels = _png_unfilter(zlib.decompress(idat), w, h, n_channels)
+    # Rec.601 luma over color channels (alpha excluded)
+    if n_channels >= 3:
+        total = sum(
+            299 * pixels[i] + 587 * pixels[i + 1] + 114 * pixels[i + 2]
+            for i in range(0, len(pixels), n_channels)
+        )
+        luma = total / (1000.0 * w * h * 255.0)
+    else:
+        total = sum(pixels[i] for i in range(0, len(pixels), n_channels))
+        luma = total / (w * h * 255.0)
+    return w, h, n_channels, luma
+
+
 def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
-    """Real decode path — requires an image codec library."""
+    """Real decode path: PIL when importable (any format), else the
+    stdlib PNG decoder above.  Raises NotImplementedError only for
+    non-PNG payloads in a codec-free environment."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - codec not in container
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "install pillow to enable real decode"
-        ) from exc
-    raise NotImplementedError("real decode wired when codec present")
+        from PIL import Image
+    except ImportError:
+        try:
+            return _decode_png_stdlib(payload)
+        except ValueError as exc:
+            raise NotImplementedError(
+                "image codec not available in this environment and payload "
+                "is not a stdlib-decodable PNG; install pillow for "
+                f"JPEG/WebP/... ({exc})"
+            ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    n_channels = len(img.getbands())
+    grey = img.convert("L")  # PIL uses the same Rec.601 weights
+    hist = grey.histogram()
+    total = sum(v * c for v, c in enumerate(hist))
+    luma = total / (img.width * img.height * 255.0)
+    return img.width, img.height, n_channels, luma
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int, int, float]:
