@@ -297,6 +297,19 @@ class TestBlasCosineEquivalence:
         }
         assert a == b and len(a) > 0
 
+    def test_blas_guard_rejects_large_corpus(self, spark, sf_dir):
+        """The collect+broadcast kernel must fail loudly past its bound
+        (VERDICT r03 #9) — the unbounded path is how a library helper
+        becomes a driver OOM at corpus scale."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            embedding_near_dup_pairs_blas,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="near_dup_pairs_grid"):
+            embedding_near_dup_pairs_blas(emb, max_broadcast_corpus=10)
+
     def test_grid_pairs_match_blas(self, spark, sf_dir):
         """The block-grid distributed path must emit the same pair set
         as the collect-BLAS variant with cosines equal to 12 decimals

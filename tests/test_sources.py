@@ -270,9 +270,18 @@ class TestWebDataset:
         # member naming: key.member
         assert all(r.member == f"{r.key}.txt" for r in back.collect())
 
-    def test_one_partition_per_shard(self, spark, tmp_path):
+    def test_one_tar_per_nonempty_shard_named_by_route(self, spark, tmp_path):
+        """Every non-empty shard_assign route gets exactly one tar
+        whose filename matches the route id — even when Spark's
+        hash-partitioning of the shard VALUE co-locates distinct
+        shards in one task (the ADVICE r03 finding)."""
         import glob as g
+        import os as o
+        import tarfile as t
 
+        from weather_data_ingestion_service_spark.ext.sampling import (
+            _id_hash_u52,
+        )
         from weather_data_ingestion_service_spark.sources.webdataset import (
             register_webdataset_source,
             write_webdataset,
@@ -281,12 +290,26 @@ class TestWebDataset:
         register_webdataset_source(spark)
         rows = [(i, "txt", b"x" * 10) for i in range(64)]
         df = spark.createDataFrame(rows, "doc_id long, member string, payload binary")
+        expected = {
+            r.shard: r.n
+            for r in df.groupBy(
+                (_id_hash_u52("doc_id") % 4).cast("int").alias("shard")
+            )
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
         out = str(tmp_path / "wds")
         write_webdataset(df, "doc_id", "member", "payload", out, n_shards=4)
-        tars = g.glob(out + "/*.tar")
-        assert len(tars) >= 2  # hash routing fills multiple shards
+        tars = sorted(g.glob(out + "/*.tar"))
+        got = {}
+        for path in tars:
+            shard = int(o.path.basename(path)[len("shard-"):-len(".tar")])
+            with t.open(path) as tf:
+                got[shard] = len(tf.getmembers())
+        assert got == {s: n for s, n in expected.items() if n > 0}
         back = spark.read.format("webdataset").load(out)
-        assert back.rdd.getNumPartitions() == len(tars)
+        assert back.count() == 64
 
     def test_write_is_deterministic(self, spark, tmp_path):
         import hashlib

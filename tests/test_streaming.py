@@ -276,7 +276,7 @@ def test_checkpoint_resume_processes_only_new_files(spark, staged_dir):
         sh.rmtree(d, ignore_errors=True)
 
 
-def test_merge_upsert_sink_restart_continues_merging(spark, staged_dir, sf_dir):
+def test_merge_upsert_sink_restart_continues_merging(spark, staged_dir):
     """Restart durability: a SECOND run against an existing target
     (the job restarting after a stop) must MERGE into prior state, not
     replace it — late keys keep their newer values, keys only in the
@@ -284,7 +284,6 @@ def test_merge_upsert_sink_restart_continues_merging(spark, staged_dir, sf_dir):
     import shutil as sh
 
     from pyspark.sql import Window
-    from weather_data_ingestion_service_spark.io import load_table
     from weather_data_ingestion_service_spark.streaming.stateful import (
         merge_upsert_sink,
     )
@@ -312,17 +311,17 @@ def test_merge_upsert_sink_restart_continues_merging(spark, staged_dir, sf_dir):
     run("/f2")
     merged = {r.key: r.ts for r in spark.read.parquet(target).collect()}
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    # expected state = merge over exactly what the two runs SAW (the
+    # union of the f0 and f2 staged files) — not the whole events
+    # table, which would silently couple this test to how staged_dir
+    # happens to split it
+    seen = spark.read.parquet(staged_dir + "/f0", staged_dir + "/f2").withColumn(
         "key", F.col("event_id") % 50
     )
     w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id"))
     want = {
         r.key: r.ts
-        for r in ev.filter(
-            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
-            | (F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
-        )
-        .withColumn("rn", F.row_number().over(w))
+        for r in seen.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .collect()
     }

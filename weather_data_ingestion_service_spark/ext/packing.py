@@ -124,6 +124,15 @@ def pack_bestfit(
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # NULL ids/token counts arrive as NaN: int() would raise a
+        # bare ValueError mid-loop and NaN sorts unpredictably —
+        # fail the shard with the contract spelled out instead
+        if pdf["id"].isna().any() or pdf["n_tokens"].isna().any():
+            raise ValueError(
+                "pack_bestfit requires non-null id/token-count rows; "
+                "filter or impute upstream (deterministic packing is "
+                "undefined for unknown lengths)"
+            )
         pdf = pdf.sort_values(
             ["n_tokens", "id"], ascending=[False, True]
         ).reset_index(drop=True)

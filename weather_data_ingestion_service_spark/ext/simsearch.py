@@ -347,6 +347,7 @@ def embedding_near_dup_pairs_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_broadcast_corpus: int = 200_000,
 ) -> DataFrame:
     """BLAS-blocked exact all-pairs cosine near-dup (same output as
     ``embedding_near_dup_pairs``).
@@ -358,15 +359,26 @@ def embedding_near_dup_pairs_blas(
     sequential fold in the last ~1 ulp (pairwise vs sequential
     summation); thresholding and 3-decimal rounding are unaffected.
 
-    Scale note: broadcasting the corpus bounds this at a few GB of
-    vectors per executor.  Beyond that, block BOTH sides (grid of
-    block-pairs via a two-key crossJoin) or prune candidates first
-    with ``srp_buckets`` — the per-block matmul kernel is identical.
+    Scale guard: this kernel collects + broadcasts the corpus, so it
+    fails loudly past ``max_broadcast_corpus`` rows (capped
+    ``limit(bound+1).count()``, like ``cosine_topk``) instead of
+    silently OOMing the driver — use ``embedding_near_dup_pairs_grid``
+    (block-pair grid, no collect/broadcast; the registry's choice) at
+    corpus scale.  The per-block matmul kernel is identical.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    over = corpus.limit(max_broadcast_corpus + 1).count()
+    if over > max_broadcast_corpus:
+        raise ValueError(
+            f"embedding_near_dup_pairs_blas collects and broadcasts the "
+            f"corpus; got > {max_broadcast_corpus} rows. Use "
+            f"embedding_near_dup_pairs_grid at corpus scale, or raise "
+            f"max_broadcast_corpus if the driver/executors are sized "
+            f"for it."
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
@@ -636,10 +648,20 @@ def recall_at_k(
     rather than a driver-side script.  Inputs are ``(query_id,
     match_id, rank)`` runs; one left-semi-ish join + count per query,
     exact integer division published as micro-units.  Scale: both runs
-    are Q·k rows — nothing corpus-sized."""
-    t = truth.filter(F.col("rank") <= k).select("query_id", "match_id")
-    a = approx.filter(F.col("rank") <= k).select(
-        "query_id", F.col("match_id").alias("amatch")
+    are Q·k rows — nothing corpus-sized.
+
+    Both runs are reduced to DISTINCT (query, match) pairs first: a
+    duplicated approx row would otherwise fan out the join and inflate
+    both n_hit and n_truth (the ADVICE r03 finding)."""
+    t = (
+        truth.filter(F.col("rank") <= k)
+        .select("query_id", "match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", F.col("match_id").alias("amatch"))
+        .dropDuplicates(["query_id", "amatch"])
     )
     hits = (
         t.join(

@@ -90,6 +90,11 @@ def nearest_gridpoint_join(
     ``min(struct(d2, tiebreak…))`` argmin — NO per-fact window sort, so
     the only wide exchange is the final hash-agg on the fact key.
     Ties break on the grid name, deterministically.
+
+    Row-multiplicity is preserved: the argmin groups on a per-row tag
+    (``monotonically_increasing_id``), not the fact columns, so fully
+    duplicated fact rows each keep their own output row (the ADVICE
+    r03 finding).
     """
     g = F.broadcast(grid)
     dlat = F.col(lat_col) - F.col(grid_lat)
@@ -98,9 +103,10 @@ def nearest_gridpoint_join(
     # guarantee; x*x does
     d2 = dlat * dlat + dlon * dlon
     other = [c for c in grid.columns if c not in (grid_lat, grid_lon)]
-    paired = facts.crossJoin(g).withColumn("__d2", d2)
     fact_cols = facts.columns
-    best = paired.groupBy(*fact_cols).agg(
+    tagged = facts.withColumn("__rid", F.monotonically_increasing_id())
+    paired = tagged.crossJoin(g).withColumn("__d2", d2)
+    best = paired.groupBy("__rid", *fact_cols).agg(
         F.min(
             F.struct(F.col("__d2"), *[F.col(c) for c in other],
                      F.col(grid_lat), F.col(grid_lon))

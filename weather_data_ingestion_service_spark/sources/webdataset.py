@@ -96,9 +96,18 @@ def write_webdataset(
 ) -> None:
     """Executor-side sharded tar sink: rows hash-route to
     ``n_shards`` streams (same deterministic id-hash bucketing as
-    ``ext/sampling.shard_assign``) and each task tars its own shard —
-    the writer half of the WebDataset layout.  Bytes flow scan →
-    executor → local tar; the driver only makes the directory."""
+    ``ext/sampling.shard_assign``) and each task tars the shard(s)
+    routed to it — the writer half of the WebDataset layout.  Bytes
+    flow scan → executor → local tar; the driver only makes the
+    directory.
+
+    ``repartition(n, "shard")`` hash-partitions the shard VALUE, so
+    distinct shard ids can land in one task; each task therefore
+    groups its (shard-sorted) rows by shard id and writes one tar PER
+    SHARD VALUE, named ``shard-{shard:05d}.tar`` — exactly one tar per
+    non-empty shard, and the filename always matches the
+    ``shard_assign`` route regardless of how Spark placed partitions.
+    """
     from ..ext.sampling import _id_hash_u52
 
     os.makedirs(out_dir, exist_ok=True)
@@ -110,28 +119,34 @@ def write_webdataset(
             (_id_hash_u52(key_col) % n_shards).cast("int").alias("shard"),
         )
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("key", "member")
+        .sortWithinPartitions("shard", "key", "member")
     )
 
     def write_partition(rows):
-        from pyspark import TaskContext
+        buf, tf, cur, n = None, None, None, 0
 
-        pid = TaskContext.get().partitionId()
-        buf = io.BytesIO()
-        n = 0
-        with tarfile.open(fileobj=buf, mode="w") as tf:
-            for r in rows:
-                data = bytes(r.payload) if r.payload is not None else b""
-                info = tarfile.TarInfo(name=f"{r.key}.{r.member}")
-                info.size = len(data)
-                info.mtime = 0  # deterministic archives
-                tf.addfile(info, io.BytesIO(data))
-                n += 1
-        if n:  # empty partitions write nothing
+        def flush():
+            if tf is None or n == 0:
+                return
+            tf.close()
             with open(
-                os.path.join(out_dir, f"shard-{pid:05d}.tar"), "wb"
+                os.path.join(out_dir, f"shard-{cur:05d}.tar"), "wb"
             ) as out:
                 out.write(buf.getvalue())
+
+        for r in rows:
+            if r.shard != cur:
+                flush()
+                cur, n = r.shard, 0
+                buf = io.BytesIO()
+                tf = tarfile.open(fileobj=buf, mode="w")
+            data = bytes(r.payload) if r.payload is not None else b""
+            info = tarfile.TarInfo(name=f"{r.key}.{r.member}")
+            info.size = len(data)
+            info.mtime = 0  # deterministic archives
+            tf.addfile(info, io.BytesIO(data))
+            n += 1
+        flush()
 
     routed.foreachPartition(write_partition)
 
