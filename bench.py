@@ -62,6 +62,13 @@ HEADLINE = [
     "ext_text_contamination",
     "ext_pack_sequences",
     "ext_dedup_semantic",
+    # round-4 additions (r01 ⊂ r02 ⊂ r03 ⊂ r04): newly driver-green
+    # heavies — URL canonicalization dedup, SCD2 window chains,
+    # equi-width histogram agg, tolerance-bounded as-of join
+    "ext_dedup_url",
+    "win_scd2",
+    "agg_histogram",
+    "join_asof_tolerance",
 ]
 
 

@@ -76,6 +76,11 @@ EXCHANGE_BUDGET = {
     # 4 of interleave's 5 exchanges sit on the domains-only dim branch
     # (distinct, rank window, count); the corpus shuffles ONCE
     "ext_sample_interleave": 5,
+    # round-4 bench additions
+    "ext_dedup_url": 1,
+    "win_scd2": 1,
+    "agg_histogram": 1,
+    "join_asof_tolerance": 2,    # union repartition + window
 }
 
 
