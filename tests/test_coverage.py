@@ -61,6 +61,11 @@ ORACLE_IDS = {
     "set_except_all", "set_intersect_all",
     "ext_sample_negatives", "ext_eval_recall", "sink_partitioned_scan",
     "f_bit_ops",
+    # round-4 additions
+    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_bucketed_join",
+    "bench_q18", "join_interval_overlap", "agg_skewness",
+    "agg_cohort_retention", "win_running_distinct", "win_zscore",
+    "f_date_parts", "f_interval_math", "f_hash_digests",
 }
 
 ROWS_ONLY_IDS = {

@@ -81,7 +81,35 @@ EXCHANGE_BUDGET = {
     "win_scd2": 1,
     "agg_histogram": 1,
     "join_asof_tolerance": 2,    # union repartition + window
+    # round-4 registry additions
+    "bench_q18": 3,              # big-order agg + join shuffles
+    "join_interval_overlap": 2,  # interval agg + day equi-join
+    "agg_skewness": 1,
+    "agg_cohort_retention": 3,   # cohort agg + distinct + join
+    "win_running_distinct": 1,   # both windows share one partitioning
+    "win_zscore": 1,
+    "f_date_parts": 0,           # narrow projection
+    "f_interval_math": 0,
+    "f_hash_digests": 0,
 }
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The bucketed-table join must read both sides pre-partitioned:
+    the ONLY exchange in the plan is the final per-segment aggregate —
+    neither join input reshuffles (that's the point of paying the
+    bucketed write once)."""
+    df = QS["sink_bucketed_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan[:3000]
+    assert count_exchanges(df) == 1, plan[:3000]
+
+
+def test_running_distinct_single_shuffle(spark, sf_dir):
+    """Both windows partition on user_id (the sub-partition first-seen
+    window reuses the exchange) — one shuffle total."""
+    df = QS["win_running_distinct"](spark, sf_dir)
+    assert count_exchanges(df) <= 1
 
 
 def test_headline_queries_stay_within_shuffle_budget(spark, sf_dir):

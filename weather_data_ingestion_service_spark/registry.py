@@ -1345,8 +1345,9 @@ def q_wx_daily_summary(spark, sf_dir):
 
 def _load_extensions() -> None:
     """Import side-effect registration of the extension entries
-    (kept in a separate module; same registry)."""
+    (kept in separate modules; same registry)."""
     from . import registry_ext  # noqa: F401
+    from . import registry_r4  # noqa: F401
 
 
 #: SURVEY.md §2-mandated ids beyond the ``ext_*`` prefix — served ahead

@@ -1,0 +1,552 @@
+"""Round-4 registry entries: format round-trips, bucketed storage,
+TPC-H composites, exact distribution statistics, cohort/funnel
+analytics, scalar families, and the round-4 LLM-pipeline additions.
+
+Same cross-engine conventions as ``registry.py`` (aliased columns,
+integer cents for money, no float ``round``, pinned time literals) —
+plus two local ones used throughout:
+
+- whole-valued doubles (quantities, floored values) are summed as
+  BIGINT so partial-aggregation order can never flip a hash;
+- derived floats are produced by ONE identical IEEE expression tree on
+  both engines (division/sqrt are correctly rounded, so mirroring the
+  formula mirrors the bits).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import NOW, _cents, _register_new_this_round, register
+from .registry_ext import (
+    _DOCS_SRC_SQL,
+    _DUP_CORPUS_SQL,
+    _EMB_DUP_CORPUS_SQL,
+    _NEAR_DUP_CORPUS_SQL,
+    _RRF_RANKING_SQL,
+    _COSINE_SQL,
+    _docs_src,
+    _dup_corpus,
+    _emb_dup_corpus,
+    _near_dup_corpus,
+)
+
+#: tokenization shared by the text entries — identical to the
+#: registry_ext convention: lowercase, split on \s+, drop empties
+_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _tok(col="text"):
+    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+# =====================================================================
+# A. Formats & storage layout
+# =====================================================================
+
+
+@register(
+    "sink_csv_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sink_csv_roundtrip(spark, sf_dir):
+    """CSV sink/source round trip: events written as headered CSV,
+    read back with an explicit schema, per-type aggregates matching
+    the raw parquet — doubles survive because Spark writes the
+    shortest round-trippable decimal repr."""
+    out = f"/tmp/wds_csv_{_sf_tag(sf_dir)}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("event_id long, event_type string, value double").option(
+        "header", True
+    ).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(_cents("value")) / 100.0).alias("value_sum"),
+    )
+
+
+@register(
+    "sink_json_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sink_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink/source round trip (the landing-zone format):
+    write, schema-on-read back, per-type aggregates matching raw."""
+    out = f"/tmp/wds_json_{_sf_tag(sf_dir)}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, user_id long"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(_cents("value")) / 100.0).alias("value_sum"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "sink_bucketed_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS price_sum
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_sink_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join: both sides written bucketed on
+    the join key (8 buckets, sorted), then sort-merge joined with NO
+    exchange on either side — the 100 TB pattern for a join repeated
+    every run (pay the shuffle once at write time, never again).
+    tests/test_plans.py pins the exchange-free join branches."""
+    import shutil
+
+    tag = _sf_tag(sf_dir)
+    ot, ct = f"wds_r4_orders_{tag}", f"wds_r4_cust_{tag}"
+    # a fresh session has an empty in-memory catalog but the warehouse
+    # directory persists — drop BOTH the catalog entry and the stale
+    # location, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (ot, ct):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(warehouse.removeprefix("file:"), t)
+        shutil.rmtree(loc, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orders.write.mode("overwrite").format("parquet").bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable(ot)
+    cust.write.mode("overwrite").format("parquet").bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable(ct)
+    o, c = spark.table(ot), spark.table(ct)
+    j = o.hint("merge").join(c, o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum(_cents("o_totalprice")) / 100.0).alias("price_sum"),
+    )
+
+
+# =====================================================================
+# B. Relational composites & exact distribution statistics
+# =====================================================================
+
+
+@register(
+    "bench_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_bench_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): semi-join against a
+    HAVING-filtered aggregate, two star joins, re-aggregate, top-100.
+    Quantities are whole-valued doubles, summed as BIGINT so the hash
+    can't depend on float summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    j = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(big, "l_orderkey", "left_semi")
+    )
+    return (
+        j.groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "join_interval_overlap",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             min(ts) AS a_start, max(ts) AS a_end
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT day, CAST(day AS TIMESTAMP) + to_hours(h) AS w_start,
+             CAST(day AS TIMESTAMP) + to_hours(h + 4) AS w_end
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+           CROSS JOIN (SELECT unnest([2, 13]) AS h)
+    )
+    SELECT a.user_id, a.day, w.w_start,
+           CAST(date_diff('second', greatest(a.a_start, w.w_start),
+                          least(a.a_end, w.w_end)) AS BIGINT) AS overlap_secs
+    FROM a JOIN w ON a.day = w.day
+    WHERE a.a_start < w.w_end AND w.w_start < a.a_end
+    """,
+)
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join, partitioned the scale-correct way: both
+    interval sets carry a day key, so the overlap test runs INSIDE an
+    equi-join on day — no cross join, no range-condition nested loop.
+    (Intervals spanning days would be flatMapped to one row per
+    covered day first — same plan shape.)"""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    w = (
+        ev.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .join(F.broadcast(spark.range(0, 1).select(
+            F.explode(F.array(F.lit(2), F.lit(13))).alias("h"))))
+        .select(
+            "day",
+            (F.col("day").cast("timestamp")
+             + F.col("h") * F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            (F.col("day").cast("timestamp")
+             + (F.col("h") + 4) * F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    j = a.join(w, "day").filter(
+        (F.col("a_start") < F.col("w_end")) & (F.col("w_start") < F.col("a_end"))
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "w_start",
+        (
+            F.unix_timestamp(F.least("a_end", "w_end"))
+            - F.unix_timestamp(F.greatest("a_start", "w_start"))
+        ).cast("long").alias("overlap_secs"),
+    )
+
+
+@register(
+    "agg_skewness",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(value) AS BIGINT)) AS s1,
+             sum(CAST(floor(value) AS BIGINT) * CAST(floor(value) AS BIGINT)) AS s2,
+             sum(CAST(floor(value) AS BIGINT) * CAST(floor(value) AS BIGINT)
+                 * CAST(floor(value) AS BIGINT)) AS s3
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(s3 AS DOUBLE) / n
+             - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+             + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n))
+           / ((CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              * sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+           AS skewness
+    FROM m
+    """,
+)
+def q_agg_skewness(spark, sf_dir):
+    """Exact third-moment skewness per group from integer power sums
+    (floored values): the sums are associative BIGINTs, and the final
+    moment formula is ONE identical IEEE expression tree on both
+    engines — division and sqrt are correctly rounded, so the double
+    is bit-identical.  ``x^1.5`` is deliberately written
+    ``x * sqrt(x)`` (pow carries no cross-engine guarantee)."""
+    ev = load_table(spark, sf_dir, "events")
+    xu = F.floor("value").cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xu).alias("s1"),
+        F.sum(xu * xu).alias("s2"),
+        F.sum(xu * xu * xu).alias("s3"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    s2n = F.col("s2").cast("double") / F.col("n")
+    s3n = F.col("s3").cast("double") / F.col("n")
+    m2 = s2n - mean * mean
+    m3 = s3n - F.lit(3.0) * mean * s2n + F.lit(2.0) * mean * mean * mean
+    return m.select(
+        "event_type", "n", (m3 / (m2 * F.sqrt(m2))).alias("skewness")
+    )
+
+
+@register(
+    "agg_cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INT) AS week_no,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM cohort c JOIN active a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-activity ISO
+    week, counted in each later active week.  Two hash aggregations +
+    one equi-join on user — the cohort dimension (users × 2 dates) is
+    the shuffled payload, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    cohort = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("week")).distinct()
+    j = cohort.join(active, "user_id")
+    return j.groupBy(
+        "cohort_week",
+        F.expr("div(datediff(week, cohort_week), 7)").cast("int").alias("week_no"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "win_running_distinct",
+    """
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_win_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over an ordered stream — not directly
+    expressible as a window aggregate, so it decomposes into a
+    first-occurrence flag (row_number = 1 per (user, type)) plus a
+    running sum.  The explicit user_id repartition makes BOTH windows
+    reuse one exchange: hash(user_id) satisfies the (user, type)
+    window's clustering (subset rule) AND the running-sum window's —
+    without it Spark plans exchange(user, type) then exchange(user).
+    One shuffle, two in-partition sorts."""
+    ev = load_table(spark, sf_dir, "events").repartition("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
+
+
+@register(
+    "win_zscore",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, event_type, vc,
+             sum(vc) OVER (PARTITION BY event_type) AS s1,
+             sum(vc * vc) OVER (PARTITION BY event_type) AS s2,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_id, event_type,
+           (vc - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           AS zscore
+    FROM m
+    """,
+)
+def q_win_zscore(spark, sf_dir):
+    """Per-group standardization (z-score) as a window aggregate over
+    exact integer cents — the whole-partition frame means Spark
+    computes each group's moments once; the final normalize is the
+    same IEEE expression both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    c = ev.select("event_id", "event_type", _cents("value").alias("vc"))
+    m = c.select(
+        "event_id",
+        "event_type",
+        "vc",
+        F.sum("vc").over(w).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return m.select(
+        "event_id",
+        "event_type",
+        ((F.col("vc") - mean) / F.sqrt(var)).alias("zscore"),
+    )
+
+
+# =====================================================================
+# C. Scalar families
+# =====================================================================
+
+
+@register(
+    "f_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(isodow(o_orderdate) AS INT) AS isodow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy
+    FROM orders
+    """,
+)
+def q_f_date_parts(spark, sf_dir):
+    """Calendar-part extraction family, aligned to the portable ISO
+    definitions (isodow 1=Monday, ISO week number) — the
+    engine-specific defaults (Spark dayofweek 1=Sunday) are avoided
+    in favor of expressions both engines define identically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("isodow"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+    )
+
+
+@register(
+    "f_interval_math",
+    f"""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_ts,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2024-01-15') AS INT) AS days_to_now,
+           CAST(date_diff('hour', o_orderdate,
+                          TIMESTAMP '{NOW}') AS BIGINT) AS hours_to_now,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS month_idx
+    FROM orders
+    """,
+)
+def q_f_interval_math(spark, sf_dir):
+    """Interval arithmetic family: timestamp displacement, day/hour
+    differences against the pinned NOW, and an exact integer month
+    index (year*12+month — the portable spelling of months_between
+    for whole months)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("due_ts"),
+        F.datediff(
+            F.lit("2024-01-15").cast("date"), F.to_date("o_orderdate")
+        ).cast("int").alias("days_to_now"),
+        F.expr(f"timestampdiff(HOUR, o_orderdate, timestamp'{NOW}')")
+        .cast("long")
+        .alias("hours_to_now"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month_idx"),
+    )
+
+
+@register(
+    "f_hash_digests",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           substr(md5(c_name), 1, 8) AS bucket_hex
+    FROM customer
+    """,
+)
+def q_f_hash_digests(spark, sf_dir):
+    """Cryptographic digest family (md5 / sha-256, lowercase hex) —
+    the content-addressing primitives behind exact dedup, shard
+    routing and cache keys; byte-identical in any engine."""
+    c = load_table(spark, sf_dir, "customer")
+    name_bytes = F.encode(F.col("c_name"), "UTF-8")
+    return c.select(
+        "c_custkey",
+        F.md5(name_bytes).alias("name_md5"),
+        F.sha2(name_bytes, 256).alias("name_sha256"),
+        F.substring(F.md5(name_bytes), 1, 8).alias("bucket_hex"),
+    )
+
+
+_register_new_this_round(
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "sink_bucketed_join",
+    "bench_q18",
+    "join_interval_overlap",
+    "agg_skewness",
+    "agg_cohort_retention",
+    "win_running_distinct",
+    "win_zscore",
+    "f_date_parts",
+    "f_interval_math",
+    "f_hash_digests",
+)
