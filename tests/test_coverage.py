@@ -66,6 +66,8 @@ ORACLE_IDS = {
     "bench_q18", "join_interval_overlap", "agg_skewness",
     "agg_cohort_retention", "win_running_distinct", "win_zscore",
     "f_date_parts", "f_interval_math", "f_hash_digests",
+    "win_funnel", "win_streak", "join_dim_snapshot", "agg_bool_family",
+    "win_sliding_minmax", "bench_q2", "bench_q7", "bench_q16",
 }
 
 ROWS_ONLY_IDS = {

@@ -536,6 +536,401 @@ def q_f_hash_digests(spark, sf_dir):
     )
 
 
+# =====================================================================
+# B2. TPC-H composite shapes (adapted: lineitem is the part↔supplier
+# link — the synthetic schema has no partsupp table)
+# =====================================================================
+
+
+@register(
+    "bench_q2",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(cost_c) AS best_c FROM cost GROUP BY l_partkey)
+    SELECT c.l_partkey AS p_partkey, s.s_name, n.n_name, c.cost_c / 100.0 AS min_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.cost_c = b.best_c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    ORDER BY min_cost, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q_bench_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated
+    MIN-subquery decorrelated into an aggregate + self-equi-join on
+    (part, cost) — the standard Spark translation, one extra shuffle
+    instead of a per-row subquery.  Supplier/nation/region dims are
+    broadcast; exact-cents min keeps the equality join cross-engine.
+    Ties (several suppliers at the min) survive on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_cents("l_extendedprice")).alias("cost_c")
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("cost_c").alias("best_c"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    dim = F.broadcast(
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        cost.join(best, (cost["l_partkey"] == best["b_partkey"])
+                  & (cost["cost_c"] == best["best_c"]))
+        .join(dim, cost["l_suppkey"] == dim["s_suppkey"])
+        .select(
+            cost["l_partkey"].alias("p_partkey"),
+            "s_name",
+            "n_name",
+            (F.col("cost_c") / 100.0).alias("min_cost"),
+        )
+        .orderBy("min_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "bench_q7",
+    """
+    WITH v AS (
+      SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS vc
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+         OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+    )
+    SELECT supp_region, cust_region, l_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           sum(vc) / 100.0 AS revenue
+    FROM v GROUP BY supp_region, cust_region, l_year
+    """,
+)
+def q_bench_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between trading blocs): the
+    two-fact star join decorated with BOTH endpoint geographies —
+    supplier-side and customer-side nation→region chains joined
+    independently (each a broadcast), disjunctive bloc filter, yearly
+    revenue rollup.  The two broadcasts mean the only shuffles are
+    the lineitem↔orders join and the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    geo = nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]).select(
+        "n_nationkey", "r_name"
+    )
+    sgeo = F.broadcast(
+        supp.join(F.broadcast(geo), supp["s_nationkey"] == geo["n_nationkey"])
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cgeo = F.broadcast(
+        cust.join(F.broadcast(geo), cust["c_nationkey"] == geo["n_nationkey"])
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sgeo, li["l_suppkey"] == sgeo["s_suppkey"])
+        .join(cgeo, orders["o_custkey"] == cgeo["c_custkey"])
+        .filter(
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+    )
+    return j.groupBy(
+        "supp_region", "cust_region", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
+        .alias("revenue"),
+    )
+
+
+@register(
+    "bench_q16",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 19, 29, 39, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%07')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_bench_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part profile): NOT-IN
+    complaint-supplier exclusion planned as a broadcast anti-join (the
+    excluded set is tiny), selective dim filters pushed to the part
+    scan, count-distinct re-shuffled on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 29, 39, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%07")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# =====================================================================
+# D. Behavioral analytics (funnel / streak / snapshot-dim families)
+# =====================================================================
+
+
+@register(
+    "win_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def q_win_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing timestamps): each stage is the previous stage's cohort
+    narrowed by a min-aggregate — all joins are equi-joins on user_id,
+    so the funnel is three hash-partitioned passes over per-user
+    aggregates, never a self-join of raw events against raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, label):
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionByName(stage(c, "2_click"))
+        .unionByName(stage(p, "3_purchase"))
+    )
+
+
+@register(
+    "win_streak",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    i AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS grp
+      FROM d
+    ),
+    s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+          FROM i GROUP BY user_id, grp)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def q_win_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands date variant: day − row_number is constant within
+    a run of consecutive days, so one window + two hash aggregations
+    (all partitioned by user_id: one exchange feeds everything)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    i = d.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    s = i.groupBy("user_id", "grp").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+@register(
+    "join_dim_snapshot",
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '2024-03-01') AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INT) AS level
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.level, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN dim d ON e.user_id = d.user_id
+              AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY d.level
+    """,
+)
+def q_join_dim_snapshot(spark, sf_dir):
+    """Point-in-time (snapshot) join of facts to an SCD-2 style
+    dimension: validity intervals derived from the user's purchase
+    history (level = running purchase count), facts matched to the
+    interval covering their timestamp.  The join is an EQUI-join on
+    user_id with the range test as a join filter — per-user dimension
+    slices are small, so the sort-merge join stays balanced at scale
+    (the interval predicate never becomes a nested-loop)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(w), F.lit("2024-03-01").cast("timestamp")
+            ).alias("valid_to"),
+            F.row_number().over(w).cast("int").alias("level"),
+        )
+    )
+    j = ev.alias("e").join(
+        dim.alias("d"),
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("e.ts") >= F.col("d.valid_from"))
+        & (F.col("e.ts") < F.col("d.valid_to")),
+    )
+    return j.groupBy("d.level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct(F.col("e.user_id")).cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "agg_bool_family",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE value > 400) AS BIGINT) AS n_high,
+           bool_and(value > 0.005) AS all_positive,
+           bool_or(value > 489) AS any_extreme,
+           CAST(count(*) FILTER (
+             WHERE json_extract_string(props, '$.k') IS NOT NULL)
+             AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bool_family(spark, sf_dir):
+    """Boolean aggregate family: conditional counts (count_if) and
+    universal/existential quantifiers (bool_and / bool_or) — all
+    map-side combinable, so the partial-aggregation tree is as cheap
+    as a plain count at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 400).cast("long").alias("n_high"),
+        F.bool_and(F.col("value") > 0.005).alias("all_positive"),
+        F.bool_or(F.col("value") > 489).alias("any_extreme"),
+        F.count_if(F.get_json_object("props", "$.k").isNotNull())
+        .cast("long")
+        .alias("n_with_k"),
+    )
+
+
+@register(
+    "win_sliding_minmax",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           min(vc) OVER w / 100.0 AS roll_min,
+           max(vc) OVER w / 100.0 AS roll_max,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_sliding_minmax(spark, sf_dir):
+    """Rolling extrema over a bounded row frame (7-event trailing
+    min/max per user) — the bounded ROWS frame keeps per-row work
+    O(frame), state bounded, and the exact-cents min/max makes the
+    /100.0 publish bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    c = ev.select("event_id", "user_id", "ts", _cents("value").alias("vc"))
+    return c.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.min("vc").over(w) / 100.0).alias("roll_min"),
+        (F.max("vc").over(w) / 100.0).alias("roll_max"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
+
+
 _register_new_this_round(
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
@@ -549,4 +944,12 @@ _register_new_this_round(
     "f_date_parts",
     "f_interval_math",
     "f_hash_digests",
+    "win_funnel",
+    "win_streak",
+    "join_dim_snapshot",
+    "agg_bool_family",
+    "win_sliding_minmax",
+    "bench_q2",
+    "bench_q7",
+    "bench_q16",
 )
