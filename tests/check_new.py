@@ -1,7 +1,10 @@
 """Ad-hoc: run the named new registry ids through the driver-style
 compare at one or more SFs.  Usage: python tests/check_new.py id [id...]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.oracle_utils import compare_query, duckdb_connection
 from weather_data_ingestion_service_spark import registry

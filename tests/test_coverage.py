@@ -68,6 +68,9 @@ ORACLE_IDS = {
     "f_date_parts", "f_interval_math", "f_hash_digests",
     "win_funnel", "win_streak", "join_dim_snapshot", "agg_bool_family",
     "win_sliding_minmax", "bench_q2", "bench_q7", "bench_q16",
+    "f_base64_hex", "f_format_pad", "join_null_safe",
+    "ext_eval_ndcg", "ext_sample_dupcap", "ext_tokenizer_vocab",
+    "ext_skew_report",
 }
 
 ROWS_ONLY_IDS = {
@@ -78,7 +81,7 @@ ROWS_ONLY_IDS = {
     "stream_stateful_latest", "ext_simsearch_ivf",
     "stream_dedup_watermark", "ext_embed_pca",
     "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
-    "agg_approx_quantile",
+    "agg_approx_quantile", "ext_multimodal_audio",
 }
 
 

@@ -584,3 +584,100 @@ class TestAsofNearest:
         # 01-05: only forward (10); 01-14: back 4d < fwd 6d -> 10;
         # 01-15: equidistant 5d/5d tie -> backward (10); 01-30: back (20)
         assert got == {1: 10, 2: 10, 3: 10, 4: 20}
+
+
+class TestAudioWavPath:
+    """Real stdlib WAV path: synthesized PCM16 sine containers decode
+    back to the synthesis parameters (RMS = amp/sqrt(2), zero
+    crossings = 2·f·t, exact duration) — the audio analogue of the PNG
+    fixture tests."""
+
+    def test_synth_decode_roundtrip_features(self, spark):
+        import math
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            decode_audio_features,
+            synth_wav_payload,
+        )
+
+        ids = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+        wav = synth_wav_payload(ids, "doc_id", sample_rate=8000, duration_s=0.2)
+        feats = {
+            r["doc_id"]: r
+            for r in decode_audio_features(wav, "doc_id").collect()
+        }
+        assert len(feats) == 8
+        for i, r in feats.items():
+            freq = 200 + (i % 32) * 20
+            amp = (1 + i % 7) / 8.0 * 32767.0
+            assert r["sample_rate"] == 8000
+            assert r["n_channels"] == 1
+            assert r["n_samples"] == 1600
+            assert r["duration_ms"] == 200
+            # sine statistics (1% tolerance: quantization + partial cycles)
+            assert abs(r["rms"] - amp / math.sqrt(2)) < amp * 0.01
+            assert abs(r["peak"] - amp) < amp * 0.01 + 1
+            assert abs(r["zero_crossings"] - 2 * freq * 0.2) <= 2
+
+    def test_decode_rejects_non_wav(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            decode_audio_features,
+        )
+
+        bad = spark.range(0, 1).select(
+            F.col("id").alias("doc_id"),
+            F.lit(b"definitely not audio").alias("audio"),
+        )
+        with pytest.raises(Exception):
+            decode_audio_features(bad, "doc_id").collect()
+
+
+class TestNdcgAtK:
+    """ndcg_at_k: pinned hand-computed cases against the integer
+    discount table."""
+
+    def _runs(self, spark, approx_rows):
+        truth = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, match_id long, rank int",
+        )
+        approx = spark.createDataFrame(
+            approx_rows, "query_id long, match_id long, rank int"
+        )
+        return truth, approx
+
+    def test_perfect_ranking_is_one(self, spark):
+        from weather_data_ingestion_service_spark.ext.simsearch import ndcg_at_k
+
+        truth, approx = self._runs(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        row = ndcg_at_k(truth, approx, k=3).collect()[0]
+        assert row["ndcg"] == 1.0
+        assert row["dcg_micro"] == row["idcg_micro"]
+
+    def test_all_misses_is_zero(self, spark):
+        from weather_data_ingestion_service_spark.ext.simsearch import ndcg_at_k
+
+        truth, approx = self._runs(spark, [(1, 90, 1), (1, 91, 2), (1, 92, 3)])
+        row = ndcg_at_k(truth, approx, k=3).collect()[0]
+        assert row["ndcg"] == 0.0
+        assert row["dcg_micro"] == 0
+
+    def test_swapped_top2_matches_hand_dcg(self, spark):
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            ndcg_at_k,
+            ndcg_discount_micros,
+        )
+
+        # approx swaps ranks of the top-2 truth items
+        truth, approx = self._runs(spark, [(1, 11, 1), (1, 10, 2), (1, 12, 3)])
+        d = dict(ndcg_discount_micros(3))
+        # rel(10)=3 at approx rank 2, rel(11)=2 at rank 1, rel(12)=1 at rank 3
+        want_dcg = 2 * d[1] + 3 * d[2] + 1 * d[3]
+        want_idcg = 3 * d[1] + 2 * d[2] + 1 * d[3]
+        row = ndcg_at_k(truth, approx, k=3).collect()[0]
+        assert row["dcg_micro"] == want_dcg
+        assert row["idcg_micro"] == want_idcg
+        assert row["ndcg"] == want_dcg / want_idcg

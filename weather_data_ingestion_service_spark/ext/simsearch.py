@@ -1001,3 +1001,75 @@ def pca_project(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
+def ndcg_discount_micros(k: int) -> list[tuple[int, int]]:
+    """Pinned integer NDCG discount table: ``(rank, round(1e6 /
+    log2(rank+1)))`` for ranks 1..k.  Computed once in Python and
+    embedded as LITERALS on both engines, so the metric never depends
+    on either engine's ``log`` implementation."""
+    import math
+
+    return [(r, int(round(1_000_000 / math.log2(r + 1)))) for r in range(1, k + 1)]
+
+
+def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Distributed NDCG@k of an approximate retrieval run against the
+    exact ranking — the graded-relevance companion to ``recall_at_k``.
+
+    Relevance of a predicted item is derived from the exact run:
+    ``rel = k + 1 - truth_rank`` for items inside the exact top-k,
+    else 0.  The log2 position discounts come from
+    ``ndcg_discount_micros`` as pinned integer literals (broadcast
+    dim), so DCG and IDCG are exact BIGINT dot products; the single
+    float division at the end is the same IEEE op on both engines.
+
+    Scale: both runs are Q·k rows; the discount dim is k rows
+    (broadcast); one equi-join + two grouped sums — nothing
+    corpus-sized."""
+    spark = truth.sparkSession
+    disc = F.broadcast(
+        spark.createDataFrame(ndcg_discount_micros(k), "rank int, disc_micro long")
+    )
+    t = (
+        truth.filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.col("rank").alias("t_rank"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", "match_id", F.col("rank").alias("a_rank"))
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    dcg = (
+        a.join(t, ["query_id", "match_id"], "left")
+        .join(disc, a["a_rank"] == disc["rank"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.lit(k + 1) - F.col("t_rank"), F.lit(0)).cast("long")
+                * F.col("disc_micro")
+            ).alias("dcg_micro")
+        )
+    )
+    idcg = (
+        t.join(disc, t["t_rank"] == disc["rank"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.lit(k + 1) - F.col("t_rank")).cast("long") * F.col("disc_micro")
+            ).alias("idcg_micro")
+        )
+    )
+    return (
+        idcg.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.col("idcg_micro").cast("long").alias("idcg_micro"),
+            (
+                F.coalesce("dcg_micro", F.lit(0)).cast("double")
+                / F.col("idcg_micro").cast("double")
+            ).alias("ndcg"),
+        )
+    )

@@ -931,6 +931,303 @@ def q_win_sliding_minmax(spark, sf_dir):
     )
 
 
+# =====================================================================
+# E. LLM-pipeline additions (retrieval QA / dedup sampling / vocab /
+# skew diagnostics / audio)
+# =====================================================================
+
+
+def _ndcg_disc_values_sql(k: int) -> str:
+    from .ext.simsearch import ndcg_discount_micros
+
+    return ", ".join(f"({r}, {m})" for r, m in ndcg_discount_micros(k))
+
+
+def _make_ndcg_oracle() -> str:
+    return (
+        "WITH "
+        + _RRF_RANKING_SQL.format(
+            cos_raw=_COSINE_SQL.format(a="qe", b="embedding"),
+            cos_q=_COSINE_SQL.format(a="qqv", b="qv"),
+        )
+        + f"""
+    , disc(rank, disc_micro) AS (VALUES {_ndcg_disc_values_sql(5)}),
+    t AS (SELECT query_id, match_id, rank AS t_rank FROM ra WHERE rank <= 5),
+    a AS (SELECT query_id, match_id, rank AS a_rank FROM rb WHERE rank <= 5),
+    dcg AS (
+      SELECT a.query_id,
+             CAST(sum(coalesce(6 - t.t_rank, 0) * d.disc_micro) AS BIGINT)
+               AS dcg_micro
+      FROM a
+      JOIN disc d ON a.a_rank = d.rank
+      LEFT JOIN t ON a.query_id = t.query_id AND a.match_id = t.match_id
+      GROUP BY a.query_id),
+    idcg AS (
+      SELECT query_id,
+             CAST(sum((6 - t_rank) * d.disc_micro) AS BIGINT) AS idcg_micro
+      FROM t JOIN disc d ON t.t_rank = d.rank GROUP BY query_id)
+    SELECT i.query_id,
+           CAST(coalesce(g.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           i.idcg_micro,
+           CAST(coalesce(g.dcg_micro, 0) AS DOUBLE)
+             / CAST(i.idcg_micro AS DOUBLE) AS ndcg
+    FROM idcg i LEFT JOIN dcg g ON i.query_id = g.query_id
+    """
+    )
+
+
+@register("ext_eval_ndcg", _make_ndcg_oracle())
+def q_ext_eval_ndcg(spark, sf_dir):
+    """NDCG@5 of the int8-quantized ranking against the exact cosine
+    ranking — the graded-relevance retrieval-QA companion to
+    ext_eval_recall.  The log2 position discounts are pinned integer
+    micro-literals (ext/simsearch.ndcg_discount_micros) on BOTH
+    engines, so DCG/IDCG are exact BIGINT dot products and the single
+    final division is the only float op."""
+    from .ext.simsearch import cosine_topk, ndcg_at_k, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5)
+    qz = quantize_embeddings(emb, "vec_id", "embedding", bits=8).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    approx = cosine_topk(qz, qz.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5)
+    return ndcg_at_k(truth, approx, k=5)
+
+
+@register(
+    "ext_sample_dupcap",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY text
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS copy_rank,
+             CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_copies
+      FROM corpus)
+    SELECT doc_id, copy_rank, n_copies FROM r WHERE copy_rank <= 2
+    """,
+)
+def q_ext_sample_dupcap(spark, sf_dir):
+    """Frequency-capped duplicate downsampling (the soft-dedup between
+    'keep everything' and 'keep one'): at most 2 copies of each exact
+    content survive, chosen deterministically by id-hash order — the
+    Gopher/C4 move that bounds any document's training-mix weight
+    without discarding duplication signal entirely.  One window over
+    the content hash partition; no self-join."""
+    from pyspark.sql import Window as W
+
+    corpus = _dup_corpus(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = W.partitionBy("text").orderBy(h, "doc_id")
+    r = corpus.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("copy_rank"),
+        F.count(F.lit(1)).over(W.partitionBy("text")).cast("long").alias("n_copies"),
+    )
+    return r.filter(F.col("copy_rank") <= 2)
+
+
+@register(
+    "ext_tokenizer_vocab",
+    f"""
+    WITH tok AS (SELECT unnest({_TOK_SQL}) AS token FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY token),
+    top AS (
+      SELECT token, n_occ,
+             CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INT) AS rank
+      FROM cnt ORDER BY n_occ DESC, token LIMIT 50)
+    SELECT token, n_occ, rank,
+           CAST(sum(n_occ) OVER (ORDER BY rank) * 1000000 // total AS BIGINT)
+             AS cum_cov_micro
+    FROM top CROSS JOIN tot
+    """,
+)
+def q_ext_tokenizer_vocab(spark, sf_dir):
+    """Tokenizer-vocabulary construction: corpus term frequencies →
+    top-50 vocab with rank and cumulative corpus coverage (the curve
+    that sizes a vocab).  The frequency aggregate is the only wide
+    stage; top-50 goes through TakeOrderedAndProject, and the
+    rank/coverage window runs on 50 rows.  Coverage is exact integer
+    micro-units (cum·1e6 div total)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tok()).alias("token"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    top = cnt.orderBy(F.col("n_occ").desc(), "token").limit(50)
+    w = W.orderBy(F.col("n_occ").desc(), "token")
+    ranked = top.select(
+        "token",
+        "n_occ",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.sum("n_occ").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_occ",
+        "rank",
+        F.expr("CAST((cum * 1000000) DIV total AS BIGINT)").alias("cum_cov_micro"),
+    )
+
+
+@register(
+    "ext_skew_report",
+    """
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM k)
+    SELECT user_id, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(n * n_keys * 1000000 // total AS BIGINT) AS x_mean_micro
+    FROM k CROSS JOIN tot
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def q_ext_skew_report(spark, sf_dir):
+    """Hot-key skew diagnostic — the report you run BEFORE choosing a
+    join/agg strategy at scale: top-10 heaviest keys with their share
+    of all rows and their multiple of the mean key load (the direct
+    input to the salting-factor decision in join_salted_skew).  One
+    hash aggregate + a broadcast scalar + TakeOrdered-10; exact
+    integer micro-units."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_micro"),
+            F.expr("CAST((n * n_keys * 1000000) DIV total AS BIGINT)")
+            .alias("x_mean_micro"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@register("ext_multimodal_audio")  # real WAV decode — rows-only (binary I/O)
+def q_ext_multimodal_audio(spark, sf_dir):
+    """REAL audio pipeline: deterministic PCM16 WAV payloads (stdlib
+    ``wave`` containers, sine keyed on doc_id) synthesized for a
+    bounded 48-doc slice, then decoded back through the Arrow-batched
+    stdlib parser into the curation features (duration / peak / RMS /
+    zero-crossings).  Binary in, mapInPandas through, scalar feature
+    rows out — pytest pins RMS = amp/√2 and zero-crossing = 2·f·t
+    against the synthesis parameters."""
+    from .ext.multimodal import decode_audio_features, synth_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    wav = synth_wav_payload(docs, "doc_id")
+    return decode_audio_features(wav, "doc_id")
+
+
+@register(
+    "f_base64_hex",
+    """
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           hex(encode(substr(text, 1, 24))) AS hx,
+           decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+             = substr(text, 1, 24) AS roundtrip_ok
+    FROM documents
+    """,
+)
+def q_f_base64_hex(spark, sf_dir):
+    """Binary encoding scalar family: base64 and hex of UTF-8 bytes
+    plus a decode round-trip check — the content-addressing /
+    wire-format primitives (both engines emit RFC-4648 base64 and
+    uppercase hex)."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.encode(F.substring("text", 1, 24), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.base64(head).alias("b64"),
+        F.hex(head).alias("hx"),
+        (F.decode(F.unbase64(F.base64(head)), "UTF-8")
+         == F.substring("text", 1, 24)).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "f_format_pad",
+    """
+    SELECT c_custkey,
+           printf('%06d', c_custkey) AS id6,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS lp,
+           rpad(c_mktsegment, 12, '.') AS rp,
+           reverse(c_name) AS rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+           repeat('-', CAST(c_custkey % 5 AS INT)) AS dashes
+    FROM customer
+    """,
+)
+def q_f_format_pad(spark, sf_dir):
+    """String formatting/padding scalar family: C-style printf on
+    integers (floats deliberately excluded — %f rounding is not a
+    cross-engine contract), lpad/rpad, reverse, character translate,
+    and count-driven repeat."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string("%06d", "c_custkey").alias("id6"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("lp"),
+        F.rpad("c_mktsegment", 12, ".").alias("rp"),
+        F.reverse("c_name").alias("rev"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"),
+        F.expr("repeat('-', CAST(c_custkey % 5 AS INT))").alias("dashes"),
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT nullif(event_type, 'error') AS k,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(event_type, 'error') AS k,
+             CAST(count(*) AS BIGINT) AS n_big
+      FROM events WHERE value > 250 GROUP BY 1
+    )
+    SELECT a.k, a.n_all, b.n_big
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    join keys match each other instead of silently dropping — the
+    semantics a sentinel-coded dimension needs.  Plans exactly like a
+    plain hash/sort-merge equi-join (null-safe equality is still an
+    equality-based key), so no nested-loop penalty at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error")).alias("k")
+    a = ev.groupBy(k).agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    b = (
+        ev.filter(F.col("value") > 250)
+        .groupBy(k)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_big"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_all", "n_big"
+    )
+
+
 _register_new_this_round(
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
@@ -952,4 +1249,12 @@ _register_new_this_round(
     "bench_q2",
     "bench_q7",
     "bench_q16",
+    "f_base64_hex",
+    "f_format_pad",
+    "join_null_safe",
+    "ext_eval_ndcg",
+    "ext_sample_dupcap",
+    "ext_tokenizer_vocab",
+    "ext_skew_report",
+    "ext_multimodal_audio",
 )
