@@ -69,6 +69,13 @@ HEADLINE = [
     "win_scd2",
     "agg_histogram",
     "join_asof_tolerance",
+    # round-4 second batch: the heavy composites added this round —
+    # TPC-H Q18/Q7/Q2 shapes, the funnel, and the vocab builder
+    "bench_q18",
+    "bench_q7",
+    "bench_q2",
+    "win_funnel",
+    "ext_tokenizer_vocab",
 ]
 
 

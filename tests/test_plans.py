@@ -91,6 +91,22 @@ EXCHANGE_BUDGET = {
     "f_date_parts": 0,           # narrow projection
     "f_interval_math": 0,
     "f_hash_digests": 0,
+    # round-4 second batch
+    "bench_q2": 2,               # (part,supp) agg + window on part; dims broadcast
+    "bench_q7": 1,               # geo branches broadcast; li↔orders + rollup
+    "bench_q16": 2,              # anti/dim broadcast; distinct agg
+    "win_funnel": 8,             # 3 stage aggs + 3 scalar counts + joins
+    "win_streak": 2,             # day-distinct + islands aggs share user key
+    "join_dim_snapshot": 2,      # dim window + final agg (join broadcasts)
+    "agg_bool_family": 1,
+    "win_sliding_minmax": 1,
+    "f_base64_hex": 0,           # narrow projection
+    "f_format_pad": 0,
+    "join_null_safe": 3,         # two aggs + null-safe join
+    "ext_eval_ndcg": 6,          # two topk windows + dcg/idcg joins (Q·k rows)
+    "ext_sample_dupcap": 1,      # one content-hash window
+    "ext_tokenizer_vocab": 2,    # vocab agg + top-50 rank window
+    "ext_skew_report": 3,        # key agg ×2 branches + top-10
 }
 
 

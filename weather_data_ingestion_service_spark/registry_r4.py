@@ -576,22 +576,21 @@ def q_bench_q2(spark, sf_dir):
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(_cents("l_extendedprice")).alias("cost_c")
     )
-    best = (
-        cost.groupBy("l_partkey")
-        .agg(F.min("cost_c").alias("best_c"))
-        .withColumnRenamed("l_partkey", "b_partkey")
-    )
+    # decorrelate via a whole-partition window min rather than a
+    # re-aggregate + self-join: one fewer shuffle, and hash(l_partkey,
+    # l_suppkey) → window on l_partkey is the only repartitioning
+    best = cost.withColumn(
+        "best_c", F.min("cost_c").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost_c") == F.col("best_c"))
     dim = F.broadcast(
         supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
         .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
         .select("s_suppkey", "s_name", "n_name")
     )
     return (
-        cost.join(best, (cost["l_partkey"] == best["b_partkey"])
-                  & (cost["cost_c"] == best["best_c"]))
-        .join(dim, cost["l_suppkey"] == dim["s_suppkey"])
+        best.join(dim, best["l_suppkey"] == dim["s_suppkey"])
         .select(
-            cost["l_partkey"].alias("p_partkey"),
+            F.col("l_partkey").alias("p_partkey"),
             "s_name",
             "n_name",
             (F.col("cost_c") / 100.0).alias("min_cost"),
@@ -739,6 +738,12 @@ def q_win_funnel(spark, sf_dir):
     narrowed by a min-aggregate — all joins are equi-joins on user_id,
     so the funnel is three hash-partitioned passes over per-user
     aggregates, never a self-join of raw events against raw events."""
+    # NOTE on partitioning: every stage aggregates and joins on
+    # user_id, but an explicit repartition does NOT help here — the
+    # three branches filter differently so Spark cannot reuse one
+    # exchange, and the per-stage cohort tables are tiny relative to
+    # events (they broadcast; at 100× the stage aggregates' own output
+    # partitioning already feeds the next sort-merge join side).
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
