@@ -681,3 +681,88 @@ class TestNdcgAtK:
         assert row["dcg_micro"] == want_dcg
         assert row["idcg_micro"] == want_idcg
         assert row["ndcg"] == want_dcg / want_idcg
+
+
+class TestFunnelOrdering:
+    """win_funnel's strictly-after contract on crafted event logs —
+    the edge the registry fixture can't guarantee to contain."""
+
+    def _funnel_counts(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+        v = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t1")))
+        c = (ev.filter(F.col("event_type") == "click")
+             .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
+             .groupBy("user_id").agg(F.min("ts").alias("t2")))
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
+             .groupBy("user_id").agg(F.min("ts").alias("t3")))
+        return v.count(), c.count(), p.count()
+
+    def test_click_before_view_does_not_convert(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, s)
+        rows = [
+            # user 1: proper view -> click -> purchase
+            (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+            # user 2: click BEFORE the first view — stage 2 must not count
+            (2, "click", t(1)), (2, "view", t(2)), (2, "purchase", t(3)),
+            # user 3: purchase between view and click — not a conversion
+            (3, "view", t(1)), (3, "purchase", t(2)), (3, "click", t(3)),
+        ]
+        assert self._funnel_counts(spark, rows) == (3, 2, 1)
+
+    def test_same_timestamp_is_not_after(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 1)
+        rows = [(1, "view", t0), (1, "click", t0)]
+        assert self._funnel_counts(spark, rows) == (1, 0, 0)
+
+
+class TestDupcapAndStreakEdges:
+    def test_dupcap_keeps_at_most_two_deterministically(self, spark):
+        """The cap is exact and the survivors are a deterministic
+        function of ids (run twice, same survivors)."""
+        from pyspark.sql import Window, functions as F
+
+        docs = spark.createDataFrame(
+            [(i, f"content-{i % 3}") for i in range(30)], "doc_id long, text string"
+        )
+        h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+        w = Window.partitionBy("text").orderBy(h, "doc_id")
+        pick = lambda: sorted(
+            r["doc_id"]
+            for r in docs.select(
+                "doc_id", F.row_number().over(w).alias("copy_rank")
+            ).filter(F.col("copy_rank") <= 2).collect()
+        )
+        first = pick()
+        assert len(first) == 6  # 3 contents × cap 2
+        assert first == pick()
+
+    def test_streak_islands_on_crafted_days(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import Window, functions as F
+
+        days = [1, 2, 3, 7, 8, 20]  # streaks: 3, 2, 1
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, d, 12)) for d in days],
+            "user_id long, ts timestamp",
+        )
+        d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+        w = Window.partitionBy("user_id").orderBy("day")
+        i = d.select(
+            "user_id", F.date_sub("day", F.row_number().over(w)).alias("grp")
+        )
+        s = i.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+        row = s.groupBy("user_id").agg(
+            F.max("len").alias("longest"), F.sum("len").alias("total")
+        ).collect()[0]
+        assert (row["longest"], row["total"]) == (3, 6)

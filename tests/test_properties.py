@@ -522,3 +522,51 @@ class TestRrfProperties:
         out = rrf_fuse(a, b, k=5).collect()
         best = min(out, key=lambda r: r.rank)
         assert best.match_id == 10
+
+
+class TestNdcgLaws:
+    """ndcg_at_k invariants on generated rankings."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(perm=st.permutations(list(range(8))))
+    def test_ndcg_bounded_and_permutation_consistent(self, spark, perm):
+        """0 < ndcg <= 1 for any approx permutation of a truth top-k
+        superset; exactly 1 iff the top-k prefix order matches."""
+        from weather_data_ingestion_service_spark.ext.simsearch import ndcg_at_k
+
+        k = 5
+        truth = spark.createDataFrame(
+            [(1, m, r + 1) for r, m in enumerate(range(8))],
+            "query_id long, match_id long, rank int",
+        )
+        approx = spark.createDataFrame(
+            [(1, m, r + 1) for r, m in enumerate(perm)],
+            "query_id long, match_id long, rank int",
+        )
+        row = ndcg_at_k(truth, approx, k=k).collect()[0]
+        assert 0.0 < row["ndcg"] <= 1.0
+        assert 0 < row["dcg_micro"] <= row["idcg_micro"]
+        if perm[:k] == list(range(k)):
+            assert row["ndcg"] == 1.0
+
+    def test_ndcg_monotone_in_displacement(self, spark):
+        """Swapping a relevant item further down strictly lowers NDCG."""
+        from weather_data_ingestion_service_spark.ext.simsearch import ndcg_at_k
+
+        truth = spark.createDataFrame(
+            [(1, m, m + 1) for m in range(5)],
+            "query_id long, match_id long, rank int",
+        )
+
+        def score(order):
+            approx = spark.createDataFrame(
+                [(1, m, r + 1) for r, m in enumerate(order)],
+                "query_id long, match_id long, rank int",
+            )
+            return ndcg_at_k(truth, approx, k=5).collect()[0]["ndcg"]
+
+        perfect = score([0, 1, 2, 3, 4])
+        one_swap = score([1, 0, 2, 3, 4])     # top-2 swapped
+        far_swap = score([4, 1, 2, 3, 0])     # best item sent to rank 5
+        assert perfect == 1.0
+        assert far_swap < one_swap < perfect
