@@ -688,20 +688,18 @@ class TestFunnelOrdering:
     the edge the registry fixture can't guarantee to contain."""
 
     def _funnel_counts(self, spark, rows):
-        from pyspark.sql import functions as F
+        """Run the SHIPPED operator (the one the registry serves), not
+        a private re-implementation."""
+        from weather_data_ingestion_service_spark.operators.windows import (
+            conversion_funnel,
+        )
 
         ev = spark.createDataFrame(
             rows, "user_id long, event_type string, ts timestamp"
         )
-        v = (ev.filter(F.col("event_type") == "view")
-             .groupBy("user_id").agg(F.min("ts").alias("t1")))
-        c = (ev.filter(F.col("event_type") == "click")
-             .join(v, "user_id").filter(F.col("ts") > F.col("t1"))
-             .groupBy("user_id").agg(F.min("ts").alias("t2")))
-        p = (ev.filter(F.col("event_type") == "purchase")
-             .join(c, "user_id").filter(F.col("ts") > F.col("t2"))
-             .groupBy("user_id").agg(F.min("ts").alias("t3")))
-        return v.count(), c.count(), p.count()
+        out = conversion_funnel(ev, ["view", "click", "purchase"])
+        got = {r["stage"]: r["n_users"] for r in out.collect()}
+        return got["1_view"], got["2_click"], got["3_purchase"]
 
     def test_click_before_view_does_not_convert(self, spark):
         import datetime as dt
@@ -728,41 +726,39 @@ class TestFunnelOrdering:
 class TestDupcapAndStreakEdges:
     def test_dupcap_keeps_at_most_two_deterministically(self, spark):
         """The cap is exact and the survivors are a deterministic
-        function of ids (run twice, same survivors)."""
-        from pyspark.sql import Window, functions as F
+        function of ids (run twice, same survivors) — exercised via
+        the shipped capped_duplicates operator."""
+        from weather_data_ingestion_service_spark.ext.sampling import (
+            capped_duplicates,
+        )
 
         docs = spark.createDataFrame(
             [(i, f"content-{i % 3}") for i in range(30)], "doc_id long, text string"
         )
-        h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-        w = Window.partitionBy("text").orderBy(h, "doc_id")
         pick = lambda: sorted(
             r["doc_id"]
-            for r in docs.select(
-                "doc_id", F.row_number().over(w).alias("copy_rank")
-            ).filter(F.col("copy_rank") <= 2).collect()
+            for r in capped_duplicates(docs, ["text"], "doc_id", cap=2).collect()
         )
         first = pick()
         assert len(first) == 6  # 3 contents × cap 2
         assert first == pick()
+        got_copies = {
+            r["doc_id"]: r["n_copies"]
+            for r in capped_duplicates(docs, ["text"], "doc_id", cap=2).collect()
+        }
+        assert set(got_copies.values()) == {10}  # 30 rows / 3 contents
 
     def test_streak_islands_on_crafted_days(self, spark):
         import datetime as dt
 
-        from pyspark.sql import Window, functions as F
+        from weather_data_ingestion_service_spark.operators.windows import (
+            day_streaks,
+        )
 
         days = [1, 2, 3, 7, 8, 20]  # streaks: 3, 2, 1
         ev = spark.createDataFrame(
             [(1, dt.datetime(2024, 1, d, 12)) for d in days],
             "user_id long, ts timestamp",
         )
-        d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-        w = Window.partitionBy("user_id").orderBy("day")
-        i = d.select(
-            "user_id", F.date_sub("day", F.row_number().over(w)).alias("grp")
-        )
-        s = i.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
-        row = s.groupBy("user_id").agg(
-            F.max("len").alias("longest"), F.sum("len").alias("total")
-        ).collect()[0]
-        assert (row["longest"], row["total"]) == (3, 6)
+        row = day_streaks(ev).collect()[0]
+        assert (row["longest_streak"], row["n_active_days"]) == (3, 6)

@@ -151,10 +151,24 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
 
     img = Image.open(io.BytesIO(payload))
     n_channels = len(img.getbands())
-    grey = img.convert("L")  # PIL uses the same Rec.601 weights
-    hist = grey.histogram()
-    total = sum(v * c for v, c in enumerate(hist))
-    luma = total / (img.width * img.height * 255.0)
+    # compute Rec.601 luma from exact per-channel integer sums — NOT
+    # img.convert('L'), whose per-pixel integer rounding drifts ~1e-4
+    # from the stdlib branch and would make output depend on whether
+    # pillow is importable
+    if n_channels >= 3:
+        rgb = img.convert("RGB")
+        sums = [
+            sum(v * c for v, c in enumerate(h))
+            for h in (
+                rgb.getchannel(b).histogram() for b in ("R", "G", "B")
+            )
+        ]
+        total = 299 * sums[0] + 587 * sums[1] + 114 * sums[2]
+        luma = total / (1000.0 * img.width * img.height * 255.0)
+    else:
+        first = img.getchannel(0).histogram()
+        total = sum(v * c for v, c in enumerate(first))
+        luma = total / (img.width * img.height * 255.0)
     return img.width, img.height, n_channels, luma
 
 
@@ -374,7 +388,9 @@ def synth_wav_payload(
                     w.setframerate(sample_rate)
                     w.writeframes(pcm)
                 payloads.append(buf.getvalue())
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "audio": payloads})
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, payload_col: payloads}
+            )
 
     schema = T.StructType(
         [
@@ -421,6 +437,11 @@ def decode_audio_features(
                     frames = w.readframes(w.getnframes())
                 x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
                 ns = len(x) // max(nch, 1)
+                # de-interleave: peak/RMS are channel-agnostic, but
+                # zero crossings on the raw interleaved stream would
+                # compare adjacent samples of DIFFERENT channels —
+                # count them on channel 0
+                ch0 = x[::nch] if nch > 1 else x
                 out["doc_id"].append(int(i))
                 out["sample_rate"].append(sr)
                 out["n_channels"].append(nch)
@@ -431,7 +452,9 @@ def decode_audio_features(
                     float(np.sqrt((x * x).mean())) if len(x) else 0.0
                 )
                 out["zero_crossings"].append(
-                    int(((x[:-1] < 0) != (x[1:] < 0)).sum()) if len(x) > 1 else 0
+                    int(((ch0[:-1] < 0) != (ch0[1:] < 0)).sum())
+                    if len(ch0) > 1
+                    else 0
                 )
             yield pd.DataFrame(out)
 

@@ -251,3 +251,29 @@ def temperature_sample(
         .filter(_id_hash_u52(id_col) < rate * F.lit(4503599627370496.0))
         .drop("__n_d", "__n_min")
     )
+
+
+def capped_duplicates(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+    cap: int = 2,
+) -> DataFrame:
+    """Frequency-capped duplicate downsampling — the soft-dedup
+    between 'keep everything' and 'keep one': at most ``cap`` copies
+    of each exact content survive, chosen deterministically by id-hash
+    order (so membership is reproducible and partitioning-independent,
+    like every sampler here).  Adds ``copy_rank`` (1-based) and
+    ``n_copies``; one window over the content partition, no self-join.
+
+    The Gopher/C4 rationale: a document duplicated 10 000× would
+    otherwise claim 10 000× the training-mix weight; capping bounds
+    that without deleting the duplication signal entirely."""
+    w = Window.partitionBy(*content_cols).orderBy(_id_hash(id_col), F.col(id_col))
+    r = df.withColumn(
+        "copy_rank", F.row_number().over(w).cast("int")
+    ).withColumn(
+        "n_copies",
+        F.count(F.lit(1)).over(Window.partitionBy(*content_cols)).cast("long"),
+    )
+    return r.filter(F.col("copy_rank") <= cap)

@@ -1031,15 +1031,18 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     disc = F.broadcast(
         spark.createDataFrame(ndcg_discount_micros(k), "rank int, disc_micro long")
     )
+    # duplicated (query, match) pairs reduce to their BEST (min) rank —
+    # dropDuplicates would keep an arbitrary rank per pair and make
+    # DCG/IDCG run-dependent (the recall_at_k r03 lesson, plus ranks)
     t = (
         truth.filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.col("rank").alias("t_rank"))
-        .dropDuplicates(["query_id", "match_id"])
+        .groupBy("query_id", "match_id")
+        .agg(F.min("rank").alias("t_rank"))
     )
     a = (
         approx.filter(F.col("rank") <= k)
-        .select("query_id", "match_id", F.col("rank").alias("a_rank"))
-        .dropDuplicates(["query_id", "match_id"])
+        .groupBy("query_id", "match_id")
+        .agg(F.min("rank").alias("a_rank"))
     )
     dcg = (
         a.join(t, ["query_id", "match_id"], "left")

@@ -220,3 +220,73 @@ def gap_islands(
         F.max(ts_col).alias("island_end"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def conversion_funnel(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage *i* iff they
+    performed ``stages[i]`` strictly AFTER their stage-*i−1* entry time
+    (``min`` of qualifying events).  Output is one row per stage,
+    ``(stage, n_users)`` with stages labeled ``1_<name>``…
+
+    Scale shape: each stage is the previous stage's (user, t) cohort
+    narrowed by a min-aggregate — every join is an equi-join on the
+    user key against an already-aggregated (one row per user) table,
+    never events × events.  The per-stage cohorts broadcast while they
+    fit; past that, their aggregate output partitioning feeds the next
+    sort-merge join side."""
+    if not stages:
+        raise ValueError("conversion_funnel needs at least one stage")
+    cohorts = []
+    prev = None
+    for stage_type in stages:
+        cur = df.filter(F.col(type_col) == stage_type)
+        if prev is not None:
+            cur = cur.join(prev, user_col).filter(
+                F.col(ts_col) > F.col("__stage_t")
+            )
+        cur = cur.groupBy(user_col).agg(F.min(ts_col).alias("__stage_t"))
+        cohorts.append(cur)
+        prev = cur
+
+    def _count(c: DataFrame, label: str) -> DataFrame:
+        return c.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    out = _count(cohorts[0], f"1_{stages[0]}")
+    for i, c in enumerate(cohorts[1:], start=2):
+        out = out.unionByName(_count(c, f"{i}_{stages[i - 1]}"))
+    return out
+
+
+def day_streaks(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands date variant: ``day − row_number`` is constant
+    within a run of consecutive days.  One window + two hash
+    aggregations, all partitioned by the user key, so one exchange
+    feeds everything.  Output: ``(user_col, longest_streak,
+    n_active_days)``."""
+    d = df.select(user_col, F.to_date(ts_col).alias("__day")).distinct()
+    w = Window.partitionBy(user_col).orderBy("__day")
+    i = d.select(
+        user_col,
+        F.date_sub("__day", F.row_number().over(w)).alias("__grp"),
+    )
+    s = i.groupBy(user_col, "__grp").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    return s.groupBy(user_col).agg(
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.sum("__len").cast("long").alias("n_active_days"),
+    )

@@ -2483,7 +2483,12 @@ def q_sink_partitioned_scan(spark, sf_dir):
     the PartitionFilters side)."""
     import os
 
-    out = f"/tmp/wds_partitioned_{os.path.basename(sf_dir.rstrip('/'))}"
+    # session-unique scratch path: a concurrent session at the same SF
+    # must not race this query's overwrite-then-read
+    out = (
+        f"/tmp/wds_partitioned_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId.replace('-', '_')}"
+    )
     ev = load_table(spark, sf_dir, "events")
     ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
         "day"

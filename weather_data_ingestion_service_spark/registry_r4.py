@@ -23,16 +23,10 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .registry import NOW, _cents, _register_new_this_round, register
 from .registry_ext import (
-    _DOCS_SRC_SQL,
-    _DUP_CORPUS_SQL,
-    _EMB_DUP_CORPUS_SQL,
-    _NEAR_DUP_CORPUS_SQL,
-    _RRF_RANKING_SQL,
     _COSINE_SQL,
-    _docs_src,
+    _DUP_CORPUS_SQL,
+    _RRF_RANKING_SQL,
     _dup_corpus,
-    _emb_dup_corpus,
-    _near_dup_corpus,
 )
 
 #: tokenization shared by the text entries — identical to the
@@ -46,6 +40,14 @@ def _tok(col="text"):
 
 def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+def _session_tag(spark, sf_dir: str) -> str:
+    """Scratch-location tag unique per (session, SF): two concurrent
+    sessions at the same SF (driver + bench, parallel pytest workers)
+    must not race each other's overwrite-then-read on a shared path."""
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    return f"{_sf_tag(sf_dir)}_{app}"
 
 
 # =====================================================================
@@ -66,7 +68,7 @@ def q_sink_csv_roundtrip(spark, sf_dir):
     read back with an explicit schema, per-type aggregates matching
     the raw parquet — doubles survive because Spark writes the
     shortest round-trippable decimal repr."""
-    out = f"/tmp/wds_csv_{_sf_tag(sf_dir)}"
+    out = f"/tmp/wds_csv_{_session_tag(spark, sf_dir)}"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -92,7 +94,7 @@ def q_sink_csv_roundtrip(spark, sf_dir):
 def q_sink_json_roundtrip(spark, sf_dir):
     """JSON-lines sink/source round trip (the landing-zone format):
     write, schema-on-read back, per-type aggregates matching raw."""
-    out = f"/tmp/wds_json_{_sf_tag(sf_dir)}"
+    out = f"/tmp/wds_json_{_session_tag(spark, sf_dir)}"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "user_id"
     )
@@ -125,7 +127,7 @@ def q_sink_bucketed_join(spark, sf_dir):
     tests/test_plans.py pins the exchange-free join branches."""
     import shutil
 
-    tag = _sf_tag(sf_dir)
+    tag = _session_tag(spark, sf_dir)
     ot, ct = f"wds_r4_orders_{tag}", f"wds_r4_cust_{tag}"
     # a fresh session has an empty in-memory catalog but the warehouse
     # directory persists — drop BOTH the catalog entry and the stale
@@ -738,6 +740,8 @@ def q_win_funnel(spark, sf_dir):
     narrowed by a min-aggregate — all joins are equi-joins on user_id,
     so the funnel is three hash-partitioned passes over per-user
     aggregates, never a self-join of raw events against raw events."""
+    from .operators.windows import conversion_funnel
+
     # NOTE on partitioning: every stage aggregates and joins on
     # user_id, but an explicit repartition does NOT help here — the
     # three branches filter differently so Spark cannot reuse one
@@ -745,37 +749,7 @@ def q_win_funnel(spark, sf_dir):
     # events (they broadcast; at 100× the stage aggregates' own output
     # partitioning already feeds the next sort-merge join side).
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def stage(df, label):
-        return df.agg(
-            F.lit(label).alias("stage"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        )
-
-    return (
-        stage(v, "1_view")
-        .unionByName(stage(c, "2_click"))
-        .unionByName(stage(p, "3_purchase"))
-    )
+    return conversion_funnel(ev, ["view", "click", "purchase"])
 
 
 @register(
@@ -800,19 +774,9 @@ def q_win_streak(spark, sf_dir):
     gaps-and-islands date variant: day − row_number is constant within
     a run of consecutive days, so one window + two hash aggregations
     (all partitioned by user_id: one exchange feeds everything)."""
-    ev = load_table(spark, sf_dir, "events")
-    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
-    i = d.select(
-        "user_id",
-        "day",
-        F.date_sub("day", F.row_number().over(w)).alias("grp"),
-    )
-    s = i.groupBy("user_id", "grp").agg(F.count(F.lit(1)).cast("long").alias("len"))
-    return s.groupBy("user_id").agg(
-        F.max("len").cast("long").alias("longest_streak"),
-        F.sum("len").cast("long").alias("n_active_days"),
-    )
+    from .operators.windows import day_streaks
+
+    return day_streaks(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -1021,17 +985,12 @@ def q_ext_sample_dupcap(spark, sf_dir):
     Gopher/C4 move that bounds any document's training-mix weight
     without discarding duplication signal entirely.  One window over
     the content hash partition; no self-join."""
-    from pyspark.sql import Window as W
+    from .ext.sampling import capped_duplicates
 
     corpus = _dup_corpus(spark, sf_dir)
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = W.partitionBy("text").orderBy(h, "doc_id")
-    r = corpus.select(
-        "doc_id",
-        F.row_number().over(w).cast("int").alias("copy_rank"),
-        F.count(F.lit(1)).over(W.partitionBy("text")).cast("long").alias("n_copies"),
+    return capped_duplicates(corpus, ["text"], "doc_id", cap=2).select(
+        "doc_id", "copy_rank", "n_copies"
     )
-    return r.filter(F.col("copy_rank") <= 2)
 
 
 @register(
