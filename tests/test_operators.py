@@ -762,3 +762,43 @@ class TestDupcapAndStreakEdges:
         )
         row = day_streaks(ev).collect()[0]
         assert (row["longest_streak"], row["n_active_days"]) == (3, 6)
+
+
+class TestAudioMultiChannel:
+    def test_stereo_zero_crossings_use_one_channel(self, spark):
+        """L = 200 Hz sine, R = inverted sine: interleaved-stream
+        counting would see ~2 sign flips per sample pair; the decoder
+        must report the single-channel rate (~2·f·t)."""
+        import io as _io
+        import math
+        import struct
+        import wave
+
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            decode_audio_features,
+        )
+
+        sr, n, freq = 8000, 1600, 200
+        frames = b"".join(
+            struct.pack(
+                "<hh",
+                int(16000 * math.sin(2 * math.pi * freq * t / sr)),
+                -int(16000 * math.sin(2 * math.pi * freq * t / sr)),
+            )
+            for t in range(n)
+        )
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(frames)
+        df = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "doc_id long, audio binary"
+        )
+        r = decode_audio_features(df, "doc_id").collect()[0]
+        assert r["n_channels"] == 2
+        assert r["n_samples"] == n
+        assert abs(r["zero_crossings"] - 2 * freq * (n / sr)) <= 2
