@@ -493,8 +493,11 @@ class TestMultimodalFramesResize:
         pay = attach_binary_payload(docs, "text")
         with pytest.raises(NotImplementedError):
             sample_frames(pay, use_real_codec=True)
-        with pytest.raises(NotImplementedError):
-            resize_images(pay, use_real_codec=True)
+        # resize's real path EXISTS now (stdlib PNG / PIL): on
+        # non-image bytes it must fail loudly at execution, never
+        # silently hand back fake output
+        with pytest.raises(Exception, match="PNG|image"):
+            resize_images(pay, use_real_codec=True).collect()
 
 
 class TestRealImageDecode:
@@ -802,3 +805,45 @@ class TestAudioMultiChannel:
         assert r["n_channels"] == 2
         assert r["n_samples"] == n
         assert abs(r["zero_crossings"] - 2 * freq * (n / sr)) <= 2
+
+
+class TestRealImageResize:
+    """Real resize path: PNG fixture → nearest-neighbor resample →
+    re-encoded PNG that the real decoder accepts at the new size."""
+
+    FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def test_resize_roundtrip_through_spark(self, spark):
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _decode_real,
+            resize_images,
+        )
+
+        with open(os.path.join(self.FIXDIR, "gradient_rgb.png"), "rb") as fh:
+            png = fh.read()
+        df = spark.createDataFrame(
+            [(1, bytearray(png))], "doc_id long, payload binary"
+        )
+        out = resize_images(
+            df, target_w=8, target_h=6, use_real_codec=True
+        ).collect()[0]
+        assert (out["width"], out["height"]) == (8, 6)
+        w, h, nch, luma = _decode_real(bytes(out["payload"]))
+        assert (w, h, nch) == (8, 6, 3)
+        # nearest-neighbor of a smooth gradient keeps mean luma close
+        _, _, _, src_luma = _decode_real(png)
+        assert abs(luma - src_luma) < 0.05
+
+    def test_resize_kernel_upsamples_too(self):
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _decode_real,
+            _resize_real,
+        )
+
+        with open(os.path.join(self.FIXDIR, "gradient_grey.png"), "rb") as fh:
+            png = fh.read()
+        up = _resize_real(png, 16, 16)
+        w, h, nch, _ = _decode_real(up)
+        assert (w, h, nch) == (16, 16, 1)

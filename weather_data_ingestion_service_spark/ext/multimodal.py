@@ -6,13 +6,16 @@ metadata travels in sibling typed columns, and decode/feature-extract
 runs as Arrow-batched ``mapInPandas`` so the raw bytes never round-trip
 through Python row-at-a-time.
 
-Image decode is REAL: ``decode_image_features(use_real_codec=True)``
-uses PIL when importable and otherwise a pure-stdlib PNG decoder
-(zlib + struct, all five filter types) — tested against committed PNG
-fixtures.  Video/audio codecs (ffmpeg/librosa) are NOT in this
-container, so frame-sampling/resize keep a deterministic fake behind
-an import-try; the Spark-side plumbing (schema, batching, partition
-shape) is real and tested either way.
+Image decode, image resize and WAV audio are REAL:
+``decode_image_features(use_real_codec=True)`` uses PIL when
+importable and otherwise a pure-stdlib PNG decoder (zlib + struct,
+all five filter types); ``resize_images(use_real_codec=True)``
+resamples nearest-neighbor and re-encodes through the stdlib PNG
+encoder; ``decode_audio_features`` parses RIFF/WAVE containers with
+stdlib ``wave`` — all tested against committed/synthesized fixtures.
+Only video frame extraction keeps a deterministic fake (ffmpeg is
+genuinely not in this container); the Spark-side plumbing (schema,
+batching, partition shape) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -85,10 +88,11 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
-def _decode_png_stdlib(payload: bytes) -> tuple[int, int, int, float]:
-    """Pure-stdlib PNG decode (zlib + struct): 8-bit depth, color types
-    0/2/4/6, no interlace — enough to decode any PNG this engine's own
-    sink writes, with zero third-party codecs."""
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Pure-stdlib PNG decode to raw interleaved pixels (zlib +
+    struct): 8-bit depth, color types 0/2/4/6, no interlace — enough
+    to decode any PNG this engine's own sink writes, with zero
+    third-party codecs.  Returns (width, height, n_channels, pixels)."""
     import struct
     import zlib
 
@@ -119,6 +123,41 @@ def _decode_png_stdlib(payload: bytes) -> tuple[int, int, int, float]:
     w, h, color = meta
     n_channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     pixels = _png_unfilter(zlib.decompress(idat), w, h, n_channels)
+    return w, h, n_channels, pixels
+
+
+def _encode_png_stdlib(
+    pixels: bytes, width: int, height: int, n_channels: int
+) -> bytes:
+    """Pure-stdlib PNG encode (the inverse of ``_png_pixels``): filter
+    type 0 scanlines, one zlib stream, CRC-correct chunks."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * n_channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_stdlib(payload: bytes) -> tuple[int, int, int, float]:
+    """Stats wrapper over ``_png_pixels``: (w, h, channels, Rec.601
+    mean luma)."""
+    w, h, n_channels, pixels = _png_pixels(payload)
     # Rec.601 luma over color channels (alpha excluded)
     if n_channels >= 3:
         total = sum(
@@ -298,16 +337,35 @@ def resize_images(
     """Image resize to a fixed training resolution: 1:1 row transform
     over binary payloads, payload stays binary end to end.
 
-    Stub codec: the "resized" payload is a deterministic stride-sample
-    of the source bytes proportional to the target pixel count, so
-    payload size really shrinks and downstream operators see realistic
-    binary churn.  Real path gated behind PIL availability.
+    ``use_real_codec=True`` REALLY resizes: PIL (any format, NEAREST
+    kernel) when importable, else the stdlib PNG decode → nearest-
+    neighbor resample → stdlib PNG encode path, so the output is a
+    genuine decodable image at (target_w, target_h) with zero
+    third-party codecs.  The default fake path is the deterministic
+    stride-sample stand-in (payload size shrinks, schema/batching
+    identical) for corpora whose payloads aren't real images.
     """
-    if use_real_codec:  # pragma: no cover - codec not in container
-        raise NotImplementedError(
-            "image codec not available in this environment; "
-            "install pillow to enable real resize"
-        )
+    if use_real_codec:
+
+        def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for p in pdf[payload_col]:
+                    payloads.append(
+                        _resize_real(bytes(p), target_w, target_h)
+                    )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col].values,
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": payloads,
+                        "payload_bytes": [len(p) for p in payloads],
+                    }
+                )
+
+        return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)
+
     target_bytes = max(target_w * target_h // 1024, 16)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -327,6 +385,32 @@ def resize_images(
             )
 
     return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def _resize_real(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize kernel: PIL NEAREST when importable (any input
+    format, PNG out), else stdlib PNG decode → nearest-neighbor →
+    stdlib PNG encode."""
+    try:
+        from PIL import Image
+    except ImportError:
+        w, h, nch, pixels = _png_pixels(payload)  # raises ValueError if not PNG
+        out = bytearray(target_w * target_h * nch)
+        for ty in range(target_h):
+            sy = min(ty * h // target_h, h - 1)
+            row_base = sy * w * nch
+            for tx in range(target_w):
+                sx = min(tx * w // target_w, w - 1)
+                src = row_base + sx * nch
+                dst = (ty * target_w + tx) * nch
+                out[dst : dst + nch] = pixels[src : src + nch]
+        return _encode_png_stdlib(out, target_w, target_h, nch)
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    buf = io.BytesIO()
+    img.resize((target_w, target_h), Image.NEAREST).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 # ---------------------------------------------------------------------
