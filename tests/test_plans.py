@@ -107,6 +107,8 @@ EXCHANGE_BUDGET = {
     "ext_sample_dupcap": 1,      # one content-hash window
     "ext_tokenizer_vocab": 2,    # vocab agg + top-50 rank window
     "ext_skew_report": 3,        # key agg ×2 branches + top-10
+    "agg_median_mad": 2,         # two selection windows; median dim broadcasts
+    "ext_multimodal_resize_png": 0,  # narrow mapInPandas chain
 }
 
 

@@ -545,3 +545,44 @@ def decode_audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         extract, AUDIO_FEATURES_SCHEMA
     )
+
+
+def synth_png_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    width: int = 24,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic PNG synthesis keyed on the id column — the image
+    counterpart of ``synth_wav_payload``: an RGB gradient whose phase
+    is the id, written through the stdlib PNG encoder, so the payload
+    is a genuine decodable image (not a stand-in) with zero
+    third-party codecs."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                k = int(i)
+                px = bytearray(width * height * 3)
+                for y in range(height):
+                    for x in range(width):
+                        o = (y * width + x) * 3
+                        px[o] = (x * 255 // max(width - 1, 1) + k) % 256
+                        px[o + 1] = (y * 255 // max(height - 1, 1) + 2 * k) % 256
+                        px[o + 2] = (x + y + 3 * k) % 256
+                payloads.append(_encode_png_stdlib(px, width, height, 3))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, payload_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema
+    )

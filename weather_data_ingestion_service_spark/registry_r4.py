@@ -1192,6 +1192,99 @@ def q_join_null_safe(spark, sf_dir):
     )
 
 
+@register(
+    "agg_median_mad",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, vc,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY vc, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (SELECT event_type, vc AS med_c, n FROM m WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT c.event_type, c.event_id,
+             abs(c.vc - med.med_c) AS dev, med.med_c, med.n
+      FROM c JOIN med ON c.event_type = med.event_type
+    ),
+    dm AS (
+      SELECT event_type, dev, med_c, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn
+      FROM d
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           med_c / 100.0 AS median, dev / 100.0 AS mad
+    FROM dm WHERE rn = (n + 1) // 2
+    """,
+)
+def q_agg_median_mad(spark, sf_dir):
+    """Robust statistics: exact DISCRETE median + median absolute
+    deviation per group — the outlier scale measure that, unlike the
+    sigma rule, is immune to the outliers themselves.  Interpolated
+    medians differ between engines' float paths, so both engines pick
+    the lower-median ELEMENT at position ceil(n/2) under the total
+    order (cents, event_id) — selection, not arithmetic, is exact by
+    construction.  Two window passes + one equi-join on the (tiny)
+    per-group median table."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type", _cents("value").alias("vc"))
+    w = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    m = c.select(
+        "event_type",
+        "vc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = m.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("event_type").alias("m_type"), F.col("vc").alias("med_c"), "n"
+    )
+    d = c.join(med, c["event_type"] == med["m_type"]).select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("vc") - F.col("med_c")).alias("dev"),
+        "med_c",
+        "n",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dm = d.withColumn("rn", F.row_number().over(wd))
+    return dm.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("med_c") / 100.0).alias("median"),
+        (F.col("dev") / 100.0).alias("mad"),
+    )
+
+
+@register("ext_multimodal_resize_png")  # real codec chain — rows-only
+def q_ext_multimodal_resize_png(spark, sf_dir):
+    """The REAL image pipeline end to end as a driver query:
+    deterministic RGB-gradient PNGs synthesized through the stdlib
+    encoder (keyed on doc_id), resized 24×16 → 8×8 through the real
+    nearest-neighbor + re-encode path, then decoded back into
+    (width, height, channels, mean-luma) features.  Every byte in
+    flight is a genuine PNG; all three stages are Arrow-batched
+    mapInPandas over binary columns."""
+    from .ext.multimodal import (
+        decode_image_features,
+        resize_images,
+        synth_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 32)
+    png = synth_png_payload(docs, "doc_id", width=24, height=16)
+    small = resize_images(
+        png, "doc_id", "payload", target_w=8, target_h=8, use_real_codec=True
+    )
+    return decode_image_features(small, "doc_id", "payload", use_real_codec=True)
+
+
 _register_new_this_round(
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
@@ -1221,4 +1314,6 @@ _register_new_this_round(
     "ext_tokenizer_vocab",
     "ext_skew_report",
     "ext_multimodal_audio",
+    "agg_median_mad",
+    "ext_multimodal_resize_png",
 )
