@@ -847,3 +847,34 @@ class TestRealImageResize:
         up = _resize_real(png, 16, 16)
         w, h, nch, _ = _decode_real(up)
         assert (w, h, nch) == (16, 16, 1)
+
+
+class TestMedianMadCrafted:
+    def test_known_median_and_mad(self):
+        """Pin the discrete-selection semantics on crafted values:
+        even-count group takes the LOWER median element.  (The Spark
+        side is held to this same SQL by the differential suite.)"""
+        import duckdb
+
+        from weather_data_ingestion_service_spark import registry
+
+        # values 1..4 (even count): lower median element = 2
+        # devs |1-2|,|2-2|,|3-2|,|4-2| = 1,0,1,2 sorted 0,1,1,2 -> lower
+        # median dev = 1
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM (VALUES "
+            "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'a', 3.0), (4, 'a', 4.0), "
+            "(5, 'b', 10.0), (6, 'b', 10.0), (7, 'b', 99.0)"
+            ") t(event_id, event_type, value)"
+        )
+        sql = registry.oracle_sql()["agg_median_mad"]
+        got = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(sql).fetchall()
+        }
+        # a: n=4, median=2.0 (lower), mad=1.0 (lower of 0,1,1,2)
+        assert got["a"] == (4, 2.0, 1.0)
+        # b: n=3, median=10.0, devs 0,0,89 -> mad=0.0
+        assert got["b"] == (3, 10.0, 0.0)
