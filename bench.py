@@ -76,6 +76,7 @@ HEADLINE = [
     "bench_q2",
     "win_funnel",
     "ext_tokenizer_vocab",
+    "agg_median_mad",
 ]
 
 

@@ -325,6 +325,13 @@ def dedup_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
+        # pre-partition the cached edge table on the join key: every
+        # propagation round joins edges.src == labels.id, and labels
+        # come out of groupBy(dst) hash-partitioned compatibly — so
+        # with edges cached on hash(src) the per-round join reshuffles
+        # NOTHING; only the groupBy(dst) exchange remains.  One extra
+        # exchange at build time buys one fewer per iteration.
+        .repartition("src")
         .persist()
     )
     # iterate ONLY over edge endpoints: a node with no near-dup edge
