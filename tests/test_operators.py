@@ -777,8 +777,6 @@ class TestAudioMultiChannel:
         import struct
         import wave
 
-        from pyspark.sql import functions as F
-
         from weather_data_ingestion_service_spark.ext.multimodal import (
             decode_audio_features,
         )
@@ -814,7 +812,6 @@ class TestRealImageResize:
     FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
 
     def test_resize_roundtrip_through_spark(self, spark):
-        from pyspark.sql import functions as F
 
         from weather_data_ingestion_service_spark.ext.multimodal import (
             _decode_real,

@@ -387,30 +387,58 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(resize, RESIZED_SCHEMA)
 
 
-def _resize_real(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Real resize kernel: PIL NEAREST when importable (any input
-    format, PNG out), else stdlib PNG decode → nearest-neighbor →
-    stdlib PNG encode."""
-    try:
-        from PIL import Image
-    except ImportError:
-        w, h, nch, pixels = _png_pixels(payload)  # raises ValueError if not PNG
-        out = bytearray(target_w * target_h * nch)
-        for ty in range(target_h):
-            sy = min(ty * h // target_h, h - 1)
-            row_base = sy * w * nch
-            for tx in range(target_w):
-                sx = min(tx * w // target_w, w - 1)
-                src = row_base + sx * nch
-                dst = (ty * target_w + tx) * nch
-                out[dst : dst + nch] = pixels[src : src + nch]
-        return _encode_png_stdlib(out, target_w, target_h, nch)
-    import io
+def _pil_image_module():
+    """Probe PIL ONCE per process (a failed import is not cached in
+    sys.modules, so probing per row would re-scan the import path in
+    the hot loop)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNPROBED:
+        try:
+            from PIL import Image
 
-    img = Image.open(io.BytesIO(payload))
-    buf = io.BytesIO()
-    img.resize((target_w, target_h), Image.NEAREST).save(buf, format="PNG")
-    return buf.getvalue()
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_UNPROBED = object()
+_PIL_IMAGE = _UNPROBED
+
+
+def _resize_real(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize kernel.  Environment-INDEPENDENT for the formats
+    the stdlib codec handles: a supported PNG always goes through
+    stdlib decode → floor-sampled nearest-neighbor → stdlib encode, so
+    output bytes do not depend on whether pillow is importable (the
+    same invariant ``_decode_real`` keeps for luma).  PIL is only the
+    fallback for formats stdlib genuinely can't read (JPEG, 16-bit
+    PNG, …), where there IS no codec-free answer."""
+    try:
+        w, h, nch, pixels = _png_pixels(payload)
+    except ValueError as exc:
+        Image = _pil_image_module()
+        if Image is None:
+            raise ValueError(
+                f"payload is not a stdlib-decodable PNG and no image codec "
+                f"is available; install pillow for JPEG/WebP/... ({exc})"
+            ) from exc
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        buf = io.BytesIO()
+        img.resize((target_w, target_h), Image.NEAREST).save(buf, format="PNG")
+        return buf.getvalue()
+    out = bytearray(target_w * target_h * nch)
+    for ty in range(target_h):
+        sy = min(ty * h // target_h, h - 1)
+        row_base = sy * w * nch
+        for tx in range(target_w):
+            sx = min(tx * w // target_w, w - 1)
+            src = row_base + sx * nch
+            dst = (ty * target_w + tx) * nch
+            out[dst : dst + nch] = pixels[src : src + nch]
+    return _encode_png_stdlib(out, target_w, target_h, nch)
 
 
 # ---------------------------------------------------------------------

@@ -1198,7 +1198,7 @@ def q_join_null_safe(spark, sf_dir):
     WITH c AS (
       SELECT event_id, event_type,
              CAST(round(value * 100) AS BIGINT) AS vc
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     m AS (
       SELECT event_type, vc,
@@ -1231,9 +1231,11 @@ def q_agg_median_mad(spark, sf_dir):
     medians differ between engines' float paths, so both engines pick
     the lower-median ELEMENT at position ceil(n/2) under the total
     order (cents, event_id) — selection, not arithmetic, is exact by
-    construction.  Two window passes + one equi-join on the (tiny)
-    per-group median table."""
-    ev = load_table(spark, sf_dir, "events")
+    construction.  NULL measures are excluded up front (median over
+    observed values — and the engines' NULL orderings differ, so a
+    NULL must never reach the ranking).  Two window passes + one
+    equi-join on the (tiny) per-group median table."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     c = ev.select("event_id", "event_type", _cents("value").alias("vc"))
     w = Window.partitionBy("event_type").orderBy("vc", "event_id")
     m = c.select(
