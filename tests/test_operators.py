@@ -875,3 +875,57 @@ class TestMedianMadCrafted:
         assert got["a"] == (4, 2.0, 1.0)
         # b: n=3, median=10.0, devs 0,0,89 -> mad=0.0
         assert got["b"] == (3, 10.0, 0.0)
+
+
+class TestCorruptPngContract:
+    """Corrupt containers must surface as ValueError (the documented
+    undecodable-payload contract), never raw struct/zlib errors."""
+
+    def test_truncated_and_corrupt_payloads_raise_valueerror(self):
+        import zlib
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _PNG_SIG,
+            _encode_png_stdlib,
+            _png_pixels,
+        )
+
+        good = _encode_png_stdlib(bytes(range(48)), 4, 4, 3)
+        cases = {
+            "truncated header": _PNG_SIG + b"\x00\x00",
+            "truncated mid-chunk": good[: len(good) // 2],
+            "bad idat": good.replace(
+                zlib.compress(
+                    b"".join(b"\x00" + bytes(range(48))[y*12:(y+1)*12] for y in range(4)), 6
+                ),
+                b"garbage-not-zlib",
+            ),
+        }
+        import pytest
+
+        for name, payload in cases.items():
+            with pytest.raises(ValueError, match="PNG"):
+                _png_pixels(payload)
+            # sanity: the error never escapes as struct/zlib error
+
+    def test_unknown_filter_type_rejected(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _PNG_SIG,
+            _png_pixels,
+        )
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+        raw = b"\x07" + bytes([1, 2])  # filter type 7 = invalid
+        bad = (_PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="filter"):
+            _png_pixels(bad)

@@ -83,6 +83,8 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"corrupt PNG: unknown scanline filter {ftype}")
         out += line
         prev = line
     return out
@@ -98,31 +100,41 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, b"", None
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + type + data + crc
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
-                raise ValueError(
-                    f"unsupported PNG (depth={depth} color={color} "
-                    f"interlace={interlace})"
+    # a truncated/corrupt container surfaces as struct.error,
+    # zlib.error or a short-buffer IndexError from the parsers below;
+    # normalize ALL of them to ValueError so callers' documented
+    # error contract (ValueError = undecodable payload) holds and one
+    # corrupt image can't kill a job with an opaque codec traceback
+    try:
+        pos, idat, meta = 8, b"", None
+        while pos < len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # len + type + data + crc
+            if ctype == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
                 )
-            meta = (w, h, color)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if meta is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, color = meta
-    n_channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    pixels = _png_unfilter(zlib.decompress(idat), w, h, n_channels)
+                if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                    raise ValueError(
+                        f"unsupported PNG (depth={depth} color={color} "
+                        f"interlace={interlace})"
+                    )
+                meta = (w, h, color)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if meta is None:
+            raise ValueError("PNG missing IHDR")
+        w, h, color = meta
+        n_channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        pixels = _png_unfilter(zlib.decompress(idat), w, h, n_channels)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG payload: {exc}") from exc
+    if len(pixels) != w * h * n_channels:
+        raise ValueError("corrupt PNG payload: pixel data truncated")
     return w, h, n_channels, pixels
 
 
@@ -175,9 +187,8 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
     """Real decode path: PIL when importable (any format), else the
     stdlib PNG decoder above.  Raises NotImplementedError only for
     non-PNG payloads in a codec-free environment."""
-    try:
-        from PIL import Image
-    except ImportError:
+    Image = _pil_image_module()  # probed once per process, not per row
+    if Image is None:
         try:
             return _decode_png_stdlib(payload)
         except ValueError as exc:
@@ -189,6 +200,11 @@ def _decode_real(payload: bytes) -> tuple[int, int, int, float]:
     import io
 
     img = Image.open(io.BytesIO(payload))
+    # palette / 1-bit / CMYK modes must be expanded BEFORE
+    # histogramming: band 0 of a mode-P image is palette INDICES, and
+    # luma over indices is meaningless (and pillow-dependent)
+    if img.mode not in ("L", "LA", "RGB", "RGBA"):
+        img = img.convert("RGB")
     n_channels = len(img.getbands())
     # compute Rec.601 luma from exact per-channel integer sums — NOT
     # img.convert('L'), whose per-pixel integer rounding drifts ~1e-4

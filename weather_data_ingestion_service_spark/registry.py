@@ -66,6 +66,36 @@ def _cents(col: F.Column | str, scale: int = 100) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * scale, 0).cast("long")
 
+def _session_tag(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch-location tag unique per (session, SF): two concurrent
+    sessions at the same SF (driver + bench, parallel pytest workers)
+    must not race each other's overwrite-then-read on a shared path."""
+    import os
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    return f"{sf}_{app}"
+
+
+def _clean_stale_scratch(pattern: str, max_age_s: int = 3600) -> None:
+    """Remove scratch dirs from DEAD sessions: session-unique paths
+    never self-overwrite, so without this they accumulate one data
+    copy per session.  Age-gated (default 1 h) so a concurrently
+    RUNNING session's scratch is never yanked out from under it."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_s
+    for path in glob.glob(pattern):
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass  # raced another session's cleanup — fine
+
+
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 

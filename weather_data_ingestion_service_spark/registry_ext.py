@@ -2483,12 +2483,13 @@ def q_sink_partitioned_scan(spark, sf_dir):
     the PartitionFilters side)."""
     import os
 
-    # session-unique scratch path: a concurrent session at the same SF
-    # must not race this query's overwrite-then-read
-    out = (
-        f"/tmp/wds_partitioned_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{spark.sparkContext.applicationId.replace('-', '_')}"
-    )
+    # session-unique scratch path (shared recipe in registry.py): a
+    # concurrent session at the same SF must not race this query's
+    # overwrite-then-read; stale dead-session copies are age-swept
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_partitioned_*")
+    out = f"/tmp/wds_partitioned_{_session_tag(spark, sf_dir)}"
     ev = load_table(spark, sf_dir, "events")
     ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
         "day"

@@ -21,7 +21,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import NOW, _cents, _register_new_this_round, register
+from .registry import (
+    NOW,
+    _cents,
+    _clean_stale_scratch,
+    _register_new_this_round,
+    _session_tag,
+    register,
+)
 from .registry_ext import (
     _COSINE_SQL,
     _DUP_CORPUS_SQL,
@@ -42,14 +49,6 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
 
 
-def _session_tag(spark, sf_dir: str) -> str:
-    """Scratch-location tag unique per (session, SF): two concurrent
-    sessions at the same SF (driver + bench, parallel pytest workers)
-    must not race each other's overwrite-then-read on a shared path."""
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    return f"{_sf_tag(sf_dir)}_{app}"
-
-
 # =====================================================================
 # A. Formats & storage layout
 # =====================================================================
@@ -68,6 +67,7 @@ def q_sink_csv_roundtrip(spark, sf_dir):
     read back with an explicit schema, per-type aggregates matching
     the raw parquet — doubles survive because Spark writes the
     shortest round-trippable decimal repr."""
+    _clean_stale_scratch("/tmp/wds_csv_*")
     out = f"/tmp/wds_csv_{_session_tag(spark, sf_dir)}"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
@@ -94,6 +94,7 @@ def q_sink_csv_roundtrip(spark, sf_dir):
 def q_sink_json_roundtrip(spark, sf_dir):
     """JSON-lines sink/source round trip (the landing-zone format):
     write, schema-on-read back, per-type aggregates matching raw."""
+    _clean_stale_scratch("/tmp/wds_json_*")
     out = f"/tmp/wds_json_{_session_tag(spark, sf_dir)}"
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "user_id"
@@ -129,6 +130,10 @@ def q_sink_bucketed_join(spark, sf_dir):
 
     tag = _session_tag(spark, sf_dir)
     ot, ct = f"wds_r4_orders_{tag}", f"wds_r4_cust_{tag}"
+    warehouse_glob = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    _clean_stale_scratch(os.path.join(warehouse_glob, "wds_r4_*"))
     # a fresh session has an empty in-memory catalog but the warehouse
     # directory persists — drop BOTH the catalog entry and the stale
     # location, or saveAsTable fails with LOCATION_ALREADY_EXISTS
@@ -487,8 +492,8 @@ def q_f_date_parts(spark, sf_dir):
            o_orderdate + INTERVAL 30 DAY AS due_ts,
            CAST(date_diff('day', CAST(o_orderdate AS DATE),
                           DATE '2024-01-15') AS INT) AS days_to_now,
-           CAST(date_diff('hour', o_orderdate,
-                          TIMESTAMP '{NOW}') AS BIGINT) AS hours_to_now,
+           CAST((epoch_us(TIMESTAMP '{NOW}') - epoch_us(o_orderdate))
+                // 3600000000 AS BIGINT) AS hours_to_now,
            CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS month_idx
     FROM orders
     """,
@@ -497,7 +502,11 @@ def q_f_interval_math(spark, sf_dir):
     """Interval arithmetic family: timestamp displacement, day/hour
     differences against the pinned NOW, and an exact integer month
     index (year*12+month — the portable spelling of months_between
-    for whole months)."""
+    for whole months).  Complete-hours is spelled as integer epoch-µs
+    subtraction + integer division, NOT an engine hour-diff —
+    DuckDB's ``date_diff('hour')`` counts boundary CROSSINGS while
+    Spark's ``timestampdiff(HOUR)`` counts COMPLETE hours, and the
+    two disagree the moment a timestamp has sub-hour components."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -505,7 +514,10 @@ def q_f_interval_math(spark, sf_dir):
         F.datediff(
             F.lit("2024-01-15").cast("date"), F.to_date("o_orderdate")
         ).cast("int").alias("days_to_now"),
-        F.expr(f"timestampdiff(HOUR, o_orderdate, timestamp'{NOW}')")
+        F.expr(
+            f"(unix_micros(timestamp'{NOW}') - unix_micros(o_orderdate))"
+            " DIV 3600000000"
+        )
         .cast("long")
         .alias("hours_to_now"),
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
@@ -1050,7 +1062,7 @@ def q_ext_tokenizer_vocab(spark, sf_dir):
                    CAST(count(*) AS BIGINT) AS n_keys FROM k)
     SELECT user_id, n,
            CAST(n * 1000000 // total AS BIGINT) AS share_micro,
-           CAST(n * n_keys * 1000000 // total AS BIGINT) AS x_mean_micro
+           CAST(n * 1000000 // (total // n_keys) AS BIGINT) AS x_mean_micro
     FROM k CROSS JOIN tot
     ORDER BY n DESC, user_id
     LIMIT 10
@@ -1062,7 +1074,11 @@ def q_ext_skew_report(spark, sf_dir):
     of all rows and their multiple of the mean key load (the direct
     input to the salting-factor decision in join_salted_skew).  One
     hash aggregate + a broadcast scalar + TakeOrdered-10; exact
-    integer micro-units."""
+    integer micro-units.  x_mean is spelled n·1e6 / (total div
+    n_keys) — dividing by the integer mean key load BEFORE
+    multiplying keeps every intermediate ≤ n·1e6, where the naive
+    n·n_keys·1e6 overflows BIGINT at ~1e8 keys × 1e5-row hot keys
+    (exactly the skewed datasets this diagnostic exists for)."""
     ev = load_table(spark, sf_dir, "events")
     k = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = k.agg(
@@ -1075,7 +1091,7 @@ def q_ext_skew_report(spark, sf_dir):
             "user_id",
             "n",
             F.expr("CAST((n * 1000000) DIV total AS BIGINT)").alias("share_micro"),
-            F.expr("CAST((n * n_keys * 1000000) DIV total AS BIGINT)")
+            F.expr("CAST((n * 1000000) DIV (total DIV n_keys) AS BIGINT)")
             .alias("x_mean_micro"),
         )
         .orderBy(F.col("n").desc(), "user_id")
