@@ -70,7 +70,7 @@ ORACLE_IDS = {
     "win_sliding_minmax", "bench_q2", "bench_q7", "bench_q16",
     "f_base64_hex", "f_format_pad", "join_null_safe",
     "ext_eval_ndcg", "ext_sample_dupcap", "ext_tokenizer_vocab",
-    "ext_skew_report", "agg_median_mad",
+    "ext_skew_report", "agg_median_mad", "ext_eval_mrr",
 }
 
 ROWS_ONLY_IDS = {
@@ -82,7 +82,7 @@ ROWS_ONLY_IDS = {
     "stream_dedup_watermark", "ext_embed_pca",
     "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
     "agg_approx_quantile", "ext_multimodal_audio",
-    "ext_multimodal_resize_png",
+    "ext_multimodal_resize_png", "agg_hll_merge",
 }
 
 

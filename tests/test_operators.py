@@ -929,3 +929,72 @@ class TestCorruptPngContract:
                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
         with pytest.raises(ValueError, match="filter"):
             _png_pixels(bad)
+
+
+class TestHllMerge:
+    def test_estimate_within_error_bound(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark import registry
+
+        got = {
+            r["event_type"]: r["est_users"]
+            for r in registry.queries()["agg_hll_merge"](spark, sf_dir).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for t, est in got.items():
+            assert abs(est - exact[t]) <= max(0.05 * exact[t], 2), (t, est, exact[t])
+
+    def test_union_of_daily_sketches_equals_direct_sketch(self, spark, sf_dir):
+        """Same-lgK HLL union is a lossless register merge: estimating
+        the union of per-day sketches must equal sketching all rows at
+        once — the property that makes daily sketch rollups a valid
+        storage format at scale."""
+        from weather_data_ingestion_service_spark.io import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        merged = {
+            r["event_type"]: r["est"]
+            for r in ev.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+            .groupBy("event_type")
+            .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+            .collect()
+        }
+        direct = {
+            r["event_type"]: r["est"]
+            for r in ev.groupBy("event_type")
+            .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+            .collect()
+        }
+        assert merged == direct
+
+
+class TestMrrPlanted:
+    def test_first_hit_rank_and_zero_miss(self, spark):
+        """Planted runs against the SHIPPED mrr_at_k operator: truth =
+        {10, 11}; approx ranks them at 3 and 7 -> first hit 3, rr =
+        round(1e6/3); a query with no hits -> (0, 0)."""
+        from weather_data_ingestion_service_spark.ext.simsearch import mrr_at_k
+
+        truth = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+            "query_id long, match_id long, rank int",
+        )
+        approx = spark.createDataFrame(
+            [(1, 99, 1), (1, 98, 2), (1, 10, 3), (1, 11, 7),
+             (2, 77, 1), (2, 78, 2)],
+            "query_id long, match_id long, rank int",
+        )
+        out = {
+            r["query_id"]: (r["first_hit_rank"], r["rr_micro"])
+            for r in mrr_at_k(truth, approx, k=10).collect()
+        }
+        assert out[1] == (3, round(1_000_000 / 3))
+        assert out[2] == (0, 0)

@@ -1076,3 +1076,37 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+def mrr_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Mean-reciprocal-rank retrieval QA (the trio's third member with
+    ``recall_at_k`` and ``ndcg_at_k``): per query, the rank of the
+    FIRST truth item recovered by the approximate run, published as
+    pinned integer micro reciprocals (``round(1e6/rank)`` literals —
+    no float rank math reaches a compared value).  Queries with no hit
+    publish ``(0, 0)``.  Both runs are Q·k rows; one equi-join + a min
+    per query — nothing corpus-sized."""
+    spark = truth.sparkSession
+    rr = F.broadcast(
+        spark.createDataFrame(
+            [(r, round(1_000_000 / r)) for r in range(1, k + 1)],
+            "rank int, rr_micro long",
+        )
+    )
+    t = truth.select("query_id", "match_id").distinct()
+    a = approx.filter(F.col("rank") <= k).select("query_id", "match_id", "rank")
+    hit = (
+        a.join(t, ["query_id", "match_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("int").alias("first_hit_rank"))
+    )
+    q = t.select("query_id").distinct()
+    return (
+        q.join(hit, "query_id", "left")
+        .join(rr, hit["first_hit_rank"] == rr["rank"], "left")
+        .select(
+            "query_id",
+            F.coalesce("first_hit_rank", F.lit(0)).cast("int").alias("first_hit_rank"),
+            F.coalesce("rr_micro", F.lit(0)).cast("long").alias("rr_micro"),
+        )
+    )

@@ -1303,6 +1303,79 @@ def q_ext_multimodal_resize_png(spark, sf_dir):
     return decode_image_features(small, "doc_id", "payload", use_real_codec=True)
 
 
+def _make_mrr_oracle() -> str:
+    rr_vals = ", ".join(
+        f"({r}, {round(1_000_000 / r)})" for r in range(1, 11)
+    )
+    return (
+        "WITH "
+        + _RRF_RANKING_SQL.format(
+            cos_raw=_COSINE_SQL.format(a="qe", b="embedding"),
+            cos_q=_COSINE_SQL.format(a="qqv", b="qv"),
+        )
+        + f"""
+    , rr(rank, rr_micro) AS (VALUES {rr_vals}),
+    t AS (SELECT query_id, match_id FROM ra WHERE rank <= 5),
+    a AS (SELECT query_id, match_id, rank FROM rb WHERE rank <= 10),
+    hit AS (
+      SELECT a.query_id, CAST(min(a.rank) AS INT) AS first_hit_rank
+      FROM a JOIN t ON a.query_id = t.query_id AND a.match_id = t.match_id
+      GROUP BY a.query_id),
+    q2 AS (SELECT DISTINCT query_id FROM t)
+    SELECT q2.query_id,
+           CAST(coalesce(h.first_hit_rank, 0) AS INT) AS first_hit_rank,
+           CAST(coalesce(rr.rr_micro, 0) AS BIGINT) AS rr_micro
+    FROM q2
+    LEFT JOIN hit h ON q2.query_id = h.query_id
+    LEFT JOIN rr ON h.first_hit_rank = rr.rank
+    """
+    )
+
+
+@register("ext_eval_mrr", _make_mrr_oracle())
+def q_ext_eval_mrr(spark, sf_dir):
+    """Mean-reciprocal-rank retrieval QA (completing the trio with
+    recall@k and NDCG@k): per query, the rank of the FIRST exact-top-5
+    item recovered by the int8-quantized top-10 ranking, published as
+    pinned integer micro reciprocals (1e6/rank literals on both
+    engines — no float rank math in the hash).  Both runs are Q·k
+    rows; one equi-join + a min per query."""
+    from .ext.simsearch import cosine_topk, mrr_at_k, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=5)
+    qz = quantize_embeddings(emb, "vec_id", "embedding", bits=8).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    approx = cosine_topk(
+        qz, qz.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    )
+    return mrr_at_k(truth, approx, k=10)
+
+
+@register("agg_hll_merge")  # sketch-based — approximate, rows-only
+def q_agg_hll_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches — the 100 TB pattern for
+    COUNT(DISTINCT) over time: one HLL sketch per (event_type, day)
+    partition (map-side combinable, bytes not values shuffle), then a
+    lossless sketch UNION across days per type and one estimate.  At
+    scale the daily sketches are the stored rollup: yesterday's bytes
+    merge with today's without rescanning history.  Approximate by
+    design → rows-only; pytest pins the ≤5%-of-exact error bound and
+    the union-vs-direct merge equality (same lgK ⇒ identical
+    registers)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("est_users"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
 _register_new_this_round(
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
@@ -1334,4 +1407,6 @@ _register_new_this_round(
     "ext_multimodal_audio",
     "agg_median_mad",
     "ext_multimodal_resize_png",
+    "ext_eval_mrr",
+    "agg_hll_merge",
 )
