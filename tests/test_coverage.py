@@ -71,6 +71,7 @@ ORACLE_IDS = {
     "f_base64_hex", "f_format_pad", "join_null_safe",
     "ext_eval_ndcg", "ext_sample_dupcap", "ext_tokenizer_vocab",
     "ext_skew_report", "agg_median_mad", "ext_eval_mrr",
+    "ext_decontaminate", "ext_mix_plan",
 }
 
 ROWS_ONLY_IDS = {
@@ -83,6 +84,7 @@ ROWS_ONLY_IDS = {
     "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
     "agg_approx_quantile", "ext_multimodal_audio",
     "ext_multimodal_resize_png", "agg_hll_merge",
+    "ext_text_compression",
 }
 
 

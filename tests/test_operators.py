@@ -998,3 +998,29 @@ class TestMrrPlanted:
         }
         assert out[1] == (3, round(1_000_000 / 3))
         assert out[2] == (0, 0)
+
+
+class TestCompressionRatio:
+    def test_known_compressibility_pins(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import (
+            compression_ratio,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a" * 2000),                      # boilerplate: tiny ratio
+                (2, "the quick brown fox " * 100),    # repetitive prose
+                (3, "", ),                            # empty: 0 by contract
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r for r in compression_ratio(docs).collect()
+        }
+        assert got[1]["raw_bytes"] == 2000
+        assert got[1]["ratio_milli"] < 20      # ~15/2000
+        assert got[2]["ratio_milli"] < 100
+        assert got[3] and got[3]["raw_bytes"] == 0 and got[3]["ratio_milli"] == 0
+        # determinism: same input, same bytes
+        again = {r["doc_id"]: r["gz_bytes"] for r in compression_ratio(docs).collect()}
+        assert again == {k: v["gz_bytes"] for k, v in got.items()}

@@ -372,3 +372,48 @@ def length_percentiles(
             )
         )
     return t.groupBy(group_col).agg(*aggs)
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap
+    redundancy/quality signal (Gopher filters on it: highly
+    compressible text is boilerplate/repetition, incompressible text
+    is noise/binary junk).  Arrow-batched mapInPandas; the ratio is
+    published as exact integer milli-units (gz·1000 div raw), so the
+    output is deterministic for a given zlib level."""
+    import zlib
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("gz_bytes", T.LongType()),
+            T.StructField("ratio_milli", T.LongType()),
+        ]
+    )
+
+    def measure(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw, gz, ratio = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                c = zlib.compress(b, 6)
+                raw.append(len(b))
+                gz.append(len(c))
+                ratio.append(len(c) * 1000 // len(b) if b else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "raw_bytes": raw,
+                    "gz_bytes": gz,
+                    "ratio_milli": ratio,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(measure, schema)

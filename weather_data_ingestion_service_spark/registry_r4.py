@@ -32,8 +32,10 @@ from .registry import (
 from .registry_ext import (
     _COSINE_SQL,
     _DUP_CORPUS_SQL,
+    _NEAR_DUP_CORPUS_SQL,
     _RRF_RANKING_SQL,
     _dup_corpus,
+    _near_dup_corpus,
 )
 
 #: tokenization shared by the text entries — identical to the
@@ -1376,6 +1378,118 @@ def q_agg_hll_merge(spark, sf_dir):
     )
 
 
+@register(
+    "ext_decontaminate",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+            FROM tok),
+    g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+          FROM idx),
+    bad AS (
+      SELECT DISTINCT a.doc_id
+      FROM g a JOIN g b USING (gram)
+      WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000)
+    SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+    FROM corpus c
+    WHERE c.doc_id < 1000000
+      AND c.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination MATERIALIZED (the step after
+    ext_text_contamination's report): the train corpus with every
+    document sharing an 8-gram with the eval set anti-joined away —
+    the GPT-3 appendix-C removal, end to end.  The contaminated-id
+    set is the distinct left side of the rare-shingle equi-join
+    (tiny), so the removal is one broadcast anti-join over the train
+    scan."""
+    from .ext.text import contamination_pairs
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    train = corpus.filter(F.col("doc_id") < 1000000)
+    test = corpus.filter(F.col("doc_id") >= 1000000)
+    bad = (
+        contamination_pairs(train, test, "doc_id", "text", n=8)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "ext_mix_plan",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars // 4) AS BIGINT) AS est_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_sources FROM s)
+    SELECT source, n_docs, est_tokens,
+           CAST(est_tokens * 1000000 // total AS BIGINT) AS corpus_share_micro,
+           CAST(least(1000000,
+                      (total // n_sources) * 1000000 // est_tokens) AS BIGINT)
+             AS uniform_rate_micro,
+           CAST(greatest(1000,
+                         (total // n_sources) * 1000 // est_tokens) AS BIGINT)
+             AS epochs_milli
+    FROM s CROSS JOIN tot
+    """,
+)
+def q_ext_mix_plan(spark, sf_dir):
+    """Training-mixture planning: per source, estimated tokens
+    (chars div 4), its share of the corpus, and the sampling rate /
+    epoch multiplier that equalizes the mix to a uniform per-source
+    token budget — the calculator that turns 'mix these 20 sources
+    equally' into per-source Bernoulli rates for ext_sample_hash and
+    repeat factors for oversampling.  One hash aggregate + a
+    broadcast scalar; everything exact integer division."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("n_chars DIV 4")).cast("long").alias("est_tokens"),
+    )
+    tot = s.agg(
+        F.sum("est_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "est_tokens",
+        F.expr("CAST(est_tokens * 1000000 DIV total AS BIGINT)")
+        .alias("corpus_share_micro"),
+        F.expr(
+            "CAST(least(1000000,"
+            " (total DIV n_sources) * 1000000 DIV est_tokens) AS BIGINT)"
+        ).alias("uniform_rate_micro"),
+        F.expr(
+            "CAST(greatest(1000,"
+            " (total DIV n_sources) * 1000 DIV est_tokens) AS BIGINT)"
+        ).alias("epochs_milli"),
+    )
+
+
+@register("ext_text_compression")  # zlib codec metric — rows-only
+def q_ext_text_compression(spark, sf_dir):
+    """Per-document zlib compression ratio (Gopher's cheap
+    redundancy/noise signal: boilerplate compresses to almost
+    nothing, binary junk doesn't compress at all) as exact integer
+    milli-units.  Arrow-batched mapInPandas; no oracle because DuckDB
+    has no zlib surface — pytest pins known-compressibility
+    strings."""
+    from .ext.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs, "doc_id", "text")
+
+
 _register_new_this_round(
     "sink_csv_roundtrip",
     "sink_json_roundtrip",
@@ -1409,4 +1523,7 @@ _register_new_this_round(
     "ext_multimodal_resize_png",
     "ext_eval_mrr",
     "agg_hll_merge",
+    "ext_decontaminate",
+    "ext_mix_plan",
+    "ext_text_compression",
 )
