@@ -84,7 +84,8 @@ ROWS_ONLY_IDS = {
     "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
     "agg_approx_quantile", "ext_multimodal_audio",
     "ext_multimodal_resize_png", "agg_hll_merge",
-    "ext_text_compression",
+    "ext_text_compression", "ext_tokenizer_bpe",
+    "stream_sessionize_stateful",
 }
 
 

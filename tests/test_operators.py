@@ -1024,3 +1024,43 @@ class TestCompressionRatio:
         # determinism: same input, same bytes
         again = {r["doc_id"]: r["gz_bytes"] for r in compression_ratio(docs).collect()}
         assert again == {k: v["gz_bytes"] for k, v in got.items()}
+
+
+class TestBpeTrain:
+    def test_classic_merge_sequence(self, spark):
+        """The Sennrich example, hand-computed: hug×3 pug×2 hugs×1 →
+        merges (u,g)=6, (h,ug)=4, (p,ug)=2; (hug,s)=1 falls under
+        min_count and training stops."""
+        from weather_data_ingestion_service_spark.ext.text import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "hug hug hug pug pug hugs")], "doc_id long, text string"
+        )
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe_train(docs, n_merges=10, min_count=2)
+            .orderBy("rank").collect()
+        ]
+        assert got == [
+            (1, "u", "g", "ug", 6),
+            (2, "h", "ug", "hug", 4),
+            (3, "p", "ug", "pug", 2),
+        ]
+
+    def test_deterministic_tie_break(self, spark):
+        """Equal-count pairs merge in lexicographic order: 'ab'×2 and
+        'cd'×2 → (a,b) wins round 1."""
+        from weather_data_ingestion_service_spark.ext.text import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab cd cd")], "doc_id long, text string"
+        )
+        got = bpe_train(docs, n_merges=2, min_count=2).orderBy("rank").collect()
+        assert (got[0]["left"], got[0]["right"]) == ("a", "b")
+        assert (got[1]["left"], got[1]["right"]) == ("c", "d")
+
+    def test_empty_result_when_no_pair_reaches_min_count(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import bpe_train
+
+        docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+        assert bpe_train(docs, n_merges=5, min_count=2).count() == 0

@@ -417,3 +417,108 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(measure, schema)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (the Sennrich/GPT-2 merge
+    loop): learn ``n_merges`` merge rules from corpus word
+    frequencies.  Returns the merge table — ``(rank, left, right,
+    merged, pair_count)`` — the artifact a tokenizer ships.
+
+    Scale shape, stage by stage:
+
+    - **Word-freq dict** (once): tokenize + hash-agg to (word, freq).
+      This is the ONLY corpus-sized pass; the loop below runs on the
+      distinct-word table, which is orders of magnitude smaller (and
+      the reason classic BPE trains on a word-frequency dict at all).
+    - **Per merge round**: explode each word's adjacent symbol pairs,
+      weighted count (map-side combinable), ``TakeOrdered(1)`` under
+      the total order (count desc, pair asc) — the argmax collect is
+      ONE row.  Applying the merge rewrites the symbol arrays with an
+      Arrow-batched ``mapInPandas`` over the vocab table; lineage is
+      cut with localCheckpoint every few rounds (the iterative-Spark
+      rule, same as dedup_clusters).
+    - Deterministic throughout: ties break lexicographically, so the
+      merge sequence is a pure function of the corpus.
+
+    Not SQL-expressible (per-round argmax feeds the next round's
+    tokenization) → rows-only + hand-computed pytest fixture.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+    ).persist()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        F.slice("syms", 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top or top[0]["cnt"] < min_count:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+
+        out_schema = T.StructType(
+            [
+                T.StructField("syms", T.ArrayType(T.StringType())),
+                T.StructField("freq", T.LongType()),
+            ]
+        )
+
+        def apply_merge(batches, _l=left, _r=right, _m=merged):
+            for pdf in batches:
+                rewritten = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    out, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            out.append(_m)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    rewritten.append(out)
+                yield pd.DataFrame(
+                    {"syms": rewritten, "freq": pdf["freq"].values}
+                )
+
+        new_vocab = vocab.mapInPandas(apply_merge, out_schema)
+        if rank % 4 == 0:
+            new_vocab = new_vocab.localCheckpoint(eager=False)
+        new_vocab = new_vocab.persist()
+        new_vocab.count()  # materialize before unpersisting the parent
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )

@@ -1476,6 +1476,39 @@ def q_ext_mix_plan(spark, sf_dir):
     )
 
 
+@register("stream_sessionize_stateful")  # managed-state streaming — rows-only
+def q_stream_sessionize_stateful(spark, sf_dir):
+    """Custom stateful streaming sessionization (applyInPandasWithState,
+    availableNow → memory): per-user open-session state carried across
+    micro-batches, one output row per CLOSED session.  The
+    session-spanning-a-batch-boundary case is exactly what managed
+    state buys over ``session_window``; equivalence to the batch twin's
+    closed prefix is pytest-pinned (tests/test_streaming.py)."""
+    from .streaming.jobs import run_stream_to_memory, streaming_events_source
+
+    from .streaming.stateful import sessions_stateful
+
+    stream = streaming_events_source(spark, sf_dir)
+    out = sessions_stateful(stream, "user_id", "ts", gap_seconds=6 * 3600)
+    return run_stream_to_memory(out, output_mode="append")
+
+
+@register("ext_tokenizer_bpe")  # iterative merge loop — rows-only
+def q_ext_tokenizer_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus:
+    the 12 highest-count merge rules under the deterministic
+    (count desc, pair asc) order.  The corpus is scanned ONCE into a
+    word-frequency dict; every merge round runs on that vocab table
+    (pair explode + weighted count + one-row argmax collect +
+    Arrow-batched rewrite).  Iterative argmax feeding the next round
+    is not SQL-expressible → rows-only; pytest pins the classic
+    hug/pug merge sequence hand-computed."""
+    from .ext.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=12, min_count=2)
+
+
 @register("ext_text_compression")  # zlib codec metric — rows-only
 def q_ext_text_compression(spark, sf_dir):
     """Per-document zlib compression ratio (Gopher's cheap
@@ -1526,4 +1559,6 @@ _register_new_this_round(
     "ext_decontaminate",
     "ext_mix_plan",
     "ext_text_compression",
+    "ext_tokenizer_bpe",
+    "stream_sessionize_stateful",
 )

@@ -171,3 +171,93 @@ def merge_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: output of the stateful sessionizer: one row per CLOSED session
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: state: open session (start µs, last-event µs, event count)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessions_stateful(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "4 days",
+) -> DataFrame:
+    """Gap-based sessionization over a stream with managed per-key
+    state — the custom-stateful twin of ``operators.windows.sessionize``
+    (and of ``session_window``, which can only aggregate; this shape
+    can carry arbitrary per-session state).
+
+    Per key the state holds the OPEN session (start, last-event, n);
+    each micro-batch folds its rows in event-time order, emitting a
+    row per session it CLOSES (gap exceeded).  The tail session stays
+    in state — it is unknowable whether more events follow — so the
+    stream emits exactly the closed prefix of the batch twin's
+    sessions.  Caveat shared by every low-latency sessionizer: an
+    event arriving AFTER a later event already closed its session
+    (out-of-order across micro-batches, within the watermark) starts
+    a fresh session rather than reopening the closed one; buffering
+    until the watermark (EventTimeTimeout) trades latency for that
+    exactness and keeps the same state shape.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        ts_us = sorted(int(v.value // 1000) for v in batch["ts"])
+        start = last = n = None
+        if state.exists:
+            start, last, n = state.get
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    src = events.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts")
+    ).withWatermark("ts", watermark)
+    return src.groupBy("key").applyInPandasWithState(
+        session_fn,
+        SESSION_OUTPUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
