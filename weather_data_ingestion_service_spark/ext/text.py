@@ -458,6 +458,12 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("w", "").alias("syms"), "freq")
+        # the merge loop re-reads this table ~3 jobs per round: right-
+        # size its partitions to the DICT (distinct words), not the
+        # corpus — per-round scheduling overhead otherwise dominates.
+        # (At web scale the dict is still ~1e7 rows ≈ a few hundred MB;
+        # 8 partitions remains conservative.)
+        .coalesce(8)
     ).persist()
 
     merges: list[tuple[int, str, str, str, int]] = []
