@@ -224,9 +224,10 @@ def sessions_stateful(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if batch.empty:
+        frames = [p for p in pdfs if not p.empty]
+        if not frames:
             return
+        batch = pd.concat(frames, ignore_index=True)
         ts_us = sorted(int(v.value // 1000) for v in batch["ts"])
         start = last = n = None
         if state.exists:
