@@ -466,49 +466,51 @@ def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
     )
 
     gap = 6 * 3600
-    path = "/tmp/wds_session_staged"
+    path = os.path.join(TMP, "session_staged")
     shutil.rmtree(path, ignore_errors=True)
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    cut = F.lit("2024-01-16").cast("timestamp")
-    now = 1_700_000_000
-    for i, part in enumerate([ev.filter(F.col("ts") < cut),
-                              ev.filter(F.col("ts") >= cut)]):
-        sub = os.path.join(path, f"f{i}")
-        part.coalesce(1).write.parquet(sub)
-        for f in os.listdir(sub):
-            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        cut = F.lit("2024-01-16").cast("timestamp")
+        now = 1_700_000_000
+        for i, part in enumerate([ev.filter(F.col("ts") < cut),
+                                  ev.filter(F.col("ts") >= cut)]):
+            sub = os.path.join(path, f"f{i}")
+            part.coalesce(1).write.parquet(sub)
+            for f in os.listdir(sub):
+                os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
 
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path + "/f*")
-    )
-    got = sorted(
-        (r["key"], r["session_start"], r["session_end"], r["n_events"])
-        for r in run_stream_to_memory(
-            sessions_stateful(stream, "user_id", "ts", gap_seconds=gap),
-            output_mode="append",
-        ).collect()
-    )
-
-    sessions = (
-        sessionize(ev, ["user_id"], "ts", gap_seconds=gap, tiebreak=["event_id"])
-        .groupBy("user_id", "session_no")
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).cast("long").alias("n_events"),
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path + "/f*")
         )
-    )
-    last_no = sessions.groupBy("user_id").agg(
-        F.max("session_no").alias("last_no")
-    )
-    want = sorted(
-        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in sessions.join(last_no, "user_id")
-        .filter(F.col("session_no") < F.col("last_no"))  # closed only
-        .collect()
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    assert len(got) > 10  # non-vacuous: real sessions closed
-    assert got == want
+        got = sorted(
+            (r["key"], r["session_start"], r["session_end"], r["n_events"])
+            for r in run_stream_to_memory(
+                sessions_stateful(stream, "user_id", "ts", gap_seconds=gap),
+                output_mode="append",
+            ).collect()
+        )
+
+        sessions = (
+            sessionize(ev, ["user_id"], "ts", gap_seconds=gap, tiebreak=["event_id"])
+            .groupBy("user_id", "session_no")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+        )
+        last_no = sessions.groupBy("user_id").agg(
+            F.max("session_no").alias("last_no")
+        )
+        want = sorted(
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sessions.join(last_no, "user_id")
+            .filter(F.col("session_no") < F.col("last_no"))  # closed only
+            .collect()
+        )
+        assert len(got) > 10  # non-vacuous: real sessions closed
+        assert got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

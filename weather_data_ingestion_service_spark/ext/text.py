@@ -389,7 +389,7 @@ def compression_ratio(
 
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("raw_bytes", T.LongType()),
             T.StructField("gz_bytes", T.LongType()),
             T.StructField("ratio_milli", T.LongType()),
@@ -409,7 +409,7 @@ def compression_ratio(
                 ratio.append(len(c) * 1000 // len(b) if b else 0)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "raw_bytes": raw,
                     "gz_bytes": gz,
                     "ratio_milli": ratio,
@@ -518,9 +518,12 @@ def bpe_train(
 
         new_vocab = vocab.mapInPandas(apply_merge, out_schema)
         if rank % 4 == 0:
-            new_vocab = new_vocab.localCheckpoint(eager=False)
-        new_vocab = new_vocab.persist()
-        new_vocab.count()  # materialize before unpersisting the parent
+            # eager checkpoint both cuts lineage AND materializes —
+            # persisting on top of it would store the table twice
+            new_vocab = new_vocab.localCheckpoint(eager=True)
+        else:
+            new_vocab = new_vocab.persist()
+            new_vocab.count()  # materialize before unpersisting the parent
         vocab.unpersist()
         vocab = new_vocab
     vocab.unpersist()

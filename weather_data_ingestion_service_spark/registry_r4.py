@@ -1434,10 +1434,12 @@ def q_ext_decontaminate(spark, sf_dir):
     SELECT source, n_docs, est_tokens,
            CAST(est_tokens * 1000000 // total AS BIGINT) AS corpus_share_micro,
            CAST(least(1000000,
-                      (total // n_sources) * 1000000 // est_tokens) AS BIGINT)
+                      (total // n_sources) * 1000000
+                        // greatest(est_tokens, 1)) AS BIGINT)
              AS uniform_rate_micro,
            CAST(greatest(1000,
-                         (total // n_sources) * 1000 // est_tokens) AS BIGINT)
+                         (total // n_sources) * 1000
+                           // greatest(est_tokens, 1)) AS BIGINT)
              AS epochs_milli
     FROM s CROSS JOIN tot
     """,
@@ -1465,13 +1467,17 @@ def q_ext_mix_plan(spark, sf_dir):
         "est_tokens",
         F.expr("CAST(est_tokens * 1000000 DIV total AS BIGINT)")
         .alias("corpus_share_micro"),
+        # greatest(est, 1): a zero-token source must not diverge the
+        # engines (ANSI Spark throws on DIV 0, DuckDB returns NULL)
         F.expr(
             "CAST(least(1000000,"
-            " (total DIV n_sources) * 1000000 DIV est_tokens) AS BIGINT)"
+            " (total DIV n_sources) * 1000000 DIV greatest(est_tokens, 1))"
+            " AS BIGINT)"
         ).alias("uniform_rate_micro"),
         F.expr(
             "CAST(greatest(1000,"
-            " (total DIV n_sources) * 1000 DIV est_tokens) AS BIGINT)"
+            " (total DIV n_sources) * 1000 DIV greatest(est_tokens, 1))"
+            " AS BIGINT)"
         ).alias("epochs_milli"),
     )
 

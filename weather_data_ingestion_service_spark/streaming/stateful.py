@@ -240,7 +240,10 @@ def sessions_stateful(
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = max(last, t), n + 1
+                # a late-but-mergeable event can precede the open
+                # session's start — absorb it into the interval, not
+                # just the count, so emitted sessions stay consistent
+                start, last, n = min(start, t), max(last, t), n + 1
         state.update((start, last, n))
         if closed:
             yield pd.DataFrame(
