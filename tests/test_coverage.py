@@ -71,7 +71,7 @@ ORACLE_IDS = {
     "f_base64_hex", "f_format_pad", "join_null_safe",
     "ext_eval_ndcg", "ext_sample_dupcap", "ext_tokenizer_vocab",
     "ext_skew_report", "agg_median_mad", "ext_eval_mrr",
-    "ext_decontaminate", "ext_mix_plan",
+    "ext_decontaminate", "ext_mix_plan", "join_asof_forward",
 }
 
 ROWS_ONLY_IDS = {

@@ -1064,3 +1064,33 @@ class TestBpeTrain:
 
         docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
         assert bpe_train(docs, n_merges=5, min_count=2).count() == 0
+
+
+class TestAsofForward:
+    def test_forward_semantics_and_ties(self, spark):
+        """Forward direction on the standard fixture: earliest right
+        with rts >= ts; equal timestamps inclusive; no future row →
+        NULL (mirrors DuckDB ASOF ... ON l.ts <= r.rts, probed)."""
+        left, right = TestAsofJoin()._frames(spark)
+        out = asof_join(
+            left, right, ["k"], "ts", "rts", ["payload"], direction="forward"
+        )
+        got = {r.tag: r.payload for r in out.collect()}
+        # a (01-10): earliest >= is 01-15 → 200; b (01-15): equal → 200
+        # c (01-10): 01-11 → 300; d: no right rows → NULL
+        assert got == {"a": 200, "b": 200, "c": 300, "d": None}
+
+    def test_backward_unchanged_by_direction_param(self, spark):
+        left, right = TestAsofJoin()._frames(spark)
+        base = sorted(map(tuple, asof_join(
+            left, right, ["k"], "ts", "rts", ["payload"]).collect()))
+        explicit = sorted(map(tuple, asof_join(
+            left, right, ["k"], "ts", "rts", ["payload"],
+            direction="backward").collect()))
+        assert base == explicit
+
+    def test_bad_direction_raises(self, spark):
+        left, right = TestAsofJoin()._frames(spark)
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(left, right, ["k"], "ts", "rts", ["payload"],
+                      direction="sideways")

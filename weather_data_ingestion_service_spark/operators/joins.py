@@ -182,9 +182,15 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row
-    with ``right.ts <= left.ts`` per join key.
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` per join key (``direction='backward'``,
+    the default), or the EARLIEST right row with ``right.ts >=
+    left.ts`` (``direction='forward'`` — the "next scheduled reading"
+    lookup).  Forward is the exact mirror: the same union + one-pass
+    fold traversed in descending time, so the plan shape (one shuffle
+    on the key, no Python) is identical.
 
     Semantic analog of Open-Meteo snapping a coordinate to the nearest
     model grid point (reference WetIng.pdf p.1-2; no reference code —
@@ -220,10 +226,15 @@ def asof_join(
     r = r.select(*l.columns)
 
     # __probe sorts right rows (0) before left rows (1) at equal __t,
-    # making the join inclusive of right.ts == left.ts.
+    # making the join inclusive of right.ts == left.ts.  Forward
+    # direction traverses time descending — "last right row seen" then
+    # means the earliest right.ts >= left.ts.
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__probe")
+        .orderBy(t_order, "__probe")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).withColumn(

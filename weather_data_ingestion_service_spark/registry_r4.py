@@ -1482,6 +1482,49 @@ def q_ext_mix_plan(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof_forward",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01'
+               + INTERVAL (dayofyear(o_orderdate) % 30) DAY AS rdate,
+             CAST(max(o_orderkey) AS BIGINT) AS next_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.ts, e.user_id, r.next_orderkey
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts <= r.rdate
+    """,
+)
+def q_join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (the 'next scheduled reading' lookup —
+    completing the as-of family: backward, nearest, chunked,
+    tolerance, and now forward): for each event the EARLIEST order
+    date at or after it per user.  Same single-shuffle union+fold
+    plan as the backward join, traversed in descending time; DuckDB
+    ``ASOF LEFT JOIN ... ON l.ts <= r.rts`` is the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.expr(
+                "timestampadd(DAY, dayofyear(o_orderdate) % 30, timestamp'2024-01-01')"
+            ).alias("rdate"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "rdate")
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    from .operators.joins import asof_join as _asof
+
+    return _asof(
+        ev, right, on=["user_id"], left_ts="ts", right_ts="rdate",
+        payload_cols=["next_orderkey"], direction="forward",
+    )
+
+
 @register("stream_sessionize_stateful")  # managed-state streaming — rows-only
 def q_stream_sessionize_stateful(spark, sf_dir):
     """Custom stateful streaming sessionization (applyInPandasWithState,
@@ -1567,4 +1610,5 @@ _register_new_this_round(
     "ext_text_compression",
     "ext_tokenizer_bpe",
     "stream_sessionize_stateful",
+    "join_asof_forward",
 )
