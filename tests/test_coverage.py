@@ -72,6 +72,7 @@ ORACLE_IDS = {
     "ext_eval_ndcg", "ext_sample_dupcap", "ext_tokenizer_vocab",
     "ext_skew_report", "agg_median_mad", "ext_eval_mrr",
     "ext_decontaminate", "ext_mix_plan", "join_asof_forward",
+    "win_resample_interp",
 }
 
 ROWS_ONLY_IDS = {

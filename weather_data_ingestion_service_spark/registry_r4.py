@@ -1525,6 +1525,97 @@ def q_join_asof_forward(spark, sf_dir):
     )
 
 
+@register(
+    "win_resample_interp",
+    """
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT k.user_id, g.ts
+      FROM keys k CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-30',
+                                      INTERVAL 1 DAY)) AS ts) g),
+    obs AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events GROUP BY user_id, ts),
+    b AS (
+      SELECT g.user_id, g.ts, o.ts AS t0, o.value AS v0
+      FROM grid g ASOF LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.ts >= o.ts),
+    f AS (
+      SELECT g.user_id, g.ts, o.ts AS t1, o.value AS v1
+      FROM grid g ASOF LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.ts <= o.ts)
+    SELECT b.user_id, b.ts,
+           CASE
+             WHEN b.t0 IS NULL THEN f.v1
+             WHEN f.t1 IS NULL THEN b.v0
+             WHEN b.t0 = f.t1 THEN b.v0
+             ELSE b.v0 + (f.v1 - b.v0)
+                  * (CAST(epoch_us(b.ts) - epoch_us(b.t0) AS DOUBLE)
+                     / CAST(epoch_us(f.t1) - epoch_us(b.t0) AS DOUBLE))
+           END AS interp_value
+    FROM b JOIN f ON b.user_id = f.user_id AND b.ts = f.ts
+    """,
+)
+def q_win_resample_interp(spark, sf_dir):
+    """Regular-grid resample with LINEAR INTERPOLATION — the
+    gap-filling companion to win_resample_ffill: each daily grid
+    point gets the value lerped between the surrounding observations
+    (hold at the tail, backfill at the head, exact hit when the grid
+    lands on a reading).  Composed from BOTH as-of directions —
+    backward for (t0, v0), forward for (t1, v1) — so it reuses the
+    single-shuffle fold twice plus one grid-keyed equi-join; the lerp
+    runs on exact epoch-µs integer deltas with one double
+    division/multiply, identical IEEE on both engines."""
+    from .operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-30 00:00:00").cast("timestamp"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("grid_ts"),
+        )
+    )
+    b = asof_join(
+        grid, obs, on=["user_id"], left_ts="grid_ts", right_ts="ts",
+        payload_cols=["ts", "value"],
+    ).select(
+        "user_id", "grid_ts",
+        F.col("ts").alias("t0"), F.col("value").alias("v0"),
+    )
+    f = asof_join(
+        grid, obs, on=["user_id"], left_ts="grid_ts", right_ts="ts",
+        payload_cols=["ts", "value"], direction="forward",
+    ).select(
+        "user_id", "grid_ts",
+        F.col("ts").alias("t1"), F.col("value").alias("v1"),
+    )
+    j = b.join(f, ["user_id", "grid_ts"])
+    ratio = (
+        (F.unix_micros("grid_ts") - F.unix_micros("t0")).cast("double")
+        / (F.unix_micros("t1") - F.unix_micros("t0")).cast("double")
+    )
+    interp = (
+        F.when(F.col("t0").isNull(), F.col("v1"))
+        .when(F.col("t1").isNull(), F.col("v0"))
+        .when(F.col("t0") == F.col("t1"), F.col("v0"))
+        .otherwise(F.col("v0") + (F.col("v1") - F.col("v0")) * ratio)
+    )
+    return j.select(
+        "user_id", F.col("grid_ts").alias("ts"), interp.alias("interp_value")
+    )
+
+
 @register("stream_sessionize_stateful")  # managed-state streaming — rows-only
 def q_stream_sessionize_stateful(spark, sf_dir):
     """Custom stateful streaming sessionization (applyInPandasWithState,
@@ -1611,4 +1702,5 @@ _register_new_this_round(
     "ext_tokenizer_bpe",
     "stream_sessionize_stateful",
     "join_asof_forward",
+    "win_resample_interp",
 )
