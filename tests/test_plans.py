@@ -109,6 +109,11 @@ EXCHANGE_BUDGET = {
     "ext_skew_report": 3,        # key agg ×2 branches + top-10
     "agg_median_mad": 2,         # two selection windows; median dim broadcasts
     "ext_multimodal_resize_png": 0,  # narrow mapInPandas chain
+    "join_asof_forward": 2,      # union repartition + fold window
+    # two as-of folds (2 each: obs agg + union window) + grid equi-join
+    # re-shuffles; the b/f branches cannot share an exchange (different
+    # traversal orders)
+    "win_resample_interp": 6,
 }
 
 
