@@ -73,6 +73,9 @@ ORACLE_IDS = {
     "ext_skew_report", "agg_median_mad", "ext_eval_mrr",
     "ext_decontaminate", "ext_mix_plan", "join_asof_forward",
     "win_resample_interp",
+    # round-4 second wave
+    "bench_q9", "bench_q10", "bench_q12", "bench_q13", "bench_q14",
+    "bench_q15", "bench_q17", "bench_q19", "bench_q22",
 }
 
 ROWS_ONLY_IDS = {
