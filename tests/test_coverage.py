@@ -76,6 +76,9 @@ ORACLE_IDS = {
     # round-4 second wave
     "bench_q9", "bench_q10", "bench_q12", "bench_q13", "bench_q14",
     "bench_q15", "bench_q17", "bench_q19", "bench_q22",
+    "join_bloom_prefilter", "sink_orc_roundtrip", "set_symmetric_diff",
+    "win_lead_gap", "win_pct_change", "f_null_family", "f_round_family",
+    "ext_filter_c4", "ext_curriculum", "ext_eval_auc",
 }
 
 ROWS_ONLY_IDS = {
@@ -89,7 +92,7 @@ ROWS_ONLY_IDS = {
     "agg_approx_quantile", "ext_multimodal_audio",
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",
-    "stream_sessionize_stateful",
+    "stream_sessionize_stateful", "ext_tokenizer_apply",
 }
 
 

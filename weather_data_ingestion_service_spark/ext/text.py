@@ -531,3 +531,92 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge table (``bpe_train``'s output) to
+    encode documents; returns per-doc token accounting —
+    ``(id, n_words, n_symbols, n_tokens, compression_micro)`` where
+    ``n_symbols`` is the pre-merge character-symbol count and
+    ``compression_micro = n_tokens·1e6 DIV n_symbols``.
+
+    Scale shape: the merge table is tiny (``n_merges`` rows) and rides
+    into the Arrow workers as a plain closure — no join, no shuffle;
+    the encode is one narrow ``mapInPandas`` pass.  Within a batch,
+    encodings are memoized per distinct word (Zipf makes the word set
+    per batch far smaller than the token stream), which is the same
+    trick that makes dictionary-trained BPE viable at corpus scale.
+
+    Encoding is GREEDY-BY-RANK (the GPT-2 convention): rules apply in
+    training order, each rewriting all adjacent occurrences
+    left-to-right — deterministic, so the output is a pure function of
+    (corpus, merge table).  Not SQL-expressible → rows-only +
+    hand-computed pytest fixture.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rules = [
+        (r["left"], r["right"], r["merged"])
+        for r in sorted(merges.collect(), key=lambda r: r["rank"])
+    ]
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_symbols", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("compression_micro", T.LongType()),
+        ]
+    )
+
+    def encode_word(word: str) -> int:
+        s = list(word)
+        for left, right, merged in rules:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return len(s)
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict[str, int] = {}
+            ids, nw, ns, nt = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in str(text).lower().split() if w]
+                symbols = sum(len(w) for w in words)
+                toks = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    toks += cache[w]
+                ids.append(did)
+                nw.append(len(words))
+                ns.append(symbols)
+                nt.append(toks)
+            out = pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "n_symbols": pd.Series(ns, dtype="int64"),
+                    "n_tokens": pd.Series(nt, dtype="int64"),
+                }
+            )
+            out["compression_micro"] = (
+                out["n_tokens"] * 1_000_000 // out["n_symbols"].clip(lower=1)
+            )
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -456,3 +456,561 @@ _register_new_this_round(
     "bench_q19",
     "bench_q22",
 )
+
+
+# =====================================================================
+# B. Join/runtime-filter infrastructure, storage formats, set ops,
+# window analytics, scalar families
+# =====================================================================
+
+
+@register(
+    "join_bloom_prefilter",
+    """
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q_join_bloom_prefilter(spark, sf_dir):
+    """Runtime-filter join: before shuffling the fact, probe a
+    bloom-style bitmap built from the filtered dimension's join keys
+    (xxhash64 mod 2^17 bits, OR-folded into 2048 64-bit words,
+    broadcast) and drop fact rows that cannot match.  False positives
+    are removed by the real join, so the result is IDENTICAL to the
+    plain join — the oracle is the plain join — but at 100 TB the
+    shuffle moves only the ~segment fraction of the fact.  (This is
+    the manual form of Spark's own runtime row-level filtering /
+    DPP, expressed as an operator so it composes with any plan.)"""
+    m_bits = 1 << 17
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = (
+        dim.withColumn(
+            "bit", F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(m_bits))
+        )
+        .select(
+            (F.col("bit") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    probe = (
+        orders.withColumn(
+            "bit", F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(m_bits))
+        )
+        .withColumn("word", (F.col("bit") / 64).cast("long"))
+        .withColumn("pmask", F.expr("shiftleft(1L, CAST(bit % 64 AS INT))"))
+        .drop("bit")
+        .join(F.broadcast(words), "word")
+        .filter(F.col("mask").bitwiseAND(F.col("pmask")) != 0)
+        .drop("word", "mask", "pmask")
+    )
+    return (
+        probe.join(dim, probe.o_custkey == dim.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("total"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "sink_orc_roundtrip",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_sink_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source round trip (the third columnar format after
+    parquet and CSV/JSON text): orders written as ORC, read back, and
+    aggregated — parity with the raw parquet proves lossless typing
+    (timestamps, doubles) through the format boundary."""
+    _clean_stale_scratch("/tmp/wds_orc_*")
+    out = f"/tmp/wds_orc_{_session_tag(spark, sf_dir)}"
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "set_symmetric_diff",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id, event_type FROM events WHERE value > 100.0
+    ),
+    b AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT user_id, event_type, 'value_only' AS side
+    FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    UNION ALL
+    SELECT user_id, event_type, 'recent_only' AS side
+    FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+)
+def q_set_symmetric_diff(spark, sf_dir):
+    """Symmetric difference with provenance: (A∖B) ⊎ (B∖A), each side
+    tagged — the audit question 'which (user, type) pairs appear under
+    one selection but not the other'.  Both EXCEPTs reuse the same two
+    distinct sets; Spark plans them as shuffled distinct + anti joins
+    on the same key, so the exchange is shared."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 100.0).select("user_id", "event_type").distinct()
+    b = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return a.subtract(b).withColumn("side", F.lit("value_only")).unionAll(
+        b.subtract(a).withColumn("side", F.lit("recent_only"))
+    )
+
+
+@register(
+    "win_lead_gap",
+    """
+    SELECT event_id, user_id,
+           CAST(coalesce(
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+             - epoch_us(ts), -1) AS BIGINT) AS gap_us
+    FROM events
+    """,
+)
+def q_win_lead_gap(spark, sf_dir):
+    """Forward-looking window: microseconds until each user's NEXT
+    event (lead), -1 sentinel on the last event.  The order key is
+    (ts, event_id) — a total order, so ties can't flip the lead target
+    between engines.  Complements win_lag_delta's backward delta."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+@register(
+    "win_pct_change",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM daily
+    )
+    SELECT event_type, day, cents,
+           CAST(CASE WHEN cents >= prev THEN 1 ELSE -1 END AS INT) AS direction,
+           CAST(abs(cents - prev) * 1000000 // prev AS BIGINT) AS abs_change_micro
+    FROM lagged WHERE prev IS NOT NULL
+    """,
+)
+def q_win_pct_change(spark, sf_dir):
+    """Day-over-day percent change of per-type daily volume, published
+    as direction × |Δ|·1e6 DIV prev: integer division is only applied
+    to the NON-NEGATIVE |Δ| because DuckDB floors and Spark truncates
+    negative quotients — the sign travels separately."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev", F.lag("cents").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return lagged.select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(F.col("cents") >= F.col("prev"), 1).otherwise(-1)
+        .cast("int")
+        .alias("direction"),
+        F.expr("CAST(abs(cents - prev) * 1000000 DIV prev AS BIGINT)").alias(
+            "abs_change_micro"
+        ),
+    )
+
+
+@register(
+    "f_null_family",
+    """
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_defaulted,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                THEN 'kept' ELSE 'masked' END AS nvl2_tag,
+           CAST(CASE WHEN c_acctbal < 0.0 THEN NULL
+                     ELSE round(c_acctbal * 100) END AS BIGINT) AS pos_cents,
+           CAST(coalesce(CASE WHEN c_acctbal < 0.0 THEN NULL
+                              ELSE round(c_acctbal * 100) END, 0) AS BIGINT)
+             AS pos_cents_or_zero
+    FROM customer
+    """,
+)
+def q_f_null_family(spark, sf_dir):
+    """NULL-handling scalar family: nullif / coalesce-default / the
+    nvl2 pattern (spelled as CASE on both engines — DuckDB has no
+    nvl2) / conditional NULL-out with a coalesce floor.  Errors and
+    suppressions as VALUES, the reference's posture."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    pos = F.when(F.col("c_acctbal") < 0.0, F.lit(None)).otherwise(
+        _cents("c_acctbal")
+    )
+    return cust.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("suppressed")).alias("seg_defaulted"),
+        F.when(seg_null.isNotNull(), "kept").otherwise("masked").alias("nvl2_tag"),
+        pos.cast("long").alias("pos_cents"),
+        F.coalesce(pos, F.lit(0)).cast("long").alias("pos_cents_or_zero"),
+    )
+
+
+@register(
+    "f_round_family",
+    """
+    SELECT c_custkey,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_v,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_v,
+           CAST(CASE WHEN c_acctbal >= 0.0 THEN floor(c_acctbal)
+                     ELSE ceil(c_acctbal) END AS BIGINT) AS trunc_v,
+           CAST(CASE WHEN c_acctbal > 0.0 THEN 1
+                     WHEN c_acctbal < 0.0 THEN -1 ELSE 0 END AS INT) AS sign_v,
+           CAST(abs(round(c_acctbal * 100)) AS BIGINT) AS abs_cents,
+           CAST(((c_custkey - 750) % 7 + 7) % 7 AS BIGINT) AS posmod7
+    FROM customer
+    """,
+)
+def q_f_round_family(spark, sf_dir):
+    """Rounding/sign scalar family over a SIGNED measure (balances go
+    negative): floor, ceil, truncation-toward-zero spelled as the
+    floor/ceil CASE (Spark's numeric cast truncates but DuckDB's
+    rounds — neither cast crosses engines safely), sign, |cents|, and
+    the always-positive ((x%n)+n)%n modulus written identically on
+    both engines (their native % already agree on sign-of-dividend,
+    the double-mod form documents the contract)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.floor(bal).cast("long").alias("floor_v"),
+        F.ceil(bal).cast("long").alias("ceil_v"),
+        F.when(bal >= 0.0, F.floor(bal)).otherwise(F.ceil(bal))
+        .cast("long")
+        .alias("trunc_v"),
+        F.when(bal > 0.0, 1).when(bal < 0.0, -1).otherwise(0)
+        .cast("int")
+        .alias("sign_v"),
+        F.abs(_cents("c_acctbal")).cast("long").alias("abs_cents"),
+        F.expr("CAST(((c_custkey - 750) % 7 + 7) % 7 AS BIGINT)").alias("posmod7"),
+    )
+
+
+_register_new_this_round(
+    "join_bloom_prefilter",
+    "sink_orc_roundtrip",
+    "set_symmetric_diff",
+    "win_lead_gap",
+    "win_pct_change",
+    "f_null_family",
+    "f_round_family",
+)
+
+
+# =====================================================================
+# C. LLM-pipeline: quality gate, curriculum, ranking eval, tokenizer
+# =====================================================================
+
+#: tokenization shared with registry_r4/registry_ext: lowercase,
+#: split on \s+, drop empties
+_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+
+def _tok(col="text"):
+    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+
+
+@register(
+    "ext_filter_c4",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    u AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_chars
+      FROM t
+    ),
+    fr AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_words,
+           (u.n_words BETWEEN 20 AND 80) AS r_wordcount,
+           (u.sum_chars * 1000 >= 4000 * u.n_words
+            AND u.sum_chars * 1000 < 4900 * u.n_words) AS r_meanlen,
+           (fr.max_freq * 100 < 12 * u.n_words) AS r_repetition,
+           ((u.n_words BETWEEN 20 AND 80)
+            AND u.sum_chars * 1000 >= 4000 * u.n_words
+            AND u.sum_chars * 1000 < 4900 * u.n_words
+            AND fr.max_freq * 100 < 12 * u.n_words) AS keep
+    FROM u JOIN fr ON u.doc_id = fr.doc_id
+    """,
+)
+def q_ext_filter_c4(spark, sf_dir):
+    """C4/Gopher-style quality gate, materialized with per-rule
+    provenance: word-count bounds, mean-word-length band, and a
+    max-single-token-frequency repetition cap — every rule an EXACT
+    integer inequality (counts cross-multiplied, no float ratios), so
+    the keep decision is engine- and partitioning-independent.  One
+    corpus pass for the length stats plus one token-level aggregate
+    for the repetition cap; no shuffle beyond the per-doc hash aggs.
+    (The reference corpus is synthetic word-soup, so the classic
+    terminal-punctuation rule would be vacuous here; the three rules
+    kept are the ones that discriminate.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tok().alias("w"))
+    u = t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("w", F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_chars"),
+    )
+    fr = (
+        t.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_freq"))
+    )
+    j = u.join(fr, "doc_id")
+    r_wc = F.col("n_words").between(20, 80)
+    r_ml = (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words")) & (
+        F.col("sum_chars") * 1000 < 4900 * F.col("n_words")
+    )
+    r_rep = F.col("max_freq") * 100 < 12 * F.col("n_words")
+    return j.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_ml & r_rep).alias("keep"),
+    )
+
+
+@register(
+    "ext_curriculum",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+                  // CAST(len(w) AS BIGINT) AS BIGINT) AS uniq_micro
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, uniq_micro,
+             CAST(ntile(4) OVER (ORDER BY uniq_micro DESC, doc_id) AS INT) AS bin
+      FROM s
+    )
+    SELECT doc_id, uniq_micro, bin,
+           CAST(row_number() OVER (
+             PARTITION BY bin
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def q_ext_curriculum(spark, sf_dir):
+    """Curriculum ordering for training: docs scored by lexical
+    diversity (distinct-token ratio in exact integer micro-units),
+    quartile-binned best-first, then given a DETERMINISTIC but
+    decorrelated position within each bin via the md5 id-hash (the
+    engine-portable shuffle — same convention as ext_sample_epoch).
+    A trainer reads bins in order, rows by position.  The ntile here
+    is the exact small-N form; at corpus scale the same contract is
+    served by binning against 3 exact rank-selected cut scores
+    (two-pass agg, no global window) — the cut-selection pattern
+    agg_percentile/agg_median_mad already implement."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(CAST(size(array_distinct(filter(split(lower(text), '\\\\s+'),"
+            " x -> x != ''))) AS BIGINT) * 1000000"
+            " DIV CAST(size(filter(split(lower(text), '\\\\s+'),"
+            " x -> x != '')) AS BIGINT) AS BIGINT)"
+        ).alias("uniq_micro"),
+    )
+    b = s.withColumn(
+        "bin",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("uniq_micro").desc(), "doc_id"))
+        .cast("int"),
+    )
+    return b.withColumn(
+        "pos",
+        F.row_number()
+        .over(
+            Window.partitionBy("bin").orderBy(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+            )
+        )
+        .cast("long"),
+    )
+
+
+@register(
+    "ext_eval_auc",
+    """
+    WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS score FROM documents),
+    sc AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(coalesce(sum(count(*)) OVER (
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_all_below
+      FROM d GROUP BY score
+    ),
+    ls AS (
+      SELECT lang, score, CAST(count(*) AS BIGINT) AS npos_s,
+             CAST(coalesce(sum(count(*)) OVER (
+               PARTITION BY lang
+               ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cumpos_below
+      FROM d GROUP BY lang, score
+    ),
+    agg AS (
+      SELECT l.lang,
+             CAST(sum(l.npos_s * (s.cum_all_below - l.cumpos_below)) AS BIGINT)
+               AS pairs_won,
+             CAST(sum(l.npos_s * (s.n_s - l.npos_s)) AS BIGINT) AS ties,
+             CAST(sum(l.npos_s) AS BIGINT) AS npos
+      FROM ls l JOIN sc s ON l.score = s.score GROUP BY l.lang
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT lang, npos, CAST(tot.n - npos AS BIGINT) AS nneg,
+           CAST((2 * pairs_won + ties) * 1000000
+                // (2 * npos * (tot.n - npos)) AS BIGINT) AS auc_micro
+    FROM agg CROSS JOIN tot ORDER BY lang
+    """,
+)
+def q_ext_eval_auc(spark, sf_dir):
+    """Exact ROC-AUC (one-vs-rest per language, doc length as the
+    score) — the Mann-Whitney U statistic computed distributively:
+    group to per-score counts, two prefix-sum windows (all-docs and
+    per-class) give below-score negative counts WITHOUT the O(n²)
+    pos×neg pair join, ties contribute ½ via the 2·pairs+ties
+    numerator, and the result is published in exact integer
+    micro-units.  Windows run over DISTINCT SCORES (bounded), never
+    rows — at 100 TB the per-score table is what shuffles, and a
+    classifier eval lands in one pass over it."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", F.col("n_chars").cast("long").alias("score"))
+    w_all = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    sc = (
+        d.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "cum_all_below",
+            F.coalesce(F.sum("n_s").over(w_all), F.lit(0)).cast("long"),
+        )
+    )
+    w_lang = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ls = (
+        d.groupBy("lang", "score")
+        .agg(F.count(F.lit(1)).alias("npos_s"))
+        .withColumn(
+            "cumpos_below",
+            F.coalesce(F.sum("npos_s").over(w_lang), F.lit(0)).cast("long"),
+        )
+    )
+    agg = (
+        ls.join(sc, "score")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.col("npos_s") * (F.col("cum_all_below") - F.col("cumpos_below"))
+            )
+            .cast("long")
+            .alias("pairs_won"),
+            F.sum(F.col("npos_s") * (F.col("n_s") - F.col("npos_s")))
+            .cast("long")
+            .alias("ties"),
+            F.sum("npos_s").cast("long").alias("npos"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "npos",
+            (F.col("n") - F.col("npos")).cast("long").alias("nneg"),
+            F.expr(
+                "CAST((2 * pairs_won + ties) * 1000000"
+                " DIV (2 * npos * (n - npos)) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("ext_tokenizer_apply")  # greedy merge application — rows-only
+def q_ext_tokenizer_apply(spark, sf_dir):
+    """Encode the corpus with the BPE merge table ext_tokenizer_bpe
+    trains: per-doc word/symbol/token counts plus the achieved
+    compression in integer micro-units.  Train (bounded merge-table
+    collect) + one narrow Arrow encode pass; see ext/text.bpe_encode
+    for the scale shape."""
+    from .ext.text import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=12, min_count=2)
+    return bpe_encode(docs, merges, "doc_id", "text")
+
+
+_register_new_this_round(
+    "ext_filter_c4",
+    "ext_curriculum",
+    "ext_eval_auc",
+    "ext_tokenizer_apply",
+)
