@@ -77,6 +77,16 @@ HEADLINE = [
     "win_funnel",
     "ext_tokenizer_vocab",
     "agg_median_mad",
+    # round-4 third batch: the second-wave heavies — the 5-way star
+    # join (Q9), the outer-join distribution (Q13), the decorrelated
+    # threshold join (Q17), the runtime-filtered join, and the two
+    # corpus-pass LLM stages (quality gate, exact AUC)
+    "bench_q9",
+    "bench_q13",
+    "bench_q17",
+    "join_bloom_prefilter",
+    "ext_filter_c4",
+    "ext_eval_auc",
 ]
 
 

@@ -114,6 +114,27 @@ EXCHANGE_BUDGET = {
     # re-shuffles; the b/f branches cannot share an exchange (different
     # traversal orders)
     "win_resample_interp": 6,
+    # round-4 second wave
+    "bench_q9": 2,               # dims broadcast; fact↔orders + rollup
+    "bench_q10": 1,              # top-20 is TakeOrdered; one join shuffle
+    "bench_q12": 2,
+    "bench_q13": 3,              # outer join + per-cust agg + dist agg
+    "bench_q14": 1,              # part broadcast; single global agg
+    "bench_q15": 2,              # ONE fact scan: supplier agg + tiny global window
+    "bench_q17": 3,              # per-part stats + fact re-join + brand agg
+    "bench_q19": 2,              # part broadcast; disjunctive filter + agg
+    "bench_q22": 3,              # pos agg broadcast + anti join + nation agg
+    "join_bloom_prefilter": 3,   # bitmap agg + real join + final agg
+    "sink_orc_roundtrip": 2,     # read-back agg + order
+    "set_symmetric_diff": 1,     # union + ONE membership agg
+    "win_lead_gap": 1,
+    "win_pct_change": 2,         # daily agg + lag window
+    "f_null_family": 0,          # narrow projection
+    "f_round_family": 0,
+    "ext_filter_c4": 2,          # doc stats agg + token-freq agg
+    "ext_curriculum": 1,         # stats narrow; ntile+pos windows share
+    "ext_eval_auc": 6,           # per-score windows over BOUNDED tables
+    "ext_tokenizer_apply": 0,    # narrow Arrow encode pass
 }
 
 

@@ -275,8 +275,14 @@ def q_bench_q15(spark, sf_dir):
         .cast("long")
         .alias("total_cents")
     )
-    top = rev.agg(F.max("total_cents").alias("total_cents"))
-    best = rev.join(F.broadcast(top), "total_cents", "left_semi")
+    # one fact scan: the scalar max comes from a global window over the
+    # per-supplier aggregate (tiny — one row per supplier), not a
+    # second pass over lineitem
+    best = (
+        rev.withColumn("mx", F.max("total_cents").over(Window.partitionBy()))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .drop("mx")
+    )
     return (
         sup.join(best, sup.s_suppkey == best.l_suppkey)
         .select(
@@ -574,18 +580,36 @@ def q_sink_orc_roundtrip(spark, sf_dir):
 def q_set_symmetric_diff(spark, sf_dir):
     """Symmetric difference with provenance: (A∖B) ⊎ (B∖A), each side
     tagged — the audit question 'which (user, type) pairs appear under
-    one selection but not the other'.  Both EXCEPTs reuse the same two
-    distinct sets; Spark plans them as shuffled distinct + anti joins
-    on the same key, so the exchange is shared."""
+    one selection but not the other'.  Planned as ONE exchange: both
+    sides are tagged, unioned, and folded in a single membership
+    aggregate (max of the tags), so the symmetric difference costs a
+    union scan plus one hash agg — not two distincts and two anti
+    joins."""
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("value") > 100.0).select("user_id", "event_type").distinct()
+    a = (
+        ev.filter(F.col("value") > 100.0)
+        .select("user_id", "event_type")
+        .withColumn("in_a", F.lit(1))
+        .withColumn("in_b", F.lit(0))
+    )
     b = (
         ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
         .select("user_id", "event_type")
-        .distinct()
+        .withColumn("in_a", F.lit(0))
+        .withColumn("in_b", F.lit(1))
     )
-    return a.subtract(b).withColumn("side", F.lit("value_only")).unionAll(
-        b.subtract(a).withColumn("side", F.lit("recent_only"))
+    return (
+        a.unionAll(b)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .filter(F.col("in_a") != F.col("in_b"))
+        .select(
+            "user_id",
+            "event_type",
+            F.when(F.col("in_a") == 1, "value_only")
+            .otherwise("recent_only")
+            .alias("side"),
+        )
     )
 
 
