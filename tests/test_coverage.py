@@ -79,6 +79,7 @@ ORACLE_IDS = {
     "join_bloom_prefilter", "sink_orc_roundtrip", "set_symmetric_diff",
     "win_lead_gap", "win_pct_change", "f_null_family", "f_round_family",
     "ext_filter_c4", "ext_curriculum", "ext_eval_auc",
+    "ext_pipeline_e2e", "ext_sample_pergroup", "ext_eval_calibration",
 }
 
 ROWS_ONLY_IDS = {
@@ -93,6 +94,7 @@ ROWS_ONLY_IDS = {
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
+    "ext_multimodal_phash", "ext_knn_graph",
 }
 
 

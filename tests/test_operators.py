@@ -1233,3 +1233,102 @@ class TestBloomPrefilterJoin:
             .filter(F.col("mask").bitwiseAND(F.col("pmask")) != 0)
         )
         assert probe.count() == 500
+
+
+class TestKnnGraph:
+    def test_recall_vs_exact_and_shape(self, spark, sf_dir):
+        """Bucketed graph recalls >= 0.6 of the exact top-5 edges at
+        sf0.001, every node emits <= k deterministic, self-free
+        neighbors."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            _dot,
+            _norm,
+            knn_graph,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").cache()
+        approx = knn_graph(
+            emb, "vec_id", "embedding", k=5, n_planes=3, n_tables=6
+        ).cache()
+        rows = approx.collect()
+        per = {}
+        for r in rows:
+            assert r["vec_id"] != r["neighbor_id"]
+            per.setdefault(r["vec_id"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+        assert max(len(v) for v in per.values()) <= 5
+
+        a = emb.selectExpr("vec_id a", "embedding va")
+        b = emb.selectExpr("vec_id b", "embedding vb")
+        sc = (
+            a.crossJoin(b)
+            .filter("a != b")
+            .select(
+                "a",
+                "b",
+                (
+                    _dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb")))
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("a").orderBy(F.col("cos").desc(), "b")
+        exact = (
+            sc.withColumn("r", F.row_number().over(w))
+            .filter("r <= 5")
+            .select("a", "b")
+        )
+        ap = approx.selectExpr("vec_id a", "neighbor_id b")
+        hit = exact.join(ap, ["a", "b"], "left_semi").count()
+        tot = exact.count()
+        assert hit / tot >= 0.6, f"recall {hit}/{tot}"
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import knn_graph
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        g1 = sorted(map(tuple, knn_graph(emb, k=3, n_planes=3, n_tables=2).collect()))
+        g2 = sorted(map(tuple, knn_graph(emb, k=3, n_planes=3, n_tables=2).collect()))
+        assert g1 == g2
+
+
+class TestImageAvgHash:
+    def test_identical_images_share_hash_distinct_mostly_differ(self, spark):
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            image_avg_hash,
+            synth_png_payload,
+        )
+
+        ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+        # two copies of each of 10 synthetic images
+        imgs = synth_png_payload(
+            ids.select((F.col("doc_id") % 10).alias("doc_id"))
+        )
+        hashed = image_avg_hash(imgs, "doc_id", "payload").collect()
+        by_key = {}
+        for r in hashed:
+            by_key.setdefault(r["doc_id"], set()).add(r["ahash"])
+        # same synth key -> identical payload -> identical hash
+        assert all(len(v) == 1 for v in by_key.values())
+        assert all(r["ahash"] is not None for r in hashed)
+        assert all((r["width"], r["height"]) == (24, 16) for r in hashed)
+        # different synth keys give >1 distinct hash overall
+        assert len({next(iter(v)) for v in by_key.values()}) > 1
+
+    def test_corrupt_payload_yields_null_hash(self, spark):
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            image_avg_hash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a png"))], "doc_id long, payload binary"
+        )
+        row = image_avg_hash(df, "doc_id", "payload").collect()[0]
+        assert row["ahash"] is None and row["width"] is None

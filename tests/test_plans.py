@@ -135,6 +135,11 @@ EXCHANGE_BUDGET = {
     "ext_curriculum": 1,         # stats narrow; ntile+pos windows share
     "ext_eval_auc": 6,           # per-score windows over BOUNDED tables
     "ext_tokenizer_apply": 0,    # narrow Arrow encode pass
+    "ext_pipeline_e2e": 4,       # gate aggs + dedup window + split agg
+    "ext_sample_pergroup": 1,
+    "ext_eval_calibration": 2,   # bin agg + order
+    "ext_multimodal_phash": 2,   # payload join + hash-group window
+    "ext_knn_graph": 2,          # bucket self-join + top-k window
 }
 
 

@@ -630,3 +630,83 @@ def synth_png_payload(
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         synth, schema
     )
+
+
+def image_avg_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) of PNG payloads: decode (stdlib
+    codec — same path as ``decode_image_features``'s real branch),
+    collapse to grayscale, block-mean down to ``grid×grid``, threshold
+    each cell against the global mean, pack the bits row-major into
+    one signed int64.  Identical images hash identically; small
+    brightness-preserving perturbations stay within a few bits — the
+    image-side counterpart of SimHash for text, and the key that makes
+    image dedup a hash-equality GROUP BY instead of a pixel
+    comparison.  Undecodable payloads yield a NULL hash (errors as
+    values — one corrupt file must not kill a 100 TB scan).
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_ids, out_w, out_h, out_hash = [], [], [], []
+        for pdf in batches:
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, nch, px = _png_pixels(bytes(payload))
+                except ValueError:
+                    out_ids.append(int(i))
+                    out_w.append(None)
+                    out_h.append(None)
+                    out_hash.append(None)
+                    continue
+                # grayscale per pixel: integer mean of the color
+                # channels (alpha, when present, is ignored) — numpy
+                # throughout; per-pixel Python would make the hash,
+                # not the codec, the bottleneck
+                import numpy as np
+
+                color_ch = 3 if nch >= 3 else 1
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    h, w, nch
+                )[:, :, :color_ch]
+                gray = arr.astype(np.int64).sum(axis=2) // color_ch
+                gy = np.arange(h) * grid // h
+                gx = np.arange(w) * grid // w
+                sums = np.zeros((grid, grid), dtype=np.int64)
+                counts = np.zeros((grid, grid), dtype=np.int64)
+                np.add.at(sums, (gy[:, None], gx[None, :]), gray)
+                np.add.at(counts, (gy[:, None], gx[None, :]), 1)
+                means = sums // np.maximum(counts, 1)
+                overall = int(means.sum()) // (grid * grid)
+                bits = 0
+                for idx, m in enumerate(means.ravel()):
+                    if int(m) >= overall:
+                        bits |= 1 << idx
+                # two's-complement fold into signed int64
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out_ids.append(int(i))
+                out_w.append(w)
+                out_h.append(h)
+                out_hash.append(bits)
+        yield pd.DataFrame(
+            {
+                id_col: pd.Series(out_ids, dtype="int64"),
+                "width": pd.Series(out_w, dtype="Int32"),
+                "height": pd.Series(out_h, dtype="Int32"),
+                "ahash": pd.Series(out_hash, dtype="Int64"),
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(hashes, schema)

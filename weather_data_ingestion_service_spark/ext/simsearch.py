@@ -1110,3 +1110,84 @@ def mrr_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
             F.coalesce("rr_micro", F.lit(0)).cast("long").alias("rr_micro"),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the corpus (every vector gets its k
+    nearest neighbors) — the backbone of embedding-based clustering,
+    semantic dedup and diversity sampling — built sub-quadratically:
+
+    1. ``srp_buckets`` assigns each vector to one cosine-LSH bucket
+       per table (L tables buy recall);
+    2. candidate edges are generated ONLY within (table, bucket)
+       groups — a bucket-keyed self-equi-join, never all-pairs;
+    3. candidates are deduped across tables on (a, b) BEFORE scoring
+       (ids only — vectors join back after the distinct, so no pair is
+       scored or carried twice);
+    4. exact cosine re-scoring, then a per-source top-k window under
+       the total order (cos desc, neighbor id) makes the graph
+       deterministic and partitioning-independent.
+
+    Output: (id, neighbor_id, rank, cos_milli).  Approximate by
+    design (bucket-local recall) → rows-only; recall-vs-exact is
+    pinned by pytest at small SF.
+    """
+    from pyspark.sql import Window
+
+    b = srp_buckets(
+        corpus.select(id_col, vec_col),
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        dim=dim,
+        seed=seed,
+        n_tables=n_tables,
+    ).select(F.col(id_col).alias("a"), "table", "bucket")
+    pairs = (
+        b.alias("x")
+        .join(
+            b.alias("y").withColumnRenamed("a", "b"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    scored = (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a").alias(id_col),
+            F.col("b").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("cos") * 1000).cast("long").alias("cos_milli"),
+        )
+    )

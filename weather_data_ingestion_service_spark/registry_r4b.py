@@ -1038,3 +1038,223 @@ _register_new_this_round(
     "ext_eval_auc",
     "ext_tokenizer_apply",
 )
+
+
+# =====================================================================
+# D. Pipeline composition, sampling, calibration, multimodal dedup,
+# k-NN graph
+# =====================================================================
+
+
+@register(
+    "ext_pipeline_e2e",
+    f"""
+    WITH t AS (SELECT doc_id, lang, n_chars, text, {_TOK_SQL} AS w FROM documents),
+    u AS (
+      SELECT doc_id, lang, n_chars, text, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_chars
+      FROM t
+    ),
+    fr AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT u.* FROM u JOIN fr USING (doc_id)
+      WHERE u.n_words BETWEEN 20 AND 80
+        AND u.sum_chars * 1000 >= 4000 * u.n_words
+        AND u.sum_chars * 1000 < 4900 * u.n_words
+        AND fr.max_freq * 100 < 12 * u.n_words
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc'
+                THEN 'train' ELSE 'val' END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars_total
+    FROM dedup GROUP BY 1, 2
+    """,
+)
+def q_ext_pipeline_e2e(spark, sf_dir):
+    """The curation pipeline END-TO-END in one declarative plan —
+    quality gate (exact-integer C4 rules) → exact dedup (keep lowest
+    id per content hash) → leakage-proof hash split → per-(split,
+    lang) token accounting.  Composing the stages as one DataFrame
+    lets Catalyst pipeline them: the gate's stats aggs feed the dedup
+    window feeds the split projection with no materialization
+    boundary, which is exactly how the stages should ship at 100 TB
+    (one job, three shuffles, no intermediate parquet)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "n_chars", "text", _tok().alias("w"))
+    u = t.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        F.size("w").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("w", F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_chars"),
+    )
+    fr = (
+        t.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_freq"))
+    )
+    kept = (
+        u.join(fr, "doc_id")
+        .filter(
+            F.col("n_words").between(20, 80)
+            & (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words"))
+            & (F.col("sum_chars") * 1000 < 4900 * F.col("n_words"))
+            & (F.col("max_freq") * 100 < 12 * F.col("n_words"))
+        )
+    )
+    w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+    )
+    split = F.when(
+        F.md5(F.col("doc_id").cast("string").cast("binary")) < "cc", "train"
+    ).otherwise("val")
+    return (
+        dedup.groupBy(split.alias("split"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars_total"),
+        )
+    )
+
+
+@register(
+    "ext_sample_pergroup",
+    """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS pos FROM (
+      SELECT doc_id, source, row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_ext_sample_pergroup(spark, sf_dir):
+    """Exact-k per-group sampling (10 docs per source): the
+    deterministic counterpart of per-stratum reservoir sampling —
+    rank by the engine-portable md5 id-hash inside each group and
+    keep the first k.  One shuffle on the group key; the hash order
+    makes the sample a pure function of the ids, independent of
+    partitioning, engine, and cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("pos"))
+    )
+
+
+@register(
+    "ext_eval_calibration",
+    """
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bin,
+           CAST((n_chars // 50) * 50 + 25 AS BIGINT) AS bin_mid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS pos_rate_micro
+    FROM documents GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q_ext_eval_calibration(spark, sf_dir):
+    """Calibration curve for a score (doc length) against a binary
+    outcome (lang = 'en'): fixed-width score bins, per-bin positive
+    rate in exact integer micro-units — the reliability-diagram
+    companion to ext_eval_auc, and a pure map-side-combinable
+    aggregate (one shuffle, any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr("CAST(n_chars DIV 50 AS BIGINT)")
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        docs.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(pos).cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50 + 25).cast("long").alias("bin_mid"),
+            "n",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias(
+                "pos_rate_micro"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@register("ext_multimodal_phash")  # perceptual hash over binary payloads — rows-only
+def q_ext_multimodal_phash(spark, sf_dir):
+    """Image dedup by perceptual average-hash: synthesize real PNG
+    payloads keyed on doc_id mod 50 (so every ~10 docs share an
+    identical image — planted duplicates), aHash them (stdlib decode →
+    8×8 block means → threshold bits), and mark each image's canonical
+    representative per hash group — dedup as a hash GROUP BY, no
+    pixel-level comparison.  See ext/multimodal.image_avg_hash."""
+    from .ext.multimodal import image_avg_hash, synth_png_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keys = docs.select((F.col("doc_id") % 50).cast("long").alias("img_key")).distinct()
+    imgs = synth_png_payload(
+        keys.withColumnRenamed("img_key", "doc_id"), id_col="doc_id"
+    ).withColumnRenamed("doc_id", "img_key")
+    payloads = docs.withColumn(
+        "img_key", (F.col("doc_id") % 50).cast("long")
+    ).join(F.broadcast(imgs), "img_key")
+    hashed = image_avg_hash(
+        payloads.select("doc_id", "payload"), "doc_id", "payload"
+    )
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
+@register("ext_knn_graph")  # LSH-bucketed approximate graph — rows-only
+def q_ext_knn_graph(spark, sf_dir):
+    """Approximate k-NN graph over the embedding corpus (k=5; 6 LSH
+    tables of 8 buckets — recall 0.77 vs exact at sf0.001, pinned
+    ≥0.6 by pytest): bucket-local candidates, cross-table dedup
+    before scoring, exact cosine re-rank.  See ext/simsearch.knn_graph
+    for the scale shape."""
+    from .io import load_table as _lt
+    from .ext.simsearch import knn_graph
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    return knn_graph(emb, "vec_id", "embedding", k=5, n_planes=3, n_tables=6)
+
+
+_register_new_this_round(
+    "ext_pipeline_e2e",
+    "ext_sample_pergroup",
+    "ext_eval_calibration",
+    "ext_multimodal_phash",
+    "ext_knn_graph",
+)
