@@ -125,6 +125,16 @@ def main() -> None:
     # than the single-sample rounds did
     for rep in range(reps):
         for name in suite:
+            # start every sample from a consistent JVM state: drop
+            # blocks persisted by the PREVIOUS query (iterative
+            # queries localCheckpoint/persist internally) and collect
+            # the garbage they left — accumulated heap pressure from
+            # suite neighbors inflated the iterative heavies ~25%
+            # (ext_dedup_cluster: 5.4 s after four heavies vs 3.4 s
+            # isolated; 4.2 s with this reset), which is session
+            # noise, not plan cost
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -80,6 +80,10 @@ ORACLE_IDS = {
     "win_lead_gap", "win_pct_change", "f_null_family", "f_round_family",
     "ext_filter_c4", "ext_curriculum", "ext_eval_auc",
     "ext_pipeline_e2e", "ext_sample_pergroup", "ext_eval_calibration",
+    "agg_multi_distinct", "agg_grouping_id", "win_time_range_sum",
+    "join_semi_conditional", "f_date_trunc_family", "ext_text_rarity",
+    "bench_q8", "bench_q11", "bench_q20", "bench_q21",
+    "sink_compaction", "ext_dedup_incremental",
 }
 
 ROWS_ONLY_IDS = {

@@ -1332,3 +1332,24 @@ class TestImageAvgHash:
         )
         row = image_avg_hash(df, "doc_id", "payload").collect()[0]
         assert row["ahash"] is None and row["width"] is None
+
+
+class TestCompaction:
+    def test_compaction_reduces_file_count_and_keeps_rows(self, spark, sf_dir):
+        import glob
+
+        from weather_data_ingestion_service_spark import registry
+
+        qs = registry.queries()
+        df = qs["sink_compaction"](spark, sf_dir)
+        assert df.count() > 0
+        import weather_data_ingestion_service_spark.registry as reg
+
+        tag = reg._session_tag(spark, sf_dir)
+        base = f"/tmp/wds_compact_{tag}"
+        frag = glob.glob(f"{base}/fragmented/part-*")
+        comp = glob.glob(f"{base}/compacted/part-*")
+        assert len(comp) <= 4 < len(frag)
+        n_raw = spark.read.parquet(f"{base}/fragmented").count()
+        n_comp = spark.read.parquet(f"{base}/compacted").count()
+        assert n_raw == n_comp

@@ -140,6 +140,18 @@ EXCHANGE_BUDGET = {
     "ext_eval_calibration": 2,   # bin agg + order
     "ext_multimodal_phash": 2,   # payload join + hash-group window
     "ext_knn_graph": 2,          # bucket self-join + top-k window
+    "agg_multi_distinct": 3,     # Expand + two-phase distinct agg
+    "agg_grouping_id": 1,        # Expand, single shuffle
+    "win_time_range_sum": 1,
+    "join_semi_conditional": 2,  # semi join + priority agg
+    "f_date_trunc_family": 0,    # narrow projection
+    "ext_text_rarity": 3,        # vocab agg + rank window; vocab broadcast back
+    "bench_q8": 2,               # all 4 geo dims broadcast; li↔orders↔cust
+    "bench_q11": 4,              # value agg + scalar tot + order
+    "bench_q20": 2,              # part semi broadcast; supplier agg
+    "bench_q21": 6,              # fact self-agg + distinct + blame join
+    "sink_compaction": 2,        # read-back agg + order (writes are the op)
+    "ext_dedup_incremental": 1,  # anti join + per-hash window share the key
 }
 
 

@@ -1258,3 +1258,545 @@ _register_new_this_round(
     "ext_multimodal_phash",
     "ext_knn_graph",
 )
+
+
+# =====================================================================
+# E. Multi-distinct aggregates, grouping ids, time-range frames,
+# conditional semi-joins, date truncation, token rarity
+# =====================================================================
+
+
+@register(
+    "agg_multi_distinct",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_multi_distinct(spark, sf_dir):
+    """Several COUNT(DISTINCT …) over different keys in ONE aggregate:
+    Spark plans this with an Expand (each input row fans out once per
+    distinct-column set, tagged with a grouping id) so all three
+    measures resolve in a single shuffle pass instead of three
+    self-joined single-distinct aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT CAST(grouping(event_type, CAST(ts AS DATE)) AS BIGINT) AS gid,
+           event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
+    """,
+)
+def q_agg_grouping_id(spark, sf_dir):
+    """GROUPING SETS with an explicit grouping-id bitmask — the
+    disambiguator that separates 'aggregated-away NULL' from 'NULL in
+    the data', which rollup consumers (cube browsers, OLAP caches)
+    require.  Same Expand-based single-pass plan as rollup/cube."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    ev.createOrReplaceTempView("wds_events_gid")
+    return spark.sql(
+        """
+        SELECT CAST(grouping_id(event_type, day) AS BIGINT) AS gid,
+               event_type, day, CAST(count(*) AS BIGINT) AS n
+        FROM wds_events_gid
+        GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+        """
+    )
+
+
+@register(
+    "win_time_range_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS hour_cents
+    FROM events
+    """,
+)
+def q_win_time_range_sum(spark, sf_dir):
+    """TIME-based window frame (RANGE over epoch-µs, not ROWS): each
+    event's trailing-one-hour spend per user.  Unlike a row frame the
+    width adapts to event density — the fraud/rate-limit primitive.
+    The frame bound is integer microseconds on both engines, so ties
+    and boundary inclusion agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_cents("value")).over(w).cast("long").alias("hour_cents"),
+    )
+
+
+@register(
+    "join_semi_conditional",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q_join_semi_conditional(spark, sf_dir):
+    """Correlated EXISTS with a non-equi conjunct (TPC-H Q4's shape):
+    orders with any lineitem shipped more than 60 days after order
+    date.  Planned as a LEFT SEMI join whose condition carries both
+    the equality (the shuffle key) and the inequality (evaluated
+    post-match) — no distinct-then-join double shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "f_date_trunc_family",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(date_trunc('year', o_orderdate) AS DATE) AS year_start
+    FROM orders
+    """,
+)
+def q_f_date_trunc_family(spark, sf_dir):
+    """Calendar truncation family (week → Monday, month, quarter,
+    year), normalized to DATE on both engines (Spark's date_trunc
+    yields a timestamp, DuckDB's a date — the cast is the portable
+    contract).  Completes f_date_parts' numeric calendar family with
+    the bucketing form used by every period-over-period rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        F.date_trunc("year", "o_orderdate").cast("date").alias("year_start"),
+    )
+
+
+@register(
+    "ext_text_rarity",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(row_number() OVER (
+        ORDER BY count(*) DESC, tok) AS BIGINT) AS rank
+      FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(v.rank) * 1000000 // count(*) AS BIGINT) AS mean_rank_micro
+    FROM tok t JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_ext_text_rarity(spark, sf_dir):
+    """Vocabulary-rarity quality signal: every token's corpus
+    frequency RANK (1 = most common), averaged per document in exact
+    integer micro-units — the log-free stand-in for unigram surprisal
+    (rank is monotone in -log p), rankable cross-engine because no
+    float log is ever taken.  The vocab table is corpus-bounded and
+    broadcast back onto the token stream; docs full of rare tokens
+    score high — jargon/noise at the top, boilerplate at the bottom."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+            .cast("long"),
+        )
+        .drop("cnt")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(
+                "CAST(sum(rank) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("mean_rank_micro"),
+        )
+    )
+
+
+_register_new_this_round(
+    "agg_multi_distinct",
+    "agg_grouping_id",
+    "win_time_range_sum",
+    "join_semi_conditional",
+    "f_date_trunc_family",
+    "ext_text_rarity",
+)
+
+
+# =====================================================================
+# F. The remaining TPC-H shapes (all 22 now covered), compaction,
+# incremental dedup
+# =====================================================================
+
+
+@register(
+    "bench_q8",
+    """
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             ns.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+               AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN cents ELSE 0 END)
+                AS BIGINT) AS brazil_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN supp_nation = 'BRAZIL' THEN cents ELSE 0 END)
+                * 1000000 // sum(cents) AS BIGINT) AS mkt_share_micro
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_bench_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): revenue in an AMERICA
+    customer region attributed to BRAZIL suppliers, per year — the
+    deepest star in the suite (6 dimension hops), every geography
+    branch broadcast, share in exact integer micro-units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_reg")
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(reg), F.col("nc_reg") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(ns), sup.s_nationkey == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.col("supp_nation"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "cents"
+            ),
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "BRAZIL", F.col("cents")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.sum(brazil).cast("long").alias("brazil_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "brazil_cents",
+            "total_cents",
+            F.expr(
+                "CAST(brazil_cents * 1000000 DIV total_cents AS BIGINT)"
+            ).alias("mkt_share_micro"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "bench_q11",
+    """
+    WITH val AS (
+      SELECT s.s_nationkey, l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_partkey
+    ),
+    tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_groups FROM val)
+    SELECT v.s_nationkey, v.l_partkey, v.value_cents
+    FROM val v CROSS JOIN tot
+    WHERE v.value_cents * tot.n_groups * 2 > 5 * tot.total_cents
+    ORDER BY v.value_cents DESC, v.s_nationkey, v.l_partkey
+    """,
+)
+def q_bench_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock; the schema has no partsupp,
+    so supplier-shipped value stands in for stock value): per
+    (nation, part) value filtered against a scalar threshold — value
+    above 2.5× the mean group value, evaluated as 2·value·n > 5·total
+    in exact cents (scale-free, so the query stays selective-but-
+    non-vacuous at every SF; no float fraction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).cast("long").alias("value_cents"))
+    )
+    tot = val.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count("*").alias("n_groups"),
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_groups") * 2 > 5 * F.col("total_cents"))
+        .select("s_nationkey", "l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "s_nationkey", "l_partkey")
+    )
+
+
+@register(
+    "bench_q20",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM red)
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, sh.qty
+    FROM supplier s JOIN shipped sh ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.qty > 100
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_bench_q20(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with significant flow of a part
+    class; no partsupp, so shipped quantity stands in for stock):
+    semi-join the fact against a name-filtered part list, aggregate
+    per supplier inside a year window, threshold, decorate from the
+    supplier dim."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return (
+        sup.join(shipped, sup.s_suppkey == shipped.l_suppkey)
+        .select("s_suppkey", "s_name", "qty")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "bench_q21",
+    """
+    WITH f AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    lastship AS (
+      SELECT l_orderkey,
+             max(l_shipdate) AS max_ship,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+      FROM f GROUP BY l_orderkey
+    ),
+    blamed AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM f JOIN lastship ls ON f.l_orderkey = ls.l_orderkey
+      WHERE f.l_shipdate = ls.max_ship AND ls.n_supp >= 2
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q_bench_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting; no commit/receipt dates, so 'last supplier to ship on a
+    finished multi-supplier order' carries the blame semantics): fact
+    self-aggregation for per-order last-ship + supplier count, join
+    back on the max (the EXISTS/NOT EXISTS pair collapsed into one
+    aggregate), top-10 offenders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lastship = f.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    blamed = (
+        f.join(lastship, "l_orderkey")
+        .filter(
+            (F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") >= 2)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blamed.join(F.broadcast(sup), blamed.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "sink_compaction",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_sink_compaction(spark, sf_dir):
+    """Small-files compaction — the operational chore every landing
+    zone needs: a deliberately over-fragmented write (64 shards) is
+    compacted to 4 sorted files via repartition + sortWithinPartitions
+    (coalesce would skip the shuffle but inherit the skew), and the
+    aggregate over the compacted copy must match the raw table —
+    compaction is a LAYOUT change, never a data change.  The pytest
+    companion asserts the file count actually dropped."""
+    _clean_stale_scratch("/tmp/wds_compact_*")
+    base = f"/tmp/wds_compact_{_session_tag(spark, sf_dir)}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(f"{base}/fragmented")
+    frag = spark.read.parquet(f"{base}/fragmented")
+    (
+        frag.repartition(4, "event_type")
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(f"{base}/compacted")
+    )
+    back = spark.read.parquet(f"{base}/compacted")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_cents("value")).cast("long").alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ext_dedup_incremental",
+    """
+    WITH corpus AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    fresh AS (
+      SELECT b.doc_id, b.h FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    )
+    SELECT doc_id, h AS content_hash FROM (
+      SELECT doc_id, h, row_number() OVER (
+        PARTITION BY h ORDER BY doc_id) AS rn
+      FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def q_ext_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup — the production shape exact-dedup actually
+    runs in: a new batch (doc_id ≡ 0 mod 5) is admitted only if its
+    content hash is absent from the standing corpus (anti join on the
+    hash — at scale the corpus side is a bucketed hash index, so the
+    probe co-locates) AND it is the first occurrence within the batch
+    itself (per-hash window).  Never rescans or rewrites the corpus;
+    cost is O(batch) + one index probe."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    fresh = batch.join(corpus, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("h").alias("content_hash"))
+    )
+
+
+_register_new_this_round(
+    "bench_q8",
+    "bench_q11",
+    "bench_q20",
+    "bench_q21",
+    "sink_compaction",
+    "ext_dedup_incremental",
+)
