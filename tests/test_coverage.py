@@ -84,6 +84,7 @@ ORACLE_IDS = {
     "join_semi_conditional", "f_date_trunc_family", "ext_text_rarity",
     "bench_q8", "bench_q11", "bench_q20", "bench_q21",
     "sink_compaction", "ext_dedup_incremental",
+    "ext_dedup_chunks", "agg_variance_exact",
 }
 
 ROWS_ONLY_IDS = {

@@ -1353,3 +1353,29 @@ class TestCompaction:
         n_raw = spark.read.parquet(f"{base}/fragmented").count()
         n_comp = spark.read.parquet(f"{base}/compacted").count()
         assert n_raw == n_comp
+
+
+class TestNewOpNullContracts:
+    def test_bpe_encode_null_text_is_empty_doc(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, "ab")], "doc_id long, text string"
+        )
+        merges = spark.createDataFrame(
+            [], "rank int, left string, right string, merged string, pair_count long"
+        )
+        got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+        assert (got[1]["n_words"], got[1]["n_tokens"]) == (0, 0)
+        assert got[2]["n_tokens"] == 2
+
+    def test_image_avg_hash_null_payload_yields_null_hash(self, spark):
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            image_avg_hash,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None)], "doc_id long, payload binary"
+        )
+        row = image_avg_hash(df, "doc_id", "payload").collect()[0]
+        assert row["ahash"] is None

@@ -131,11 +131,11 @@ EXCHANGE_BUDGET = {
     "win_pct_change": 2,         # daily agg + lag window
     "f_null_family": 0,          # narrow projection
     "f_round_family": 0,
-    "ext_filter_c4": 2,          # doc stats agg + token-freq agg
+    "ext_filter_c4": 0,          # narrow projection: array folds only
     "ext_curriculum": 1,         # stats narrow; ntile+pos windows share
     "ext_eval_auc": 6,           # per-score windows over BOUNDED tables
     "ext_tokenizer_apply": 0,    # narrow Arrow encode pass
-    "ext_pipeline_e2e": 4,       # gate aggs + dedup window + split agg
+    "ext_pipeline_e2e": 2,       # narrow gate; dedup window + split agg
     "ext_sample_pergroup": 1,
     "ext_eval_calibration": 2,   # bin agg + order
     "ext_multimodal_phash": 2,   # payload join + hash-group window
@@ -152,6 +152,8 @@ EXCHANGE_BUDGET = {
     "bench_q21": 6,              # fact self-agg + distinct + blame join
     "sink_compaction": 2,        # read-back agg + order (writes are the op)
     "ext_dedup_incremental": 1,  # anti join + per-hash window share the key
+    "ext_dedup_chunks": 3,       # chunk-freq agg + share join + doc agg
+    "agg_variance_exact": 2,     # power-sum agg + order
 }
 
 

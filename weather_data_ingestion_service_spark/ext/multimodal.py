@@ -655,8 +655,10 @@ def image_avg_hash(
         for pdf in batches:
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
+                    # TypeError covers a NULL payload (bytes(None));
+                    # both normalize to the NULL-hash error-as-value
                     w, h, nch, px = _png_pixels(bytes(payload))
-                except ValueError:
+                except (ValueError, TypeError):
                     out_ids.append(int(i))
                     out_w.append(None)
                     out_h.append(None)

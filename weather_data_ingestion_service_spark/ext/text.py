@@ -595,7 +595,12 @@ def bpe_encode(
             cache: dict[str, int] = {}
             ids, nw, ns, nt = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in str(text).lower().split() if w]
+                # NULL text is an empty doc, not the string 'None'
+                words = (
+                    []
+                    if text is None
+                    else [w for w in str(text).lower().split() if w]
+                )
                 symbols = sum(len(w) for w in words)
                 toks = 0
                 for w in words:

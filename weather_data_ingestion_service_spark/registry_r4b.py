@@ -788,6 +788,35 @@ def _tok(col="text"):
     return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
 
 
+
+def _max_token_freq(w="w"):
+    """Max single-token frequency as a PURE EXPRESSION: sort the token
+    array and fold it to the maximum run length — no explode, no
+    (doc, token) aggregate, no shuffle.  Replaces the two-exchange
+    token-frequency branch the oracle spells relationally (the oracle
+    mirrors SEMANTICS, not the plan)."""
+    return F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 @register(
     "ext_filter_c4",
     f"""
@@ -828,21 +857,14 @@ def q_ext_filter_c4(spark, sf_dir):
     kept are the ones that discriminate.)"""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tok().alias("w"))
-    u = t.select(
+    j = t.select(
         "doc_id",
         F.size("w").cast("long").alias("n_words"),
         F.aggregate(
             F.transform("w", F.length), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("sum_chars"),
+        _max_token_freq().alias("max_freq"),
     )
-    fr = (
-        t.select("doc_id", F.explode("w").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("max_freq"))
-    )
-    j = u.join(fr, "doc_id")
     r_wc = F.col("n_words").between(20, 80)
     r_ml = (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words")) & (
         F.col("sum_chars") * 1000 < 4900 * F.col("n_words")
@@ -1087,10 +1109,12 @@ def q_ext_pipeline_e2e(spark, sf_dir):
     quality gate (exact-integer C4 rules) → exact dedup (keep lowest
     id per content hash) → leakage-proof hash split → per-(split,
     lang) token accounting.  Composing the stages as one DataFrame
-    lets Catalyst pipeline them: the gate's stats aggs feed the dedup
-    window feeds the split projection with no materialization
-    boundary, which is exactly how the stages should ship at 100 TB
-    (one job, three shuffles, no intermediate parquet)."""
+    lets Catalyst pipeline them: the gate is a narrow projection
+    (array folds, `_max_token_freq` — no explode, no shuffle), the
+    dedup window is the ONLY corpus-keyed exchange, and the split/agg
+    reuses nothing but the gate's survivors — one job, two shuffles,
+    no intermediate parquet, which is exactly how the stages should
+    ship at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", "n_chars", "text", _tok().alias("w"))
     u = t.select(
@@ -1102,22 +1126,13 @@ def q_ext_pipeline_e2e(spark, sf_dir):
         F.aggregate(
             F.transform("w", F.length), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("sum_chars"),
+        _max_token_freq().alias("max_freq"),
     )
-    fr = (
-        t.select("doc_id", F.explode("w").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("max_freq"))
-    )
-    kept = (
-        u.join(fr, "doc_id")
-        .filter(
-            F.col("n_words").between(20, 80)
-            & (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words"))
-            & (F.col("sum_chars") * 1000 < 4900 * F.col("n_words"))
-            & (F.col("max_freq") * 100 < 12 * F.col("n_words"))
-        )
+    kept = u.filter(
+        F.col("n_words").between(20, 80)
+        & (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words"))
+        & (F.col("sum_chars") * 1000 < 4900 * F.col("n_words"))
+        & (F.col("max_freq") * 100 < 12 * F.col("n_words"))
     )
     w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
         "doc_id"
@@ -1800,3 +1815,120 @@ _register_new_this_round(
     "sink_compaction",
     "ext_dedup_incremental",
 )
+
+
+# =====================================================================
+# G. Chunk-level dedup signal, exact variance
+# =====================================================================
+
+
+@register(
+    "ext_dedup_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK_SQL} AS w FROM documents
+      WHERE len({_TOK_SQL}) >= 20
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, i * 20 + 1, i * 20 + 20), ' ')) AS h
+      FROM (SELECT doc_id, w, unnest(range(0, len(w) // 20)) AS i FROM t)
+    ),
+    freq AS (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM c GROUP BY h
+    )
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS shared_micro
+    FROM c JOIN freq f ON c.h = f.h
+    GROUP BY c.doc_id
+    """,
+)
+def q_ext_dedup_chunks(spark, sf_dir):
+    """Chunk-level (sub-document) duplication signal: docs are cut
+    into consecutive 20-token windows, each window content-hashed, and
+    every doc scored by the fraction of its chunks that ALSO appear in
+    another doc — the copy-paste/boilerplate contamination measure
+    that whole-doc dedup can't see (a doc that quotes half of another
+    survives exact AND near dedup).  Chunk hashing is one narrow pass;
+    the share join is hash-equality on md5 — no similarity math."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tok().alias("w")).filter(F.size("w") >= 20)
+    c = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.size("w") / 20).cast("int") - 1)
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice("w", F.col("i") * 20 + 1, 20), " "
+            ).cast("binary")
+        ).alias("h"),
+    )
+    freq = c.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (
+        c.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.expr(
+                "CAST(n_shared * 1000000 DIV n_chunks AS BIGINT)"
+            ).alias("shared_micro"),
+        )
+    )
+
+
+@register(
+    "agg_variance_exact",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s1, s2,
+           CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)
+             AS var_cents2,
+           sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))
+             AS std_cents
+    FROM s ORDER BY event_type
+    """,
+)
+def q_agg_variance_exact(spark, sf_dir):
+    """Population variance/stddev from associative BIGINT power sums
+    (the same pattern as agg_skewness one moment down): partials (n,
+    Σx, Σx²) are exact integers, so aggregation order can't change
+    them; the final (n·Σx² − (Σx)²)/n² and its sqrt are ONE identical
+    IEEE expression tree on both engines (division and sqrt are
+    correctly rounded — mirroring the formula mirrors the bits)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = _cents("value")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(c).cast("long").alias("s1"),
+        F.sum(c * c).cast("long").alias("s2"),
+    )
+    var = F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)")
+    return s.select(
+        "event_type", "n", "s1", "s2",
+        var.alias("var_cents2"),
+        F.sqrt(var).alias("std_cents"),
+    ).orderBy("event_type")
+
+
+_register_new_this_round("ext_dedup_chunks", "agg_variance_exact")
