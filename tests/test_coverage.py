@@ -84,7 +84,7 @@ ORACLE_IDS = {
     "join_semi_conditional", "f_date_trunc_family", "ext_text_rarity",
     "bench_q8", "bench_q11", "bench_q20", "bench_q21",
     "sink_compaction", "ext_dedup_incremental",
-    "ext_dedup_chunks", "agg_variance_exact",
+    "ext_dedup_chunks", "agg_variance_exact", "ext_data_card",
 }
 
 ROWS_ONLY_IDS = {
@@ -99,7 +99,7 @@ ROWS_ONLY_IDS = {
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
-    "ext_multimodal_phash", "ext_knn_graph",
+    "ext_multimodal_phash", "ext_knn_graph", "ext_multimodal_phash_near",
 }
 
 

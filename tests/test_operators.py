@@ -1142,67 +1142,38 @@ class TestBpeEncode:
 
 
 class TestExactAuc:
-    def test_auc_micro_matches_sklearn_free_reference(self, spark):
-        """Hand-computable case: scores [1,2,3,4] labels [n,p,n,p] for
-        class 'p': pairs won = (2>1)+(4>1)+(4>3) = 3 of 4, no ties →
-        AUC = 0.75."""
-        from weather_data_ingestion_service_spark import registry_r4b  # noqa: F401
-        from weather_data_ingestion_service_spark.registry import _QUERIES
-
-        # drive the registered query over a crafted frame by
-        # monkey-patching is overkill: recompute with the same kernel
-        # shape inline instead
-        import pandas as pd
+    def test_auc_micro_hand_computed(self, spark):
+        """Drives the REGISTERED kernel (ext/simsearch.exact_auc) on a
+        crafted frame: scores [1,2,3,4] labels [n,p,n,p] — for class
+        'p' pairs won = 3 of 4, no ties -> AUC = 0.75; for class 'n'
+        the complement -> 0.25."""
+        from weather_data_ingestion_service_spark.ext.simsearch import exact_auc
 
         df = spark.createDataFrame(
             [("p", 2), ("p", 4), ("n", 1), ("n", 3)], "lang string, score long"
         )
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
-
-        w_all = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-        sc = (
-            df.groupBy("score").agg(F.count(F.lit(1)).alias("n_s"))
-            .withColumn("cum_all_below",
-                        F.coalesce(F.sum("n_s").over(w_all), F.lit(0)))
-        )
-        w_l = (Window.partitionBy("lang").orderBy("score")
-               .rowsBetween(Window.unboundedPreceding, -1))
-        ls = (
-            df.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("npos_s"))
-            .withColumn("cumpos_below",
-                        F.coalesce(F.sum("npos_s").over(w_l), F.lit(0)))
-        )
-        agg = (
-            ls.join(sc, "score").groupBy("lang")
-            .agg(
-                F.sum(F.col("npos_s")
-                      * (F.col("cum_all_below") - F.col("cumpos_below"))
-                      ).alias("pairs_won"),
-                F.sum(F.col("npos_s") * (F.col("n_s") - F.col("npos_s"))
-                      ).alias("ties"),
-                F.sum("npos_s").alias("npos"),
-            )
-        )
-        got = {r["lang"]: r.asDict() for r in agg.collect()}
-        p = got["p"]
-        n_total = 4
-        auc_micro = (2 * p["pairs_won"] + p["ties"]) * 1_000_000 // (
-            2 * p["npos"] * (n_total - p["npos"])
-        )
-        assert auc_micro == 750_000
+        got = {r["lang"]: r["auc_micro"] for r in exact_auc(df, "lang", "score").collect()}
+        assert got == {"p": 750_000, "n": 250_000}
 
     def test_all_ties_is_half(self, spark):
-        """Constant score → every pos/neg pair ties → AUC exactly 0.5."""
-        from pyspark.sql import functions as F
+        """Constant score -> every pos/neg pair ties -> AUC exactly 0.5
+        for every class."""
+        from weather_data_ingestion_service_spark.ext.simsearch import exact_auc
 
         df = spark.createDataFrame(
             [("p", 7), ("p", 7), ("n", 7)], "lang string, score long"
         )
-        npos, nneg = 2, 1
-        ties = npos * nneg
-        auc_micro = (0 + ties) * 1_000_000 // (2 * npos * nneg)
-        assert auc_micro == 500_000
+        got = {r["lang"]: r["auc_micro"] for r in exact_auc(df, "lang", "score").collect()}
+        assert got == {"p": 500_000, "n": 500_000}
+
+    def test_perfect_separation(self, spark):
+        from weather_data_ingestion_service_spark.ext.simsearch import exact_auc
+
+        df = spark.createDataFrame(
+            [("p", 10), ("p", 9), ("n", 1), ("n", 2)], "lang string, score long"
+        )
+        got = {r["lang"]: r["auc_micro"] for r in exact_auc(df, "lang", "score").collect()}
+        assert got["p"] == 1_000_000 and got["n"] == 0
 
 
 class TestBloomPrefilterJoin:
@@ -1250,6 +1221,12 @@ class TestKnnGraph:
         )
         from weather_data_ingestion_service_spark.io import load_table
 
+        # NOTE: cached frames MUST be unpersisted before the test ends —
+        # Spark's cache manager substitutes cached fragments into ANY
+        # later matching plan, which changes size statistics and flips
+        # broadcast decisions in unrelated tests (this bit the
+        # shuffle-budget guard: a cached `embeddings` scan turned two
+        # broadcast joins into shuffle joins)
         emb = load_table(spark, sf_dir, "embeddings").cache()
         approx = knn_graph(
             emb, "vec_id", "embedding", k=5, n_planes=3, n_tables=6
@@ -1286,6 +1263,8 @@ class TestKnnGraph:
         hit = exact.join(ap, ["a", "b"], "left_semi").count()
         tot = exact.count()
         assert hit / tot >= 0.6, f"recall {hit}/{tot}"
+        approx.unpersist()
+        emb.unpersist()
 
     def test_deterministic_across_runs(self, spark, sf_dir):
         from weather_data_ingestion_service_spark.ext.simsearch import knn_graph
@@ -1379,3 +1358,56 @@ class TestNewOpNullContracts:
         )
         row = image_avg_hash(df, "doc_id", "payload").collect()[0]
         assert row["ahash"] is None
+
+
+class TestImageNearDup:
+    def test_perturbed_block_is_within_hamming_and_paired(self, spark):
+        """Two images identical except one 8×8 cell inverted: aHashes
+        differ in only a few bits, and the banded join must emit the
+        pair (recall contract: any pair <= bands-1 bits shares a
+        band)."""
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _encode_png_stdlib,
+            image_avg_hash,
+            image_near_dup_pairs,
+        )
+
+        w, h = 32, 32
+        base = bytearray(
+            ((x * 7 + y * 13) % 256)
+            for y in range(h)
+            for x in range(w)
+            for _ in range(3)
+        )
+        pert = bytearray(base)
+        # invert one grid cell (top-left 4x4 pixel block of cell 0)
+        for y in range(4):
+            for x in range(4):
+                for c in range(3):
+                    o = (y * w + x) * 3 + c
+                    pert[o] = 255 - pert[o]
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_encode_png_stdlib(bytes(base), w, h, 3))),
+                (2, bytearray(_encode_png_stdlib(bytes(pert), w, h, 3))),
+            ],
+            "doc_id long, payload binary",
+        )
+        hashed = image_avg_hash(df, "doc_id", "payload")
+        rows = {r["doc_id"]: r["ahash"] for r in hashed.collect()}
+        xor = rows[1] ^ rows[2]
+        hamming = bin(xor & ((1 << 64) - 1)).count("1")
+        assert 0 < hamming <= 3, hamming
+        pairs = image_near_dup_pairs(hashed, max_hamming=3, bands=4).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+    def test_bands_contract_enforced(self, spark):
+        import pytest as _pytest
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            image_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame([(1, 5)], "doc_id long, ahash long")
+        with _pytest.raises(ValueError, match="bands"):
+            image_near_dup_pairs(df, max_hamming=8, bands=4)

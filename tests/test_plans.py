@@ -154,6 +154,8 @@ EXCHANGE_BUDGET = {
     "ext_dedup_incremental": 1,  # anti join + per-hash window share the key
     "ext_dedup_chunks": 3,       # chunk-freq agg + share join + doc agg
     "agg_variance_exact": 2,     # power-sum agg + order
+    "ext_data_card": 4,          # hash-freq agg + join + rollup + order
+    "ext_multimodal_phash_near": 5,  # band self-join + pair distinct
 }
 
 

@@ -570,3 +570,90 @@ class TestNdcgLaws:
         far_swap = score([4, 1, 2, 3, 0])     # best item sent to rank 5
         assert perfect == 1.0
         assert far_swap < one_swap < perfect
+
+
+class TestRound4bKernelLaws:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        toks=st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e"]), max_size=30
+        )
+    )
+    def test_max_token_freq_matches_counter(self, spark, toks):
+        """The sorted-array run-length fold equals collections.Counter's
+        max count on arbitrary token lists (empty -> 0)."""
+        from collections import Counter
+
+        from weather_data_ingestion_service_spark.registry_r4b import (
+            _max_token_freq,
+        )
+
+        df = spark.createDataFrame([(toks,)], "w array<string>")
+        got = df.select(_max_token_freq().alias("m")).collect()[0]["m"]
+        want = max(Counter(toks).values()) if toks else 0
+        assert got == want
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        labeled=st.lists(
+            st.tuples(st.sampled_from(["p", "n"]), st.integers(0, 5)),
+            min_size=2,
+            max_size=24,
+        ).filter(lambda xs: len({l for l, _ in xs}) == 2)
+    )
+    def test_exact_auc_matches_bruteforce_pairs(self, spark, labeled):
+        """AUC micro from the distributed kernel equals the O(n²)
+        definition (wins + half-ties over pos×neg pairs) for every
+        class."""
+        from weather_data_ingestion_service_spark.ext.simsearch import exact_auc
+
+        df = spark.createDataFrame(labeled, "lang string, score long")
+        got = {
+            r["lang"]: r["auc_micro"]
+            for r in exact_auc(df, "lang", "score").collect()
+        }
+        for cls in {l for l, _ in labeled}:
+            pos = [s for l, s in labeled if l == cls]
+            neg = [s for l, s in labeled if l != cls]
+            wins = sum(1 for p in pos for q in neg if p > q)
+            ties = sum(1 for p in pos for q in neg if p == q)
+            want = (2 * wins + ties) * 1_000_000 // (2 * len(pos) * len(neg))
+            assert got[cls] == want, cls
+
+    @settings(max_examples=6, deadline=None)
+    @given(seed=st.integers(0, 10_000))
+    def test_image_hash_deterministic_and_brightness_invariant(
+        self, spark, seed
+    ):
+        """aHash is a pure function of the pixels and invariant to a
+        global +delta brightness shift (threshold is the image's own
+        mean)."""
+        import random
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _encode_png_stdlib,
+            image_avg_hash,
+        )
+
+        rng = random.Random(seed)
+        w, h = 16, 16
+        base = bytes(rng.randrange(0, 200) for _ in range(w * h * 3))
+        shifted = bytes(min(255, b + 20) for b in base)
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(_encode_png_stdlib(base, w, h, 3))),
+                (2, bytearray(_encode_png_stdlib(base, w, h, 3))),
+                (3, bytearray(_encode_png_stdlib(shifted, w, h, 3))),
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r["ahash"]
+            for r in image_avg_hash(df, "doc_id", "payload").collect()
+        }
+        assert rows[1] == rows[2]
+        # +20 on every channel moves every cell mean AND the global
+        # mean by the same amount when no pixel clips; with clipping
+        # at 255 the hash may move a little — allow <= 8 bits
+        drift = bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1")
+        assert drift <= 8

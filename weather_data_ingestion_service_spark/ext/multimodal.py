@@ -651,6 +651,8 @@ def image_avg_hash(
     """
 
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         out_ids, out_w, out_h, out_hash = [], [], [], []
         for pdf in batches:
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -668,8 +670,6 @@ def image_avg_hash(
                 # channels (alpha, when present, is ignored) — numpy
                 # throughout; per-pixel Python would make the hash,
                 # not the codec, the bottleneck
-                import numpy as np
-
                 color_ch = 3 if nch >= 3 else 1
                 arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
                     h, w, nch
@@ -712,3 +712,71 @@ def image_avg_hash(
         ]
     )
     return df.select(id_col, payload_col).mapInPandas(hashes, schema)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate image pairs from perceptual hashes: band each
+    64-bit aHash into ``bands`` chunks, bucket-join on any shared
+    (band, value), and keep candidate pairs within ``max_hamming``
+    bits (``bit_count(a XOR b)``) — SimHash's banded recall argument
+    applied to the image domain, so near-identical images (small
+    crops, logo stamps, re-encodes that move a few blocks) pair up
+    without any pixel-level comparison.
+
+    Recall is guaranteed only for ``max_hamming <= bands - 1`` (a pair
+    within that distance must agree on at least one whole band); the
+    same contract as ``dedup.simhash_pairs``, enforced the same way.
+    NULL hashes (undecodable payloads) never pair.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded matching guarantees recall only for max_hamming <= "
+            f"bands - 1 (got max_hamming={max_hamming}, bands={bands}); "
+            f"use bands >= {max_hamming + 1}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    band_rows = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"shiftright(h, {i * width}) & {mask}").alias(
+                            "val"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "h", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = band_rows.select(
+        F.col("id").alias("id_a"), F.col("h").alias("ha"), "band", "val"
+    )
+    b = band_rows.select(
+        F.col("id").alias("id_b"), F.col("h").alias("hb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

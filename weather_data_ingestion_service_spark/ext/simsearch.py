@@ -1191,3 +1191,74 @@ def knn_graph(
             F.round(F.col("cos") * 1000).cast("long").alias("cos_milli"),
         )
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Exact one-vs-rest ROC-AUC per label value — the Mann-Whitney U
+    statistic computed distributively over PER-SCORE COUNTS (never the
+    O(pos·neg) pair join): two prefix-sum windows (all rows, per
+    class) give the below-score negative mass, ties contribute ½ via
+    the 2·pairs+ties numerator, and the result is exact integer
+    ``unit``-ths (no float division).  The windows run over distinct
+    scores — bounded — so a classifier eval is one pass at any corpus
+    size.  Returns (label, npos, nneg, auc_micro).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(label_col).alias("lang"), F.col(score_col).cast("long").alias("score")
+    )
+    w_all = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    sc = (
+        d.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .withColumn(
+            "cum_all_below",
+            F.coalesce(F.sum("n_s").over(w_all), F.lit(0)).cast("long"),
+        )
+    )
+    w_lang = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ls = (
+        d.groupBy("lang", "score")
+        .agg(F.count(F.lit(1)).alias("npos_s"))
+        .withColumn(
+            "cumpos_below",
+            F.coalesce(F.sum("npos_s").over(w_lang), F.lit(0)).cast("long"),
+        )
+    )
+    agg = (
+        ls.join(sc, "score")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("npos_s") * (F.col("cum_all_below") - F.col("cumpos_below")))
+            .cast("long")
+            .alias("pairs_won"),
+            F.sum(F.col("npos_s") * (F.col("n_s") - F.col("npos_s")))
+            .cast("long")
+            .alias("ties"),
+            F.sum("npos_s").cast("long").alias("npos"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.join(F.broadcast(tot))
+        .select(
+            F.col("lang").alias(label_col),
+            "npos",
+            (F.col("n") - F.col("npos")).cast("long").alias("nneg"),
+            F.expr(
+                f"CAST((2 * pairs_won + ties) * {unit}"
+                " DIV (2 * npos * (n - npos)) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+        .orderBy(label_col)
+    )

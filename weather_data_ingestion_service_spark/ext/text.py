@@ -590,6 +590,14 @@ def bpe_encode(
             s = out
         return len(s)
 
+    # tokenize EXACTLY like the engine's tokens() helper (Java regex
+    # \s+ is ASCII-only): Python str.split() also breaks on Unicode
+    # whitespace (NBSP etc.), which would silently disagree with the
+    # training-side tokenization of the same text
+    import re
+
+    _ws = re.compile(r"\s+", re.ASCII)
+
     def run(batches):
         for pdf in batches:
             cache: dict[str, int] = {}
@@ -599,7 +607,7 @@ def bpe_encode(
                 words = (
                     []
                     if text is None
-                    else [w for w in str(text).lower().split() if w]
+                    else [w for w in _ws.split(str(text).lower()) if w]
                 )
                 symbols = sum(len(w) for w in words)
                 toks = 0

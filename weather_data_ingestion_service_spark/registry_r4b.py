@@ -779,13 +779,9 @@ _register_new_this_round(
 # C. LLM-pipeline: quality gate, curriculum, ranking eval, tokenizer
 # =====================================================================
 
-#: tokenization shared with registry_r4/registry_ext: lowercase,
-#: split on \s+, drop empties
-_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
-
-
-def _tok(col="text"):
-    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != "")
+# tokenization shared with registry_r4/registry_ext — ONE definition,
+# imported (a second copy could silently drift from the oracle pairing)
+from .registry_r4 import _TOK_SQL, _tok  # noqa: E402
 
 
 
@@ -836,12 +832,12 @@ def _max_token_freq(w="w"):
            (u.n_words BETWEEN 20 AND 80) AS r_wordcount,
            (u.sum_chars * 1000 >= 4000 * u.n_words
             AND u.sum_chars * 1000 < 4900 * u.n_words) AS r_meanlen,
-           (fr.max_freq * 100 < 12 * u.n_words) AS r_repetition,
+           (coalesce(fr.max_freq, 0) * 100 < 12 * u.n_words) AS r_repetition,
            ((u.n_words BETWEEN 20 AND 80)
             AND u.sum_chars * 1000 >= 4000 * u.n_words
             AND u.sum_chars * 1000 < 4900 * u.n_words
-            AND fr.max_freq * 100 < 12 * u.n_words) AS keep
-    FROM u JOIN fr ON u.doc_id = fr.doc_id
+            AND coalesce(fr.max_freq, 0) * 100 < 12 * u.n_words) AS keep
+    FROM u LEFT JOIN fr ON u.doc_id = fr.doc_id
     """,
 )
 def q_ext_filter_c4(spark, sf_dir):
@@ -916,12 +912,13 @@ def q_ext_curriculum(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id",
-        F.expr(
-            "CAST(CAST(size(array_distinct(filter(split(lower(text), '\\\\s+'),"
-            " x -> x != ''))) AS BIGINT) * 1000000"
-            " DIV CAST(size(filter(split(lower(text), '\\\\s+'),"
-            " x -> x != '')) AS BIGINT) AS BIGINT)"
-        ).alias("uniq_micro"),
+        F.size(F.array_distinct(_tok())).cast("long").alias("n_uniq"),
+        F.size(_tok()).cast("long").alias("n_words"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(n_uniq * 1000000 DIV n_words AS BIGINT)").alias(
+            "uniq_micro"
+        ),
     )
     b = s.withColumn(
         "bin",
@@ -977,67 +974,14 @@ def q_ext_curriculum(spark, sf_dir):
 )
 def q_ext_eval_auc(spark, sf_dir):
     """Exact ROC-AUC (one-vs-rest per language, doc length as the
-    score) — the Mann-Whitney U statistic computed distributively:
-    group to per-score counts, two prefix-sum windows (all-docs and
-    per-class) give below-score negative counts WITHOUT the O(n²)
-    pos×neg pair join, ties contribute ½ via the 2·pairs+ties
-    numerator, and the result is published in exact integer
-    micro-units.  Windows run over DISTINCT SCORES (bounded), never
-    rows — at 100 TB the per-score table is what shuffles, and a
-    classifier eval lands in one pass over it."""
+    score) — the Mann-Whitney U statistic computed distributively; see
+    ext/simsearch.exact_auc for the kernel (per-score prefix sums, no
+    O(n²) pair join, ties as ½, exact integer micro-units; windows run
+    over DISTINCT SCORES, bounded at any corpus size)."""
+    from .ext.simsearch import exact_auc
+
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select("lang", F.col("n_chars").cast("long").alias("score"))
-    w_all = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    sc = (
-        d.groupBy("score")
-        .agg(F.count(F.lit(1)).alias("n_s"))
-        .withColumn(
-            "cum_all_below",
-            F.coalesce(F.sum("n_s").over(w_all), F.lit(0)).cast("long"),
-        )
-    )
-    w_lang = (
-        Window.partitionBy("lang")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ls = (
-        d.groupBy("lang", "score")
-        .agg(F.count(F.lit(1)).alias("npos_s"))
-        .withColumn(
-            "cumpos_below",
-            F.coalesce(F.sum("npos_s").over(w_lang), F.lit(0)).cast("long"),
-        )
-    )
-    agg = (
-        ls.join(sc, "score")
-        .groupBy("lang")
-        .agg(
-            F.sum(
-                F.col("npos_s") * (F.col("cum_all_below") - F.col("cumpos_below"))
-            )
-            .cast("long")
-            .alias("pairs_won"),
-            F.sum(F.col("npos_s") * (F.col("n_s") - F.col("npos_s")))
-            .cast("long")
-            .alias("ties"),
-            F.sum("npos_s").cast("long").alias("npos"),
-        )
-    )
-    tot = d.agg(F.count(F.lit(1)).alias("n"))
-    return (
-        agg.join(F.broadcast(tot))
-        .select(
-            "lang",
-            "npos",
-            (F.col("n") - F.col("npos")).cast("long").alias("nneg"),
-            F.expr(
-                "CAST((2 * pairs_won + ties) * 1000000"
-                " DIV (2 * npos * (n - npos)) AS BIGINT)"
-            ).alias("auc_micro"),
-        )
-        .orderBy("lang")
-    )
+    return exact_auc(docs.select("lang", "n_chars"), "lang", "n_chars")
 
 
 @register("ext_tokenizer_apply")  # greedy merge application — rows-only
@@ -1932,3 +1876,116 @@ def q_agg_variance_exact(spark, sf_dir):
 
 
 _register_new_this_round("ext_dedup_chunks", "agg_variance_exact")
+
+
+# =====================================================================
+# H. Dataset card, image near-dup
+# =====================================================================
+
+
+@register(
+    "ext_data_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+             CAST(len({_TOK_SQL}) AS BIGINT) AS n_words
+      FROM documents
+    ),
+    dup AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS n_h FROM t GROUP BY h
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_words) AS BIGINT) AS sum_words,
+           CAST(min(t.n_words) AS BIGINT) AS min_words,
+           CAST(max(t.n_words) AS BIGINT) AS max_words,
+           CAST(count(DISTINCT t.lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS en_share_micro,
+           CAST(sum(CASE WHEN dup.n_h > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_share_micro
+    FROM t JOIN dup ON t.h = dup.h
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def q_ext_data_card(spark, sf_dir):
+    """Per-source dataset card — the one-stop summary a data curator
+    publishes next to a corpus: volume (docs, words, min/max length),
+    language mix (distinct langs + English share), and exact-duplicate
+    exposure (share of docs whose content hash repeats corpus-wide),
+    every ratio in exact integer micro-units.  One token-count
+    projection, one content-hash frequency aggregate joined back, one
+    grouped rollup — three exchanges regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(_tok()).cast("long").alias("n_words"),
+    )
+    dup = t.groupBy("h").agg(F.count(F.lit(1)).alias("n_h"))
+    en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    isdup = F.when(F.col("n_h") > 1, 1).otherwise(0)
+    return (
+        t.join(dup, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("sum_words"),
+            F.min("n_words").cast("long").alias("min_words"),
+            F.max("n_words").cast("long").alias("max_words"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(en).cast("long").alias("n_en"),
+            F.sum(isdup).cast("long").alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_words",
+            "min_words",
+            "max_words",
+            "n_langs",
+            F.expr("CAST(n_en * 1000000 DIV n_docs AS BIGINT)").alias(
+                "en_share_micro"
+            ),
+            F.expr("CAST(n_dup * 1000000 DIV n_docs AS BIGINT)").alias(
+                "dup_share_micro"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register("ext_multimodal_phash_near")  # banded Hamming candidates — rows-only
+def q_ext_multimodal_phash_near(spark, sf_dir):
+    """NEAR-duplicate image pairs: perceptual aHash (stdlib PNG
+    decode) banded into 4 chunks, bucket-joined, Hamming-filtered at
+    ≤3 bits — re-encodes/small edits pair up with no pixel
+    comparison.  Uses the same planted-duplicate payload synthesis as
+    ext_multimodal_phash, so exact duplicates appear at Hamming 0 and
+    the banding recall contract (bands ≥ max_hamming+1) is enforced.
+    See ext/multimodal.image_near_dup_pairs."""
+    from .ext.multimodal import (
+        image_avg_hash,
+        image_near_dup_pairs,
+        synth_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keys = docs.select(
+        (F.col("doc_id") % 50).cast("long").alias("img_key")
+    ).distinct()
+    imgs = synth_png_payload(
+        keys.withColumnRenamed("img_key", "doc_id"), id_col="doc_id"
+    ).withColumnRenamed("doc_id", "img_key")
+    payloads = docs.withColumn(
+        "img_key", (F.col("doc_id") % 50).cast("long")
+    ).join(F.broadcast(imgs), "img_key")
+    hashed = image_avg_hash(
+        payloads.select("doc_id", "payload"), "doc_id", "payload"
+    )
+    return image_near_dup_pairs(hashed, "doc_id", "ahash", max_hamming=3, bands=4)
+
+
+_register_new_this_round("ext_data_card", "ext_multimodal_phash_near")
