@@ -100,6 +100,7 @@ ROWS_ONLY_IDS = {
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
     "ext_multimodal_phash", "ext_knn_graph", "ext_multimodal_phash_near",
+    "stream_curation_pipeline",
 }
 
 

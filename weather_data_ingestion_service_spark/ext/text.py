@@ -633,3 +633,64 @@ def bpe_encode(
             yield out
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def max_run_length(w) -> F.Column:
+    """Maximum run length of the SORTED array — the max single-element
+    frequency as a pure expression (no explode, no shuffle): the
+    zero-exchange form of the per-doc token-frequency aggregate."""
+    c = F.col(w) if isinstance(w, str) else w
+    return F.aggregate(
+        F.array_sort(c),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def quality_gate_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style quality gate as ONE NARROW PROJECTION: appends
+    ``n_words``, ``max_freq`` and the rule booleans (word-count band,
+    mean-word-length band, repetition cap) plus the combined ``keep``
+    to the input — every rule an exact cross-multiplied integer
+    inequality, computed from array folds (``max_run_length``) with
+    zero exchanges.  Shared by the batch gate (ext_filter_c4), the
+    end-to-end pipeline and the streaming curation sink, so the gate
+    semantics cannot drift between them."""
+    w = tokens(text_col)
+    out = df.withColumn("__w", w).select(
+        "*",
+        F.size("__w").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform("__w", F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_chars"),
+        max_run_length(F.col("__w")).alias("max_freq"),
+    ).drop("__w")
+    r_wc = F.col("n_words").between(20, 80)
+    r_ml = (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words")) & (
+        F.col("sum_chars") * 1000 < 4900 * F.col("n_words")
+    )
+    r_rep = F.col("max_freq") * 100 < 12 * F.col("n_words")
+    return out.select(
+        "*",
+        r_wc.alias("r_wordcount"),
+        r_ml.alias("r_meanlen"),
+        r_rep.alias("r_repetition"),
+        (r_wc & r_ml & r_rep).alias("keep"),
+    )

@@ -785,32 +785,10 @@ from .registry_r4 import _TOK_SQL, _tok  # noqa: E402
 
 
 
-def _max_token_freq(w="w"):
-    """Max single-token frequency as a PURE EXPRESSION: sort the token
-    array and fold it to the maximum run length — no explode, no
-    (doc, token) aggregate, no shuffle.  Replaces the two-exchange
-    token-frequency branch the oracle spells relationally (the oracle
-    mirrors SEMANTICS, not the plan)."""
-    return F.aggregate(
-        F.array_sort(w),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1).cast("long")),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+# the zero-exchange token-frequency fold and the full gate live in
+# ext/text (shared with the streaming curation sink) — one definition
+from .ext.text import max_run_length as _max_token_freq  # noqa: E402
+from .ext.text import quality_gate_flags  # noqa: E402
 
 
 @register(
@@ -852,27 +830,9 @@ def q_ext_filter_c4(spark, sf_dir):
     terminal-punctuation rule would be vacuous here; the three rules
     kept are the ones that discriminate.)"""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", _tok().alias("w"))
-    j = t.select(
-        "doc_id",
-        F.size("w").cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform("w", F.length), F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("sum_chars"),
-        _max_token_freq().alias("max_freq"),
-    )
-    r_wc = F.col("n_words").between(20, 80)
-    r_ml = (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words")) & (
-        F.col("sum_chars") * 1000 < 4900 * F.col("n_words")
-    )
-    r_rep = F.col("max_freq") * 100 < 12 * F.col("n_words")
-    return j.select(
-        "doc_id",
-        "n_words",
-        r_wc.alias("r_wordcount"),
-        r_ml.alias("r_meanlen"),
-        r_rep.alias("r_repetition"),
-        (r_wc & r_ml & r_rep).alias("keep"),
+    g = quality_gate_flags(docs.select("doc_id", "text"), "text")
+    return g.select(
+        "doc_id", "n_words", "r_wordcount", "r_meanlen", "r_repetition", "keep"
     )
 
 
@@ -1060,24 +1020,9 @@ def q_ext_pipeline_e2e(spark, sf_dir):
     no intermediate parquet, which is exactly how the stages should
     ship at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "lang", "n_chars", "text", _tok().alias("w"))
-    u = t.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        "text",
-        F.size("w").cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform("w", F.length), F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("sum_chars"),
-        _max_token_freq().alias("max_freq"),
-    )
-    kept = u.filter(
-        F.col("n_words").between(20, 80)
-        & (F.col("sum_chars") * 1000 >= 4000 * F.col("n_words"))
-        & (F.col("sum_chars") * 1000 < 4900 * F.col("n_words"))
-        & (F.col("max_freq") * 100 < 12 * F.col("n_words"))
-    )
+    kept = quality_gate_flags(
+        docs.select("doc_id", "lang", "n_chars", "text"), "text"
+    ).filter(F.col("keep"))
     w_dedup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
         "doc_id"
     )
@@ -1989,3 +1934,45 @@ def q_ext_multimodal_phash_near(spark, sf_dir):
 
 
 _register_new_this_round("ext_data_card", "ext_multimodal_phash_near")
+
+
+@register("stream_curation_pipeline")  # genuinely streaming — rows-only
+def q_stream_curation_pipeline(spark, sf_dir):
+    """STREAMING corpus curation: the gate→dedup→admit pipeline over a
+    document feed — per micro-batch quality gate (shared
+    quality_gate_flags), content-hash, cross-batch anti-join against
+    the admitted store, idempotent per-epoch append.  Runs the sink to
+    completion (availableNow) over the staged corpus and returns the
+    admitted store's per-batch accounting.  Cross-batch dedup and
+    retry idempotence are pinned by tests/test_streaming.py.  See
+    streaming/curation.py."""
+    from .registry import _clean_stale_scratch, _session_tag
+    from .streaming.curation import curation_sink
+
+    _clean_stale_scratch("/tmp/wds_curate_*")
+    base = f"/tmp/wds_curate_{_session_tag(spark, sf_dir)}"
+    import os
+
+    src_dir = f"{base}/src"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(src_dir):
+        docs.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = curation_sink(stream, f"{base}/admitted", "doc_id", "text")
+    q.awaitTermination()
+    admitted = spark.read.parquet(f"{base}/admitted")
+    return (
+        admitted.groupBy(F.col("batch").cast("long").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.countDistinct("content_hash").alias("n_hashes"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+_register_new_this_round("stream_curation_pipeline")
