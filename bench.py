@@ -87,6 +87,15 @@ HEADLINE = [
     "join_bloom_prefilter",
     "ext_filter_c4",
     "ext_eval_auc",
+    # round-4 fourth batch: the deepest star (Q8), the blame
+    # self-aggregation (Q21), the curation pipeline end-to-end, the
+    # sub-document chunk scan, the dataset card, and the k-NN graph
+    "bench_q8",
+    "bench_q21",
+    "ext_pipeline_e2e",
+    "ext_dedup_chunks",
+    "ext_data_card",
+    "ext_knn_graph",
 ]
 
 

@@ -156,6 +156,10 @@ EXCHANGE_BUDGET = {
     "agg_variance_exact": 2,     # power-sum agg + order
     "ext_data_card": 4,          # hash-freq agg + join + rollup + order
     "ext_multimodal_phash_near": 5,  # band self-join + pair distinct
+    "win_dense_rank": 1,
+    # accounting agg over the ADMITTED STORE (distinct + rollup +
+    # order); the pipeline's real work runs inside foreachBatch
+    "stream_curation_pipeline": 3,
 }
 
 

@@ -1976,3 +1976,39 @@ def q_stream_curation_pipeline(spark, sf_dir):
 
 
 _register_new_this_round("stream_curation_pipeline")
+
+
+@register(
+    "win_dense_rank",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(dense_rank() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+           ) AS BIGINT) AS drank
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def q_win_dense_rank(spark, sf_dir):
+    """dense_rank — the gap-free sibling completing the ranking-window
+    family (rank / row_number / percent_rank / cume_dist / ntile):
+    ranked over EXACT integer cents so ties (and therefore the dense
+    numbering) are engine-identical; a non-deterministic double order
+    key here would flip ranks between engines."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _cents("o_totalprice").desc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        _cents("o_totalprice").alias("cents"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+_register_new_this_round("win_dense_rank")
