@@ -85,7 +85,8 @@ ORACLE_IDS = {
     "bench_q8", "bench_q11", "bench_q20", "bench_q21",
     "sink_compaction", "ext_dedup_incremental",
     "ext_dedup_chunks", "agg_variance_exact", "ext_data_card",
-    "win_dense_rank",
+    "win_dense_rank", "f_variant_json", "ext_udtf_ngrams",
+    "join_lateral_topn", "f_array_fold",
 }
 
 ROWS_ONLY_IDS = {

@@ -160,6 +160,10 @@ EXCHANGE_BUDGET = {
     # accounting agg over the ADMITTED STORE (distinct + rollup +
     # order); the pipeline's real work runs inside foreachBatch
     "stream_curation_pipeline": 3,
+    "f_variant_json": 0,         # narrow VARIANT projection
+    "ext_udtf_ngrams": 0,        # lateral UDTF expansion, no shuffle
+    "join_lateral_topn": 1,      # decorrelated to one window shuffle
+    "f_array_fold": 0,           # narrow higher-order projection
 }
 
 

@@ -1162,11 +1162,18 @@ def knn_graph(
         .select("a", "b")
         .distinct()
     )
+    # norms are per-vector: hoist them into the projections so the
+    # O(candidate-pairs) hot loop folds ONE array (the dot product),
+    # not three — same trick as cosine_topk, same bit-identical result
     va = corpus.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
     )
     vb = corpus.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
     )
     scored = (
         pairs.join(va, "a")
@@ -1174,10 +1181,9 @@ def knn_graph(
         .select(
             "a",
             "b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cos"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("a").orderBy(F.col("cos").desc(), F.col("b"))

@@ -1143,16 +1143,24 @@ def q_ext_multimodal_phash(spark, sf_dir):
 
 @register("ext_knn_graph")  # LSH-bucketed approximate graph — rows-only
 def q_ext_knn_graph(spark, sf_dir):
-    """Approximate k-NN graph over the embedding corpus (k=5; 6 LSH
-    tables of 8 buckets — recall 0.77 vs exact at sf0.001, pinned
-    ≥0.6 by pytest): bucket-local candidates, cross-table dedup
-    before scoring, exact cosine re-rank.  See ext/simsearch.knn_graph
-    for the scale shape."""
+    """Approximate k-NN graph over the embedding corpus (k=5, 6 LSH
+    tables): bucket-local candidates, cross-table dedup before
+    scoring, exact cosine re-rank.  The plane count ADAPTS to corpus
+    size (buckets ≈ N/64, so per-bucket candidate work is constant as
+    the corpus grows — the knob that keeps the candidate set linear,
+    not quadratic, at 100 TB); recall 0.77 vs exact at sf0.001,
+    pinned ≥0.6 by pytest.  See ext/simsearch.knn_graph."""
+    import math
+
     from .io import load_table as _lt
     from .ext.simsearch import knn_graph
 
     emb = _lt(spark, sf_dir, "embeddings")
-    return knn_graph(emb, "vec_id", "embedding", k=5, n_planes=3, n_tables=6)
+    n = emb.count()
+    n_planes = max(3, int(math.log2(max(n, 1) / 64)) if n >= 128 else 3)
+    return knn_graph(
+        emb, "vec_id", "embedding", k=5, n_planes=n_planes, n_tables=6
+    )
 
 
 _register_new_this_round(
@@ -2012,3 +2020,161 @@ def q_win_dense_rank(spark, sf_dir):
 
 
 _register_new_this_round("win_dense_rank")
+
+
+# =====================================================================
+# I. Spark-4 API surfaces: VARIANT, UDTF, LATERAL, higher-order folds
+# =====================================================================
+
+
+@register(
+    "f_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS INT) AS k_mod
+    FROM events
+    """,
+)
+def q_f_variant_json(spark, sf_dir):
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` paths — the
+    open-schema ingestion pattern (shred at read, not at write).
+    The DuckDB oracle reads the same JSON with ``json_extract``; the
+    extracted value is integer-typed on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).cast("int").alias("k_mod"),
+    )
+
+
+@register(
+    "ext_udtf_ngrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents
+               WHERE len({_TOK_SQL}) >= 3)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(w[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t)
+    """,
+)
+def q_ext_udtf_ngrams(spark, sf_dir):
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) expanding
+    each doc into its word trigrams via a LATERAL correlated call —
+    the row-expanding UDF surface the reference's udf_scalar_pattern
+    doesn't cover.  NOTE the scale posture: UDTFs are row-at-a-time
+    Python and exist here to prove the API surface end-to-end (the
+    engine's production n-gram paths — dedup_chunks, bigrams,
+    contamination — are pure JVM array expressions); the oracle checks
+    the UDTF's semantics exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, gram string")
+    class TriGrams:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            toks = [t for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII) if t]
+            for i in range(len(toks) - 2):
+                yield doc_id, i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("wds_trigrams", TriGrams)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("wds_docs_udtf")
+    return spark.sql(
+        """
+        SELECT g.doc_id, g.pos, g.gram
+        FROM wds_docs_udtf d, LATERAL wds_trigrams(d.doc_id, d.text) g
+        """
+    )
+
+
+@register(
+    "join_lateral_topn",
+    """
+    SELECT n.n_name, l.c_custkey, l.bal_cents
+    FROM nation n, LATERAL (
+      SELECT c.c_custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY bal_cents DESC, c.c_custkey
+      LIMIT 2
+    ) l
+    """,
+)
+def q_join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery — top-2 customers per nation, the
+    per-row-subquery surface (Spark decorrelates it into the same
+    window plan a rank-filter produces, which is the point: the
+    declarative form is free).  Ordered over exact cents with the key
+    tie-break so the top-2 set is engine-identical."""
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    nat.createOrReplaceTempView("wds_nation_lat")
+    cust.createOrReplaceTempView("wds_customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.bal_cents
+        FROM wds_nation_lat n, LATERAL (
+          SELECT c.c_custkey,
+                 CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM wds_customer_lat c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c.c_custkey
+          LIMIT 2
+        ) l
+        """
+    )
+
+
+@register(
+    "f_array_fold",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             range(1, CAST(o_orderkey % 6 AS INT) + 2) AS xs
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(len(xs) AS INT) AS n,
+           CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+             AS sum_sq,
+           (len(list_filter(xs, x -> x % 2 = 0)) > 0) AS has_even,
+           (len(list_filter(xs, x -> NOT (x > 0))) = 0) AS all_positive,
+           CAST(len(list_filter(xs, x -> x >= 3)) AS INT) AS n_ge3
+    FROM t
+    """,
+)
+def q_f_array_fold(spark, sf_dir):
+    """Higher-order array functions as a named surface — transform /
+    aggregate (fold) / exists / forall / filter over a generated
+    integer sequence: the expression family every zero-exchange
+    operator in this engine is built from (the C4 gate, repetition
+    stats, chunk hashing), demonstrated in isolation with exact
+    integer results."""
+    orders = load_table(spark, sf_dir, "orders")
+    xs = F.sequence(F.lit(1), (F.col("o_orderkey") % 6 + 1).cast("int"))
+    t = orders.select("o_orderkey", xs.alias("xs"))
+    return t.select(
+        "o_orderkey",
+        F.size("xs").cast("int").alias("n"),
+        F.aggregate(
+            F.transform("xs", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_sq"),
+        F.exists("xs", lambda x: x % 2 == 0).alias("has_even"),
+        F.forall("xs", lambda x: x > 0).alias("all_positive"),
+        F.size(F.filter("xs", lambda x: x >= 3)).cast("int").alias("n_ge3"),
+    )
+
+
+_register_new_this_round(
+    "f_variant_json",
+    "ext_udtf_ngrams",
+    "join_lateral_topn",
+    "f_array_fold",
+)
