@@ -86,7 +86,7 @@ ORACLE_IDS = {
     "sink_compaction", "ext_dedup_incremental",
     "ext_dedup_chunks", "agg_variance_exact", "ext_data_card",
     "win_dense_rank", "f_variant_json", "ext_udtf_ngrams",
-    "join_lateral_topn", "f_array_fold",
+    "join_lateral_topn", "f_array_fold", "f_try_arith",
 }
 
 ROWS_ONLY_IDS = {
@@ -102,7 +102,7 @@ ROWS_ONLY_IDS = {
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
     "ext_multimodal_phash", "ext_knn_graph", "ext_multimodal_phash_near",
-    "stream_curation_pipeline",
+    "stream_curation_pipeline", "ext_eval_dedup",
 }
 
 

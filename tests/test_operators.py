@@ -1411,3 +1411,17 @@ class TestImageNearDup:
         df = spark.createDataFrame([(1, 5)], "doc_id long, ahash long")
         with _pytest.raises(ValueError, match="bands"):
             image_near_dup_pairs(df, max_hamming=8, bands=4)
+
+
+class TestDedupEval:
+    def test_minhash_recall_floor_on_planted_corpus(self, spark, sf_dir):
+        """The MinHash+LSH candidate set must recover >= 90% of the
+        exact-Jaccard pairs on the planted near-dup corpus (measured
+        0.989 at sf0.001), with precision >= 90% — the QA gate the
+        dedup stack ships with."""
+        from weather_data_ingestion_service_spark import registry
+
+        row = registry.queries()["ext_eval_dedup"](spark, sf_dir).collect()[0]
+        assert row["n_exact"] > 0
+        assert row["recall_micro"] >= 900_000, row
+        assert row["precision_micro"] >= 900_000, row

@@ -164,6 +164,7 @@ EXCHANGE_BUDGET = {
     "ext_udtf_ngrams": 0,        # lateral UDTF expansion, no shuffle
     "join_lateral_topn": 1,      # decorrelated to one window shuffle
     "f_array_fold": 0,           # narrow higher-order projection
+    "f_try_arith": 0,            # narrow projection
 }
 
 

@@ -2178,3 +2178,86 @@ _register_new_this_round(
     "join_lateral_topn",
     "f_array_fold",
 )
+
+
+# =====================================================================
+# J. Error-as-value arithmetic, dedup-stack QA
+# =====================================================================
+
+
+@register(
+    "f_try_arith",
+    """
+    SELECT event_id,
+           CASE WHEN (event_id % 7) = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) / (event_id % 7)
+           END AS safe_div,
+           CAST(CASE WHEN (event_id % 7) = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) // (event_id % 7)
+           END AS BIGINT) AS safe_intdiv,
+           CASE WHEN (event_id % 7) = 0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) % (event_id % 7)
+           END AS safe_mod
+    FROM events
+    """,
+)
+def q_f_try_arith(spark, sf_dir):
+    """Error-as-value arithmetic: division / integer division / modulus
+    where every seventh row divides by zero — ``try_divide`` and
+    NULL-guarded DIV/mod yield NULL instead of failing the job (the
+    reference's errors-are-values posture at expression level,
+    server.py:280; ANSI mode would otherwise abort the whole 100 TB
+    scan on one bad row).  DuckDB spells the same contract with CASE.
+    Numerators are non-negative cents so `//`/`DIV` agree."""
+    ev = load_table(spark, sf_dir, "events")
+    den = F.col("event_id") % 7
+    cents = _cents("value")
+    return ev.select(
+        "event_id",
+        F.try_divide(cents, den).alias("safe_div"),
+        F.when(den == 0, F.lit(None))
+        .otherwise(F.expr("CAST(round(value * 100) AS BIGINT) DIV (event_id % 7)"))
+        .cast("long")
+        .alias("safe_intdiv"),
+        F.when(den == 0, F.lit(None)).otherwise(cents % den).alias("safe_mod"),
+    )
+
+
+@register("ext_eval_dedup")  # MinHash-vs-exact QA — rows-only (hash-seeded)
+def q_ext_eval_dedup(spark, sf_dir):
+    """QA of the near-dup stack: precision/recall of the MinHash+LSH
+    candidate pairs against the EXACT Jaccard pairs at the same
+    threshold, in integer micro-units — the check a pipeline runs
+    before trusting its sub-quadratic dedup path at full scale.  Both
+    sides are deterministic (seeded MinHash, exact shingle join), but
+    MinHash is not SQL-expressible → rows-only; the recall floor is
+    pinned by pytest on the planted near-dup corpus."""
+    from .ext.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from .registry_ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    exact = ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    approx = minhash_lsh_pairs(corpus, "doc_id", "text").select("id_a", "id_b")
+    both = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    n_exact = exact.count()
+    n_approx = approx.count()
+    n_both = both.count()
+    rows = [
+        (
+            int(n_exact),
+            int(n_approx),
+            int(n_both),
+            int(n_both * 1_000_000 // max(n_approx, 1)),
+            int(n_both * 1_000_000 // max(n_exact, 1)),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_exact long, n_approx long, n_both long, "
+        "precision_micro long, recall_micro long",
+    )
+
+
+_register_new_this_round("f_try_arith", "ext_eval_dedup")
