@@ -589,7 +589,7 @@ class TestRound4bKernelLaws:
         )
 
         df = spark.createDataFrame([(toks,)], "w array<string>")
-        got = df.select(_max_token_freq().alias("m")).collect()[0]["m"]
+        got = df.select(_max_token_freq("w").alias("m")).collect()[0]["m"]
         want = max(Counter(toks).values()) if toks else 0
         assert got == want
 
