@@ -1231,40 +1231,42 @@ class TestKnnGraph:
         approx = knn_graph(
             emb, "vec_id", "embedding", k=5, n_planes=3, n_tables=6
         ).cache()
-        rows = approx.collect()
-        per = {}
-        for r in rows:
-            assert r["vec_id"] != r["neighbor_id"]
-            per.setdefault(r["vec_id"], []).append(r["rank"])
-        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
-        assert max(len(v) for v in per.values()) <= 5
+        try:
+            rows = approx.collect()
+            per = {}
+            for r in rows:
+                assert r["vec_id"] != r["neighbor_id"]
+                per.setdefault(r["vec_id"], []).append(r["rank"])
+            assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+            assert max(len(v) for v in per.values()) <= 5
 
-        a = emb.selectExpr("vec_id a", "embedding va")
-        b = emb.selectExpr("vec_id b", "embedding vb")
-        sc = (
-            a.crossJoin(b)
-            .filter("a != b")
-            .select(
-                "a",
-                "b",
-                (
-                    _dot(F.col("va"), F.col("vb"))
-                    / (_norm(F.col("va")) * _norm(F.col("vb")))
-                ).alias("cos"),
+            a = emb.selectExpr("vec_id a", "embedding va")
+            b = emb.selectExpr("vec_id b", "embedding vb")
+            sc = (
+                a.crossJoin(b)
+                .filter("a != b")
+                .select(
+                    "a",
+                    "b",
+                    (
+                        _dot(F.col("va"), F.col("vb"))
+                        / (_norm(F.col("va")) * _norm(F.col("vb")))
+                    ).alias("cos"),
+                )
             )
-        )
-        w = Window.partitionBy("a").orderBy(F.col("cos").desc(), "b")
-        exact = (
-            sc.withColumn("r", F.row_number().over(w))
-            .filter("r <= 5")
-            .select("a", "b")
-        )
-        ap = approx.selectExpr("vec_id a", "neighbor_id b")
-        hit = exact.join(ap, ["a", "b"], "left_semi").count()
-        tot = exact.count()
-        assert hit / tot >= 0.6, f"recall {hit}/{tot}"
-        approx.unpersist()
-        emb.unpersist()
+            w = Window.partitionBy("a").orderBy(F.col("cos").desc(), "b")
+            exact = (
+                sc.withColumn("r", F.row_number().over(w))
+                .filter("r <= 5")
+                .select("a", "b")
+            )
+            ap = approx.selectExpr("vec_id a", "neighbor_id b")
+            hit = exact.join(ap, ["a", "b"], "left_semi").count()
+            tot = exact.count()
+            assert hit / tot >= 0.6, f"recall {hit}/{tot}"
+        finally:
+            approx.unpersist()
+            emb.unpersist()
 
     def test_deterministic_across_runs(self, spark, sf_dir):
         from weather_data_ingestion_service_spark.ext.simsearch import knn_graph

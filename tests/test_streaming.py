@@ -577,3 +577,20 @@ class TestCurationSink:
         self._run(spark, f"{src}/*", target)
         n2 = spark.read.parquet(target).count()
         assert n1 == n2 == 1
+
+
+    def test_recovers_from_crashed_first_write(self, spark, tmp_path):
+        """A target dir containing only _temporary scaffolding (crash
+        during the first epoch's write, nothing committed) must be
+        treated as an EMPTY store, not read as parquet — otherwise the
+        sink fails 'unable to infer schema' forever."""
+        good = " ".join(f"tok{i}" for i in range(30))
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(1, good)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "f0"))
+        target = tmp_path / "admitted"
+        # simulate the crash residue
+        (target / "batch=0" / "_temporary" / "0").mkdir(parents=True)
+        self._run(spark, f"{src}/*", str(target))
+        assert spark.read.parquet(str(target)).count() == 1

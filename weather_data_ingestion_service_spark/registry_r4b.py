@@ -1111,6 +1111,29 @@ def q_ext_eval_calibration(spark, sf_dir):
     )
 
 
+def _planted_image_hashes(spark, sf_dir):
+    """Shared payload synthesis for the perceptual-hash queries: every
+    doc gets a REAL PNG keyed on doc_id mod 50, so each ~10 docs share
+    an identical image (planted duplicates), then aHash them.  Both
+    phash queries MUST use this one builder — their semantics assume
+    the same planted-duplicate structure."""
+    from .ext.multimodal import image_avg_hash, synth_png_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keys = docs.select(
+        (F.col("doc_id") % 50).cast("long").alias("img_key")
+    ).distinct()
+    imgs = synth_png_payload(
+        keys.withColumnRenamed("img_key", "doc_id"), id_col="doc_id"
+    ).withColumnRenamed("doc_id", "img_key")
+    payloads = docs.withColumn(
+        "img_key", (F.col("doc_id") % 50).cast("long")
+    ).join(F.broadcast(imgs), "img_key")
+    return image_avg_hash(
+        payloads.select("doc_id", "payload"), "doc_id", "payload"
+    )
+
+
 @register("ext_multimodal_phash")  # perceptual hash over binary payloads — rows-only
 def q_ext_multimodal_phash(spark, sf_dir):
     """Image dedup by perceptual average-hash: synthesize real PNG
@@ -1919,25 +1942,9 @@ def q_ext_multimodal_phash_near(spark, sf_dir):
     ext_multimodal_phash, so exact duplicates appear at Hamming 0 and
     the banding recall contract (bands ≥ max_hamming+1) is enforced.
     See ext/multimodal.image_near_dup_pairs."""
-    from .ext.multimodal import (
-        image_avg_hash,
-        image_near_dup_pairs,
-        synth_png_payload,
-    )
+    from .ext.multimodal import image_near_dup_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    keys = docs.select(
-        (F.col("doc_id") % 50).cast("long").alias("img_key")
-    ).distinct()
-    imgs = synth_png_payload(
-        keys.withColumnRenamed("img_key", "doc_id"), id_col="doc_id"
-    ).withColumnRenamed("doc_id", "img_key")
-    payloads = docs.withColumn(
-        "img_key", (F.col("doc_id") % 50).cast("long")
-    ).join(F.broadcast(imgs), "img_key")
-    hashed = image_avg_hash(
-        payloads.select("doc_id", "payload"), "doc_id", "payload"
-    )
+    hashed = _planted_image_hashes(spark, sf_dir)
     return image_near_dup_pairs(hashed, "doc_id", "ahash", max_hamming=3, bands=4)
 
 

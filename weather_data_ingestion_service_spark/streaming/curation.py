@@ -60,7 +60,29 @@ def curation_sink(
         hconf = spark._jsc.hadoopConfiguration()
         target_path = jvm.org.apache.hadoop.fs.Path(target_dir)
         fs = target_path.getFileSystem(hconf)
-        if fs.exists(target_path):
+
+        def has_committed_files(path) -> bool:
+            # a crash during the very first epoch can leave the target
+            # dir containing only _temporary scaffolding; bare
+            # fs.exists would then send us into a parquet read that
+            # throws "unable to infer schema" forever.  Only a COMMITTED
+            # data file (non-hidden, non-underscore) counts as an
+            # existing store; a transient read failure on a store that
+            # HAS data still propagates (never silently skip dedup —
+            # the merge-sink lesson).
+            stack = [path]
+            while stack:
+                for st in fs.listStatus(stack.pop()):
+                    name = st.getPath().getName()
+                    if name.startswith("_") or name.startswith("."):
+                        continue
+                    if st.isDirectory():
+                        stack.append(st.getPath())
+                    else:
+                        return True
+            return False
+
+        if fs.exists(target_path) and has_committed_files(target_path):
             # exclude THIS epoch's own partition from the seen set: a
             # retried/replayed epoch must not anti-join against its own
             # previous output (it would then overwrite its subdir with
