@@ -87,6 +87,7 @@ ORACLE_IDS = {
     "ext_dedup_chunks", "agg_variance_exact", "ext_data_card",
     "win_dense_rank", "f_variant_json", "ext_udtf_ngrams",
     "join_lateral_topn", "f_array_fold", "f_try_arith",
+    "ext_graph_degree",
 }
 
 ROWS_ONLY_IDS = {
@@ -102,7 +103,7 @@ ROWS_ONLY_IDS = {
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
     "ext_multimodal_phash", "ext_knn_graph", "ext_multimodal_phash_near",
-    "stream_curation_pipeline", "ext_eval_dedup",
+    "stream_curation_pipeline", "ext_eval_dedup", "ext_graph_pagerank",
 }
 
 

@@ -1427,3 +1427,47 @@ class TestDedupEval:
         assert row["n_exact"] > 0
         assert row["recall_micro"] >= 900_000, row
         assert row["precision_micro"] >= 900_000, row
+
+
+class TestIntegerPagerank:
+    def test_symmetric_pair_splits_evenly(self, spark):
+        """Two nodes, one edge: by symmetry both ranks stay equal at
+        every iteration, and total mass ~ unit (minus bounded
+        truncation leak)."""
+        from weather_data_ingestion_service_spark.ext.graph import pagerank_int
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        got = {r["id"]: r["rank_nano"] for r in pagerank_int(pairs, n_iter=5).collect()}
+        assert got[1] == got[2]
+        total = sum(got.values())
+        assert abs(total - 1_000_000_000) < 1000  # leak ≤ deg per round
+
+    def test_hub_outranks_leaves(self, spark):
+        """Star graph 1-2, 1-3, 1-4: the hub accumulates the leaves'
+        contributions and must outrank every leaf; leaves tie."""
+        from weather_data_ingestion_service_spark.ext.graph import pagerank_int
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["rank_nano"] for r in pagerank_int(pairs, n_iter=10).collect()}
+        assert got[1] > got[2] == got[3] == got[4]
+
+    def test_partitioning_independence(self, spark, sf_dir):
+        """Integer state makes the ranks a pure function of the graph:
+        1 partition vs 7 partitions, bit-identical output."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from weather_data_ingestion_service_spark.ext.graph import pagerank_int
+        from weather_data_ingestion_service_spark.registry_ext import (
+            _near_dup_corpus,
+        )
+
+        corpus = _near_dup_corpus(spark, sf_dir)
+        pairs = ngram_jaccard_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.5
+        ).select("id_a", "id_b")
+        a = sorted(map(tuple, pagerank_int(pairs.repartition(1), n_iter=4).collect()))
+        b = sorted(map(tuple, pagerank_int(pairs.repartition(7), n_iter=4).collect()))
+        assert a == b and len(a) > 0

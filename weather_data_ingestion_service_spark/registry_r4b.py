@@ -2268,3 +2268,81 @@ def q_ext_eval_dedup(spark, sf_dir):
 
 
 _register_new_this_round("f_try_arith", "ext_eval_dedup")
+
+
+# =====================================================================
+# K. Graph analytics over the near-dup graph
+# =====================================================================
+
+from .registry_ext import _NEAR_DUP_CORPUS_SQL  # noqa: E402
+
+
+@register(
+    "ext_graph_degree",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
+    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
+    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN cnt ca ON pairs.id_a = ca.id
+      JOIN cnt cb ON pairs.id_b = cb.id
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges
+      ) GROUP BY id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q_ext_graph_degree(spark, sf_dir):
+    """Degree distribution of the exact-Jaccard near-dup graph — the
+    graph-health histogram a dedup pipeline checks before clustering
+    (a hub with degree ≫ family size means a boilerplate shingle
+    slipped through the prefix filter).  One explode + two counts over
+    the edge list; the oracle rebuilds the same graph relationally."""
+    from .ext.dedup import ngram_jaccard_pairs
+    from .ext.graph import degree_stats
+    from .registry_ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return (
+        degree_stats(pairs.select("id_a", "id_b"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )
+
+
+@register("ext_graph_pagerank")  # iterative integer-state — rows-only
+def q_ext_graph_pagerank(spark, sf_dir):
+    """PageRank over the near-dup graph with EXACT INTEGER state
+    (1e-9-unit ranks, floor-div contributions): the result is a pure
+    function of (graph, iterations) — identical across partitionings
+    and cluster sizes, unlike float PageRank whose summation order
+    drifts.  10 rounds, one join+agg per round, no driver collect.
+    Hand-computed two/three-node fixtures and a partitioning-
+    independence pin live in pytest.  See ext/graph.pagerank_int."""
+    from .ext.dedup import ngram_jaccard_pairs
+    from .ext.graph import pagerank_int
+    from .registry_ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    return pagerank_int(pairs.select("id_a", "id_b"), n_iter=10)
+
+
+_register_new_this_round("ext_graph_degree", "ext_graph_pagerank")
