@@ -13,11 +13,18 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def degree_stats(pairs: DataFrame) -> DataFrame:
-    """Per-node degree over an undirected pair list (id_a, id_b):
-    one explode to both endpoints, one count — the basic graph health
-    check (duplicate-family sizes, near-dup hubs)."""
-    ends = pairs.select(
-        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+    """Per-node degree over an undirected pair list (id_a, id_b) —
+    the basic graph health check (duplicate-family sizes, near-dup
+    hubs).  Edges are CANONICALIZED first (least/greatest + distinct),
+    so a list containing both (a,b) and (b,a), duplicates, or a
+    directed k-NN output (``knn_graph``'s (id, neighbor) rows) all
+    yield the same undirected degree."""
+    canon = pairs.select(
+        F.least("id_a", "id_b").alias("lo"),
+        F.greatest("id_a", "id_b").alias("hi"),
+    ).distinct()
+    ends = canon.select(
+        F.explode(F.array(F.col("lo"), F.col("hi"))).alias("id")
     )
     return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
 
@@ -42,8 +49,10 @@ def pagerank_int(
     pre-partitioned on ``src`` and persisted; each round is ONE join +
     hash-agg on (long, long) rows with no driver collect; lineage is
     checkpointed every 4 rounds.  Isolated nodes don't exist in a pair
-    graph (every node has ≥1 edge); dangling mass is reintroduced
-    uniformly via the teleport term.
+    graph (every node has ≥1 edge), and every node has out-degree ≥1,
+    so no dangling mass arises; the truncation leak is NOT
+    redistributed — total mass decays by the (bounded) leak, which is
+    the deterministic trade.
     """
     edges = (
         pairs.select(
@@ -64,13 +73,19 @@ def pagerank_int(
     out_edges.count()
     edges.unpersist()
 
-    n_nodes = deg.count()
+    # node set and initial ranks derive from the CACHED out_edges —
+    # deriving them from `deg` would re-execute the whole upstream
+    # pair pipeline (candidate join and all) once per materialization
+    nodes = out_edges.select(F.col("src").alias("id")).distinct().persist()
+    n_nodes = nodes.count()
     teleport = (unit - damping_micro * unit // 1_000_000) // max(n_nodes, 1)
 
-    ranks = deg.select(
-        F.col("src").alias("id"),
+    ranks = nodes.select(
+        "id",
         F.lit(unit // max(n_nodes, 1)).cast("long").alias("rank"),
     ).persist()
+    ranks.count()
+    nodes.unpersist()
     for it in range(n_iter):
         contrib = (
             out_edges.join(ranks, out_edges.src == ranks.id)

@@ -125,6 +125,24 @@ _NEAR_DUP_CORPUS_SQL = f"""
 """
 
 
+#: the tokenize → 3-gram shingle → exact-Jaccard candidate-pair CTE
+#: block over `corpus` — shared by every oracle that rebuilds the
+#: near-dup graph relationally (ext_dedup_ngram here,
+#: ext_graph_degree in registry_r4b): ONE definition so the
+#: tokenization/threshold rules cannot drift between them
+_NGRAM_PAIRS_SQL = """    tok AS (SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
+    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
+    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
+    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    )"""
+
+
 def _emb_dup_corpus(spark, sf_dir):
     """embeddings ∪ perturbed copies of every 20th vector (first
     coordinate +0.1).  The fixture vectors are unit-normalized, so the
@@ -214,17 +232,7 @@ def q_ext_dedup_exact(spark, sf_dir):
     "ext_dedup_ngram",
     f"""
     WITH {_NEAR_DUP_CORPUS_SQL},
-    tok AS (SELECT doc_id AS id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               x -> x <> '') AS w FROM corpus),
-    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
-    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
-    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-    pairs AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b USING (shingle)
-      WHERE a.id < b.id GROUP BY 1, 2
-    )
+    {_NGRAM_PAIRS_SQL}
     SELECT id_a, id_b,
            inter / (ca.n_sh + cb.n_sh - inter) AS jaccard
     FROM pairs

@@ -2274,24 +2274,14 @@ _register_new_this_round("f_try_arith", "ext_eval_dedup")
 # K. Graph analytics over the near-dup graph
 # =====================================================================
 
-from .registry_ext import _NEAR_DUP_CORPUS_SQL  # noqa: E402
+from .registry_ext import _NEAR_DUP_CORPUS_SQL, _NGRAM_PAIRS_SQL  # noqa: E402
 
 
 @register(
     "ext_graph_degree",
     f"""
     WITH {_NEAR_DUP_CORPUS_SQL},
-    tok AS (SELECT doc_id AS id,
-                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                               x -> x <> '') AS w FROM corpus),
-    idx AS (SELECT id, w, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i FROM tok),
-    sh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle FROM idx),
-    cnt AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
-    pairs AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b USING (shingle)
-      WHERE a.id < b.id GROUP BY 1, 2
-    ),
+    {_NGRAM_PAIRS_SQL},
     edges AS (
       SELECT id_a, id_b FROM pairs
       JOIN cnt ca ON pairs.id_a = ca.id
