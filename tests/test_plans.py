@@ -165,8 +165,9 @@ EXCHANGE_BUDGET = {
     "join_lateral_topn": 1,      # decorrelated to one window shuffle
     "f_array_fold": 0,           # narrow higher-order projection
     "f_try_arith": 0,            # narrow projection
-    # prefix-filtered pair join + endpoint explode + two degree aggs
-    "ext_graph_degree": 7,
+    # prefix-filtered pair join + edge canonicalization distinct +
+    # endpoint explode + two degree aggs
+    "ext_graph_degree": 8,
 }
 
 
