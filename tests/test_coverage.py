@@ -87,7 +87,7 @@ ORACLE_IDS = {
     "ext_dedup_chunks", "agg_variance_exact", "ext_data_card",
     "win_dense_rank", "f_variant_json", "ext_udtf_ngrams",
     "join_lateral_topn", "f_array_fold", "f_try_arith",
-    "ext_graph_degree",
+    "ext_graph_degree", "win_cume_share", "win_transition_matrix",
 }
 
 ROWS_ONLY_IDS = {

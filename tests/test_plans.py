@@ -168,6 +168,8 @@ EXCHANGE_BUDGET = {
     # prefix-filtered pair join + edge canonicalization distinct +
     # endpoint explode + two degree aggs
     "ext_graph_degree": 8,
+    "win_cume_share": 2,         # daily agg + shared type partitioning
+    "win_transition_matrix": 3,  # user seq window + cell agg + share window
 }
 
 

@@ -2336,3 +2336,106 @@ def q_ext_graph_pagerank(spark, sf_dir):
 
 
 _register_new_this_round("ext_graph_degree", "ext_graph_pagerank")
+
+
+# =====================================================================
+# L. Pareto share curve, behavioral transition matrix
+# =====================================================================
+
+
+@register(
+    "win_cume_share",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cents,
+           CAST(sum(cents) OVER (
+             PARTITION BY event_type ORDER BY cents DESC, day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 1000000 // sum(cents) OVER (PARTITION BY event_type)
+           AS BIGINT) AS cume_share_micro
+    FROM daily
+    """,
+)
+def q_win_cume_share(spark, sf_dir):
+    """Pareto / concentration curve per group: days ranked by volume,
+    each carrying the RUNNING share of its type's total in exact
+    integer micro-units (cumsum·1e6 DIV total — both window sums over
+    exact cents).  Read off 'the top-k days carry X% of volume'
+    directly; the ordering tie-breaks on day so the curve is
+    engine-identical.  Both windows share one partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(_cents("value")).cast("long").alias("cents")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("cents").desc(), "day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.expr(
+            "CAST(sum(cents) OVER (PARTITION BY event_type"
+            " ORDER BY cents DESC, day"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000"
+            " DIV sum(cents) OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("cume_share_micro"),
+    )
+
+
+@register(
+    "win_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) * 1000000 // sum(count(*)) OVER (
+             PARTITION BY event_type) AS BIGINT) AS prob_micro
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_win_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: for each user the
+    NEXT event type (lead over the (ts, id) total order), counted into
+    from→to cells with the row-conditional probability in exact
+    integer micro-units — the Markov-chain view of the event stream
+    that funnels and streaks are special cases of.  One window + one
+    agg + one per-row-group share window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV sum(n) OVER (PARTITION BY from_type)"
+            " AS BIGINT)"
+        ).alias("prob_micro"),
+    )
+
+
+_register_new_this_round("win_cume_share", "win_transition_matrix")
