@@ -2371,12 +2371,8 @@ def q_win_cume_share(spark, sf_dir):
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum(_cents("value")).cast("long").alias("cents")
     )
-    w_run = (
-        Window.partitionBy("event_type")
-        .orderBy(F.col("cents").desc(), "day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("event_type")
+    # both window specs live inside ONE SQL expression so the exact
+    # integer division composes the two sums directly
     return daily.select(
         "event_type",
         "day",
@@ -2426,7 +2422,6 @@ def q_win_transition_matrix(spark, sf_dir):
         F.col("event_type").alias("from_type"),
         F.col("next_type").alias("to_type"),
     ).agg(F.count("*").alias("n"))
-    w_from = Window.partitionBy("from_type")
     return counts.select(
         "from_type",
         "to_type",
