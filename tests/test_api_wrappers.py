@@ -79,6 +79,65 @@ class TestGetForecast:
         )
         assert set(df2.columns) == {"location_id", "day", "precipitation_sum"}
 
+    def test_daily_variables_alongside_hourly(self, spark, weather):
+        """Reference server.py:227-233: an explicit ``daily_variables``
+        is added to the request REGARDLESS of the main granularity, so
+        one hourly call answers with an hourly block AND a daily block.
+        ``get_forecast_blocks`` is the multi-block accessor; the plain
+        ``get_forecast`` keeps returning the primary block."""
+        from weather_data_ingestion_service_spark.api.wrappers import (
+            get_forecast_blocks,
+        )
+
+        blocks = get_forecast_blocks(
+            spark, place="Prague, CZ", granularity=60,
+            variables="temperature_2m",
+            daily_variables="precipitation_sum", weather=weather,
+        )
+        assert set(blocks) == {"hourly", "daily"}
+        assert blocks["hourly"].columns == [
+            "location_id", "ts", "temperature_2m",
+        ]
+        assert set(blocks["daily"].columns) == {
+            "location_id", "day", "precipitation_sum",
+        }
+        assert blocks["hourly"].count() == 7 * 24
+        assert blocks["daily"].count() == 7
+        # primary accessor unchanged: hourly block only
+        df = get_forecast(
+            spark, place="Prague, CZ", granularity=60,
+            variables="temperature_2m",
+            daily_variables="precipitation_sum", weather=weather,
+        )
+        assert df.columns == ["location_id", "ts", "temperature_2m"]
+        # no daily_variables → no daily block alongside hourly
+        only_hourly = get_forecast_blocks(
+            spark, place="Prague, CZ", granularity=60, weather=weather,
+        )
+        assert set(only_hourly) == {"hourly"}
+        # at daily granularity the daily block IS the primary — no dup
+        daily_primary = get_forecast_blocks(
+            spark, place="Prague, CZ", granularity=1440,
+            daily_variables="precipitation_sum", weather=weather,
+        )
+        assert set(daily_primary) == {"daily"}
+
+    def test_daily_block_alongside_native_15min(self, spark):
+        """The 15-min primary path still sources the daily block from
+        the HOURLY model output (the reference's daily block is the
+        API's daily product, not a quarter-hour rollup)."""
+        from weather_data_ingestion_service_spark.api.wrappers import (
+            get_forecast_blocks,
+        )
+
+        blocks = get_forecast_blocks(
+            spark, place="Prague, CZ", granularity=15,
+            daily_variables="temperature_2m_max",
+        )
+        assert set(blocks) == {"minutely_15", "daily"}
+        assert blocks["minutely_15"].count() == 4 * 7 * 24
+        assert blocks["daily"].count() == 7
+
     def test_daily_aggregates(self, spark, weather):
         df = get_forecast(spark, place="Prague, CZ", granularity=1440, weather=weather)
         rows = df.collect()
@@ -245,6 +304,24 @@ class TestStdioServe:
         )
         assert resp["status"] == "success"
         assert "daily" in resp["data"] and len(resp["data"]["daily"]["time"]) == 2
+
+    def test_hourly_plus_daily_envelope(self, spark):
+        """server.py:227-233: daily_variables alongside hourly yields
+        both blocks in ONE success envelope."""
+        from weather_data_ingestion_service_spark.api.serve import handle_request
+
+        resp = handle_request(
+            spark,
+            {"tool": "get_forecast",
+             "params": {"place": "Prague, CZ", "forecast_days": 2,
+                        "variables": "temperature_2m",
+                        "daily_variables": "precipitation_sum"}},
+        )
+        assert resp["status"] == "success"
+        assert set(resp["data"]) >= {"location_id", "hourly", "daily"}
+        assert len(resp["data"]["hourly"]["time"]) == 2 * 24
+        assert len(resp["data"]["daily"]["time"]) == 2
+        assert set(resp["data"]["daily"]) == {"time", "precipitation_sum"}
 
     def test_errors_are_values_not_exceptions(self, spark):
         from weather_data_ingestion_service_spark.api.serve import handle_request

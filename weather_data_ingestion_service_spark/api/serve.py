@@ -39,11 +39,16 @@ from ..sources.resilience import HttpStatusError
 from .wrappers import (
     ForecastRequestError,
     get_forecast,
+    get_forecast_blocks,
     get_history,
     http_error_message,
 )
 
-_TOOLS = {"get_forecast": get_forecast, "get_history": get_history}
+# get_forecast dispatches through the multi-block accessor so a
+# daily_variables request alongside an hourly/15-min granularity yields
+# BOTH blocks in one envelope (reference server.py:227-233); get_forecast
+# stays importable for single-DataFrame callers.
+_TOOLS = {"get_forecast": get_forecast_blocks, "get_history": get_history}
 
 #: serving-boundary cap on rows materialized to the driver per request.
 #: A point lookup is a few hundred rows (16 forecast days x 96
@@ -87,19 +92,30 @@ def handle_request(spark: SparkSession, request: str | dict) -> dict:
         if fn is None:
             return {"status": "error", "message": f"unknown tool: {tool!r}"}
         params = dict(req.get("params") or {})
-        df = fn(spark, **params)
-        time_col = "day" if "day" in df.columns else "ts"
-        payload = _df_to_columnar(df, time_col)
-        key = (
-            "daily"
-            if time_col == "day"
-            else ("minutely_15" if params.get("granularity") == 15 else "hourly")
-        )
-        data: dict[str, Any] = {
-            "location_id": payload["location_id"],
-            key: payload["block"],
-        }
-        if payload["truncated"]:
+        result = fn(spark, **params)
+        if isinstance(result, dict):
+            blocks = result
+        else:
+            key = (
+                "daily"
+                if "day" in result.columns
+                else (
+                    "minutely_15"
+                    if params.get("granularity") == 15
+                    else "hourly"
+                )
+            )
+            blocks = {key: result}
+        data: dict[str, Any] = {"location_id": None}
+        truncated = False
+        for key, bdf in blocks.items():
+            time_col = "day" if "day" in bdf.columns else "ts"
+            payload = _df_to_columnar(bdf, time_col)
+            data[key] = payload["block"]
+            if payload["location_id"] is not None:
+                data["location_id"] = payload["location_id"]
+            truncated = truncated or payload["truncated"]
+        if truncated:
             data["truncated"] = True
         return {"status": "success", "data": data}
     except ForecastRequestError as exc:

@@ -182,7 +182,7 @@ def _as_list(variables) -> list[str]:
     return list(variables)
 
 
-def get_forecast(
+def get_forecast_blocks(
     spark: SparkSession,
     place: str | None = None,
     latitude: float | None = None,
@@ -195,8 +195,17 @@ def get_forecast(
     now: str = fixtures.FIXTURE_NOW,
     weather: DataFrame | None = None,
     geo: DataFrame | None = None,
-) -> DataFrame:
-    """Engine ``get_forecast`` (reference server.py:142-280).
+) -> dict[str, DataFrame]:
+    """Engine ``get_forecast``, full multi-block response
+    (reference server.py:142-280).
+
+    Returns ``{block_key: DataFrame}`` keyed like the reference's wire
+    response: the primary block under ``minutely_15`` / ``hourly`` /
+    ``daily`` per granularity, PLUS — when ``daily_variables`` is
+    explicitly requested alongside a sub-daily granularity — a second
+    ``daily`` block (reference server.py:227-233 adds
+    ``params["daily"] = daily_variables`` *regardless of the main
+    granularity*, so one upstream call answers with both blocks).
 
     Parameter semantics preserved: place-overrides-latlon, granularity
     dispatch {15, 60, ≥1440}, ``forecast_days`` clamped at 16,
@@ -224,7 +233,68 @@ def get_forecast(
     # `daily_variables or variables or defaults` — a caller supplying
     # only `variables` still gets their selection at daily granularity
     vars_ = (daily_variables or variables) if gran == 1440 else variables
-    return _materialize(horizon, gran, vars_, loc_id, native_15min=native_15)
+    primary_key = (
+        "daily" if gran == 1440 else ("minutely_15" if gran == 15 else "hourly")
+    )
+    blocks = {
+        primary_key: _materialize(
+            horizon, gran, vars_, loc_id, native_15min=native_15
+        )
+    }
+    if daily_variables and gran != 1440:
+        # daily aggregates derive from the HOURLY model output even when
+        # the primary block is quarter-hour (the reference's daily block
+        # is the API's own daily product, not a 15-min rollup)
+        if weather is not None:
+            daily_src = horizon
+        else:
+            daily_src = filter_horizon_relative(
+                fixtures.weather_hourly(spark),
+                "ts",
+                now,
+                past_days=past_days,
+                forecast_days=forecast_days,
+            )
+        blocks["daily"] = _materialize(daily_src, 1440, daily_variables, loc_id)
+    return blocks
+
+
+def get_forecast(
+    spark: SparkSession,
+    place: str | None = None,
+    latitude: float | None = None,
+    longitude: float | None = None,
+    granularity: int = 60,
+    forecast_days: int = 7,
+    past_days: int = 0,
+    variables: str | list[str] | None = None,
+    daily_variables: str | list[str] | None = None,
+    now: str = fixtures.FIXTURE_NOW,
+    weather: DataFrame | None = None,
+    geo: DataFrame | None = None,
+) -> DataFrame:
+    """Engine ``get_forecast`` (reference server.py:142-280), primary
+    block only — the single-DataFrame accessor.  Callers that request
+    ``daily_variables`` alongside an hourly/15-min granularity and want
+    the additional daily block (server.py:227-233) use
+    :func:`get_forecast_blocks`; the serving layer does.
+    """
+    blocks = get_forecast_blocks(
+        spark,
+        place=place,
+        latitude=latitude,
+        longitude=longitude,
+        granularity=granularity,
+        forecast_days=forecast_days,
+        past_days=past_days,
+        variables=variables,
+        daily_variables=daily_variables,
+        now=now,
+        weather=weather,
+        geo=geo,
+    )
+    primary = next(k for k in ("minutely_15", "hourly", "daily") if k in blocks)
+    return blocks[primary]
 
 
 def get_history(

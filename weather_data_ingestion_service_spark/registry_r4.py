@@ -25,7 +25,6 @@ from .registry import (
     NOW,
     _cents,
     _clean_stale_scratch,
-    _register_new_this_round,
     _session_tag,
     register,
 )
@@ -1663,44 +1662,3 @@ def q_ext_text_compression(spark, sf_dir):
     return compression_ratio(docs, "doc_id", "text")
 
 
-_register_new_this_round(
-    "sink_csv_roundtrip",
-    "sink_json_roundtrip",
-    "sink_bucketed_join",
-    "bench_q18",
-    "join_interval_overlap",
-    "agg_skewness",
-    "agg_cohort_retention",
-    "win_running_distinct",
-    "win_zscore",
-    "f_date_parts",
-    "f_interval_math",
-    "f_hash_digests",
-    "win_funnel",
-    "win_streak",
-    "join_dim_snapshot",
-    "agg_bool_family",
-    "win_sliding_minmax",
-    "bench_q2",
-    "bench_q7",
-    "bench_q16",
-    "f_base64_hex",
-    "f_format_pad",
-    "join_null_safe",
-    "ext_eval_ndcg",
-    "ext_sample_dupcap",
-    "ext_tokenizer_vocab",
-    "ext_skew_report",
-    "ext_multimodal_audio",
-    "agg_median_mad",
-    "ext_multimodal_resize_png",
-    "ext_eval_mrr",
-    "agg_hll_merge",
-    "ext_decontaminate",
-    "ext_mix_plan",
-    "ext_text_compression",
-    "ext_tokenizer_bpe",
-    "stream_sessionize_stateful",
-    "join_asof_forward",
-    "win_resample_interp",
-)

@@ -23,7 +23,6 @@ from .io import load_table
 from .registry import (
     _cents,
     _clean_stale_scratch,
-    _register_new_this_round,
     _session_tag,
     register,
 )
@@ -451,19 +450,6 @@ def q_bench_q22(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "bench_q9",
-    "bench_q10",
-    "bench_q12",
-    "bench_q13",
-    "bench_q14",
-    "bench_q15",
-    "bench_q17",
-    "bench_q19",
-    "bench_q22",
-)
-
-
 # =====================================================================
 # B. Join/runtime-filter infrastructure, storage formats, set ops,
 # window analytics, scalar families
@@ -764,17 +750,6 @@ def q_f_round_family(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "join_bloom_prefilter",
-    "sink_orc_roundtrip",
-    "set_symmetric_diff",
-    "win_lead_gap",
-    "win_pct_change",
-    "f_null_family",
-    "f_round_family",
-)
-
-
 # =====================================================================
 # C. LLM-pipeline: quality gate, curriculum, ranking eval, tokenizer
 # =====================================================================
@@ -797,7 +772,8 @@ from .ext.text import quality_gate_flags  # noqa: E402
     WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
     u AS (
       SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_chars
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_chars
       FROM t
     ),
     fr AS (
@@ -958,14 +934,6 @@ def q_ext_tokenizer_apply(spark, sf_dir):
     return bpe_encode(docs, merges, "doc_id", "text")
 
 
-_register_new_this_round(
-    "ext_filter_c4",
-    "ext_curriculum",
-    "ext_eval_auc",
-    "ext_tokenizer_apply",
-)
-
-
 # =====================================================================
 # D. Pipeline composition, sampling, calibration, multimodal dedup,
 # k-NN graph
@@ -978,7 +946,8 @@ _register_new_this_round(
     WITH t AS (SELECT doc_id, lang, n_chars, text, {_TOK_SQL} AS w FROM documents),
     u AS (
       SELECT doc_id, lang, n_chars, text, CAST(len(w) AS BIGINT) AS n_words,
-             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_chars
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_chars
       FROM t
     ),
     fr AS (
@@ -1141,20 +1110,10 @@ def q_ext_multimodal_phash(spark, sf_dir):
     identical image — planted duplicates), aHash them (stdlib decode →
     8×8 block means → threshold bits), and mark each image's canonical
     representative per hash group — dedup as a hash GROUP BY, no
-    pixel-level comparison.  See ext/multimodal.image_avg_hash."""
-    from .ext.multimodal import image_avg_hash, synth_png_payload
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    keys = docs.select((F.col("doc_id") % 50).cast("long").alias("img_key")).distinct()
-    imgs = synth_png_payload(
-        keys.withColumnRenamed("img_key", "doc_id"), id_col="doc_id"
-    ).withColumnRenamed("doc_id", "img_key")
-    payloads = docs.withColumn(
-        "img_key", (F.col("doc_id") % 50).cast("long")
-    ).join(F.broadcast(imgs), "img_key")
-    hashed = image_avg_hash(
-        payloads.select("doc_id", "payload"), "doc_id", "payload"
-    )
+    pixel-level comparison.  See ext/multimodal.image_avg_hash.
+    Payload synthesis delegates to _planted_image_hashes so both phash
+    queries share the one planted-duplicate structure."""
+    hashed = _planted_image_hashes(spark, sf_dir)
     w = Window.partitionBy("ahash")
     return hashed.select(
         "doc_id",
@@ -1184,15 +1143,6 @@ def q_ext_knn_graph(spark, sf_dir):
     return knn_graph(
         emb, "vec_id", "embedding", k=5, n_planes=n_planes, n_tables=6
     )
-
-
-_register_new_this_round(
-    "ext_pipeline_e2e",
-    "ext_sample_pergroup",
-    "ext_eval_calibration",
-    "ext_multimodal_phash",
-    "ext_knn_graph",
-)
 
 
 # =====================================================================
@@ -1395,16 +1345,6 @@ def q_ext_text_rarity(spark, sf_dir):
             ).alias("mean_rank_micro"),
         )
     )
-
-
-_register_new_this_round(
-    "agg_multi_distinct",
-    "agg_grouping_id",
-    "win_time_range_sum",
-    "join_semi_conditional",
-    "f_date_trunc_family",
-    "ext_text_rarity",
-)
 
 
 # =====================================================================
@@ -1727,16 +1667,6 @@ def q_ext_dedup_incremental(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "bench_q8",
-    "bench_q11",
-    "bench_q20",
-    "bench_q21",
-    "sink_compaction",
-    "ext_dedup_incremental",
-)
-
-
 # =====================================================================
 # G. Chunk-level dedup signal, exact variance
 # =====================================================================
@@ -1851,9 +1781,6 @@ def q_agg_variance_exact(spark, sf_dir):
     ).orderBy("event_type")
 
 
-_register_new_this_round("ext_dedup_chunks", "agg_variance_exact")
-
-
 # =====================================================================
 # H. Dataset card, image near-dup
 # =====================================================================
@@ -1948,9 +1875,6 @@ def q_ext_multimodal_phash_near(spark, sf_dir):
     return image_near_dup_pairs(hashed, "doc_id", "ahash", max_hamming=3, bands=4)
 
 
-_register_new_this_round("ext_data_card", "ext_multimodal_phash_near")
-
-
 @register("stream_curation_pipeline")  # genuinely streaming — rows-only
 def q_stream_curation_pipeline(spark, sf_dir):
     """STREAMING corpus curation: the gate→dedup→admit pipeline over a
@@ -1990,9 +1914,6 @@ def q_stream_curation_pipeline(spark, sf_dir):
     )
 
 
-_register_new_this_round("stream_curation_pipeline")
-
-
 @register(
     "win_dense_rank",
     """
@@ -2024,9 +1945,6 @@ def q_win_dense_rank(spark, sf_dir):
         _cents("o_totalprice").alias("cents"),
         F.dense_rank().over(w).cast("long").alias("drank"),
     )
-
-
-_register_new_this_round("win_dense_rank")
 
 
 # =====================================================================
@@ -2179,14 +2097,6 @@ def q_f_array_fold(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "f_variant_json",
-    "ext_udtf_ngrams",
-    "join_lateral_topn",
-    "f_array_fold",
-)
-
-
 # =====================================================================
 # J. Error-as-value arithmetic, dedup-stack QA
 # =====================================================================
@@ -2267,9 +2177,6 @@ def q_ext_eval_dedup(spark, sf_dir):
     )
 
 
-_register_new_this_round("f_try_arith", "ext_eval_dedup")
-
-
 # =====================================================================
 # K. Graph analytics over the near-dup graph
 # =====================================================================
@@ -2333,9 +2240,6 @@ def q_ext_graph_pagerank(spark, sf_dir):
     corpus = _near_dup_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
     return pagerank_int(pairs.select("id_a", "id_b"), n_iter=10)
-
-
-_register_new_this_round("ext_graph_degree", "ext_graph_pagerank")
 
 
 # =====================================================================
@@ -2433,4 +2337,3 @@ def q_win_transition_matrix(spark, sf_dir):
     )
 
 
-_register_new_this_round("win_cume_share", "win_transition_matrix")
