@@ -381,6 +381,31 @@ class TestDedupClusters:
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6}
 
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """The size-adaptive strategy is invisible in the labels:
+        driver union-find (small graphs) and the distributed min-label
+        loop (driver_cc_max_pairs=0 forces it) produce identical
+        clusters."""
+        from weather_data_ingestion_service_spark.ext.dedup import dedup_clusters
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 12)], ["id"])
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (9, 10), (7, 10)],
+            ["id_a", "id_b"],
+        )
+        fast = {
+            r.id: r.cluster_id
+            for r in dedup_clusters(nodes, pairs, "id").collect()
+        }
+        dist = {
+            r.id: r.cluster_id
+            for r in dedup_clusters(
+                nodes, pairs, "id", driver_cc_max_pairs=0
+            ).collect()
+        }
+        assert fast == dist
+        assert fast[10] == 6 and fast[8] == 8 and fast[5] == 1
+
     def test_max_iter_bounds_rounds(self, spark):
         from weather_data_ingestion_service_spark.ext.dedup import dedup_clusters
 
@@ -389,9 +414,13 @@ class TestDedupClusters:
             [(i, i + 1) for i in range(1, 5)], ["id_a", "id_b"]
         )
         # one round only: labels move one hop, not to the global min
+        # (driver_cc_max_pairs=0 forces the distributed loop, which is
+        # what max_iter bounds; the union-find path always converges)
         partial = {
             r.id: r.cluster_id
-            for r in dedup_clusters(nodes, pairs, "id", max_iter=1).collect()
+            for r in dedup_clusters(
+                nodes, pairs, "id", max_iter=1, driver_cc_max_pairs=0
+            ).collect()
         }
         assert partial[2] == 1 and partial[5] == 4
 

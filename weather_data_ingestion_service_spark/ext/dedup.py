@@ -75,13 +75,21 @@ def hashed_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("sh", F.array_distinct(sh)).drop("_th")
 
 
+#: vocabulary-broadcast ceiling for the rank join's document-frequency
+#: table: 8M (shingle, count) rows ≈ 128 MB of packed int64 pairs —
+#: well under Spark's 8 GB broadcast-table hard limit and a few percent
+#: of a typical executor heap once deserialized per executor.  Past it,
+#: per-executor copies stop being cheaper than one shuffled join.
+_VOCAB_BROADCAST_MAX_ROWS = 8_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    broadcast_vocab: bool = True,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over word n-gram shingle sets,
     with **prefix filtering** (Bayardo et al., "Scaling Up All Pairs
@@ -119,8 +127,15 @@ def ngram_jaccard_pairs(
     # → count), compact int64 pairs; broadcasting it turns the rank join
     # into a map-side hash join, removing a full exchange of the exploded
     # shingle table (2× measured).  Right while the vocabulary fits on
-    # one node (Heaps'-law sublinear growth); at 100 TB corpus scale pass
-    # False to fall back to a shuffled join.
+    # one node (Heaps'-law sublinear growth).  Default None = AUTO:
+    # persist freq (the rank join reads it from cache, so the sizing
+    # count just front-loads work the plan does anyway) and broadcast
+    # only while the vocabulary stays under _VOCAB_BROADCAST_MAX_ROWS —
+    # at 100 TB corpus scale the measured count, not a caller guess,
+    # picks the shuffled fallback.
+    if broadcast_vocab is None:
+        freq = freq.persist()
+        broadcast_vocab = freq.count() <= _VOCAB_BROADCAST_MAX_ROWS
     if broadcast_vocab:
         freq = F.broadcast(freq)
     # rarest-first global order; tie-break on the shingle hash
@@ -273,39 +288,100 @@ def minhash_lsh_pairs(
     )
 
 
+#: driver-CC ceiling: collect the near-dup pair list to the driver and
+#: run union-find while it stays under 2M (id_a, id_b) rows ≈ 32 MB of
+#: longs — the "touched by a duplicate" edge set is normally a sliver
+#: of the corpus, and for graphs this size a per-round Spark job costs
+#: more in scheduling than the whole union-find does in CPU.  Past the
+#: ceiling the distributed min-label loop below takes over, so the
+#: driver never materializes an unbounded edge list.
+_DRIVER_CC_MAX_PAIRS = 2_000_000
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str,
     max_iter: int = 20,
+    driver_cc_max_pairs: int = _DRIVER_CC_MAX_PAIRS,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     near-dup pair graph, each node labeled with the minimum id
     reachable from it (the cluster representative a pipeline keeps).
 
-    Min-label propagation: every round each node takes the min of its
-    own label and its neighbors' labels; converges in O(graph
-    diameter) rounds.  Near-dup graphs are overwhelmingly tiny stars
-    (a document and its variants), so the expected round count is 2-3;
-    ``max_iter`` bounds pathological chains.  Each round is one
-    shuffled join + hash-agg on compact (long, long) rows; labels are
-    persisted per round and lineage is cut with ``localCheckpoint``
-    every few rounds so the plan doesn't grow unboundedly (the classic
-    iterative-Spark failure mode).  At extreme skew (one giant
-    component) switch to large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce"), which halves round count;
-    not needed for dedup-shaped graphs.
+    Size-adaptive strategy, decided from the MEASURED pair count (the
+    pair table is persisted either way — candidate generation is the
+    expensive plan upstream, and both strategies would otherwise
+    recompute it):
+
+    - ``≤ driver_cc_max_pairs``: collect the (long, long) pair list and
+      run path-compressing union-find on the driver — exact, one job,
+      no per-round scheduling — then broadcast the label map back.
+      ``max_iter`` does not apply (union-find is fully converged).
+    - larger graphs: distributed min-label propagation — every round
+      each node takes the min of its own label and its neighbors'
+      labels; converges in O(graph diameter) rounds.  Near-dup graphs
+      are overwhelmingly tiny stars (a document and its variants), so
+      the expected round count is 2-3; ``max_iter`` bounds pathological
+      chains.  Each round is one shuffled join + hash-agg on compact
+      (long, long) rows; labels are persisted per round and lineage is
+      cut with ``localCheckpoint`` every few rounds so the plan doesn't
+      grow unboundedly (the classic iterative-Spark failure mode).  At
+      extreme skew (one giant component) switch to large-star/
+      small-star (Kiveris et al., "Connected Components in MapReduce"),
+      which halves round count; not needed for dedup-shaped graphs.
     """
+    pair_edges = pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).persist()
+    n_pairs = pair_edges.count()
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    if n_pairs <= driver_cc_max_pairs:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pair_edges.collect():
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            # smaller id becomes the root, so every component's root IS
+            # its minimum id — the same label the propagation loop finds
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+        spark = nodes.sparkSession
+        label_rows = [(x, find(x)) for x in parent]
+        pair_edges.unpersist()
+        if not label_rows:
+            return all_nodes.select(
+                F.col("id").alias(id_col), F.col("id").alias("cluster_id")
+            )
+        labels = F.broadcast(
+            spark.createDataFrame(label_rows, "id long, lab long")
+        )
+        return all_nodes.join(labels, "id", "left").select(
+            F.col("id").alias(id_col),
+            F.coalesce("lab", "id").alias("cluster_id"),
+        )
     # both edge directions PLUS a self-loop per endpoint, all from ONE
-    # scan of ``pairs`` (explode, not a self-union — the union's
-    # branches would each recompute the candidate-pair plan, which is
-    # the expensive part of the query).  Self-loops make each round a
-    # single join + hash-agg: min over neighbors *including self*
-    # replaces the join-then-left-join-update two-step.  ``distinct``
-    # compacts the redundant self-loop copies once up front (edges
-    # feed every round).
+    # scan of the persisted pair table (explode, not a self-union — the
+    # union's branches would each recompute the candidate-pair plan,
+    # which is the expensive part of the query).  Self-loops make each
+    # round a single join + hash-agg: min over neighbors *including
+    # self* replaces the join-then-left-join-update two-step.
+    # ``distinct`` compacts the redundant self-loop copies once up
+    # front (edges feed every round).
     edges = (
-        pairs.select(
+        pair_edges.select(
             F.explode(
                 F.array(
                     F.struct(
@@ -349,6 +425,7 @@ def dedup_clusters(
     # a labels-vs-labels join + count job.
     dec_sum = F.sum(F.col("lab").cast("decimal(38,0)"))
     prev_sum = labels.agg(dec_sum).collect()[0][0]
+    pair_edges.unpersist()  # edges cache is materialized past this point
     for it in range(max_iter):
         new_labels = (
             edges.join(labels, edges.src == labels.id)
@@ -368,10 +445,13 @@ def dedup_clusters(
     edges.unpersist()
     # labels is cached, so sizing it for the join-back strategy is
     # free; a near-dup label table is tiny next to the corpus, so
-    # broadcast unless the graph is genuinely huge
+    # broadcast unless the graph is genuinely huge.  5M (long, long)
+    # rows ≈ 80 MB serialized — comfortably inside Spark's broadcast
+    # limits and a small slice of executor memory; a label table past
+    # that means a duplicate-saturated corpus, where shuffling the
+    # join-back on id is the honest plan.
     if labels.count() <= 5_000_000:
         labels = F.broadcast(labels)
-    all_nodes = nodes.select(F.col(id_col).alias("id"))
     return (
         all_nodes.join(labels, "id", "left")
         .select(
