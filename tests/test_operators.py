@@ -1500,3 +1500,22 @@ class TestIntegerPagerank:
         a = sorted(map(tuple, pagerank_int(pairs.repartition(1), n_iter=4).collect()))
         b = sorted(map(tuple, pagerank_int(pairs.repartition(7), n_iter=4).collect()))
         assert a == b and len(a) > 0
+
+    def test_driver_and_distributed_paths_bit_identical(self, spark):
+        """The size-adaptive switch is invisible: exact integer state
+        makes the driver iteration and the per-round join loop
+        (driver_max_pairs=0 forces it) produce identical ranks."""
+        from weather_data_ingestion_service_spark.ext.graph import pagerank_int
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (3, 4), (5, 6), (2, 1)],
+            "id_a long, id_b long",
+        )
+        fast = sorted(map(tuple, pagerank_int(pairs, n_iter=6).collect()))
+        dist = sorted(
+            map(
+                tuple,
+                pagerank_int(pairs, n_iter=6, driver_max_pairs=0).collect(),
+            )
+        )
+        assert fast == dist and len(fast) == 6

@@ -11,6 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: driver-PageRank ceiling, same rationale as dedup._DRIVER_CC_MAX_PAIRS:
+#: 2M (long, long) pairs ≈ 32 MB — below it, ten per-round Spark jobs
+#: cost more in scheduling than the whole integer iteration does in
+#: CPU, and the integer state makes the two paths bit-identical.
+_DRIVER_PR_MAX_PAIRS = 2_000_000
+
 
 def degree_stats(pairs: DataFrame) -> DataFrame:
     """Per-node degree over an undirected pair list (id_a, id_b) —
@@ -34,6 +40,7 @@ def pagerank_int(
     n_iter: int = 10,
     damping_micro: int = 850_000,
     unit: int = 1_000_000_000,
+    driver_max_pairs: int = _DRIVER_PR_MAX_PAIRS,
 ) -> DataFrame:
     """PageRank with EXACT INTEGER state: ranks are maintained in
     ``unit``-ths (default 1e-9 units) and every update is integer
@@ -53,9 +60,44 @@ def pagerank_int(
     so no dangling mass arises; the truncation leak is NOT
     redistributed — total mass decays by the (bounded) leak, which is
     the deterministic trade.
+
+    Size-adaptive (same strategy as ``dedup.dedup_clusters``): the
+    pair table is persisted and measured; at or under
+    ``driver_max_pairs`` the iteration runs on the driver over the
+    collected edge list — EXACT integer arithmetic makes the driver
+    and distributed paths bit-identical, so the switch is invisible in
+    the result — and only above it does the per-round join loop run.
     """
+    pair_tbl = pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).persist()
+    n_pairs = pair_tbl.count()
+    if n_pairs <= driver_max_pairs:
+        adj: dict[int, set] = {}
+        for a, b in pair_tbl.collect():
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        pair_tbl.unpersist()
+        spark = pairs.sparkSession
+        n_nodes = len(adj)
+        if n_nodes == 0:
+            return spark.createDataFrame([], "id long, rank_nano long")
+        teleport = (unit - damping_micro * unit // 1_000_000) // n_nodes
+        deg = {u: len(vs) for u, vs in adj.items()}
+        rank = {u: unit // n_nodes for u in adj}
+        for _ in range(n_iter):
+            contrib = {u: rank[u] // deg[u] for u in adj}
+            rank = {
+                v: teleport
+                + sum(contrib[u] for u in adj[v]) * damping_micro // 1_000_000
+                for v in adj
+            }
+        return spark.createDataFrame(
+            sorted(rank.items()), "id long, rank_nano long"
+        )
     edges = (
-        pairs.select(
+        pair_tbl.select(
             F.explode(
                 F.array(
                     F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -72,6 +114,7 @@ def pagerank_int(
     out_edges = edges.join(deg, "src").persist()
     out_edges.count()
     edges.unpersist()
+    pair_tbl.unpersist()
 
     # node set and initial ranks derive from the CACHED out_edges —
     # deriving them from `deg` would re-execute the whole upstream
