@@ -96,6 +96,28 @@ HEADLINE = [
     "ext_dedup_chunks",
     "ext_data_card",
     "ext_knn_graph",
+    # round-5 additions (r01 ⊂ … ⊂ r05): the previously-unbenched
+    # heavies — integer PageRank over the near-dup graph, incremental
+    # dedup vs the admitted corpus, the streaming-curation batch twin,
+    # and MinHash+LSH near-dup (newly fixed explode barrier)
+    "ext_graph_pagerank",
+    "ext_dedup_incremental",
+    "stream_curation_pipeline",
+    "ext_dedup_near",
+]
+
+#: iterative heavies also get a NO-NEIGHBOR sample: one extra timing
+#: each, taken back-to-back at the end of the run from a
+#: clearCache+GC'd JVM with no interleaved suite neighbors — the
+#: number to read when an in-suite min drifts (BASELINE.md r4:
+#: ext_dedup_cluster 5.2 s in-suite vs 2.8 s isolated was suite noise
+#: plus a real recompute, only visible with this sample)
+ISOLATED = [
+    "ext_dedup_cluster",
+    "ext_dedup_ngram",
+    "ext_knn_graph",
+    "ext_graph_pagerank",
+    "ext_pipeline_e2e",
 ]
 
 
@@ -150,12 +172,28 @@ def main() -> None:
             samples.setdefault(name, []).append(time.perf_counter() - t0)
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
+    isolated: dict[str, float] = {}
+    for name in ISOLATED:
+        if name not in qs:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        isolated[name] = round(best, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "isolated": isolated,
         "sf": float(sf),
         "reps": reps,
         "agg": "min",

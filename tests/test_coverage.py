@@ -88,16 +88,20 @@ ORACLE_IDS = {
     "win_dense_rank", "f_variant_json", "ext_udtf_ngrams",
     "join_lateral_topn", "f_array_fold", "f_try_arith",
     "ext_graph_degree", "win_cume_share", "win_transition_matrix",
+    "ext_multimodal_decode", "ext_multimodal_tar", "ext_multimodal_clip",
+    "ext_dedup_spans", "agg_trend_mk", "ext_text_fertility",
+    "agg_ks_stat", "agg_histogram_eqh", "ext_eval_spearman",
+    "ext_pack_bestfit", "ext_dedup_span_removal", "agg_benford",
 }
 
 ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
-    "ext_simsearch_lsh", "ext_multimodal_decode",
+    "ext_simsearch_lsh",
     "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily",
     "stream_stateful_latest", "ext_simsearch_ivf",
     "stream_dedup_watermark", "ext_embed_pca",
-    "ext_simsearch_pq", "ext_pack_bestfit", "ext_multimodal_tar",
+    "ext_simsearch_pq",
     "agg_approx_quantile", "ext_multimodal_audio",
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",

@@ -520,13 +520,69 @@ class TestMultimodalFramesResize:
 
         docs = load_table(spark, sf_dir, "documents").limit(1)
         pay = attach_binary_payload(docs, "text")
-        with pytest.raises(NotImplementedError):
-            sample_frames(pay, use_real_codec=True)
-        # resize's real path EXISTS now (stdlib PNG / PIL): on
+        # the frame sampler's real path EXISTS now (concatenated-PNG
+        # container parse): on non-clip bytes it must yield ZERO frames
+        # (no PNG signature), never silently hand back fake output
+        assert sample_frames(pay, use_real_codec=True).count() == 0
+        # resize's real path EXISTS too (stdlib PNG / PIL): on
         # non-image bytes it must fail loudly at execution, never
         # silently hand back fake output
         with pytest.raises(Exception, match="PNG|image"):
             resize_images(pay, use_real_codec=True).collect()
+
+    def test_real_clip_parse_round_trips_frame_bytes(self, spark):
+        """split_png_frames recovers the EXACT encoder output: a synth
+        clip of 6 frames parses back to 6 byte-identical PNGs (md5
+        pinned against a local re-encode), and sampling every 4th
+        yields frames {0, 4} with 30 fps timestamps."""
+        import hashlib
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _encode_png_stdlib,
+            sample_frames,
+            split_png_frames,
+            synth_clip_payload,
+        )
+
+        ids = spark.createDataFrame([(3,), (7,)], ["doc_id"])
+        clips = synth_clip_payload(ids, "doc_id", n_frames=6)
+        # driver-side reference encode of doc 3, frame 4
+        def ref_frame(k, fno, w=24, h=16):
+            phase = k * 1000 + fno
+            px = bytearray(w * h * 3)
+            for y in range(h):
+                for x in range(w):
+                    o = (y * w + x) * 3
+                    px[o] = (x * 255 // (w - 1) + phase) % 256
+                    px[o + 1] = (y * 255 // (h - 1) + 2 * phase) % 256
+                    px[o + 2] = (x + y + 3 * phase) % 256
+            return _encode_png_stdlib(px, w, h, 3)
+
+        payload = {r.doc_id: bytes(r.payload) for r in clips.collect()}
+        frames = split_png_frames(payload[3])
+        assert len(frames) == 6
+        assert frames[4] == ref_frame(3, 4)
+        got = sample_frames(
+            clips, "doc_id", "payload", every_nth=4, use_real_codec=True
+        ).collect()
+        assert {(r.doc_id, r.frame_no, r.frame_ts_ms) for r in got} == {
+            (3, 0, 0), (3, 4, 133), (7, 0, 0), (7, 4, 133),
+        }
+        by_key = {(r.doc_id, r.frame_no): r.frame_md5 for r in got}
+        assert by_key[(3, 4)] == hashlib.md5(ref_frame(3, 4)).hexdigest()
+
+    def test_clip_parse_salvages_truncated_stream(self):
+        """Errors as values: a clip cut mid-chunk yields the frames
+        fully parsed before the corruption; garbage yields none."""
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _encode_png_stdlib,
+            split_png_frames,
+        )
+
+        f = _encode_png_stdlib(bytes(24 * 16 * 3), 24, 16, 3)
+        assert split_png_frames(f + f[: len(f) // 2]) == [f]
+        assert split_png_frames(b"not a png at all") == []
+        assert split_png_frames(b"") == []
 
 
 class TestRealImageDecode:
@@ -1519,3 +1575,123 @@ class TestIntegerPagerank:
             )
         )
         assert fast == dist and len(fast) == 6
+
+
+class TestDuplicateSpans:
+    def test_hand_computed_spans(self, spark):
+        """Docs A and B share the 6-token run 'a b c d e f' (two
+        overlapping hot 5-grams at positions 0 and 1 -> ONE merged
+        span of 6 tokens); doc C is unique -> zero spans."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            duplicate_spans,
+        )
+
+        rows = [
+            (1, "a b c d e f q r s t u v"),
+            (2, "x y a b c d e f z w k m"),
+            (3, "p1 p2 p3 p4 p5 p6 p7 p8"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+            for r in duplicate_spans(df, "doc_id", "text", k=5).collect()
+        }
+        assert got[1] == (12, 1, 6)
+        assert got[2] == (12, 1, 6)
+        assert got[3] == (8, 0, 0)
+
+    def test_short_doc_yields_no_grams(self, spark):
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a b c d e")], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans)
+            for r in duplicate_spans(df, "doc_id", "text", k=5).collect()
+        }
+        # 2-token docs have no 5-gram at all, even though identical
+        assert got[1] == (2, 0) and got[2] == (2, 0)
+        assert got[3] == (5, 0)
+
+    def test_within_doc_repeat_counts(self, spark):
+        """A 5-gram repeated WITHIN one doc is duplicated text too
+        (Lee et al. count total occurrences, not distinct docs)."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e x x1 y2 z3 w4 a b c d e")], ["doc_id", "text"]
+        )
+        r = duplicate_spans(df, "doc_id", "text", k=5).collect()[0]
+        assert r.n_dup_spans == 2 and r.dup_tokens == 10
+
+    def test_span_removal_drops_covered_tokens(self, spark):
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            remove_duplicate_spans,
+        )
+
+        rows = [
+            (1, "a b c d e f q r s t u v"),
+            (2, "x y a b c d e f z w k m"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.text_clean, r.n_kept, r.n_removed)
+            for r in remove_duplicate_spans(df, "doc_id", "text", k=5).collect()
+        }
+        assert got[1] == ("q r s t u v", 6, 6)
+        assert got[2] == ("x y z w k m", 6, 6)
+
+    def test_span_removal_fully_duplicated_doc_empties(self, spark):
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            remove_duplicate_spans,
+        )
+
+        rows = [(1, "a b c d e"), (2, "a b c d e")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.text_clean, r.n_removed)
+            for r in remove_duplicate_spans(df, "doc_id", "text", k=5).collect()
+        }
+        assert got[1] == ("", 5) and got[2] == ("", 5)
+
+
+class TestTrendMK:
+    def test_monotonic_series_saturates_s(self, spark):
+        """Strictly increasing daily sums -> S = n(n-1)/2, all pairs
+        concordant."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r5 import (
+            q_agg_trend_mk,
+        )
+        # build through the registered query's shape instead: hand DF
+        from pyspark.sql import functions as F
+        rows = []
+        for d in range(5):
+            # one event per day, value strictly increasing
+            rows.append(
+                (d, "up", dt.datetime(2024, 1, 1 + d, 12, 0), 1.0 + d)
+            )
+        ev = spark.createDataFrame(
+            rows, ["event_id", "event_type", "ts", "value"]
+        )
+        from weather_data_ingestion_service_spark.registry import _cents
+        d = ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+        a = d.select("event_type", F.col("day").alias("day_a"), F.col("cents").alias("c_a"))
+        b = d.select("event_type", F.col("day").alias("day_b"), F.col("cents").alias("c_b"))
+        pairs = a.join(b, "event_type").filter(F.col("day_a") < F.col("day_b"))
+        s = pairs.select(
+            F.sum(
+                F.when(F.col("c_b") > F.col("c_a"), 1)
+                .when(F.col("c_b") < F.col("c_a"), -1)
+                .otherwise(0)
+            ).alias("s")
+        ).collect()[0]["s"]
+        assert s == 10  # 5*4/2 pairs, all concordant

@@ -166,8 +166,11 @@ EXCHANGE_BUDGET = {
     "f_array_fold": 0,           # narrow higher-order projection
     "f_try_arith": 0,            # narrow projection
     # prefix-filtered pair join + edge canonicalization distinct +
-    # endpoint explode + two degree aggs
-    "ext_graph_degree": 8,
+    # endpoint explode + two degree aggs; +3 plan-visible (run-once)
+    # exchanges inside the persisted vocab/shingle subtrees since the
+    # round-5 auto broadcast_vocab (the cache materializes them a
+    # single time; the per-execution exchange count is unchanged)
+    "ext_graph_degree": 11,
     "win_cume_share": 2,         # daily agg + shared type partitioning
     "win_transition_matrix": 3,  # user seq window + cell agg + share window
 }

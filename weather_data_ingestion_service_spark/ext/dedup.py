@@ -674,3 +674,169 @@ def boilerplate_lines(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Exact duplicated-substring spans per document (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word ``k``-gram that occurs more than once in the corpus (within
+    or across documents) marks its ``k`` token positions as
+    duplicated; overlapping/adjacent marked windows coalesce into
+    maximal spans.  Published per doc: token count, span count,
+    duplicated-token count, and the duplicated fraction in exact
+    integer micro-units — the signal a pipeline thresholds to drop or
+    trim boilerplate-heavy documents.
+
+    Scale shape: positional k-grams use the same hash-composed int64
+    scheme as ``hashed_shingles`` (join key is 8 bytes, never the
+    string); the hot-gram table is one map-side-combinable count; the
+    span merge is a per-document sort (gap-islands with equal-length
+    intervals: a new island starts iff the gap between consecutive
+    start positions exceeds ``k``).  Both the token-hash table and the
+    positional-gram table sit behind ``persist`` barriers — exploding
+    an uncached nested higher-order array re-evaluates the inner
+    expression per element (see CLAUDE.md).
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    tok_tbl = df.select(
+        F.col(id_col).alias("__id"), th.alias("__th")
+    ).persist()
+    # empty gram array for docs shorter than k tokens — Spark's
+    # sequence(1, 0) would DESCEND, not produce an empty range
+    idx = F.sequence(F.lit(1), F.size("__th") - (k - 1))
+    grams = F.when(
+        F.size("__th") >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.try_element_at(F.col("__th"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gram_tbl = (
+        tok_tbl.select("__id", F.size("__th").alias("__n"), grams.alias("__g"))
+        .persist()
+    )
+    pos = gram_tbl.select(
+        "__id", "__n", F.posexplode("__g").alias("__p", "__gram")
+    )
+    hot = (
+        pos.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__gram")
+    )
+    marked = pos.join(hot, "__gram").select("__id", "__n", "__p")
+    w = Window.partitionBy("__id").orderBy("__p")
+    islands = (
+        marked.withColumn(
+            "__brk",
+            F.when(
+                F.col("__p") - F.lag("__p").over(w) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("__isl", F.sum("__brk").over(w))
+    )
+    spans = islands.groupBy("__id", "__n", "__isl").agg(
+        (F.max("__p") - F.min("__p") + k).alias("__len")
+    )
+    per_doc = spans.groupBy("__id", "__n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("__len").cast("long").alias("dup_tokens"),
+    )
+    out = (
+        tok_tbl.select("__id", F.size("__th").alias("__n"))
+        .join(per_doc, ["__id", "__n"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) * 1000000 DIV greatest(__n, 1) AS BIGINT)"
+            ).alias("dup_frac_micro"),
+        )
+    )
+    return out
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """The removal half of ``duplicate_spans`` (Lee et al. actually
+    DELETE the duplicated substrings from the training copy): tokens
+    covered by any corpus-duplicated k-gram span are dropped and the
+    survivors re-joined with single spaces.  Published per doc:
+    cleaned text, surviving token count, removed token count — the
+    dedup transform a pipeline applies between span detection and
+    packing.
+
+    Same plan skeleton as ``duplicate_spans`` (persisted positional
+    grams, hot-gram count); removal is a left anti-style filter of the
+    exploded token stream against the marked position set, then a
+    sorted re-aggregation per doc — the shuffle carries (doc, pos,
+    token-hash) triples, never full texts.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    tok_tbl = df.select(
+        F.col(id_col).alias("__id"), tokens.alias("__w")
+    ).persist()
+    th = F.transform(F.col("__w"), lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(1), F.size("__w") - (k - 1))
+    gram_src = tok_tbl.select("__id", "__w", th.alias("__th"))
+    grams = F.when(
+        F.size("__th") >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.try_element_at(F.col("__th"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gram_tbl = gram_src.select("__id", grams.alias("__g")).persist()
+    pos = gram_tbl.select("__id", F.posexplode("__g").alias("__p", "__gram"))
+    hot = (
+        pos.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__gram")
+    )
+    # expand each hot gram start position to its k covered token slots
+    covered = (
+        pos.join(hot, "__gram")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + (k - 1))
+            ).alias("__t"),
+        )
+        .distinct()
+    )
+    toks = tok_tbl.select("__id", F.posexplode("__w").alias("__t", "__tok"))
+    kept = toks.join(covered, ["__id", "__t"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(F.collect_list(F.struct("__t", "__tok"))), lambda s: s["__tok"])
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        tok_tbl.select("__id", F.size("__w").cast("long").alias("n_tokens"))
+        .join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

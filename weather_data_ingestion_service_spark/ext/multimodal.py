@@ -283,6 +283,84 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def split_png_frames(payload: bytes) -> list[bytes]:
+    """REAL container parse for a concatenated-PNG clip (the PNG
+    analog of an MJPEG stream: frames back-to-back, each
+    self-delimiting): verify the 8-byte PNG signature at each frame
+    start, then walk the chunk chain (4-byte big-endian length + type
+    + data + CRC) to the frame's IEND — no scanning for magic bytes
+    inside pixel data, no trust in frame sizes.  A malformed stream
+    yields the frames parsed so far (errors as values — one corrupt
+    clip must not kill a 100 TB scan); trailing garbage stops the
+    parse."""
+    frames: list[bytes] = []
+    pos, total = 0, len(payload)
+    while pos + 8 <= total and payload[pos : pos + 8] == _PNG_SIG:
+        cur = pos + 8
+        while True:
+            if cur + 8 > total:
+                return frames  # truncated chunk header — stop cleanly
+            clen = int.from_bytes(payload[cur : cur + 4], "big")
+            ctype = payload[cur + 4 : cur + 8]
+            cur += 8 + clen + 4  # header + data + CRC
+            if cur > total:
+                return frames  # truncated chunk body
+            if ctype == b"IEND":
+                break
+        frames.append(bytes(payload[pos:cur]))
+        pos = cur
+    return frames
+
+
+def synth_clip_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 6,
+    width: int = 24,
+    height: int = 16,
+) -> DataFrame:
+    """Deterministic concatenated-PNG clip keyed on the id column —
+    the video counterpart of ``synth_png_payload``: ``n_frames`` real
+    PNG frames (gradient phase = id·1000 + frame_no) appended
+    back-to-back, so the payload is a genuine parseable clip for the
+    ``sample_frames`` real path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                k = int(i)
+                frames = []
+                for fno in range(n_frames):
+                    phase = k * 1000 + fno
+                    px = bytearray(width * height * 3)
+                    for y in range(height):
+                        for x in range(width):
+                            o = (y * width + x) * 3
+                            px[o] = (x * 255 // max(width - 1, 1) + phase) % 256
+                            px[o + 1] = (y * 255 // max(height - 1, 1) + 2 * phase) % 256
+                            px[o + 2] = (x + y + 3 * phase) % 256
+                    frames.append(_encode_png_stdlib(px, width, height, 3))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, payload_col: payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        synth, schema
+    )
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -296,19 +374,34 @@ def sample_frames(
     mapInPandas shape where the output cardinality differs from the
     input's, which a scalar pandas_udf cannot express.
 
-    Stub codec (real path gated behind ffmpeg availability): the
-    payload is treated as a short clip whose frame count and bytes are
-    deterministic functions of the payload, so batching/fan-out/schema
-    are all real and testable.  At 100 TB the fan-out multiplies rows
-    BEFORE any shuffle — sample (``every_nth``) at decode time, never
-    materialize all frames and filter after.
+    ``use_real_codec=True`` REALLY parses the clip container:
+    concatenated-PNG streams (``split_png_frames`` — chunk-walking
+    parse, the PNG analog of MJPEG) with zero third-party codecs;
+    interframe codecs (H.264 etc.) remain out of scope without
+    ffmpeg/av in the environment.  The default fake path is the
+    deterministic stand-in for corpora whose payloads aren't real
+    clips.  At 100 TB the fan-out multiplies rows BEFORE any shuffle —
+    sample (``every_nth``) at decode time, never materialize all
+    frames and filter after; both paths emit only sampled frames.
     """
-    if use_real_codec:  # pragma: no cover - codec not in container
-        raise NotImplementedError(
-            "video codec not available in this environment; "
-            "install ffmpeg/av to enable real frame extraction"
-        )
     import hashlib
+
+    def extract_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "frame_ts_ms": [],
+                "frame_payload": [], "frame_md5": [],
+            }
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = split_png_frames(bytes(payload or b""))
+                for fno in range(0, len(frames), every_nth):
+                    fb = frames[fno]
+                    out["doc_id"].append(i)
+                    out["frame_no"].append(fno)
+                    out["frame_ts_ms"].append(fno * 1000 // fps)
+                    out["frame_payload"].append(fb)
+                    out["frame_md5"].append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame(out)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -327,7 +420,8 @@ def sample_frames(
                     out["frame_md5"].append(hashlib.md5(fb).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(extract, FRAME_SCHEMA)
+    fn = extract_real if use_real_codec else extract
+    return df.select(id_col, payload_col).mapInPandas(fn, FRAME_SCHEMA)
 
 
 #: output schema of the (stubbed) image resizer

@@ -1268,3 +1268,71 @@ def exact_auc(
         )
         .orderBy(label_col)
     )
+
+
+def spearman_rho(
+    df: "DataFrame", id_col: str, col_a: str, col_b: str
+) -> "DataFrame":
+    """Exact Spearman rank correlation between two per-row metrics,
+    ties -> average ranks, published in integer micro-units via the
+    d² formula: ρ = 1 − 6·Σd² / (n(n²−1)).
+
+    Integer discipline: average ranks live as DOUBLED ranks
+    (2·avg = 2·cum_below + cnt + 1 — always an integer), so
+    Σ(2·Δrank)² is an exact BIGINT and ρ_micro is one exact
+    floor-divide on DECIMAL(38,0)/HUGEINT — no float ranks anywhere,
+    identical in any engine and under any partitioning.
+
+    Scale shape: ranks come from DISTINCT-VALUE tables (count +
+    running count per value), not a global row sort — the windows run
+    over the value domain, which for quantized metrics is bounded
+    regardless of corpus size; the join-back is a bounded-dimension
+    equi-join.  The tie-correction-factor variant of Spearman is
+    deliberately omitted: the d²-over-average-ranks form is the
+    documented contract.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(col_a).cast("long").alias("__a"),
+        F.col(col_b).cast("long").alias("__b"),
+    ).filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+
+    def ranks2(col: str, out: str) -> "DataFrame":
+        cnt = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cnt.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("__c").over(w), F.lit(0))
+                + F.col("__c")
+                + 1
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    ra = ranks2("__a", "__r2a")
+    rb = ranks2("__b", "__r2b")
+    joined = base.join(ra, "__a").join(rb, "__b")
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("__r2a") - F.col("__r2b"))
+            * (F.col("__r2a") - F.col("__r2b"))
+        )
+        .cast("long")
+        .alias("sum_d2_x4"),
+    )
+    return agg.select(
+        "n",
+        "sum_d2_x4",
+        F.expr(
+            "CAST(1000000 - CAST(1500000 AS DECIMAL(38,0)) * sum_d2_x4"
+            " DIV (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)"
+        ).alias("rho_micro"),
+    )

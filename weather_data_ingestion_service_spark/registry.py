@@ -1379,6 +1379,7 @@ def _load_extensions() -> None:
     from . import registry_ext  # noqa: F401
     from . import registry_r4  # noqa: F401
     from . import registry_r4b  # noqa: F401
+    from . import registry_r5  # noqa: F401
 
 
 #: SURVEY.md §2-mandated ids beyond the ``ext_*`` prefix — served ahead

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _cents, register
+from .registry import _cents, _register_new_this_round, register
 from .ext.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -488,11 +488,38 @@ def q_ext_multimodal_cols(spark, sf_dir):
     return out.select("doc_id", "payload_bytes", "payload_md5")
 
 
-@register("ext_multimodal_decode")  # stubbed codec — rows-only
+@register(
+    "ext_multimodal_decode",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             CAST(coalesce(list_sum(list_transform(
+               range(1, CAST(least(n, 64) AS INT) + 1),
+               i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS s64
+      FROM t)
+    SELECT doc_id,
+           CAST(64 + (n % 512) AS INT) AS width,
+           CAST(64 + ((n // 7) % 512) AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           (CAST(s64 AS DOUBLE) / greatest(least(n, 64), 1)) / 255.0
+             AS mean_luma
+    FROM s
+    """,
+)
 def q_ext_multimodal_decode(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (decode
     stubbed deterministically; plumbing — schema, Arrow batching — is
-    the real thing)."""
+    the real thing).  The stub's feature contract
+    (ext/multimodal._decode_fake: dims from the byte length, mean-luma
+    from the first 64 bytes) is a pure function of the payload, so the
+    oracle restates it relationally — the float division chain is the
+    same two correctly-rounded IEEE ops on exact integers in both
+    engines (fixture text is pure ASCII, so per-char code points ARE
+    the payload bytes)."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "text")
     return decode_image_features(payloads, "doc_id", "payload")
@@ -1341,6 +1368,38 @@ def q_ext_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "text")
     return sample_frames(payloads, "doc_id", "payload")
+
+
+@register(
+    "ext_multimodal_clip",
+    """
+    SELECT doc_id, CAST(fno AS INT) AS frame_no,
+           CAST(fno * 1000 // 30 AS BIGINT) AS frame_ts_ms
+    FROM documents, (SELECT unnest([0, 4]) AS fno)
+    WHERE doc_id < 64
+    """,
+)
+def q_ext_multimodal_clip(spark, sf_dir):
+    """REAL video-container path: deterministic concatenated-PNG clips
+    (6 genuine PNG frames back-to-back — the PNG analog of MJPEG) for
+    a bounded 64-doc slice, then the chunk-walking container parse
+    (ext/multimodal.split_png_frames) samples every 4th frame.  The
+    published projection is the parse's fan-out contract — exactly
+    frames {0, 4} per clip with 30 fps timestamps — which the oracle
+    restates; the frame BYTES round-trip (parsed frame md5 == encoder
+    output md5, corrupt-stream salvage) is pinned by pytest, since
+    zlib-compressed PNG bytes have no relational restatement."""
+    from .ext.multimodal import sample_frames, synth_clip_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    clips = synth_clip_payload(docs, "doc_id")
+    frames = sample_frames(
+        clips, "doc_id", "payload", every_nth=4, fps=30, use_real_codec=True
+    )
+    return frames.select("doc_id", "frame_no", "frame_ts_ms")
+
+
+_register_new_this_round("ext_multimodal_clip")
 
 
 @register("ext_multimodal_resize")  # stubbed codec — rows-only
@@ -2844,19 +2903,38 @@ def q_win_resample_ffill(spark, sf_dir):
     )
 
 
-@register("ext_multimodal_tar")  # executor-side tar I/O — rows-only
+@register(
+    "ext_multimodal_tar",
+    """
+    SELECT 'shard-' || lpad(CAST(
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) % 4 AS VARCHAR), 5, '0') || '.tar' AS shard,
+           CAST(doc_id AS VARCHAR) AS key,
+           CAST(doc_id AS VARCHAR) || '.txt' AS member,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def q_ext_multimodal_tar(spark, sf_dir):
     """WebDataset tar-shard round trip: documents hash-route to tar
     shards written executor-side (stdlib tarfile — real plumbing, not
     a stub), then scan back through format('webdataset') with one
-    partition per shard (sources/webdataset.py)."""
+    partition per shard (sources/webdataset.py).  Oracle-able because
+    every surviving column is a pure function of the manifest: the
+    shard name restates the 52-bit id-hash route (`shard_assign`
+    semantics), the key/member echo the inputs, and n_bytes is the
+    payload's UTF-8 byte length — so the round trip through real tar
+    bytes must land exactly on the DuckDB restatement."""
     import os
-    import shutil
 
+    from .registry import _clean_stale_scratch, _session_tag
     from .sources.webdataset import register_webdataset_source, write_webdataset
 
     register_webdataset_source(spark)
-    out_dir = f"/tmp/wds_webdataset_{os.path.basename(sf_dir.rstrip('/'))}"
+    _clean_stale_scratch("/tmp/wds_webdataset_*")
+    out_dir = f"/tmp/wds_webdataset_{_session_tag(spark, sf_dir)}"
+    import shutil
+
     shutil.rmtree(out_dir, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lit("txt").alias("member"), F.col("text").cast("binary").alias("payload")
@@ -3012,12 +3090,66 @@ def q_ext_dedup_normtext(spark, sf_dir):
     )
 
 
-@register("ext_pack_bestfit")  # sequential bin packing — rows-only
+@register(
+    "ext_pack_bestfit",
+    """
+    WITH RECURSIVE
+    src AS (
+      SELECT doc_id AS id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  AS BIGINT) % 8 AS shard
+      FROM documents),
+    items AS (
+      SELECT id, n_tokens, shard,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, id) AS rk
+      FROM src),
+    nsh AS (SELECT shard, CAST(count(*) AS BIGINT) AS cnt
+            FROM items GROUP BY shard),
+    st(shard, step, rems, assigns) AS (
+      SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+             CAST([] AS BIGINT[])
+      FROM nsh
+      UNION ALL
+      SELECT s.shard, s.step + 1,
+             CASE WHEN fit.v IS NULL
+                  THEN list_append(s.rems, greatest(256 - i.n_tokens, 0))
+                  ELSE s.rems[1:list_position(s.rems, fit.v)-1]
+                       || [fit.v - i.n_tokens]
+                       || s.rems[list_position(s.rems, fit.v)+1:] END,
+             CASE WHEN fit.v IS NULL
+                  THEN list_append(s.assigns, CAST(len(s.rems) AS BIGINT))
+                  ELSE list_append(s.assigns,
+                         CAST(list_position(s.rems, fit.v) - 1 AS BIGINT))
+                  END
+      FROM st s
+      JOIN items i ON i.shard = s.shard AND i.rk = s.step + 1
+      LEFT JOIN LATERAL (
+        SELECT list_min(list_filter(s.rems, r -> r >= i.n_tokens)) AS v
+      ) fit ON TRUE
+    ),
+    final AS (
+      SELECT st.shard, st.assigns
+      FROM st JOIN nsh ON st.shard = nsh.shard AND st.step = nsh.cnt),
+    ass AS (
+      SELECT shard, generate_subscripts(assigns, 1) AS rk,
+             unnest(assigns) AS bin_id
+      FROM final)
+    SELECT i.id, i.n_tokens, i.shard, a.bin_id,
+           i.n_tokens > 256 AS oversized
+    FROM items i JOIN ass a ON i.shard = a.shard AND i.rk = a.rk
+    """,
+)
 def q_ext_pack_bestfit(spark, sf_dir):
     """Best-fit-decreasing no-straddle packing (SFT-style: documents
     never split across bins) over id-hash shard streams — the
     sequential-loop complement to ext_pack_sequences' concat-and-chunk
-    (ext/packing.pack_bestfit); deterministic for any partitioning."""
+    (ext/packing.pack_bestfit); deterministic for any partitioning.
+    ORACLE-PAIRED despite being a sequential heuristic: the BFD loop
+    is a pure fold over the (n_tokens DESC, id) shard stream, so a
+    DuckDB recursive CTE carrying the bin-remainder list replays it
+    exactly — first bin holding the minimal fitting remainder wins,
+    matching the Python loop's strict-< scan order."""
     from .ext.packing import pack_bestfit
 
     docs = load_table(spark, sf_dir, "documents").select(

@@ -1,0 +1,541 @@
+"""Round-5 registry additions.
+
+Cross-engine compare rules are documented at the top of registry.py —
+every oracle-paired entry here follows them (exact integer arithmetic,
+no float folds, deterministic tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .io import load_table
+from .registry import _register_new_this_round, register
+from .registry_ext import _NEAR_DUP_CORPUS_SQL, _near_dup_corpus
+
+
+# =====================================================================
+# A. Exact duplicated-substring spans (Lee et al. 2022)
+# =====================================================================
+
+
+@register(
+    "ext_dedup_spans",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
+    g AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+4], ' ') AS gram
+          FROM tok, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS u(i)),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    m AS (SELECT doc_id, p FROM g JOIN hot USING (gram)),
+    b AS (SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+                      THEN 0 ELSE 1 END AS brk
+          FROM m),
+    s AS (SELECT doc_id, p,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+          FROM b),
+    sp AS (SELECT doc_id, isl, max(p) - min(p) + 5 AS len
+           FROM s GROUP BY doc_id, isl),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                  CAST(sum(len) AS BIGINT) AS dup_tokens
+           FROM sp GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(pd.dup_tokens, 0) * 1000000
+                // greatest(len(t.w), 1) AS BIGINT) AS dup_frac_micro
+    FROM tok t LEFT JOIN pd ON t.doc_id = pd.doc_id
+    """,
+)
+def q_ext_dedup_spans(spark, sf_dir):
+    """Exact duplicated-substring span detection (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word 5-gram occurring more than once in the corpus marks its token
+    positions; marked windows coalesce into maximal spans per doc.
+    The near-dup corpus plants real long spans (80%-prefix
+    truncations), so the operator's output is structurally meaningful.
+    See ext/dedup.duplicate_spans for the scale shape (int64 gram
+    keys, map-side-combinable hot-gram count, per-doc gap-islands
+    merge)."""
+    from .ext.dedup import duplicate_spans
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return duplicate_spans(corpus, "doc_id", "text", k=5)
+
+
+# =====================================================================
+# B. Mann-Kendall trend statistic (exact integer S)
+# =====================================================================
+
+
+@register(
+    "agg_trend_mk",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day)
+    SELECT event_type,
+           CAST((SELECT count(*) FROM d x
+                 WHERE x.event_type = p.event_type) AS BIGINT) AS n_days,
+           CAST(sum(sgn) AS BIGINT) AS s_stat,
+           CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_trend_mk(spark, sf_dir):
+    """Mann-Kendall trend statistic per event type over the daily
+    revenue series: S = Σ_{i<j} sign(x_j − x_i) — the standard
+    nonparametric monotonic-trend test, EXACT integer state (daily
+    sums in cents, sign counts).  The pair join is per-key and the
+    series is calendar-bounded (≤ 365 rows/key/year), so the
+    quadratic stays inside one partition at any corpus scale; the
+    daily pre-aggregation is the only full-data pass."""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = _cents("value")
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    a = d.select("event_type", F.col("day").alias("day_a"), F.col("cents").alias("c_a"))
+    b = d.select("event_type", F.col("day").alias("day_b"), F.col("cents").alias("c_b"))
+    sgn = (
+        F.when(F.col("c_b") > F.col("c_a"), 1)
+        .when(F.col("c_b") < F.col("c_a"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select("event_type", sgn.alias("sgn"))
+    )
+    ndays = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.sum("sgn").cast("long").alias("s_stat"),
+            F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("concordant"),
+            F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("discordant"),
+        )
+        .join(ndays, "event_type")
+        .select(
+            "event_type", "n_days", "s_stat", "concordant", "discordant"
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# C. Tokenizer fertility per language
+# =====================================================================
+
+
+@register(
+    "ext_text_fertility",
+    """
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS bytes,
+           CAST(sum(n_bytes) * 1000000 // greatest(sum(n_tokens), 1)
+                AS BIGINT) AS bytes_per_token_micro,
+           CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT)
+             AS tokens_per_doc_micro
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def q_ext_text_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: bytes-per-token and
+    tokens-per-doc in exact integer micro-units — the standard
+    multilingual-corpus diagnostic (a language whose bytes/token ratio
+    is far off the corpus mean is under-served by the tokenizer and
+    over-pays in sequence length).  One narrow pass + one 5-row
+    aggregate; runs at scan speed on 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    t = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("n_bytes").cast("long").alias("bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "bytes",
+            F.expr(
+                "CAST(bytes * 1000000 DIV greatest(tokens, 1) AS BIGINT)"
+            ).alias("bytes_per_token_micro"),
+            F.expr("CAST(tokens * 1000000 DIV n_docs AS BIGINT)").alias(
+                "tokens_per_doc_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+
+
+# =====================================================================
+# D. Two-sample Kolmogorov-Smirnov distance, all type pairs, exact
+# =====================================================================
+
+
+@register(
+    "agg_ks_stat",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    sup AS (SELECT DISTINCT cents FROM v),
+    grid AS (SELECT t.event_type, s.cents
+             FROM (SELECT DISTINCT event_type FROM v) t CROSS JOIN sup s),
+    c AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS k
+          FROM v GROUP BY 1, 2),
+    e AS (
+      SELECT g.event_type, g.cents,
+             CAST(sum(coalesce(c.k, 0)) OVER (
+               PARTITION BY g.event_type ORDER BY g.cents) AS BIGINT) AS cum
+      FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+                              AND g.cents = c.cents),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             na.n AS n_a, nb.n AS n_b,
+             CAST(max(abs(a.cum * nb.n - b.cum * na.n)) AS BIGINT) AS d_num
+      FROM e a JOIN e b ON a.cents = b.cents AND a.event_type < b.event_type
+      JOIN n na ON na.event_type = a.event_type
+      JOIN n nb ON nb.event_type = b.event_type
+      GROUP BY 1, 2, 3, 4)
+    SELECT type_a, type_b, n_a, n_b, d_num,
+           CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) AS d_micro
+    FROM p ORDER BY type_a, type_b
+    """,
+)
+def q_agg_ks_stat(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance for every pair of event
+    types, EXACT: D = max |F_a − F_b| over the union support, held as
+    the integer numerator ``max |cum_a·n_b − cum_b·n_a|`` with
+    denominator n_a·n_b — no float ECDFs, so the result is a pure
+    function of the data.  The supremum over two step functions is
+    attained at a sample point, so evaluating on the shared distinct-
+    cents grid is exact.  Scale note: the per-type cumulative window
+    runs over DISTINCT CENTS of a bounded-range measure (≤ ~50k values
+    here; quantize coarser for unbounded measures), partitioned by
+    type — never over raw rows."""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select("event_type", _cents("value").alias("cents"))
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sup = v.select("cents").distinct()
+    types = v.select("event_type").distinct()
+    grid = types.crossJoin(sup)
+    c = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = grid.join(c, ["event_type", "cents"], "left").select(
+        "event_type",
+        "cents",
+        F.sum(F.coalesce("k", F.lit(0))).over(w).cast("long").alias("cum"),
+    )
+    a = e.select(
+        F.col("event_type").alias("type_a"), "cents", F.col("cum").alias("cum_a")
+    )
+    b = e.select(
+        F.col("event_type").alias("type_b"), "cents", F.col("cum").alias("cum_b")
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, "cents")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            )
+            .cast("long")
+            .alias("d_num")
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "d_num",
+        F.expr("CAST(d_num * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
+            "d_micro"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+# =====================================================================
+# E. Equi-height histogram boundaries via exact rank selection
+# =====================================================================
+
+
+@register(
+    "agg_histogram_eqh",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM v)
+    SELECT event_type, CAST(j AS INT) AS bucket, n,
+           CAST(max(CASE WHEN rn = (j * n) // 4 THEN cents END) AS BIGINT)
+             AS cut_cents
+    FROM r, (SELECT unnest([1, 2, 3]) AS j)
+    WHERE rn = (j * n) // 4
+    GROUP BY event_type, j, n
+    ORDER BY event_type, bucket
+    """,
+)
+def q_agg_histogram_eqh(spark, sf_dir):
+    """Equi-HEIGHT histogram boundaries per group (quartile cuts) by
+    exact rank SELECTION under the (cents, event_id) total order —
+    never interpolation (CLAUDE.md cross-engine rule): cut_j is the
+    element at rank ⌊j·n/4⌋, an actual data value, identical in any
+    engine.  Complements agg_histogram's equi-width bins; this is the
+    optimizer-statistics shape (bounded output: 3 rows per group)."""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select("event_type", "event_id", _cents("value").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    js = r.sparkSession.range(1, 4).select(F.col("id").cast("int").alias("j"))
+    return (
+        r.crossJoin(F.broadcast(js))
+        .filter(F.col("rn") == F.expr("CAST(j * n DIV 4 AS BIGINT)"))
+        .groupBy("event_type", F.col("j").alias("bucket"), "n")
+        .agg(F.max("cents").cast("long").alias("cut_cents"))
+        .orderBy("event_type", "bucket")
+    )
+
+# =====================================================================
+# F. Exact Spearman rank correlation (eval family)
+# =====================================================================
+
+
+@register(
+    "ext_eval_spearman",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS b
+      FROM documents),
+    ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY a),
+    ra AS (SELECT a,
+                  CAST(2 * coalesce(sum(c) OVER (
+                    ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS r2a
+           FROM ca),
+    cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY b),
+    rb AS (SELECT b,
+                  CAST(2 * coalesce(sum(c) OVER (
+                    ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) + c + 1 AS BIGINT) AS r2b
+           FROM cb),
+    j AS (SELECT t.doc_id, ra.r2a, rb.r2b
+          FROM t JOIN ra USING (a) JOIN rb USING (b)),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum((r2a - r2b) * (r2a - r2b)) AS BIGINT)
+                     AS sum_d2_x4
+            FROM j)
+    SELECT n, sum_d2_x4,
+           CAST(1000000 - CAST(1500000 AS HUGEINT) * sum_d2_x4
+                // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT)
+             AS rho_micro
+    FROM agg
+    """,
+)
+def q_ext_eval_spearman(spark, sf_dir):
+    """Exact Spearman rank correlation between document length in
+    characters and in tokens (ties -> average ranks, d2 formula) —
+    the rank-based metric-agreement check an eval pipeline runs
+    between two quality signals.  Integer micro-units end to end (see
+    ext/simsearch.spearman_rho: doubled ranks from distinct-value
+    tables, one DECIMAL/HUGEINT floor-divide)."""
+    from .ext.simsearch import spearman_rho
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("a"),
+        F.size(toks).cast("long").alias("b"),
+    )
+    return spearman_rho(d, "doc_id", "a", "b")
+
+
+# =====================================================================
+# G. Duplicated-span REMOVAL (the transform half of ext_dedup_spans)
+# =====================================================================
+
+
+@register(
+    "ext_dedup_span_removal",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS w FROM corpus),
+    g AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+4], ' ') AS gram
+          FROM tok, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS u(i)),
+    hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    m AS (SELECT doc_id, p FROM g JOIN hot USING (gram)),
+    cov AS (SELECT DISTINCT doc_id, p + j AS t
+            FROM m, unnest(range(0, 5)) AS r(j)),
+    tk AS (SELECT doc_id, i - 1 AS t, w[i] AS tok
+           FROM tok, unnest(range(1, len(w) + 1)) AS u(i)),
+    kept AS (SELECT tk.doc_id, tk.t, tk.tok
+             FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id
+                                   AND tk.t = cov.t
+             WHERE cov.t IS NULL),
+    rb AS (SELECT doc_id,
+                  string_agg(tok, ' ' ORDER BY t) AS text_clean,
+                  CAST(count(*) AS BIGINT) AS n_kept
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(rb.text_clean, '') AS text_clean,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.w) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tok t LEFT JOIN rb ON t.doc_id = rb.doc_id
+    """,
+)
+def q_ext_dedup_span_removal(spark, sf_dir):
+    """Duplicated-span REMOVAL (Lee et al. delete the duplicated
+    substrings from the training copy): tokens covered by any
+    corpus-duplicated 5-gram are dropped, survivors re-joined — the
+    cleaned text the packer actually consumes.  The reconstructed
+    strings hash-compare exactly cross-engine (single-space joins of
+    identical token streams).  See ext/dedup.remove_duplicate_spans."""
+    from .ext.dedup import remove_duplicate_spans
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return remove_duplicate_spans(corpus, "doc_id", "text", k=5)
+
+
+# =====================================================================
+# H. Benford first-digit diagnostic
+# =====================================================================
+
+
+@register(
+    "agg_benford",
+    """
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND round(value * 100) >= 1),
+    d AS (SELECT event_type,
+                 CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM v),
+    c AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          FROM c GROUP BY 1)
+    SELECT c.event_type, c.digit, c.n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS share_micro
+    FROM c JOIN t USING (event_type)
+    ORDER BY event_type, digit
+    """,
+)
+def q_agg_benford(spark, sf_dir):
+    """Benford first-significant-digit distribution per event type
+    over the cents measure — the classic fabricated-data / unit-mixup
+    diagnostic for a metrics pipeline.  The leading digit comes from
+    the DECIMAL STRING of the integer cents (exact in any engine — no
+    float log10), shares in integer micro-units."""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select("event_type", _cents("value").alias("cents")).filter(
+        F.col("cents") >= 1
+    )
+    d = v.select(
+        "event_type",
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"),
+    )
+    c = d.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("total"))
+    return (
+        c.join(t, "event_type")
+        .select(
+            "event_type",
+            "digit",
+            "n",
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+_register_new_this_round(
+    "ext_dedup_spans",
+    "agg_trend_mk",
+    "ext_text_fertility",
+    "agg_ks_stat",
+    "agg_histogram_eqh",
+    "ext_eval_spearman",
+    "ext_dedup_span_removal",
+    "agg_benford",
+)
