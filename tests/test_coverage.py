@@ -92,6 +92,7 @@ ORACLE_IDS = {
     "ext_dedup_spans", "agg_trend_mk", "ext_text_fertility",
     "agg_ks_stat", "agg_histogram_eqh", "ext_eval_spearman",
     "ext_pack_bestfit", "ext_dedup_span_removal", "agg_benford",
+    "ext_mix_realize", "ext_tokenizer_oov", "ext_data_validate",
 }
 
 ROWS_ONLY_IDS = {

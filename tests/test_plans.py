@@ -173,6 +173,19 @@ EXCHANGE_BUDGET = {
     "ext_graph_degree": 11,
     "win_cume_share": 2,         # daily agg + shared type partitioning
     "win_transition_matrix": 3,  # user seq window + cell agg + share window
+    # round-5 additions
+    "ext_dedup_spans": 2,        # hot-gram agg + per-doc islands window
+    "ext_dedup_span_removal": 3,  # + covered-position distinct
+    "agg_trend_mk": 4,           # persisted daily agg + pair join + final
+    "ext_text_fertility": 2,     # lang agg + order
+    "agg_ks_stat": 9,            # persisted ECDF grid + pair join + max agg
+    "agg_histogram_eqh": 2,      # rank window + cut agg
+    "ext_eval_spearman": 5,      # two distinct-value rank tables + join-back
+    "agg_benford": 4,            # digit agg + total + order
+    "ext_mix_realize": 3,        # quota scalar + per-source running window
+    "ext_tokenizer_oov": 2,      # vocab top-k + per-doc agg (broadcast vocab)
+    "ext_data_validate": 7,      # one single-row agg per rule + order
+    "ext_multimodal_clip": 0,    # narrow synth → parse fan-out, no shuffle
 }
 
 

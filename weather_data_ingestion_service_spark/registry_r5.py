@@ -12,6 +12,7 @@ from pyspark.sql import Window, functions as F
 from .io import load_table
 from .registry import _register_new_this_round, register
 from .registry_ext import _NEAR_DUP_CORPUS_SQL, _near_dup_corpus
+from .registry_r4 import _TOK_SQL
 
 
 # =====================================================================
@@ -107,11 +108,14 @@ def q_agg_trend_mk(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     cents = _cents("value")
+    # the daily table feeds three branches (both pair sides + the day
+    # count) — persist so the full-data aggregate runs once
     d = (
         ev.groupBy(
             "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
         )
         .agg(F.sum(cents).cast("long").alias("cents"))
+        .persist()
     )
     a = d.select("event_type", F.col("day").alias("day_a"), F.col("cents").alias("c_a"))
     b = d.select("event_type", F.col("day").alias("day_b"), F.col("cents").alias("c_b"))
@@ -272,10 +276,16 @@ def q_agg_ks_stat(spark, sf_dir):
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    e = grid.join(c, ["event_type", "cents"], "left").select(
-        "event_type",
-        "cents",
-        F.sum(F.coalesce("k", F.lit(0))).over(w).cast("long").alias("cum"),
+    # the ECDF table feeds BOTH sides of the pair join — persist so the
+    # grid build + cumulative window run once, not per branch
+    e = (
+        grid.join(c, ["event_type", "cents"], "left")
+        .select(
+            "event_type",
+            "cents",
+            F.sum(F.coalesce("k", F.lit(0))).over(w).cast("long").alias("cum"),
+        )
+        .persist()
     )
     a = e.select(
         F.col("event_type").alias("type_a"), "cents", F.col("cum").alias("cum_a")
@@ -529,6 +539,253 @@ def q_agg_benford(spark, sf_dir):
     )
 
 
+# =====================================================================
+# I. Mixture realization: per-source token quota fill
+# =====================================================================
+
+
+@register(
+    "ext_mix_realize",
+    """
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars // 4) AS BIGINT) AS est FROM documents
+      GROUP BY source),
+    tot AS (SELECT CAST(sum(est) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_sources FROM s),
+    d AS (
+      SELECT source, doc_id, CAST(n_chars // 4 AS BIGINT) AS est_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, est_tokens,
+             CAST(coalesce(sum(est_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM d),
+    q AS (SELECT CAST(total // n_sources AS BIGINT) AS quota FROM tot)
+    SELECT c.source, c.doc_id, c.est_tokens,
+           CAST(c.cum_before + c.est_tokens AS BIGINT) AS cum_tokens,
+           q.quota
+    FROM c CROSS JOIN q
+    WHERE c.cum_before < q.quota
+    """,
+)
+def q_ext_mix_realize(spark, sf_dir):
+    """Mixture REALIZATION: turns ext_mix_plan's uniform per-source
+    token budget (total DIV n_sources) into the actual kept-document
+    set — docs stream per source in id-hash order (the engine-portable
+    shuffle) and fill until the pre-doc cumulative crosses the quota;
+    the crossing doc is kept, so every source makes progress.  All
+    exact integers; the per-source running sum is the only window and
+    it partitions on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.expr("CAST(n_chars DIV 4 AS BIGINT)").alias("est_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    s = d.groupBy("source").agg(F.sum("est_tokens").cast("long").alias("est"))
+    tot = s.agg(
+        F.sum("est").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    ).select(F.expr("CAST(total DIV n_sources AS BIGINT)").alias("quota"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "source",
+        "doc_id",
+        "est_tokens",
+        F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_before") < F.col("quota"))
+        .select(
+            "source",
+            "doc_id",
+            "est_tokens",
+            (F.col("cum_before") + F.col("est_tokens"))
+            .cast("long")
+            .alias("cum_tokens"),
+            "quota",
+        )
+    )
+
+
+# =====================================================================
+# J. OOV rate against the top-50 vocabulary
+# =====================================================================
+
+
+@register(
+    "ext_tokenizer_oov",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    tk AS (SELECT doc_id, unnest(w) AS token FROM t),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+            FROM tk GROUP BY token),
+    voc AS (SELECT token FROM cnt ORDER BY n_occ DESC, token LIMIT 50),
+    per AS (
+      SELECT tk.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (voc.token IS NULL) AS BIGINT) AS n_oov
+      FROM tk LEFT JOIN voc ON tk.token = voc.token
+      GROUP BY tk.doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(coalesce(per.n_oov, 0) * 1000000
+                // greatest(coalesce(per.n_tokens, 0), 1) AS BIGINT)
+             AS oov_micro
+    FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+    """,
+)
+def q_ext_tokenizer_oov(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus top-50
+    vocabulary (freq desc, token asc — ext_tokenizer_vocab's exact
+    selection): the coverage signal that decides whether a vocab size
+    is adequate before committing to a tokenizer.  The vocab is a
+    50-row broadcast; the per-doc aggregate is one hash agg over the
+    exploded token stream."""
+    from .registry_r4 import _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(_tok()).alias("token"))
+    cnt = tk.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    voc = (
+        cnt.orderBy(F.col("n_occ").desc(), "token")
+        .limit(50)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    per = (
+        tk.join(F.broadcast(voc), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.expr(
+                "CAST(coalesce(n_oov, 0) * 1000000"
+                " DIV greatest(coalesce(n_tokens, 0), 1) AS BIGINT)"
+            ).alias("oov_micro"),
+        )
+    )
+
+
+# =====================================================================
+# K. Data-contract validation report (Deequ-style rule checks)
+# =====================================================================
+
+
+@register(
+    "ext_data_validate",
+    """
+    SELECT * FROM (
+      SELECT 'orders_status_enum' AS rule_id, 'orders' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+                  AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_totalprice_positive', 'orders',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_qty_range', 'lineitem',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_discount_range', 'lineitem',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_tax_range', 'lineitem',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (l_tax < 0 OR l_tax > 0.08) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orphan_orderkey', 'lineitem',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'documents_text_nonnull', 'documents',
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (text IS NULL OR text = '') AS BIGINT)
+      FROM documents
+    ) ORDER BY rule_id
+    """,
+)
+def q_ext_data_validate(spark, sf_dir):
+    """Data-contract validation report (the Deequ/Great-Expectations
+    shape): enum membership, range, nullability, temporal-order and
+    referential-integrity rules, one row per rule with checked/
+    violation counts.  Each rule is a conditional count folded into
+    its table's single scan; the referential check is the only join
+    (orders key side broadcastable).  A pipeline gates promotion on
+    n_violations = 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rule(df, rule_id, table_name, cond):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_violations"),
+        ).select(
+            F.lit(rule_id).alias("rule_id"),
+            F.lit(table_name).alias("table_name"),
+            "n_checked",
+            "n_violations",
+        )
+
+    orphan = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")),
+        "l_orderkey",
+        "left",
+    )
+    out = (
+        rule(orders, "orders_status_enum", "orders",
+             ~F.col("o_orderstatus").isin("O", "F", "P"))
+        .unionByName(rule(orders, "orders_totalprice_positive", "orders",
+                          F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)))
+        .unionByName(rule(li, "lineitem_qty_range", "lineitem",
+                          (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)))
+        .unionByName(rule(li, "lineitem_discount_range", "lineitem",
+                          (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)))
+        .unionByName(rule(li, "lineitem_tax_range", "lineitem",
+                          (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)))
+        .unionByName(rule(orphan, "lineitem_orphan_orderkey", "lineitem",
+                          F.col("__hit").isNull()))
+        .unionByName(rule(docs, "documents_text_nonnull", "documents",
+                          F.col("text").isNull() | (F.col("text") == "")))
+    )
+    return out.orderBy("rule_id")
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -538,4 +795,7 @@ _register_new_this_round(
     "ext_eval_spearman",
     "ext_dedup_span_removal",
     "agg_benford",
+    "ext_mix_realize",
+    "ext_tokenizer_oov",
+    "ext_data_validate",
 )
