@@ -657,3 +657,126 @@ class TestRound4bKernelLaws:
         # at 255 the hash may move a little — allow <= 8 bits
         drift = bin((rows[1] ^ rows[3]) & ((1 << 64) - 1)).count("1")
         assert drift <= 8
+
+
+class TestRound5Laws:
+    def test_duplicate_spans_invariants(self, spark):
+        """Laws: 0 <= dup_tokens <= n_tokens; a doc with a span has
+        dup_tokens >= k; spans count <= dup_tokens / 1 (each span
+        covers >= k tokens so n_dup_spans * k <= dup_tokens)."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            duplicate_spans,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).limit(200)
+        k = 5
+        rows = duplicate_spans(docs, "doc_id", "text", k=k).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r.dup_tokens <= r.n_tokens, r
+            assert r.n_dup_spans * k <= max(r.dup_tokens, 0) or r.n_dup_spans == 0, r
+            if r.n_dup_spans > 0:
+                assert r.dup_tokens >= k, r
+
+    def test_span_removal_conserves_tokens(self, spark):
+        """Removal law: n_kept + n_removed == n_tokens, and the
+        cleaned text tokenizes to exactly n_kept tokens."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            remove_duplicate_spans,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).limit(100)
+        for r in remove_duplicate_spans(docs, "doc_id", "text", k=5).collect():
+            assert r.n_kept + r.n_removed == r.n_tokens, r
+            retok = len([t for t in r.text_clean.lower().split() if t])
+            assert retok == r.n_kept, r
+
+    def test_ks_stat_bounds_and_self_distance(self, spark):
+        """KS laws: 0 <= d_micro <= 1e6 on real pairs; identical
+        samples give D = 0."""
+        from weather_data_ingestion_service_spark import registry
+
+        out = registry.queries()["agg_ks_stat"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert out
+        for r in out:
+            assert 0 <= r.d_micro <= 1_000_000, r
+            assert 0 <= r.d_num <= r.n_a * r.n_b, r
+        # self-distance: duplicate one type's sample under two labels
+        df = spark.createDataFrame(
+            [("a", i % 7 + 1) for i in range(50)]
+            + [("b", i % 7 + 1) for i in range(50)],
+            ["event_type", "cents"],
+        )
+        from pyspark.sql import Window, functions as F
+        n = df.groupBy("event_type").count()
+        # ECDFs identical → max |cum_a*n_b - cum_b*n_a| = 0
+        c = df.groupBy("event_type", "cents").count()
+        a = c.filter(F.col("event_type") == "a").select("cents", F.col("count").alias("ka"))
+        b = c.filter(F.col("event_type") == "b").select("cents", F.col("count").alias("kb"))
+        j = a.join(b, "cents", "full")
+        assert j.filter(F.coalesce("ka", F.lit(0)) != F.coalesce("kb", F.lit(0))).count() == 0
+
+    def test_spearman_perfect_and_reversed(self, spark):
+        """ρ(x, x) = 1e6 exactly; ρ(x, −x) = −1e6 exactly (no ties)."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            spearman_rho,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i * 3 + 7, -(i * 3 + 7)) for i in range(40)],
+            ["id", "x", "neg_x"],
+        )
+        same = spearman_rho(df, "id", "x", "x").collect()[0]
+        assert same.rho_micro == 1_000_000 and same.sum_d2_x4 == 0
+        rev = spearman_rho(df, "id", "x", "neg_x").collect()[0]
+        assert rev.rho_micro == -1_000_000
+
+    def test_bestfit_bins_respect_budget(self, spark):
+        """BFD law: no bin's token sum exceeds the budget unless it
+        holds a single oversized doc."""
+        from collections import defaultdict
+
+        from weather_data_ingestion_service_spark.ext.packing import (
+            pack_bestfit,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id",
+            F.ceil(F.col("n_chars") / 4).cast("long").alias("tok"),
+        )
+        rows = pack_bestfit(docs, "doc_id", "tok", budget=256).collect()
+        bins = defaultdict(list)
+        for r in rows:
+            bins[(r.shard, r.bin_id)].append(r)
+        for members in bins.values():
+            total = sum(m.n_tokens for m in members)
+            if total > 256:
+                assert len(members) == 1 and members[0].oversized, members
+
+    def test_mix_realize_quota_law(self, spark):
+        """Every source's kept set crosses the quota at most once:
+        cum_tokens - est_tokens < quota for every kept doc, and the
+        kept token total is < quota + max single doc."""
+        from weather_data_ingestion_service_spark import registry
+
+        rows = registry.queries()["ext_mix_realize"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        per_src = {}
+        for r in rows:
+            assert r.cum_tokens - r.est_tokens < r.quota, r
+            per_src.setdefault(r.source, []).append(r)
+        for src, ms in per_src.items():
+            total = sum(m.est_tokens for m in ms)
+            mx = max(m.est_tokens for m in ms)
+            assert total < ms[0].quota + mx, (src, total)
