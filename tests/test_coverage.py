@@ -93,6 +93,8 @@ ORACLE_IDS = {
     "agg_ks_stat", "agg_histogram_eqh", "ext_eval_spearman",
     "ext_pack_bestfit", "ext_dedup_span_removal", "agg_benford",
     "ext_mix_realize", "ext_tokenizer_oov", "ext_data_validate",
+    "src_csv_badrecords", "sink_partition_overwrite",
+    "ext_curation_funnel", "win_seasonal_profile",
 }
 
 ROWS_ONLY_IDS = {

@@ -186,6 +186,10 @@ EXCHANGE_BUDGET = {
     "ext_tokenizer_oov": 2,      # vocab top-k + per-doc agg (broadcast vocab)
     "ext_data_validate": 7,      # one single-row agg per rule + order
     "ext_multimodal_clip": 0,    # narrow synth → parse fan-out, no shuffle
+    "src_csv_badrecords": 2,     # two buckets of one cached parse
+    "sink_partition_overwrite": 2,  # read-back day agg + order
+    "ext_curation_funnel": 4,    # gate aggs + dedup window + stage union
+    "win_seasonal_profile": 4,   # dow agg + type total + join + order
 }
 
 

@@ -786,6 +786,300 @@ def q_ext_data_validate(spark, sf_dir):
     return out.orderBy("rule_id")
 
 
+# =====================================================================
+# L. Malformed-input resilience: PERMISSIVE CSV with corrupt records
+# =====================================================================
+
+
+@register(
+    "src_csv_badrecords",
+    """
+    SELECT 'bad' AS bucket,
+           CAST(count(*) FILTER (doc_id % 9 = 0) AS BIGINT) AS n,
+           CAST(sum(doc_id) FILTER (doc_id % 9 = 0) AS BIGINT) AS id_sum
+    FROM documents
+    UNION ALL
+    SELECT 'good',
+           CAST(count(*) FILTER (doc_id % 9 <> 0) AS BIGINT),
+           CAST(sum(doc_id) FILTER (doc_id % 9 <> 0) AS BIGINT)
+    FROM documents
+    ORDER BY bucket
+    """,
+)
+def q_src_csv_badrecords(spark, sf_dir):
+    """Malformed-input resilience at the SOURCE boundary: a CSV where
+    every 9th record is deliberately corrupt (non-numeric id column)
+    is read in PERMISSIVE mode with a `_corrupt_record` rescue column
+    — bad rows surface as data (NULL typed fields + raw line
+    captured), never as task failures, which is the only acceptable
+    behavior when one bad record hides in 100 TB.  The report counts
+    both buckets and checksums the good ids; the oracle restates the
+    plant arithmetic."""
+    import os
+
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_badcsv_*")
+    out = f"/tmp/wds_badcsv_{_session_tag(spark, sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("notanumber,oops"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.col("doc_id").cast("string"), F.lit(",ok")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id LONG, tag STRING, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # cache before splitting on _corrupt_record: Spark's CSV rescue
+    # column is only populated when the row carrying it is materialized
+    # from the same parse pass (filter-pushdown on the rescue column
+    # alone is unsupported), so the split must read a materialized frame
+    back = back.cache()
+    bad = back.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.lit("bad").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.regexp_extract("_corrupt_record", r"(\d+)$", 1).cast("long")
+        )
+        .cast("long")
+        .alias("id_sum"),
+    ).select("bucket", "n", "id_sum")
+    good = back.filter(F.col("_corrupt_record").isNull()).agg(
+        F.lit("good").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    ).select("bucket", "n", "id_sum")
+    return bad.unionByName(good).orderBy("bucket")
+
+
+# =====================================================================
+# M. Dynamic partition overwrite (the incremental-reload sink contract)
+# =====================================================================
+
+
+@register(
+    "sink_partition_overwrite",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-05'
+                  THEN 1 ELSE 0 END AS revised
+      FROM events)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN revised = 1 THEN cents + 100 ELSE cents END)
+                AS BIGINT) AS cents_sum,
+           CAST(max(revised) AS INT) AS revised
+    FROM d GROUP BY day ORDER BY day
+    """,
+)
+def q_sink_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the incremental-reload contract a
+    daily pipeline depends on: a day-partitioned table is fully
+    written, then ONE day is re-published with revised values (cents
+    +100, revised=1) using partitionOverwriteMode=dynamic; every other
+    partition's files must survive untouched.  The read-back
+    aggregates prove exactly one partition changed; the oracle
+    restates the revision arithmetic.  At 100 TB this is the only
+    sane reload story: static overwrite mode would TRUNCATE the whole
+    table to republish one day."""
+    import os
+
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_dynpart_*")
+    out = f"/tmp/wds_dynpart_{_session_tag(spark, sf_dir)}"
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.lit(0).alias("revised"),
+    )
+    d.write.mode("overwrite").partitionBy("day").parquet(out)
+    revised = (
+        d.filter(F.col("day") == F.lit("2024-01-05").cast("date"))
+        .withColumn("cents", F.col("cents") + 100)
+        .withColumn("revised", F.lit(1))
+    )
+    (
+        revised.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.max("revised").cast("int").alias("revised"),
+        )
+        .orderBy("day")
+    )
+
+
+# =====================================================================
+# N. Curation funnel: per-stage attrition report
+# =====================================================================
+
+
+@register(
+    "ext_curation_funnel",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOK_SQL} AS w FROM documents),
+    u AS (
+      SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_chars
+      FROM t),
+    fr AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok
+      ) GROUP BY doc_id),
+    gated AS (
+      SELECT u.* FROM u JOIN fr USING (doc_id)
+      WHERE u.n_words BETWEEN 20 AND 80
+        AND u.sum_chars * 1000 >= 4000 * u.n_words
+        AND u.sum_chars * 1000 < 4900 * u.n_words
+        AND fr.max_freq * 100 < 12 * u.n_words),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1)
+    SELECT 1 AS stage_no, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM u
+    UNION ALL
+    SELECT 2, 'quality_gate', CAST(count(*) AS BIGINT),
+           CAST(sum(n_words) AS BIGINT)
+    FROM gated
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_words) AS BIGINT)
+    FROM deduped
+    ORDER BY stage_no
+    """,
+)
+def q_ext_curation_funnel(spark, sf_dir):
+    """Curation-funnel observability: document and token counts after
+    each pipeline stage (raw → C4 quality gate → exact content dedup)
+    — the attrition report every data-curation run publishes so a
+    collapsed stage is caught before training, not after.  Reuses the
+    ONE shared gate implementation (ext/text.quality_gate_flags) and
+    the canonical-survivor dedup; each stage is a counting aggregate
+    over the previous stage's frame."""
+    from .ext.text import quality_gate_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = quality_gate_flags(docs, "text").select(
+        "doc_id", "n_words", "keep"
+    )
+    u = g.join(docs, "doc_id").select("doc_id", "text", "n_words", "keep")
+    gated = u.filter(F.col("keep"))
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+
+    def stage(df, no, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(u, 1, "raw")
+        .unionByName(stage(gated, 2, "quality_gate"))
+        .unionByName(stage(deduped, 3, "exact_dedup"))
+        .orderBy("stage_no")
+    )
+
+
+# =====================================================================
+# O. Day-of-week seasonal profile (exact integer micro-means)
+# =====================================================================
+
+
+@register(
+    "win_seasonal_profile",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    g AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS cents_sum
+          FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(cents_sum) AS BIGINT) AS total
+          FROM g GROUP BY 1)
+    SELECT g.event_type, g.dow, g.n, g.cents_sum,
+           CAST(g.cents_sum * 1000000 // g.n AS BIGINT) AS mean_cents_micro,
+           CAST(g.cents_sum * 1000000 // t.total AS BIGINT) AS share_micro
+    FROM g JOIN t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def q_win_seasonal_profile(spark, sf_dir):
+    """Day-of-week seasonality profile per event type: count, exact
+    cents sum, mean in integer micro-cents, and each weekday's share
+    of the type's total — the weekly-pattern diagnostic behind
+    anomaly baselines.  Two hash aggregates sharing the event_type
+    partitioning.  (DuckDB dayofweek = Sunday 0; Spark dayofweek =
+    Sunday 1 — the Spark side subtracts 1 so both publish 0-6.)"""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        _cents("value").alias("cents"),
+    )
+    g = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("cents_sum").cast("long").alias("total")
+    )
+    return (
+        g.join(t, "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "cents_sum",
+            F.expr("CAST(cents_sum * 1000000 DIV n AS BIGINT)").alias(
+                "mean_cents_micro"
+            ),
+            F.expr("CAST(cents_sum * 1000000 DIV total AS BIGINT)").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -798,4 +1092,8 @@ _register_new_this_round(
     "ext_mix_realize",
     "ext_tokenizer_oov",
     "ext_data_validate",
+    "src_csv_badrecords",
+    "sink_partition_overwrite",
+    "ext_curation_funnel",
+    "win_seasonal_profile",
 )
