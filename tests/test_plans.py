@@ -190,6 +190,10 @@ EXCHANGE_BUDGET = {
     "sink_partition_overwrite": 2,  # read-back day agg + order
     "ext_curation_funnel": 4,    # gate aggs + dedup window + stage union
     "win_seasonal_profile": 4,   # dow agg + type total + join + order
+    "ext_dedup_prefix": 1,       # one prefix-digest hash agg
+    "agg_cooccurrence": 7,       # persisted distinct feeds 4 branches;
+                                 # plan shows the cached subtree per branch
+                                 # but it executes once
 }
 
 

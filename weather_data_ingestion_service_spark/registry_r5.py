@@ -1080,6 +1080,131 @@ def q_win_seasonal_profile(spark, sf_dir):
     )
 
 
+# =====================================================================
+# P. Prefix dedup (boilerplate-header artifact) and co-occurrence lift
+# =====================================================================
+
+
+@register(
+    "ext_dedup_prefix",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    t AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS w FROM corpus),
+    p AS (SELECT doc_id,
+                 array_to_string(w[1:least(len(w), 16)], ' ') AS prefix,
+                 CAST(len(w) AS BIGINT) AS n_tokens
+          FROM t)
+    SELECT md5(prefix) AS prefix_md5,
+           CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM p GROUP BY prefix_md5
+    HAVING count(*) > 1
+    """,
+)
+def q_ext_dedup_prefix(spark, sf_dir):
+    """Prefix dedup: documents sharing an identical 16-token PREFIX
+    group together even when their tails differ — the Common-Crawl
+    boilerplate-header artifact exact-content dedup misses (the
+    near-dup corpus's 80% truncations share full prefixes with their
+    originals, so the operator has real positives here).  One hash
+    aggregation on the prefix digest; canonical survivor = min id."""
+    from .registry_ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    prefix = F.concat_ws(
+        " ", F.slice(toks, 1, F.least(F.size(toks), F.lit(16)))
+    )
+    p = corpus.select(
+        "doc_id",
+        F.md5(prefix.cast("binary")).alias("prefix_md5"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    return (
+        p.groupBy("prefix_md5")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "agg_cooccurrence",
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+          FROM u GROUP BY 1),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total
+            FROM events),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n_both
+          FROM u a JOIN u b ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_both, na.n_users AS n_a,
+           nb.n_users AS n_b,
+           CAST(p.n_both * tot.n_total * 1000000
+                // (na.n_users * nb.n_users) AS BIGINT) AS lift_micro
+    FROM p JOIN n na ON na.event_type = p.type_a
+           JOIN n nb ON nb.event_type = p.type_b
+           CROSS JOIN tot
+    ORDER BY type_a, type_b
+    """,
+)
+def q_agg_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence with exact integer lift: for every
+    type pair, the users engaging with both vs the independence
+    expectation (lift = P(ab)/P(a)P(b), held as n_both·N·1e6 DIV
+    n_a·n_b) — the market-basket affinity diagnostic.  The pair join
+    runs on the DISTINCT (user, type) table (≤ 5 rows per user), so
+    the per-user quadratic is bounded by the type-universe size, not
+    the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    # the distinct (user, type) table feeds four branches (both pair
+    # sides, the per-type counts, the user total) — persist it
+    u = ev.select("user_id", "event_type").distinct().persist()
+    n = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = u.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        p.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_both * n_total * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -1096,4 +1221,6 @@ _register_new_this_round(
     "sink_partition_overwrite",
     "ext_curation_funnel",
     "win_seasonal_profile",
+    "ext_dedup_prefix",
+    "agg_cooccurrence",
 )
