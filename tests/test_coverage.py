@@ -95,7 +95,7 @@ ORACLE_IDS = {
     "ext_mix_realize", "ext_tokenizer_oov", "ext_data_validate",
     "src_csv_badrecords", "sink_partition_overwrite",
     "ext_curation_funnel", "win_seasonal_profile",
-    "ext_dedup_prefix", "agg_cooccurrence",
+    "ext_dedup_prefix", "agg_cooccurrence", "ext_embed_outliers",
 }
 
 ROWS_ONLY_IDS = {

@@ -194,6 +194,8 @@ EXCHANGE_BUDGET = {
     "agg_cooccurrence": 7,       # persisted distinct feeds 4 branches;
                                  # plan shows the cached subtree per branch
                                  # but it executes once
+    "ext_embed_outliers": 5,     # component agg + mu join-back + per-vec
+                                 # agg + bounded label window
 }
 
 

@@ -1205,6 +1205,97 @@ def q_agg_cooccurrence(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Q. Embedding outliers vs label centroid (mislabeled-data detection)
+# =====================================================================
+
+
+@register(
+    "ext_embed_outliers",
+    """
+    WITH x AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 16384.0)
+                  AS BIGINT) AS xq
+      FROM embeddings),
+    c AS (SELECT label, pos,
+                 CAST(sum(xq) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM x GROUP BY 1, 2),
+    m AS (SELECT label, pos,
+                 CAST(CASE WHEN s >= 0 THEN s // n
+                      ELSE -((-s + n - 1) // n) END AS BIGINT) AS mu
+          FROM c),
+    d AS (SELECT x.vec_id, x.label,
+                 CAST(sum((x.xq - m.mu) * (x.xq - m.mu)) AS BIGINT) AS d2q
+          FROM x JOIN m ON x.label = m.label AND x.pos = m.pos
+          GROUP BY 1, 2),
+    r AS (SELECT vec_id, label, d2q,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY d2q DESC, vec_id) AS rk
+          FROM d)
+    SELECT vec_id, label, d2q, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3 ORDER BY label, rk
+    """,
+)
+def q_ext_embed_outliers(spark, sf_dir):
+    """Embedding outliers per label: the 3 vectors farthest from
+    their label centroid — the mislabeled-example / contamination
+    sweep a curation pipeline runs before training on labeled data.
+    EXACT integer state end to end: components quantized to 2^-14
+    units (term (xq−μ)² ≤ ~1e9, so the 64-dim sum can never overflow
+    int64 at ANY corpus size), centroids as floor-division means
+    (truncation-toward-negative-infinity spelled identically on both
+    engines), ranking under the (d2q, vec_id) total order.  One
+    component aggregate + one join-back + one bounded per-label
+    window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 16384.0).cast("long").alias("xq"),
+    )
+    # persist: the component table feeds the centroid aggregate AND the
+    # distance join-back
+    x = x.persist()
+    c = x.groupBy("label", "pos").agg(
+        F.sum("xq").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # floor division toward negative infinity on both engines (DuckDB
+    # // floors; Spark DIV truncates toward zero — spell out the
+    # negative branch so the two agree on negative sums)
+    m = c.select(
+        "label",
+        "pos",
+        F.expr(
+            "CAST(CASE WHEN s >= 0 THEN s DIV n"
+            " ELSE -((-s + n - 1) DIV n) END AS BIGINT)"
+        ).alias("mu"),
+    )
+    d = (
+        x.join(m, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("xq") - F.col("mu")) * (F.col("xq") - F.col("mu")))
+            .cast("long")
+            .alias("d2q")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2q").desc(), "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "label", "d2q", "rk")
+        .orderBy("label", "rk")
+    )
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -1223,4 +1314,5 @@ _register_new_this_round(
     "win_seasonal_profile",
     "ext_dedup_prefix",
     "agg_cooccurrence",
+    "ext_embed_outliers",
 )
