@@ -196,6 +196,7 @@ EXCHANGE_BUDGET = {
                                  # but it executes once
     "ext_embed_outliers": 5,     # component agg + mu join-back + per-vec
                                  # agg + bounded label window
+    "sink_xml_roundtrip": 2,     # read-back distinct agg (writes are the op)
 }
 
 

@@ -1296,6 +1296,49 @@ def q_ext_embed_outliers(spark, sf_dir):
     )
 
 
+# =====================================================================
+# R. XML format round trip (Spark 4 native XML source)
+# =====================================================================
+
+
+@register(
+    "sink_xml_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sink_xml_roundtrip(spark, sf_dir):
+    """XML sink/source round trip through Spark 4's NATIVE xml format
+    (spark-xml merged into core): events written as <row> elements,
+    read back with an explicit schema, per-type aggregates matching
+    the raw parquet — completes the format matrix (parquet / csv /
+    json / orc / webdataset-tar / text / xml)."""
+    from .registry import _cents, _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_xml_*")
+    out = f"/tmp/wds_xml_{_session_tag(spark, sf_dir)}"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    ev.write.mode("overwrite").option("rowTag", "row").format("xml").save(out)
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, user_id long, value double"
+        )
+        .option("rowTag", "row")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(_cents("value")) / 100.0).alias("value_sum"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -1315,4 +1358,5 @@ _register_new_this_round(
     "ext_dedup_prefix",
     "agg_cooccurrence",
     "ext_embed_outliers",
+    "sink_xml_roundtrip",
 )
