@@ -96,7 +96,7 @@ ORACLE_IDS = {
     "src_csv_badrecords", "sink_partition_overwrite",
     "ext_curation_funnel", "win_seasonal_profile",
     "ext_dedup_prefix", "agg_cooccurrence", "ext_embed_outliers",
-    "sink_xml_roundtrip",
+    "sink_xml_roundtrip", "agg_chisq_cells",
 }
 
 ROWS_ONLY_IDS = {

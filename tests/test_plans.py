@@ -12,7 +12,22 @@ from weather_data_ingestion_service_spark.plans import (
 )
 from weather_data_ingestion_service_spark.registry import queries
 
+import pytest
+
 QS = queries()
+
+
+@pytest.fixture(autouse=True)
+def _pristine_cache(spark):
+    """Plan assertions need a pristine cache: earlier suite modules
+    (test_correctness runs EVERY registered query, several of which
+    persist shared subframes internally) leave cached fragments that
+    the CacheManager substitutes into ANY later matching plan — the
+    InMemoryRelation subtrees carry their own exchanges and flip
+    broadcast decisions, so exchange counts measured here would
+    depend on suite order (CLAUDE.md cache rule)."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_date_range_filter_pushed_to_scan(spark, sf_dir):
@@ -197,6 +212,7 @@ EXCHANGE_BUDGET = {
     "ext_embed_outliers": 5,     # component agg + mu join-back + per-vec
                                  # agg + bounded label window
     "sink_xml_roundtrip": 2,     # read-back distinct agg (writes are the op)
+    "agg_chisq_cells": 6,        # persisted cell agg + 3 broadcast margins
 }
 
 

@@ -1339,6 +1339,75 @@ def q_sink_xml_roundtrip(spark, sf_dir):
     )
 
 
+# =====================================================================
+# S. Chi-square independence cells (categorical drift diagnostic)
+# =====================================================================
+
+
+@register(
+    "agg_chisq_cells",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow FROM events),
+    o AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS obs
+          FROM d GROUP BY 1, 2),
+    r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n
+          FROM o GROUP BY 1),
+    c AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS col_n FROM o GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+    SELECT o.event_type, o.dow, o.obs, r.row_n, c.col_n, t.n,
+           CAST(CAST(o.obs * t.n - r.row_n * c.col_n AS HUGEINT)
+                * CAST(o.obs * t.n - r.row_n * c.col_n AS HUGEINT) * 1000000
+                // (CAST(r.row_n AS HUGEINT) * c.col_n * t.n) AS BIGINT)
+             AS cell_chi2_micro
+    FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+    ORDER BY event_type, dow
+    """,
+)
+def q_agg_chisq_cells(spark, sf_dir):
+    """Per-cell chi-square contributions for the (event_type ×
+    day-of-week) contingency table — the categorical-drift diagnostic
+    (a cell whose contribution spikes is where the traffic mix
+    changed).  Exact integers: cell term = (O·n − r·c)²·1e6 DIV
+    (r·c·n) — the classic (O−E)²/E with E = r·c/n cleared of
+    fractions, floored per cell so the statistic is engine- and
+    partitioning-exact.  Overflow audit: O·n ≤ n² and the square
+    needs HUGEINT/DECIMAL past n ≈ 55k — both sides compute the
+    square in DECIMAL(38,0)/int128.  Spark dow normalized to
+    DuckDB's 0-6."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    )
+    o = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    o = o.persist()  # feeds the row, column and total aggregates
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_n"))
+    c = o.groupBy("dow").agg(F.sum("obs").cast("long").alias("col_n"))
+    t = o.agg(F.sum("obs").cast("long").alias("n"))
+    return (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "dow",
+            "obs",
+            "row_n",
+            "col_n",
+            "n",
+            F.expr(
+                "CAST(CAST(obs * n - row_n * col_n AS DECIMAL(38,0))"
+                " * CAST(obs * n - row_n * col_n AS DECIMAL(38,0))"
+                " * 1000000 DIV (CAST(row_n AS DECIMAL(38,0)) * col_n * n)"
+                " AS BIGINT)"
+            ).alias("cell_chi2_micro"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -1359,4 +1428,5 @@ _register_new_this_round(
     "agg_cooccurrence",
     "ext_embed_outliers",
     "sink_xml_roundtrip",
+    "agg_chisq_cells",
 )
