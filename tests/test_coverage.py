@@ -97,6 +97,7 @@ ORACLE_IDS = {
     "ext_curation_funnel", "win_seasonal_profile",
     "ext_dedup_prefix", "agg_cooccurrence", "ext_embed_outliers",
     "sink_xml_roundtrip", "agg_chisq_cells",
+    "ext_sample_negatives", "win_change_points", "ext_text_bigram_lm",
 }
 
 ROWS_ONLY_IDS = {

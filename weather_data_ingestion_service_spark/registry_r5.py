@@ -1408,6 +1408,256 @@ def q_agg_chisq_cells(spark, sf_dir):
     )
 
 
+# =====================================================================
+# T. Deterministic negative sampling (contrastive-training pairs)
+# =====================================================================
+
+
+@register(
+    "ext_sample_negatives",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rk,
+             count(*) OVER () AS n
+      FROM documents),
+    k AS (SELECT unnest([1, 2, 3]) AS j),
+    p AS (
+      SELECT d.doc_id, k.j, d.rk, d.n,
+             CAST((d.rk + 1 + CAST('0x' || substr(
+               md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(k.j AS VARCHAR)),
+               1, 13) AS BIGINT) % (d.n - 1)) % d.n AS BIGINT) AS neg_rk
+      FROM d CROSS JOIN k)
+    SELECT p.doc_id, CAST(p.j AS INT) AS j, d2.doc_id AS neg_doc_id
+    FROM p JOIN d d2 ON p.neg_rk = d2.rk
+    ORDER BY p.doc_id, p.j
+    """,
+)
+def q_ext_sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: every
+    document draws 3 pseudo-random partners via the id-hash offset
+    ``(rank + 1 + h(id, j) mod (N−1)) mod N`` — never itself (the
+    offset is in [1, N−1]), a pure function of (corpus, id, j), so the
+    pairing is reproducible across runs/engines/partitionings.  Rank
+    assignment is one window over ids; the partner lookup is a rank
+    equi-join.  At corpus scale the dense rank comes from a two-pass
+    partition-offset count rather than a global window — the standard
+    zipWithIndex-equivalent — with identical output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    d = docs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("long").alias("n"),
+    )
+    ks = docs.sparkSession.range(1, 4).select(F.col("id").cast("int").alias("j"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = d.crossJoin(F.broadcast(ks)).select(
+        "doc_id",
+        "j",
+        F.expr("rk").alias("rk"),
+        "n",
+        ((F.col("rk") + 1 + h % (F.col("n") - 1)) % F.col("n")).alias("neg_rk"),
+    )
+    d2 = d.select(F.col("doc_id").alias("neg_doc_id"), F.col("rk").alias("neg_rk"))
+    return (
+        p.join(d2, "neg_rk")
+        .select("doc_id", "j", "neg_doc_id")
+        .orderBy("doc_id", "j")
+    )
+
+
+# =====================================================================
+# U. Change-point flags over daily series (robust threshold)
+# =====================================================================
+
+
+@register(
+    "win_change_points",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    dl AS (
+      SELECT event_type, day, cents,
+             abs(cents - lag(cents) OVER (
+               PARTITION BY event_type ORDER BY day)) AS delta
+      FROM d),
+    nn AS (SELECT * FROM dl WHERE delta IS NOT NULL),
+    r AS (
+      SELECT event_type, delta,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY delta, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM nn),
+    med AS (SELECT event_type, CAST(delta AS BIGINT) AS med_delta
+            FROM r WHERE rn = (n + 1) // 2)
+    SELECT nn.event_type, nn.day, nn.cents, CAST(nn.delta AS BIGINT) AS delta,
+           med.med_delta,
+           (nn.delta > 3 * med.med_delta) AS is_change
+    FROM nn JOIN med USING (event_type)
+    ORDER BY event_type, day
+    """,
+)
+def q_win_change_points(spark, sf_dir):
+    """Robust change-point flags over the daily revenue series: a day
+    is flagged when its absolute day-over-day delta exceeds 3× the
+    series' MEDIAN delta — the median comes from exact rank SELECTION
+    at rank (n+1) DIV 2 under the (delta, day) total order (CLAUDE.md
+    rule: never interpolate, filter NULL deltas first), so the flags
+    are engine-exact.  Per-type windows over calendar-bounded series;
+    the daily aggregate is the only full-data pass."""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(_cents("value")).cast("long").alias("cents"))
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    nn = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.abs(F.col("cents") - F.lag("cents").over(wl)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    nn = nn.persist()  # feeds the median selection AND the join-back
+    wr = Window.partitionBy("event_type").orderBy("delta", "day")
+    wn = Window.partitionBy("event_type")
+    med = (
+        nn.select(
+            "event_type",
+            "delta",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("delta").cast("long").alias("med_delta"))
+    )
+    return (
+        nn.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.col("delta").cast("long").alias("delta"),
+            "med_delta",
+            (F.col("delta") > 3 * F.col("med_delta")).alias("is_change"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# =====================================================================
+# V. Bigram language-model table (top continuations per head word)
+# =====================================================================
+
+
+@register(
+    "ext_text_bigram_lm",
+    f"""
+    WITH tok AS (SELECT {_TOK_SQL} AS w FROM documents),
+    bg AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM tok, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)),
+    c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+    h AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_head FROM c GROUP BY 1),
+    top_heads AS (
+      SELECT w1, n_head,
+             row_number() OVER (ORDER BY n_head DESC, w1) AS hr
+      FROM h),
+    cont AS (
+      SELECT c.w1, c.w2, c.n, th.n_head, th.hr,
+             row_number() OVER (PARTITION BY c.w1
+                                ORDER BY c.n DESC, c.w2) AS cr
+      FROM c JOIN top_heads th ON c.w1 = th.w1 AND th.hr <= 20)
+    SELECT w1, CAST(hr AS INT) AS head_rank, w2, CAST(cr AS INT) AS cont_rank,
+           n, n_head,
+           CAST(n * 1000000 // n_head AS BIGINT) AS cond_micro
+    FROM cont WHERE cr <= 3
+    ORDER BY head_rank, cont_rank
+    """,
+)
+def q_ext_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model table: for the 20 most frequent head
+    words, the top-3 continuations with exact conditional frequencies
+    in integer micro-units — the count-based n-gram LM slice a corpus
+    analysis publishes (and the sanity check before trusting any
+    perplexity-proxy filter).  One bigram aggregate, a 20-row head
+    broadcast, and a bounded per-head ranking window; deterministic
+    tie-breaks on the words themselves."""
+    from .registry_r4 import _tok
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(_tok().alias("w"))
+    # cache barrier before the bigram explode (nested higher-order
+    # pattern; CLAUDE.md Generate rule)
+    tok_tbl = toks.persist()
+    idx = F.sequence(F.lit(1), F.size("w") - 1)
+    pairs = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.element_at("w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = tok_tbl.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = c.persist()  # feeds the head totals AND the continuation rank
+    h = c.groupBy("w1").agg(F.sum("n").cast("long").alias("n_head"))
+    th = (
+        h.select(
+            "w1",
+            "n_head",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_head").desc(), "w1"))
+            .alias("hr"),
+        )
+        .filter(F.col("hr") <= 20)
+    )
+    cont = (
+        c.join(F.broadcast(th), "w1")
+        .withColumn(
+            "cr",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2")
+            ),
+        )
+        .filter(F.col("cr") <= 3)
+    )
+    return cont.select(
+        "w1",
+        F.col("hr").cast("int").alias("head_rank"),
+        "w2",
+        F.col("cr").cast("int").alias("cont_rank"),
+        "n",
+        "n_head",
+        F.expr("CAST(n * 1000000 DIV n_head AS BIGINT)").alias("cond_micro"),
+    ).orderBy("head_rank", "cont_rank")
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -1429,4 +1679,7 @@ _register_new_this_round(
     "ext_embed_outliers",
     "sink_xml_roundtrip",
     "agg_chisq_cells",
+    "ext_sample_negatives",
+    "win_change_points",
+    "ext_text_bigram_lm",
 )
