@@ -98,6 +98,7 @@ ORACLE_IDS = {
     "ext_dedup_prefix", "agg_cooccurrence", "ext_embed_outliers",
     "sink_xml_roundtrip", "agg_chisq_cells",
     "ext_sample_negatives", "win_change_points", "ext_text_bigram_lm",
+    "agg_theilsen",
 }
 
 ROWS_ONLY_IDS = {

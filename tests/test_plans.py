@@ -216,6 +216,7 @@ EXCHANGE_BUDGET = {
     "ext_sample_negatives": 6,   # id-rank window (both sides) + rank join
     "win_change_points": 4,      # daily agg + delta window + median select
     "ext_text_bigram_lm": 5,     # bigram agg + head top-20 + cont window
+    "agg_theilsen": 4,           # persisted daily agg + pair join + select
 }
 
 

@@ -1267,9 +1267,9 @@ def q_ext_embed_outliers(spark, sf_dir):
         F.sum("xq").cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    # floor division toward negative infinity on both engines (DuckDB
-    # // floors; Spark DIV truncates toward zero — spell out the
-    # negative branch so the two agree on negative sums)
+    # integer division on negative sums is pinned to floor-toward-
+    # negative-infinity by spelling the SAME CASE on both engines —
+    # no reliance on either engine's native truncation convention
     m = c.select(
         "label",
         "pos",
@@ -1658,6 +1658,102 @@ def q_ext_text_bigram_lm(spark, sf_dir):
     ).orderBy("head_rank", "cont_rank")
 
 
+# =====================================================================
+# W. Theil-Sen robust slope (median pairwise slope, exact selection)
+# =====================================================================
+
+
+@register(
+    "agg_theilsen",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    p AS (
+      SELECT a.event_type,
+             -- negative-operand integer division is pinned to
+             -- floor-toward-negative-infinity by the SAME CASE on both
+             -- engines, so no reliance on either engine's native
+             -- truncation convention
+             CAST(CASE WHEN (b.cents - a.cents) >= 0
+                  THEN (b.cents - a.cents) * 1000000
+                       // date_diff('day', a.day, b.day)
+                  ELSE -((-(b.cents - a.cents) * 1000000
+                          + date_diff('day', a.day, b.day) - 1)
+                         // date_diff('day', a.day, b.day)) END
+               AS BIGINT) AS slope_micro,
+             a.day AS day_a, b.day AS day_b
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    r AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro, day_a, day_b) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p)
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope_micro AS theil_sen_slope_micro
+    FROM r WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def q_agg_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend slope per event type: the MEDIAN of all
+    pairwise day-slopes over the daily cents series, each slope held
+    as the exact floored integer micro-cents/day — selection at rank
+    (n+1) DIV 2 under the (slope, day-pair) total order, never
+    interpolated, so the estimator is engine-exact.  The pairwise join
+    is per-key over a calendar-bounded series (≤ 365 rows/key/year =
+    ≤ 66k pairs), same scale posture as agg_trend_mk — together they
+    give the direction test AND the magnitude estimate."""
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(_cents("value")).cast("long").alias("cents"))
+        .persist()
+    )
+    a = d.select("event_type", F.col("day").alias("day_a"), F.col("cents").alias("c_a"))
+    b = d.select("event_type", F.col("day").alias("day_b"), F.col("cents").alias("c_b"))
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN (c_b - c_a) >= 0"
+                " THEN (c_b - c_a) * 1000000 DIV datediff(day_b, day_a)"
+                " ELSE -((-(c_b - c_a) * 1000000"
+                "         + datediff(day_b, day_a) - 1)"
+                "        DIV datediff(day_b, day_a)) END AS BIGINT)"
+            ).alias("slope_micro"),
+            "day_a",
+            "day_b",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_micro", "day_a", "day_b")
+    wn = Window.partitionBy("event_type")
+    return (
+        p.select(
+            "event_type",
+            "slope_micro",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_pairs"),
+        )
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").alias("theil_sen_slope_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
     "ext_dedup_spans",
     "agg_trend_mk",
@@ -1682,4 +1778,5 @@ _register_new_this_round(
     "ext_sample_negatives",
     "win_change_points",
     "ext_text_bigram_lm",
+    "agg_theilsen",
 )
