@@ -1695,3 +1695,35 @@ class TestTrendMK:
             ).alias("s")
         ).collect()[0]["s"]
         assert s == 10  # 5*4/2 pairs, all concordant
+
+
+class TestDenseIndexByKey:
+    def test_matches_global_window_and_partition_invariant(self, spark, sf_dir):
+        """The distributed zipWithIndex (range partitions + offset
+        counts) must equal row_number() - 1 under the global key order,
+        for any partition count."""
+        from pyspark.sql import Window
+
+        from weather_data_ingestion_service_spark.ext.sampling import (
+            dense_index_by_key,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        ref = {
+            r.doc_id: r.idx
+            for r in docs.select(
+                "doc_id",
+                (F.row_number().over(Window.orderBy("doc_id")) - 1)
+                .cast("long")
+                .alias("idx"),
+            ).collect()
+        }
+        for n_parts in (2, 7):
+            got = {
+                r.doc_id: r.idx
+                for r in dense_index_by_key(
+                    docs, "doc_id", "idx", n_partitions=n_parts
+                ).collect()
+            }
+            assert got == ref, n_parts

@@ -213,7 +213,9 @@ EXCHANGE_BUDGET = {
                                  # agg + bounded label window
     "sink_xml_roundtrip": 2,     # read-back distinct agg (writes are the op)
     "agg_chisq_cells": 6,        # persisted cell agg + 3 broadcast margins
-    "ext_sample_negatives": 6,   # id-rank window (both sides) + rank join
+    "ext_sample_negatives": 6,   # distributed dense index (range
+                                 # partitions, both join sides) + rank join
+                                 # — no single-partition global window
     "win_change_points": 4,      # daily agg + delta window + median select
     "ext_text_bigram_lm": 5,     # bigram agg + head top-20 + cont window
     "agg_theilsen": 4,           # persisted daily agg + pair join + select

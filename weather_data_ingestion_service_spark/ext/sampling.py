@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 
 def _id_hash(id_col: str) -> F.Column:
@@ -277,3 +278,63 @@ def capped_duplicates(
         F.count(F.lit(1)).over(Window.partitionBy(*content_cols)).cast("long"),
     )
     return r.filter(F.col("copy_rank") <= cap)
+
+
+def dense_index_by_key(
+    df: DataFrame, key_col: str, out_col: str = "idx", n_partitions: int | None = None
+) -> DataFrame:
+    """Dense 0-based index in global ``key_col`` order — the
+    distributed zipWithIndex: range-partition on the key, sort within
+    partitions, collect ONE row per partition (its count — bounded by
+    the partition count, never the data), then a second cached pass
+    adds ``partition offset + local position``.
+
+    This is the scale path for "rank every row by key": a global
+    ``row_number()`` window moves the entire dataset through a single
+    partition, which is exactly the plan that dies first at 100 TB.
+    The partitioned frame is persisted so both passes see the SAME
+    physical partitioning (a re-executed RangePartitioner could
+    re-sample different bounds).
+
+    Output indices are identical to
+    ``row_number().over(Window.orderBy(key)) - 1`` for unique keys
+    (equivalence pinned by pytest).
+    """
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    spark = df.sparkSession
+    n_parts = n_partitions or max(df.rdd.getNumPartitions(), 2)
+    part = (
+        df.repartitionByRange(n_parts, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["n"]
+        for r in part.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def add_index(batches):
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.RangeIndex(base + seen, base + seen + len(pdf)).astype("int64")
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(add_index, out_schema)

@@ -1438,19 +1438,19 @@ def q_ext_sample_negatives(spark, sf_dir):
     document draws 3 pseudo-random partners via the id-hash offset
     ``(rank + 1 + h(id, j) mod (N−1)) mod N`` — never itself (the
     offset is in [1, N−1]), a pure function of (corpus, id, j), so the
-    pairing is reproducible across runs/engines/partitionings.  Rank
-    assignment is one window over ids; the partner lookup is a rank
-    equi-join.  At corpus scale the dense rank comes from a two-pass
-    partition-offset count rather than a global window — the standard
-    zipWithIndex-equivalent — with identical output."""
+    pairing is reproducible across runs/engines/partitionings.  The
+    dense rank comes from ext/sampling.dense_index_by_key — the
+    DISTRIBUTED zipWithIndex (range-partition + partition-offset
+    counts), not a single-partition global window; its output is
+    pinned equal to the window form by pytest, so the oracle's
+    row_number restatement stays exact."""
+    from .ext.sampling import dense_index_by_key
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    w = Window.orderBy("doc_id")
-    d = docs.select(
-        "doc_id",
-        (F.row_number().over(w) - 1).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).cast("long").alias("n"),
+    ranked = dense_index_by_key(docs, "doc_id", "rk")
+    n_tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "doc_id", F.col("rk").cast("long").alias("rk"), "n"
     )
     ks = docs.sparkSession.range(1, 4).select(F.col("id").cast("int").alias("j"))
     h = F.conv(
