@@ -1025,7 +1025,12 @@ def q_agg_unpivot(spark, sf_dir):
     """,
 )
 def q_win_ntile(spark, sf_dir):
-    """Quartile assignment over a total order (feature-binning shape)."""
+    """Quartile assignment over a total order (feature-binning shape).
+
+    This is the exact small-N form (one global ntile window); at
+    corpus scale the same contract is served by binning against 3
+    rank-selected cut scores (two-pass aggregate, no global window) —
+    the pattern agg_histogram_eqh implements."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1464,10 +1469,12 @@ def q_ext_text_bigrams(spark, sf_dir):
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # top-20 via orderBy+limit (TakeOrderedAndProject), then the rank
+    # window runs over 20 rows — not over the full bigram vocabulary
     w = Window.orderBy(F.col("n").desc(), "bigram")
     return (
-        bg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        bg.orderBy(F.col("n").desc(), "bigram").limit(20)
+        .withColumn("rn", F.row_number().over(w))
         .select("bigram", "n")
     )
 

@@ -1627,15 +1627,19 @@ def q_ext_text_bigram_lm(spark, sf_dir):
     c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n"))
     c = c.persist()  # feeds the head totals AND the continuation rank
     h = c.groupBy("w1").agg(F.sum("n").cast("long").alias("n_head"))
+    # top-20 heads via orderBy+limit (TakeOrderedAndProject — a
+    # distributed partial top-k), THEN the rank window over just those
+    # 20 rows — never a row_number window over the full vocabulary
     th = (
-        h.select(
+        h.orderBy(F.col("n_head").desc(), "w1")
+        .limit(20)
+        .select(
             "w1",
             "n_head",
             F.row_number()
             .over(Window.orderBy(F.col("n_head").desc(), "w1"))
             .alias("hr"),
         )
-        .filter(F.col("hr") <= 20)
     )
     cont = (
         c.join(F.broadcast(th), "w1")
