@@ -4,6 +4,8 @@ rows-only ids deliberately don't."""
 
 import re
 
+import pytest
+
 from weather_data_ingestion_service_spark import registry
 
 QUERIES = registry.queries()
@@ -97,7 +99,7 @@ ORACLE_IDS = {
     "ext_curation_funnel", "win_seasonal_profile",
     "ext_dedup_prefix", "agg_cooccurrence", "ext_embed_outliers",
     "sink_xml_roundtrip", "agg_chisq_cells",
-    "ext_sample_negatives", "win_change_points", "ext_text_bigram_lm",
+    "ext_sample_contrastive", "win_change_points", "ext_text_bigram_lm",
     "agg_theilsen",
 }
 
@@ -153,6 +155,23 @@ def test_rotation_keeps_mandated_ids_inside_driver_window():
         first_done = min(order.index(n) for n in done if n in order)
         last_pending = max(order.index(n) for n in pending)
         assert last_pending < first_done
+
+
+def test_duplicate_registry_id_raises():
+    """register() must refuse id reuse — a silent overwrite let round
+    5's ext_sample_negatives shadow round 3's green entry (VERDICT r5)."""
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate registry id"):
+        registry.register(existing)(lambda spark, sf_dir: None)
+    # the original registration must be untouched by the failed attempt
+    assert QUERIES[existing] is registry._QUERIES[existing]
+
+
+def test_registry_ids_unique_across_modules():
+    """Every ORACLE/ROWS_ONLY id resolves to exactly one implementation;
+    the two contract sets must not overlap each other either."""
+    overlap = ORACLE_IDS & ROWS_ONLY_IDS
+    assert not overlap, f"ids claimed twice: {sorted(overlap)}"
 
 
 def test_coverage_doc_mentions_every_registered_id():

@@ -101,9 +101,19 @@ _ORACLE: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its oracle SQL)."""
+    """Decorator: add a query (and optionally its oracle SQL).
+
+    Duplicate ids RAISE: a silent overwrite let round 5's
+    ``ext_sample_negatives`` shadow round 3's driver-green entry of the
+    same name and inherit a green row it never earned (VERDICT r5 #1).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(
+                f"duplicate registry id {name!r}: already registered as "
+                f"{_QUERIES[name].__module__}.{_QUERIES[name].__qualname__}"
+            )
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLE[name] = oracle
@@ -1510,6 +1520,15 @@ def _rotated(entries: dict) -> dict:
     (4) everything a prior round already verified (still locked by the
     identical local differential suite in tests/test_correctness.py).
     Stable within a class, so registration order remains the tiebreak.
+
+    Round-7+ hygiene rule (VERDICT r5 #6): once the never-checked
+    backlog is flushed, ids whose IMPLEMENTATION changed since their
+    green driver row should be re-served ahead of untouched green ids —
+    a green row certifies the code that earned it, not later edits (the
+    ext_sample_negatives collision was exactly a stale green row).  Build
+    that list from ``git log --stat <file-of-query> --since=<green
+    round's commit>`` and demote only unchanged-since-green ids to the
+    back.
     """
     done = _driver_verified_ids()
 

@@ -1404,9 +1404,6 @@ def q_ext_multimodal_clip(spark, sf_dir):
     return frames.select("doc_id", "frame_no", "frame_ts_ms")
 
 
-_register_new_this_round("ext_multimodal_clip")
-
-
 @register("ext_multimodal_resize")  # stubbed codec — rows-only
 def q_ext_multimodal_resize(spark, sf_dir):
     """Image resize to a fixed training resolution (binary in, smaller

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .io import load_table
-from .registry import _register_new_this_round, register
+from .registry import _register_new_this_round, register  # noqa: F401
 from .registry_ext import _NEAR_DUP_CORPUS_SQL, _near_dup_corpus
 from .registry_r4 import _TOK_SQL
 
@@ -1414,7 +1414,7 @@ def q_agg_chisq_cells(spark, sf_dir):
 
 
 @register(
-    "ext_sample_negatives",
+    "ext_sample_contrastive",
     """
     WITH d AS (
       SELECT doc_id,
@@ -1433,7 +1433,7 @@ def q_agg_chisq_cells(spark, sf_dir):
     ORDER BY p.doc_id, p.j
     """,
 )
-def q_ext_sample_negatives(spark, sf_dir):
+def q_ext_sample_contrastive(spark, sf_dir):
     """Deterministic negative sampling for contrastive training: every
     document draws 3 pseudo-random partners via the id-hash offset
     ``(rank + 1 + h(id, j) mod (N−1)) mod N`` — never itself (the
@@ -1443,7 +1443,13 @@ def q_ext_sample_negatives(spark, sf_dir):
     DISTRIBUTED zipWithIndex (range-partition + partition-offset
     counts), not a single-partition global window; its output is
     pinned equal to the window form by pytest, so the oracle's
-    row_number restatement stays exact."""
+    row_number restatement stays exact.
+
+    Registered as ``ext_sample_contrastive`` (round 6 rename): round 5
+    shipped this under ``ext_sample_negatives``, silently shadowing
+    registry_ext's DPR-style ``hard_negatives`` entry and inheriting its
+    round-3 driver-green row; the rename puts this query in the
+    never-checked rotation tier on its own merits."""
     from .ext.sampling import dense_index_by_key
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1481,6 +1487,9 @@ def q_ext_sample_negatives(spark, sf_dir):
         .select("doc_id", "j", "neg_doc_id")
         .orderBy("doc_id", "j")
     )
+
+
+_register_new_this_round("ext_sample_contrastive")
 
 
 # =====================================================================
@@ -1758,29 +1767,6 @@ def q_agg_theilsen(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "ext_dedup_spans",
-    "agg_trend_mk",
-    "ext_text_fertility",
-    "agg_ks_stat",
-    "agg_histogram_eqh",
-    "ext_eval_spearman",
-    "ext_dedup_span_removal",
-    "agg_benford",
-    "ext_mix_realize",
-    "ext_tokenizer_oov",
-    "ext_data_validate",
-    "src_csv_badrecords",
-    "sink_partition_overwrite",
-    "ext_curation_funnel",
-    "win_seasonal_profile",
-    "ext_dedup_prefix",
-    "agg_cooccurrence",
-    "ext_embed_outliers",
-    "sink_xml_roundtrip",
-    "agg_chisq_cells",
-    "ext_sample_negatives",
-    "win_change_points",
-    "ext_text_bigram_lm",
-    "agg_theilsen",
-)
+# Round-6 rotation reset (CLAUDE.md checklist): the closing
+# _register_new_this_round call that listed every round-5 id was removed
+# here — those 24 ids are now carryovers and outrank round-6 additions.
