@@ -406,6 +406,35 @@ class TestDedupClusters:
         assert fast == dist
         assert fast[10] == 6 and fast[8] == 8 and fast[5] == 1
 
+    def test_string_ids_survive_via_dense_remap(self, spark):
+        """Non-numeric id columns must NOT be cast("long") to NULL
+        (ADVICE r5): string doc keys route through the dense-index
+        remap, cluster representatives stay the MIN ORIGINAL id, and
+        both size-adaptive strategies agree."""
+        from weather_data_ingestion_service_spark.ext.dedup import dedup_clusters
+
+        names = [f"doc-{i:02d}" for i in range(1, 8)]
+        nodes = spark.createDataFrame([(n,) for n in names], ["id"])
+        pairs = spark.createDataFrame(
+            [("doc-01", "doc-02"), ("doc-02", "doc-03"),
+             ("doc-03", "doc-04"), ("doc-04", "doc-05"),
+             ("doc-06", "doc-07")],
+            ["id_a", "id_b"],
+        )
+        want = {f"doc-{i:02d}": "doc-01" for i in range(1, 6)}
+        want.update({"doc-06": "doc-06", "doc-07": "doc-06"})
+        fast = {
+            r.id: r.cluster_id
+            for r in dedup_clusters(nodes, pairs, "id").collect()
+        }
+        dist = {
+            r.id: r.cluster_id
+            for r in dedup_clusters(
+                nodes, pairs, "id", driver_cc_max_pairs=0
+            ).collect()
+        }
+        assert fast == want and dist == want
+
     def test_max_iter_bounds_rounds(self, spark):
         from weather_data_ingestion_service_spark.ext.dedup import dedup_clusters
 
@@ -1557,6 +1586,23 @@ class TestIntegerPagerank:
         b = sorted(map(tuple, pagerank_int(pairs.repartition(7), n_iter=4).collect()))
         assert a == b and len(a) > 0
 
+    def test_string_ids_survive_via_dense_remap(self, spark):
+        """String node ids must not be NULLed by a long cast (ADVICE
+        r5): the dense-index remap yields the same rank VALUES as the
+        isomorphic integer graph, keyed by the original strings."""
+        from weather_data_ingestion_service_spark.ext.graph import pagerank_int
+
+        sp = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d")], "id_a string, id_b string"
+        )
+        ip = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+        )
+        got_s = {r["id"]: r["rank_nano"] for r in pagerank_int(sp, n_iter=6).collect()}
+        got_i = {r["id"]: r["rank_nano"] for r in pagerank_int(ip, n_iter=6).collect()}
+        assert set(got_s) == {"a", "b", "c", "d"}
+        assert [got_s[k] for k in "abcd"] == [got_i[k] for k in (1, 2, 3, 4)]
+
     def test_driver_and_distributed_paths_bit_identical(self, spark):
         """The size-adaptive switch is invisible: exact integer state
         makes the driver iteration and the per-round join loop
@@ -1695,6 +1741,41 @@ class TestTrendMK:
             ).alias("s")
         ).collect()[0]["s"]
         assert s == 10  # 5*4/2 pairs, all concordant
+
+    def test_trend_max_days_cap_boundary(self, spark):
+        """The quadratic guard (VERDICT r5 #5): with max_days == series
+        length the trend operators see every day; one below, they use
+        only the MOST RECENT days.  The 10-day series falls then rises,
+        so capping to the rising tail flips MK's S positive and shifts
+        Theil-Sen's pair count from 45 to 36."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r5 import (
+            mann_kendall_daily,
+            theil_sen_daily,
+        )
+
+        # days 0: cents 100; days 1-9: strictly rising 1..9
+        rows = [("t", dt.date(2024, 1, 1), 100)] + [
+            ("t", dt.date(2024, 1, 1 + i), i) for i in range(1, 10)
+        ]
+        d = spark.createDataFrame(
+            rows, "event_type string, day date, cents long"
+        )
+        full = mann_kendall_daily(d, max_days=10).collect()[0]
+        assert full["n_days"] == 10
+        # 36 concordant rising pairs, 9 discordant vs the day-0 spike
+        assert (full["concordant"], full["discordant"]) == (36, 9)
+        capped = mann_kendall_daily(d, max_days=9).collect()[0]
+        assert capped["n_days"] == 9
+        assert (capped["concordant"], capped["discordant"]) == (36, 0)
+        assert capped["s_stat"] == 36
+
+        ts_full = theil_sen_daily(d, max_days=10).collect()[0]
+        ts_capped = theil_sen_daily(d, max_days=9).collect()[0]
+        assert ts_full["n_pairs"] == 45 and ts_capped["n_pairs"] == 36
+        # rising tail is exactly +1 cent/day = 1_000_000 micro
+        assert ts_capped["theil_sen_slope_micro"] == 1_000_000
 
 
 class TestDenseIndexByKey:

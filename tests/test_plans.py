@@ -191,7 +191,8 @@ EXCHANGE_BUDGET = {
     # round-5 additions
     "ext_dedup_spans": 2,        # hot-gram agg + per-doc islands window
     "ext_dedup_span_removal": 3,  # + covered-position distinct
-    "agg_trend_mk": 4,           # persisted daily agg + pair join + final
+    "agg_trend_mk": 5,           # persisted daily agg + recent-days cap
+                                 # window + pair join + final
     "ext_text_fertility": 2,     # lang agg + order
     "agg_ks_stat": 9,            # persisted ECDF grid + pair join + max agg
     "agg_histogram_eqh": 2,      # rank window + cut agg
@@ -213,12 +214,24 @@ EXCHANGE_BUDGET = {
                                  # agg + bounded label window
     "sink_xml_roundtrip": 2,     # read-back distinct agg (writes are the op)
     "agg_chisq_cells": 6,        # persisted cell agg + 3 broadcast margins
-    "ext_sample_negatives": 6,   # distributed dense index (range
+    "ext_sample_contrastive": 6,  # distributed dense index (range
                                  # partitions, both join sides) + rank join
                                  # — no single-partition global window
     "win_change_points": 4,      # daily agg + delta window + median select
     "ext_text_bigram_lm": 5,     # bigram agg + head top-20 + cont window
-    "agg_theilsen": 4,           # persisted daily agg + pair join + select
+    "agg_theilsen": 5,           # persisted daily agg + recent-days cap
+                                 # window + pair join + select
+    # round-6 additions
+    "win_ewma_dyadic": 2,        # daily agg + per-key lag window
+    "win_rolling_median": 2,     # daily agg + per-key lag window
+    "win_cusum": 2,              # daily agg + ONE reused per-key
+                                 # exchange for both window passes
+    "agg_autocorr": 3,           # daily agg + lead window + final agg
+    "agg_gini_impurity": 3,      # day×type agg + day agg + order
+    "ext_text_hashtf": 1,        # one (doc, bucket) hash aggregate
+    "ext_multimodal_meta": 0,    # synth → chunk walk, fully narrow
+    "ext_eval_confusion": 1,     # single-row confusion aggregate
+    "f_uuid_md5": 0,             # pure projection
 }
 
 

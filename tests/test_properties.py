@@ -184,6 +184,57 @@ class TestExtensionLaws:
         bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1))
         assert bad.count() == 0
 
+    def test_c4_gate_zero_token_doc_cross_engine(self, spark):
+        """Empty / whitespace-only documents must gate to keep=false on
+        BOTH engines with no NULL rule flags: DuckDB ``list_sum`` over
+        an empty token list is NULL, so without the oracle's
+        ``coalesce(..., 0)`` a zero-token doc would publish
+        r_meanlen=NULL against Spark's false (VERDICT r5 #3)."""
+        import duckdb
+        import pandas as pd
+
+        from weather_data_ingestion_service_spark.ext.text import (
+            quality_gate_flags,
+        )
+        from weather_data_ingestion_service_spark.registry_r4 import _TOK_SQL
+
+        rows = [(1, ""), (2, "   \t  "), (3, "regular words " * 10)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.r_wordcount, r.r_meanlen, r.r_repetition, r.keep)
+            for r in quality_gate_flags(docs, "text").collect()
+        }
+        assert got[1] == (False, False, False, False)
+        assert got[2] == (False, False, False, False)
+        assert all(v is not None for flags in got.values() for v in flags)
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        oracle = con.execute(
+            f"""
+            WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+            u AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                          AS BIGINT) AS sum_chars
+              FROM t),
+            fr AS (
+              SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+                SELECT doc_id, tok, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+                GROUP BY doc_id, tok) GROUP BY doc_id)
+            SELECT u.doc_id,
+                   (u.n_words BETWEEN 20 AND 80) AS r_wordcount,
+                   (u.sum_chars * 1000 >= 4000 * u.n_words
+                    AND u.sum_chars * 1000 < 4900 * u.n_words) AS r_meanlen,
+                   (coalesce(fr.max_freq, 0) * 100 < 12 * u.n_words)
+                     AS r_repetition
+            FROM u LEFT JOIN fr ON u.doc_id = fr.doc_id
+            """
+        ).fetchall()
+        for doc_id, wc, ml, rep in oracle:
+            assert (wc, ml, rep) == got[doc_id][:3], f"doc {doc_id}"
+
     def test_rolling_hash_order_sensitive(self, spark):
         from weather_data_ingestion_service_spark.ext.text import fingerprints
 

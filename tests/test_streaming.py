@@ -597,6 +597,30 @@ class TestCurationSink:
 
 
 class TestTransformWithState:
+    def test_half_up_cents_matches_spark_round(self, spark):
+        """The TWS fold helper must be HALF_UP like F.round(x*100) (the
+        registry _cents convention), not pandas' half-to-even — exact
+        .5 products (0.125*100=12.5) are where they diverge.  Pure
+        fold-function check; needs no TWS runtime (ADVICE r5)."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.streaming.stateful import (
+            _half_up_cents,
+        )
+
+        vals = [0.125, 0.135, -0.125, -0.135, 1.005, 2.675, -1.005,
+                0.0, 12.345, -12.345, 0.005, -0.005]
+        # pandas default would give 12 for 0.125*100; HALF_UP gives 13
+        assert _half_up_cents(pd.Series([0.125])) == 13
+        assert _half_up_cents(pd.Series([-0.125])) == -13
+        expect = (
+            spark.createDataFrame([(v,) for v in vals], "value double")
+            .select(F.sum(F.round(F.col("value") * 100).cast("long")))
+            .collect()[0][0]
+        )
+        assert _half_up_cents(pd.Series(vals)) == expect
+
     def test_tws_plan_builds_and_runs_where_supported(self, spark):
         """Spark-4 StatefulProcessor path (transformWithStateInPandas):
         the streaming plan must CONSTRUCT (API wiring, schemas, state

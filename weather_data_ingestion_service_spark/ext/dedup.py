@@ -319,6 +319,15 @@ def minhash_lsh_pairs(
 #: driver never materializes an unbounded edge list.
 _DRIVER_CC_MAX_PAIRS = 2_000_000
 
+#: dtypes a bare cast("long") preserves exactly; anything else (string
+#: keys, UUIDs, decimals) must go through the dense-index remap
+_INTEGRAL_DTYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+
+def _integral_dtypes(df: DataFrame, *cols: str) -> bool:
+    types = dict(df.dtypes)
+    return all(types[c] in _INTEGRAL_DTYPES for c in cols)
+
 
 def dedup_clusters(
     nodes: DataFrame,
@@ -352,7 +361,59 @@ def dedup_clusters(
       extreme skew (one giant component) switch to large-star/
       small-star (Kiveris et al., "Connected Components in MapReduce"),
       which halves round count; not needed for dedup-shaped graphs.
+
+    Both strategies run on (long, long) state.  NON-INTEGRAL id types
+    (string doc keys, UUIDs) are first mapped through a dense integer
+    index in id order (``dense_index_by_key``) and mapped back at the
+    end — a bare ``cast("long")`` would turn such ids into NULL and
+    silently corrupt the edge set (ADVICE r5).  The index is monotone
+    in the id, so "minimum reachable id" survives the round trip
+    exactly.  Pair endpoints must come from ``nodes`` (the documented
+    contract); an endpoint missing there has no index and its edge is
+    dropped by the inner remap join.
     """
+    if not _integral_dtypes(pairs, "id_a", "id_b") or not _integral_dtypes(
+        nodes, id_col
+    ):
+        from .sampling import dense_index_by_key
+
+        ids = nodes.select(F.col(id_col).alias("__orig")).distinct()
+        idx = dense_index_by_key(ids, "__orig", "__ix")
+        int_pairs = (
+            pairs.join(
+                idx.select(
+                    F.col("__orig").alias("id_a"), F.col("__ix").alias("__ix_a")
+                ),
+                "id_a",
+            )
+            .join(
+                idx.select(
+                    F.col("__orig").alias("id_b"), F.col("__ix").alias("__ix_b")
+                ),
+                "id_b",
+            )
+            .select(
+                F.col("__ix_a").alias("id_a"), F.col("__ix_b").alias("id_b")
+            )
+        )
+        int_nodes = idx.select(F.col("__ix").alias("id"))
+        out = dedup_clusters(
+            int_nodes, int_pairs, "id", max_iter, driver_cc_max_pairs
+        )
+        return (
+            out.join(idx.select(F.col("__ix").alias("id"), "__orig"), "id")
+            .join(
+                idx.select(
+                    F.col("__ix").alias("cluster_id"),
+                    F.col("__orig").alias("__cluster_orig"),
+                ),
+                "cluster_id",
+            )
+            .select(
+                F.col("__orig").alias(id_col),
+                F.col("__cluster_orig").alias("cluster_id"),
+            )
+        )
     pair_edges = pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -67,7 +67,46 @@ def pagerank_int(
     collected edge list — EXACT integer arithmetic makes the driver
     and distributed paths bit-identical, so the switch is invisible in
     the result — and only above it does the per-round join loop run.
+
+    Non-integral id types (string keys) are remapped through a dense
+    integer index in id order and mapped back on output — a bare
+    ``cast("long")`` would NULL them out and corrupt the edge set
+    (ADVICE r5; same rule as ``dedup.dedup_clusters``).
     """
+    from .dedup import _integral_dtypes
+
+    if not _integral_dtypes(pairs, "id_a", "id_b"):
+        from .sampling import dense_index_by_key
+
+        ids = (
+            pairs.select(F.col("id_a").alias("__orig"))
+            .union(pairs.select(F.col("id_b").alias("__orig")))
+            .distinct()
+        )
+        idx = dense_index_by_key(ids, "__orig", "__ix")
+        int_pairs = (
+            pairs.join(
+                idx.select(
+                    F.col("__orig").alias("id_a"), F.col("__ix").alias("__ix_a")
+                ),
+                "id_a",
+            )
+            .join(
+                idx.select(
+                    F.col("__orig").alias("id_b"), F.col("__ix").alias("__ix_b")
+                ),
+                "id_b",
+            )
+            .select(
+                F.col("__ix_a").alias("id_a"), F.col("__ix_b").alias("id_b")
+            )
+        )
+        out = pagerank_int(
+            int_pairs, n_iter, damping_micro, unit, driver_max_pairs
+        )
+        return out.join(
+            idx.select(F.col("__ix").alias("id"), "__orig"), "id"
+        ).select(F.col("__orig").alias("id"), "rank_nano")
     pair_tbl = pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -299,6 +299,18 @@ def dense_index_by_key(
     Output indices are identical to
     ``row_number().over(Window.orderBy(key)) - 1`` for unique keys
     (equivalence pinned by pytest).
+
+    The partitioned frame is frozen with ``localCheckpoint(eager=True)``
+    rather than ``persist()``: correctness REQUIRES that both passes see
+    the same physical partitioning (a re-executed RangePartitioner could
+    re-sample different bounds), and a checkpoint can never be evicted
+    or recomputed the way a cache entry can; it also lives outside the
+    cache manager, so it can't be substituted into later matching plans
+    or pinned past the caller's lifetime — blocks free on GC (ADVICE
+    r5 cache-accumulation fix).  On a real cluster a lost executor loses
+    its local-checkpoint blocks; a job-critical pipeline would point
+    ``spark.checkpoint.dir`` at durable storage and use ``checkpoint()``
+    for this barrier instead.
     """
     import pandas as pd
 
@@ -309,7 +321,7 @@ def dense_index_by_key(
     part = (
         df.repartitionByRange(n_parts, F.col(key_col))
         .sortWithinPartitions(key_col)
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = {
         r["pid"]: r["n"]

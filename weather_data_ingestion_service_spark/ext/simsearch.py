@@ -1278,8 +1278,11 @@ def spearman_rho(
     d² formula: ρ = 1 − 6·Σd² / (n(n²−1)).
 
     Integer discipline: average ranks live as DOUBLED ranks
-    (2·avg = 2·cum_below + cnt + 1 — always an integer), so
-    Σ(2·Δrank)² is an exact BIGINT and ρ_micro is one exact
+    (2·avg = 2·cum_below + cnt + 1 — always an integer), and
+    Σ(2·Δrank)² is ACCUMULATED AND PUBLISHED in DECIMAL(38,0): the sum
+    is bounded by 4n³, which exceeds int64 past n ≈ 1.3M rows, where a
+    BIGINT accumulator would wrap silently on Spark while DuckDB's
+    HUGEINT path errors instead (ADVICE r5).  ρ_micro is one exact
     floor-divide on DECIMAL(38,0)/HUGEINT — no float ranks anywhere,
     identical in any engine and under any partitioning.
 
@@ -1319,20 +1322,18 @@ def spearman_rho(
     ra = ranks2("__a", "__r2a")
     rb = ranks2("__b", "__r2b")
     joined = base.join(ra, "__a").join(rb, "__b")
+    d2 = (F.col("__r2a") - F.col("__r2b")).cast("decimal(38,0)")
     agg = joined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(
-            (F.col("__r2a") - F.col("__r2b"))
-            * (F.col("__r2a") - F.col("__r2b"))
-        )
-        .cast("long")
-        .alias("sum_d2_x4"),
+        F.sum(d2 * d2).cast("decimal(38,0)").alias("sum_d2_x4"),
     )
+    # n(n²−1) likewise in decimal so the denominator can't wrap either
     return agg.select(
         "n",
         "sum_d2_x4",
         F.expr(
             "CAST(1000000 - CAST(1500000 AS DECIMAL(38,0)) * sum_d2_x4"
-            " DIV (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n * n"
+            " - CAST(n AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("rho_micro"),
     )

@@ -24,6 +24,7 @@ on the same parquet — the differential-correctness gate.  Conventions:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -114,10 +115,25 @@ def register(name: str, oracle: str | None = None):
                 f"duplicate registry id {name!r}: already registered as "
                 f"{_QUERIES[name].__module__}.{_QUERIES[name].__qualname__}"
             )
-        _QUERIES[name] = fn
+
+        # Start every registry query from an empty block-manager cache.
+        # Library operators persist() intermediates their returned lazy
+        # plans depend on, so callers can't unpersist them; across a
+        # ~50-query driver round those caches would accumulate, and a
+        # cached fragment from one query can be silently substituted
+        # into a LATER query's matching plan, flipping its size stats
+        # and broadcast decisions (ADVICE r5; CLAUDE.md cache rule).
+        # bench.py already clears before every timing sample, so this
+        # changes nothing there.
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLE[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -1390,6 +1406,7 @@ def _load_extensions() -> None:
     from . import registry_r4  # noqa: F401
     from . import registry_r4b  # noqa: F401
     from . import registry_r5  # noqa: F401
+    from . import registry_r6  # noqa: F401
 
 
 #: SURVEY.md §2-mandated ids beyond the ``ext_*`` prefix — served ahead

@@ -267,6 +267,24 @@ def sessions_stateful(
     )
 
 
+def _half_up_cents(values: "pd.Series") -> int:
+    """Exact-parity cents fold: sum of ROUND_HALF_UP(value*100) as int.
+
+    pandas' ``Series.round`` is round-half-to-EVEN (0.125*100=12.5 → 12)
+    while Spark's ``F.round`` — the registry ``_cents`` convention — is
+    HALF_UP away from zero (12.5 → 13, −12.5 → −13); folding state with
+    the pandas default silently diverges from the batch GROUP BY this
+    processor promises to equal (ADVICE r5).  ``sign·floor(|v·100|+0.5)``
+    is HALF_UP for both signs.
+    """
+    import numpy as np
+
+    scaled = values.to_numpy(dtype="float64") * 100.0
+    return int(
+        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype("int64").sum()
+    )
+
+
 def running_totals_tws(src: DataFrame) -> DataFrame:
     """Per-user running totals via Spark 4's ``transformWithState``
     (the ``StatefulProcessor`` API that replaces the
@@ -305,10 +323,7 @@ def running_totals_tws(src: DataFrame) -> DataFrame:
                 n, cents = int(prev[0]), int(prev[1])
             for pdf in rows:
                 n += len(pdf)
-                # Decimal half-up per value, matching F.round(x*100)
-                cents += int(
-                    (pdf["value"] * 100).round(0).astype("int64").sum()
-                )
+                cents += _half_up_cents(pdf["value"])
             self._totals.update((n, cents))
             yield pd.DataFrame(
                 {
