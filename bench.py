@@ -104,6 +104,12 @@ HEADLINE = [
     "ext_dedup_incremental",
     "stream_curation_pipeline",
     "ext_dedup_near",
+    # round-6 additions (r01 ⊂ … ⊂ r06): the two perceptual-hash dedup
+    # stages upgraded to oracle status this round — SimHash banding
+    # (pandas_udf fingerprints + band self-join) and the planted-PNG
+    # aHash grouping (stdlib decode in mapInPandas + hash window)
+    "ext_dedup_simhash",
+    "ext_multimodal_phash",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

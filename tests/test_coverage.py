@@ -101,21 +101,26 @@ ORACLE_IDS = {
     "sink_xml_roundtrip", "agg_chisq_cells",
     "ext_sample_contrastive", "win_change_points", "ext_text_bigram_lm",
     "agg_theilsen",
+    # round-6 additions (incl. rows-only → oracle upgrades)
+    "ext_multimodal_phash", "ext_dedup_simhash", "stream_dedup_watermark",
+    "win_ewma_dyadic", "win_rolling_median", "win_cusum", "agg_autocorr",
+    "agg_gini_impurity", "ext_text_hashtf", "ext_multimodal_meta",
+    "ext_eval_confusion", "f_uuid_md5",
 }
 
 ROWS_ONLY_IDS = {
-    "agg_approx_distinct", "ext_dedup_near", "ext_dedup_simhash",
+    "agg_approx_distinct", "ext_dedup_near",
     "ext_simsearch_lsh",
     "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily",
     "stream_stateful_latest", "ext_simsearch_ivf",
-    "stream_dedup_watermark", "ext_embed_pca",
+    "ext_embed_pca",
     "ext_simsearch_pq",
     "agg_approx_quantile", "ext_multimodal_audio",
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
-    "ext_multimodal_phash", "ext_knn_graph", "ext_multimodal_phash_near",
+    "ext_knn_graph", "ext_multimodal_phash_near",
     "stream_curation_pipeline", "ext_eval_dedup", "ext_graph_pagerank",
 }
 

@@ -691,12 +691,25 @@ def synth_png_payload(
     payload_col: str = "payload",
     width: int = 24,
     height: int = 16,
+    pattern: str = "gradient",
 ) -> DataFrame:
     """Deterministic PNG synthesis keyed on the id column — the image
-    counterpart of ``synth_wav_payload``: an RGB gradient whose phase
-    is the id, written through the stdlib PNG encoder, so the payload
-    is a genuine decodable image (not a stand-in) with zero
-    third-party codecs."""
+    counterpart of ``synth_wav_payload``: a genuine decodable image
+    (not a stand-in) written through the stdlib PNG encoder with zero
+    third-party codecs.
+
+    ``pattern="gradient"`` (default): an RGB gradient whose phase is
+    the id.  Visually plausible, but DIFFERENT ids can collide under
+    aHash — the gradient shape dominates the 8×8 block means, so the
+    phase shift often doesn't move any cell across the global-mean
+    threshold (observed: 50 gradient keys → only ~6 distinct aHashes).
+
+    ``pattern="bits"``: an 8×8 black/white block pattern taken from
+    md5(id) — each aHash cell is uniformly 0 or 255, so the hash
+    equals the md5 bits (up to packing) and distinct ids get distinct
+    hashes w.h.p.  This is the mode for planted-duplicate fixtures
+    whose contract is "same id ⇔ same hash group"."""
+    import hashlib
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -704,12 +717,25 @@ def synth_png_payload(
             for i in pdf[id_col]:
                 k = int(i)
                 px = bytearray(width * height * 3)
-                for y in range(height):
-                    for x in range(width):
-                        o = (y * width + x) * 3
-                        px[o] = (x * 255 // max(width - 1, 1) + k) % 256
-                        px[o + 1] = (y * 255 // max(height - 1, 1) + 2 * k) % 256
-                        px[o + 2] = (x + y + 3 * k) % 256
+                if pattern == "bits":
+                    h = int.from_bytes(
+                        hashlib.md5(str(k).encode("ascii")).digest()[:8],
+                        "big",
+                    )
+                    for y in range(height):
+                        cy = y * 8 // height
+                        for x in range(width):
+                            cx = x * 8 // width
+                            v = 255 if (h >> (cy * 8 + cx)) & 1 else 0
+                            o = (y * width + x) * 3
+                            px[o] = px[o + 1] = px[o + 2] = v
+                else:
+                    for y in range(height):
+                        for x in range(width):
+                            o = (y * width + x) * 3
+                            px[o] = (x * 255 // max(width - 1, 1) + k) % 256
+                            px[o + 1] = (y * 255 // max(height - 1, 1) + 2 * k) % 256
+                            px[o + 2] = (x + y + 3 * k) % 256
                 payloads.append(_encode_png_stdlib(px, width, height, 3))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].values, payload_col: payloads}
@@ -874,3 +900,79 @@ def image_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def png_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Container-level PNG metadata WITHOUT pixel decode: walk the
+    chunk list (8-byte signature, then length/type/data/crc frames)
+    and parse the big-endian IHDR header — the cheap first pass a
+    multimodal pipeline runs over billions of images to validate and
+    route payloads before spending any decompression CPU.  Corrupt or
+    truncated payloads yield NULL fields (errors as values — same
+    posture as ``image_avg_hash``); zlib streams are never inflated.
+    """
+    import struct
+
+    def metas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, ws, hs, depths, colors, nchunks, ihdrs = (
+            [], [], [], [], [], [], [],
+        )
+        for pdf in batches:
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(i))
+                try:
+                    buf = bytes(payload)
+                    if not buf.startswith(_PNG_SIG):
+                        raise ValueError("not a PNG")
+                    pos, n, meta = len(_PNG_SIG), 0, None
+                    while pos + 8 <= len(buf):
+                        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                        ctype = buf[pos + 4 : pos + 8]
+                        if pos + 12 + ln > len(buf):
+                            raise ValueError("truncated chunk")
+                        if ctype == b"IHDR":
+                            w, h, depth, color = struct.unpack(
+                                ">IIBB", buf[pos + 8 : pos + 18]
+                            )
+                            meta = (w, h, depth, color, ln)
+                        n += 1
+                        pos += 12 + ln
+                        if ctype == b"IEND":
+                            break
+                    if meta is None:
+                        raise ValueError("no IHDR")
+                    ws.append(meta[0]); hs.append(meta[1])
+                    depths.append(meta[2]); colors.append(meta[3])
+                    ihdrs.append(meta[4]); nchunks.append(n)
+                except (ValueError, TypeError, struct.error):
+                    ws.append(None); hs.append(None)
+                    depths.append(None); colors.append(None)
+                    ihdrs.append(None); nchunks.append(None)
+        yield pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="Int32"),
+                "height": pd.Series(hs, dtype="Int32"),
+                "bit_depth": pd.Series(depths, dtype="Int32"),
+                "color_type": pd.Series(colors, dtype="Int32"),
+                "n_chunks": pd.Series(nchunks, dtype="Int32"),
+                "ihdr_len": pd.Series(ihdrs, dtype="Int32"),
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bit_depth", T.IntegerType()),
+            T.StructField("color_type", T.IntegerType()),
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("ihdr_len", T.IntegerType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(metas, schema)

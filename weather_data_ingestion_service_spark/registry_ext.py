@@ -264,11 +264,54 @@ def q_ext_dedup_near(spark, sf_dir):
     )
 
 
-@register("ext_dedup_simhash")  # md5-seeded fingerprint — rows-only
+@register(
+    "ext_dedup_simhash",
+    f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM corpus),
+    th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+      FROM tok),
+    bits AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, unnest(range(0, 64)) AS r(i)
+      GROUP BY doc_id, i),
+    fpu AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0
+                 THEN CAST(1 AS HUGEINT) << i ELSE CAST(0 AS HUGEINT) END)
+               AS u
+      FROM bits GROUP BY doc_id),
+    fp AS (
+      SELECT c.doc_id,
+             coalesce(CAST(CASE WHEN u >= (CAST(1 AS HUGEINT) << 63)
+                           THEN u - (CAST(1 AS HUGEINT) << 64)
+                           ELSE u END AS BIGINT), 0) AS f
+      FROM corpus c LEFT JOIN fpu ON c.doc_id = fpu.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
+)
 def q_ext_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs within Hamming distance 3, banded
     candidate generation (4×16-bit) — the guaranteed-recall setting
-    (max_hamming <= bands-1: a qualifying pair must share a band)."""
+    (max_hamming <= bands-1: a qualifying pair must share a band).
+
+    ORACLE (round-6 upgrade): the md5-seeded fingerprint is restated
+    bit-for-bit in SQL (token md5 → first 8 bytes big-endian → ±1 bit
+    votes per OCCURRENCE → sign threshold → two's-complement int64),
+    and because bands ≥ max_hamming+1 guarantees candidate recall and
+    the Hamming verifier is exact, the banded Spark output must equal
+    the oracle's brute-force all-pairs join exactly — the banding
+    contract, checked as an oracle rather than pinned fixtures."""
     return simhash_pairs(
         _near_dup_corpus(spark, sf_dir), "doc_id", "text", max_hamming=3, bands=4
     )
@@ -1415,11 +1458,24 @@ def q_ext_multimodal_resize(spark, sf_dir):
     return resize_images(payloads, "doc_id", "payload")
 
 
-@register("stream_dedup_watermark")  # genuinely streaming — rows-only
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
 def q_stream_dedup_watermark(spark, sf_dir):
     """dropDuplicatesWithinWatermark over a streamed events source:
     key-dedup tolerating restamped duplicate arrivals, state bounded by
-    the 4-day archive-lag watermark (availableNow → memory)."""
+    the 4-day archive-lag watermark (availableNow → memory).
+
+    ORACLE (round-6 upgrade, batch twin): event_id is unique in the
+    events table, so the streamed dedup must pass every event through
+    EXACTLY once with all columns byte-identical — the oracle is the
+    table itself, and any duplicate emission, drop, or column mangling
+    in the streaming path hash-fails.  The with-duplicates semantics
+    (first arrival wins, restamped ts tolerated, state expiry) stay
+    pinned by the planted-duplicate tests in tests/test_streaming.py."""
     from .streaming.jobs import dedup_within_watermark, run_stream_to_memory
     from .streaming.jobs import streaming_events_source
 

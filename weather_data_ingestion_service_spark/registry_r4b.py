@@ -1092,8 +1092,14 @@ def _planted_image_hashes(spark, sf_dir):
     keys = docs.select(
         (F.col("doc_id") % 50).cast("long").alias("img_key")
     ).distinct()
+    # pattern="bits": per-key md5-derived block images, so distinct
+    # keys get DISTINCT aHashes (the default gradient collides — ~6
+    # hashes for 50 keys — which would merge planted groups and break
+    # the "same payload ⇔ same doc_id % 50 group" oracle contract)
     imgs = synth_png_payload(
-        keys.withColumnRenamed("img_key", "doc_id"), id_col="doc_id"
+        keys.withColumnRenamed("img_key", "doc_id"),
+        id_col="doc_id",
+        pattern="bits",
     ).withColumnRenamed("doc_id", "img_key")
     payloads = docs.withColumn(
         "img_key", (F.col("doc_id") % 50).cast("long")
@@ -1103,7 +1109,18 @@ def _planted_image_hashes(spark, sf_dir):
     )
 
 
-@register("ext_multimodal_phash")  # perceptual hash over binary payloads — rows-only
+@register(
+    "ext_multimodal_phash",
+    """
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY doc_id % 50) AS group_rep,
+           (doc_id = min(doc_id) OVER (PARTITION BY doc_id % 50))
+             AS is_canonical,
+           CAST(count(*) OVER (PARTITION BY doc_id % 50) AS BIGINT)
+             AS group_size
+    FROM documents
+    """,
+)
 def q_ext_multimodal_phash(spark, sf_dir):
     """Image dedup by perceptual average-hash: synthesize real PNG
     payloads keyed on doc_id mod 50 (so every ~10 docs share an
@@ -1112,12 +1129,22 @@ def q_ext_multimodal_phash(spark, sf_dir):
     representative per hash group — dedup as a hash GROUP BY, no
     pixel-level comparison.  See ext/multimodal.image_avg_hash.
     Payload synthesis delegates to _planted_image_hashes so both phash
-    queries share the one planted-duplicate structure."""
+    queries share the one planted-duplicate structure.
+
+    ORACLE (round-6 upgrade, the ext_multimodal_decode restatement
+    pattern): the planted structure makes the aHash GROUPS a pure
+    function of doc_id — identical payload ⇔ same doc_id mod 50 — so
+    the published group structure (representative, canonical flag,
+    size) is restated relationally over doc_id % 50.  The Spark side
+    still derives it from the REAL decoded hashes (grouping by
+    ``ahash``), so a decode nondeterminism splitting a group or a hash
+    collision merging two would hash-fail; the 64-bit hash VALUES
+    themselves stay pinned by the multimodal pytest fixtures."""
     hashed = _planted_image_hashes(spark, sf_dir)
     w = Window.partitionBy("ahash")
     return hashed.select(
         "doc_id",
-        "ahash",
+        F.min("doc_id").over(w).alias("group_rep"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )

@@ -1,0 +1,531 @@
+"""Round-6 registry additions.
+
+Cross-engine compare rules are documented at the top of registry.py —
+every oracle-paired entry here follows them (exact integer arithmetic,
+no float folds, deterministic tie-breaks).  All divisions in this
+module have NON-NEGATIVE numerators (events.value ≥ 0, counts ≥ 0), so
+DuckDB's floor `//` and Spark's truncating `DIV` agree without the
+theilsen-style sign CASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from .io import load_table
+from .registry import _register_new_this_round, register
+from .registry_r4 import _TOK_SQL, _tok
+
+#: daily cents per event type — the shared series the trend/window
+#: operators below run over (same SQL shape agg_trend_mk uses)
+_DAILY_SQL = """
+    d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2)
+"""
+
+
+def _daily(spark, sf_dir):
+    from .registry import _cents
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+
+
+# =====================================================================
+# A. Dyadic-weight EWMA (exact integer smoothing)
+# =====================================================================
+
+
+@register(
+    "win_ewma_dyadic",
+    f"""
+    WITH {_DAILY_SQL},
+    l AS (
+      SELECT event_type, day,
+             lag(cents, 0) OVER w AS c0, lag(cents, 1) OVER w AS c1,
+             lag(cents, 2) OVER w AS c2, lag(cents, 3) OVER w AS c3,
+             lag(cents, 4) OVER w AS c4, lag(cents, 5) OVER w AS c5,
+             lag(cents, 6) OVER w AS c6, lag(cents, 7) OVER w AS c7,
+             lag(cents, 8) OVER w AS c8, lag(cents, 9) OVER w AS c9
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day,
+           CAST(CAST(c0 * 512 + c1 * 256 + c2 * 128 + c3 * 64 + c4 * 32
+                     + c5 * 16 + c6 * 8 + c7 * 4 + c8 * 2 + c9
+                AS HUGEINT) * 1000000 // 1023 AS BIGINT) AS ewma_micro
+    FROM l WHERE c9 IS NOT NULL
+    """,
+)
+def q_win_ewma_dyadic(spark, sf_dir):
+    """Exponentially weighted moving average with EXACT integer state:
+    dyadic weights 2⁹…2⁰ over the last 10 daily observations
+    (α = 1/2 truncated at depth 10), so the weighted sum is one
+    integer dot product and ewma_micro is a single exact floor-divide
+    by 2¹⁰−1 — none of float EWMA's order-of-summation drift.  Rows
+    need a full 10-row history (lag-9 non-null).  Scale shape: a
+    per-key row window over the tiny daily aggregate; the raw-events
+    pass is the only full-data scan."""
+    d = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = F.col("cents") * (1 << 9)
+    for j in range(1, 10):
+        num = num + F.lag("cents", j).over(w) * (1 << (9 - j))
+    return (
+        d.select(
+            "event_type",
+            "day",
+            num.alias("num"),
+            F.lag("cents", 9).over(w).alias("c9"),
+        )
+        .filter(F.col("c9").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV 1023"
+                " AS BIGINT)"
+            ).alias("ewma_micro"),
+        )
+    )
+
+
+# =====================================================================
+# B. Rolling exact median (order-statistic window)
+# =====================================================================
+
+
+@register(
+    "win_rolling_median",
+    f"""
+    WITH {_DAILY_SQL},
+    l AS (
+      SELECT event_type, day,
+             lag(cents, 4) OVER w AS c4,
+             list_sort([lag(cents, 4) OVER w, lag(cents, 3) OVER w,
+                        lag(cents, 2) OVER w, lag(cents, 1) OVER w,
+                        cents]) AS arr
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, CAST(arr[3] AS BIGINT) AS med5_cents
+    FROM l WHERE c4 IS NOT NULL
+    """,
+)
+def q_win_rolling_median(spark, sf_dir):
+    """Rolling EXACT median of the last 5 daily cents values per key:
+    the 5-element window is materialized as a sorted array and the
+    median is the 3rd order statistic — selection, never
+    interpolation, so the result is engine- and
+    partitioning-independent (the CLAUDE.md median rule applied to a
+    moving frame).  Full windows only (lag-4 non-null)."""
+    d = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    arr = F.array_sort(
+        F.array(
+            F.lag("cents", 4).over(w),
+            F.lag("cents", 3).over(w),
+            F.lag("cents", 2).over(w),
+            F.lag("cents", 1).over(w),
+            F.col("cents"),
+        )
+    )
+    return (
+        d.select(
+            "event_type",
+            "day",
+            arr.alias("arr"),
+            F.lag("cents", 4).over(w).alias("c4"),
+        )
+        .filter(F.col("c4").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.col("arr").getItem(2).cast("long").alias("med5_cents"),
+        )
+    )
+
+
+# =====================================================================
+# C. CUSUM drift detector (division-free integer deviations)
+# =====================================================================
+
+
+@register(
+    "win_cusum",
+    f"""
+    WITH {_DAILY_SQL},
+    t AS (
+      SELECT event_type, day, cents,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM d)
+    SELECT event_type, day,
+           CAST(sum(n * cents - s) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cusum_scaled
+    FROM t
+    """,
+)
+def q_win_cusum(spark, sf_dir):
+    """CUSUM drift detector per event type, DIVISION-FREE: instead of
+    accumulating float deviations from the mean, accumulate
+    ``n·cᵤ − S`` (deviation scaled by the key's row count n), which is
+    an exact integer and proportional to the classical CUSUM by the
+    constant n — zero crossings and extrema land on the same days.
+    Bound: |cusum_scaled| ≤ n·Σ|c|, inside int64 for any daily series
+    whose total cents fit in ~2⁴³; the two global per-key aggregates
+    ride the same window pass as the cumulative sum."""
+    d = _daily(spark, sf_dir)
+    wk = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(wk).cast("long").alias("n"),
+        F.sum("cents").over(wk).cast("long").alias("s"),
+    )
+    return t.select(
+        "event_type",
+        "day",
+        F.sum(F.col("n") * F.col("cents") - F.col("s"))
+        .over(wc)
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+
+
+# =====================================================================
+# D. Lag-1 autocorrelation moments (exact DECIMAL accumulators)
+# =====================================================================
+
+
+@register(
+    "agg_autocorr",
+    f"""
+    WITH {_DAILY_SQL},
+    p AS (
+      SELECT event_type, cents AS x,
+             lead(cents) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM d),
+    q AS (SELECT * FROM p WHERE y IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sum_x,
+           CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sum_y,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_xy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sum_xx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_yy
+    FROM q GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily cents series per event type,
+    published as the EXACT integer moment table (n, Σx, Σy, Σxy, Σx²,
+    Σy²) rather than the float ρ — the moments are associative
+    DECIMAL(38,0) sums (cents² × days exceeds int64 at warehouse
+    scale — the spearman lesson), engine-identical, and ρ is one
+    driver-side formula away for any consumer.  The consecutive-day
+    pairing is a lead() row window, no self-join."""
+    d = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = d.select(
+        "event_type",
+        F.col("cents").alias("x"),
+        F.lead("cents").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(dec("x")).cast("decimal(38,0)").alias("sum_x"),
+            F.sum(dec("y")).cast("decimal(38,0)").alias("sum_y"),
+            F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sum_xy"),
+            F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sum_xx"),
+            F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("sum_yy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# E. Gini impurity of the event-type mix per day
+# =====================================================================
+
+
+@register(
+    "agg_gini_impurity",
+    """
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT day, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS ss
+      FROM c GROUP BY day)
+    SELECT day, n,
+           CAST((CAST(n AS HUGEINT) * n - ss) * 1000000
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_micro
+    FROM t ORDER BY day
+    """,
+)
+def q_agg_gini_impurity(spark, sf_dir):
+    """Gini impurity of the event-type mix per day in exact integer
+    micro-units: 1 − Σ(nᵢ/n)² = (n² − Σnᵢ²)/n², cleared of fractions
+    before the single floor-divide (numerator is non-negative, so
+    floor == truncate on both engines).  The mixture-health signal a
+    data pipeline tracks per shard/day; two map-side-combinable
+    aggregates, no window."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = c.groupBy("day").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    return t.select(
+        "day",
+        "n",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * n - ss) * 1000000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("gini_micro"),
+    ).orderBy("day")
+
+
+# =====================================================================
+# F. Feature-hashing term frequencies (portable hashing trick)
+# =====================================================================
+
+
+@register(
+    "ext_text_hashtf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5(tok), 1, 13) AS BIGINT) % 16
+                AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def q_ext_text_hashtf(spark, sf_dir):
+    """Feature-hashing term frequencies (the hashing trick behind
+    Spark MLlib's HashingTF, restated with an ENGINE-PORTABLE hash):
+    bucket = first 52 bits of md5(token) mod 16, counts per (doc,
+    bucket) — fixed-width feature vectors with no vocabulary pass, the
+    property that makes the trick work on an unbounded 100 TB token
+    stream.  Entirely JVM-side (md5/conv/explode), one hash aggregate;
+    same md5-prefix convention as ext_sample_contrastive."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tok()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 13), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return tok.groupBy("doc_id", bucket.cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+# =====================================================================
+# G. PNG container metadata (chunk walk, no pixel decode)
+# =====================================================================
+
+
+@register(
+    "ext_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(16 + (doc_id % 5) * 8 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST(3 AS INT) AS n_chunks,
+           CAST(13 AS INT) AS ihdr_len
+    FROM documents
+    """,
+)
+def q_ext_multimodal_meta(spark, sf_dir):
+    """PNG container metadata at scan speed: walk the chunk framing
+    and parse the big-endian IHDR — dimensions, bit depth, color type,
+    chunk count — WITHOUT inflating any zlib stream; the validation/
+    routing pass a multimodal pipeline runs before spending decode
+    CPU.  Payload synthesis varies the width per doc (16 + (doc_id mod
+    5)·8), so the oracle restates the parsed header as a pure function
+    of doc_id — a wrong endianness, chunk-walk off-by-one, or
+    signature check would hash-fail.  See ext/multimodal.png_meta."""
+    from .ext.multimodal import png_meta, synth_png_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        synth_png_payload(
+            docs.filter(F.col("doc_id") % 5 == k), width=16 + k * 8
+        )
+        for k in range(5)
+    ]
+    payloads = parts[0]
+    for p in parts[1:]:
+        payloads = payloads.unionByName(p)
+    return png_meta(payloads, "doc_id", "payload")
+
+
+# =====================================================================
+# H. Confusion-matrix eval of a cheap gate vs the C4 gate
+# =====================================================================
+
+
+@register(
+    "ext_eval_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOK_SQL} AS w FROM documents),
+    u AS (
+      SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_chars
+      FROM t),
+    fr AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+        GROUP BY doc_id, tok) GROUP BY doc_id),
+    g AS (
+      SELECT u.doc_id,
+             ((u.n_words BETWEEN 20 AND 80)
+              AND u.sum_chars * 1000 >= 4000 * u.n_words
+              AND u.sum_chars * 1000 < 4900 * u.n_words
+              AND coalesce(fr.max_freq, 0) * 100 < 12 * u.n_words) AS truth,
+             (u.n_chars BETWEEN 150 AND 350) AS pred
+      FROM u LEFT JOIN fr ON u.doc_id = fr.doc_id),
+    m AS (
+      SELECT CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM g)
+    SELECT tp, fp, fn, tn,
+           CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT)
+             AS precision_micro,
+           CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT)
+             AS recall_micro,
+           CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT)
+             AS f1_micro
+    FROM m
+    """,
+)
+def q_ext_eval_confusion(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1 of a CHEAP filter (char
+    count in [150, 350]) against the full C4 quality gate as truth —
+    the eval a pipeline runs before swapping an expensive gate for a
+    cheap prefilter.  Truth comes from the SHARED quality_gate_flags
+    implementation (the same one ext_filter_c4 / the curation funnel
+    use, so gate semantics can't drift); all rates are exact integer
+    micro-units with greatest(,1) zero guards (numerators
+    non-negative, so // == DIV)."""
+    from .ext.text import quality_gate_flags
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    g = quality_gate_flags(docs, "text").select(
+        F.col("keep").alias("truth"),
+        F.col("n_chars").between(150, 350).alias("pred"),
+    )
+    m = g.agg(
+        F.sum(F.when(F.col("truth") & F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(~F.col("truth") & F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("truth") & ~F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("truth") & ~F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(tp * 1000000 DIV greatest(tp + fp, 1) AS BIGINT)").alias(
+            "precision_micro"
+        ),
+        F.expr("CAST(tp * 1000000 DIV greatest(tp + fn, 1) AS BIGINT)").alias(
+            "recall_micro"
+        ),
+        F.expr(
+            "CAST(2 * tp * 1000000 DIV greatest(2 * tp + fp + fn, 1)"
+            " AS BIGINT)"
+        ).alias("f1_micro"),
+    )
+
+
+# =====================================================================
+# I. Deterministic content-addressed ids (md5 UUID format)
+# =====================================================================
+
+
+@register(
+    "f_uuid_md5",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('doc:' || CAST(doc_id AS VARCHAR)) AS x
+      FROM documents)
+    SELECT doc_id,
+           substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-' ||
+           substr(x, 13, 4) || '-' || substr(x, 17, 4) || '-' ||
+           substr(x, 21, 12) AS doc_uuid
+    FROM h
+    """,
+)
+def q_f_uuid_md5(spark, sf_dir):
+    """Deterministic content-addressed row ids: the md5 of a
+    namespaced key formatted in the canonical 8-4-4-4-12 UUID
+    grouping — reproducible across engines/runs/partitionings, unlike
+    ``uuid()`` (random) or ``monotonically_increasing_id()``
+    (partition-layout-dependent), which is what makes it usable as a
+    join key written by independent pipeline stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.md5(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.substring(x, 1, 8),
+            F.substring(x, 9, 4),
+            F.substring(x, 13, 4),
+            F.substring(x, 17, 4),
+            F.substring(x, 21, 12),
+        ).alias("doc_uuid"),
+    )
+
+
+_register_new_this_round(
+    "win_ewma_dyadic",
+    "win_rolling_median",
+    "win_cusum",
+    "agg_autocorr",
+    "agg_gini_impurity",
+    "ext_text_hashtf",
+    "ext_multimodal_meta",
+    "ext_eval_confusion",
+    "f_uuid_md5",
+)
