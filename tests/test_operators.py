@@ -1428,6 +1428,51 @@ class TestImageAvgHash:
         row = image_avg_hash(df, "doc_id", "payload").collect()[0]
         assert row["ahash"] is None and row["width"] is None
 
+    def test_bits_pattern_gives_distinct_hashes_per_key(self, spark):
+        """The planted-duplicate contract (round 6): pattern='bits'
+        must give DISTINCT aHashes for distinct keys — the default
+        gradient collides (~6 hashes for 50 keys), which silently
+        merged planted groups before the phash oracle caught it."""
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            image_avg_hash,
+            synth_png_payload,
+        )
+
+        keys = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+        imgs = synth_png_payload(keys, pattern="bits")
+        hashes = [
+            r["ahash"]
+            for r in image_avg_hash(imgs, "doc_id", "payload").collect()
+        ]
+        assert len(hashes) == 50
+        assert len(set(hashes)) == 50
+        assert all(h is not None for h in hashes)
+
+    def test_png_meta_parses_header_and_survives_corruption(self, spark):
+        """png_meta: IHDR fields parsed without pixel decode; corrupt,
+        truncated, and NULL payloads yield NULL fields, never task
+        failures (errors as values)."""
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            png_meta,
+            synth_png_payload,
+        )
+
+        ids = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+        good = synth_png_payload(ids, width=32, height=8).collect()
+        rows = [(r["doc_id"], bytes(r["payload"])) for r in good]
+        rows.append((90, b"not a png at all"))
+        rows.append((91, rows[0][1][:20]))  # truncated mid-IHDR-chunk
+        rows.append((92, None))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r["doc_id"]: r for r in png_meta(df, "doc_id", "payload").collect()}
+        for i in range(3):
+            r = got[i]
+            assert (r["width"], r["height"]) == (32, 8)
+            assert (r["bit_depth"], r["color_type"]) == (8, 2)
+            assert (r["n_chunks"], r["ihdr_len"]) == (3, 13)
+        for bad in (90, 91, 92):
+            assert got[bad]["width"] is None and got[bad]["n_chunks"] is None
+
 
 class TestCompaction:
     def test_compaction_reduces_file_count_and_keeps_rows(self, spark, sf_dir):

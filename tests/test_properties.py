@@ -504,6 +504,30 @@ class TestTrainingDataTextOps:
                 assert -127 <= qi <= 127
 
 
+class TestHashTfLaws:
+    def test_bucket_range_and_mass_conservation(self, spark, sf_dir):
+        """Feature-hashing TF: every bucket in [0, 16) and the per-doc
+        tf mass equals the doc's token count — the hashing trick drops
+        no occurrences."""
+        from weather_data_ingestion_service_spark import registry
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.registry_r4 import _tok
+
+        out = registry.queries()["ext_text_hashtf"](spark, sf_dir)
+        bad = out.filter((F.col("bucket") < 0) | (F.col("bucket") >= 16))
+        assert bad.count() == 0
+        mass = out.groupBy("doc_id").agg(F.sum("tf").alias("mass"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(_tok()).cast("long").alias("n_tok")
+        )
+        diff = (
+            mass.join(docs, "doc_id")
+            .filter(F.col("mass") != F.col("n_tok"))
+            .count()
+        )
+        assert diff == 0
+
+
 class TestCosineTopkBroadcastGuard:
     def test_large_query_side_fails_loudly(self, spark, sf_dir):
         from weather_data_ingestion_service_spark.ext.simsearch import cosine_topk
