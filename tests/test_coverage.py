@@ -105,7 +105,8 @@ ORACLE_IDS = {
     "ext_multimodal_phash", "ext_dedup_simhash", "stream_dedup_watermark",
     "win_ewma_dyadic", "win_rolling_median", "win_cusum", "agg_autocorr",
     "agg_gini_impurity", "ext_text_hashtf", "ext_multimodal_meta",
-    "ext_eval_confusion", "f_uuid_md5",
+    "ext_eval_confusion", "f_uuid_md5", "f_morton_z", "win_anomaly_iqr",
+    "agg_winsorized_mean", "ext_graph_pagerank", "stream_stateful_latest",
 }
 
 ROWS_ONLY_IDS = {
@@ -113,7 +114,7 @@ ROWS_ONLY_IDS = {
     "ext_simsearch_lsh",
     "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily",
-    "stream_stateful_latest", "ext_simsearch_ivf",
+    "ext_simsearch_ivf",
     "ext_embed_pca",
     "ext_simsearch_pq",
     "agg_approx_quantile", "ext_multimodal_audio",
@@ -121,7 +122,7 @@ ROWS_ONLY_IDS = {
     "ext_text_compression", "ext_tokenizer_bpe",
     "stream_sessionize_stateful", "ext_tokenizer_apply",
     "ext_knn_graph", "ext_multimodal_phash_near",
-    "stream_curation_pipeline", "ext_eval_dedup", "ext_graph_pagerank",
+    "stream_curation_pipeline", "ext_eval_dedup",
 }
 
 

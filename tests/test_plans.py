@@ -232,6 +232,11 @@ EXCHANGE_BUDGET = {
     "ext_multimodal_meta": 0,    # synth → chunk walk, fully narrow
     "ext_eval_confusion": 1,     # single-row confusion aggregate
     "f_uuid_md5": 0,             # pure projection
+    "f_morton_z": 0,             # pure projection (bit interleave)
+    "win_anomaly_iqr": 3,        # daily agg + rank window + fence agg
+                                 # (bounds join back via broadcast)
+    "agg_winsorized_mean": 5,    # daily agg + rank window + bounds agg
+                                 # + final per-key agg + output sort
 }
 
 

@@ -967,11 +967,27 @@ def q_stream_window_sliding(spark, sf_dir):
     )
 
 
-@register("stream_stateful_latest")  # managed-state streaming — rows-only
+@register(
+    "stream_stateful_latest",
+    """
+    WITH e AS (
+      SELECT event_id % 100 AS key, ts, value FROM events),
+    m AS (SELECT key, max(ts) AS ts FROM e GROUP BY key)
+    SELECT e.key, e.ts, e.value
+    FROM e JOIN m USING (key, ts)
+    """,
+)
 def q_stream_stateful_latest(spark, sf_dir):
     """applyInPandasWithState keep-latest-per-key over a streamed
     events source (availableNow → memory): true engine-managed state
-    for the revision-supersedence semantics (reference server.py:304)."""
+    for the revision-supersedence semantics (reference server.py:304).
+
+    ORACLE (round-6 upgrade, batch twin): (key, ts) is tie-free in the
+    fixtures and the file source delivers the single events.parquet as
+    ONE micro-batch, so the update-mode memory sink holds exactly the
+    per-key max-ts rows — the relational argmax.  Multi-batch replays
+    (maxFilesPerTrigger) and cross-batch supersedence stay pinned by
+    tests/test_streaming.py, where arrival order is controlled."""
     from .streaming.jobs import run_stream_to_memory, streaming_events_source
     from .streaming.stateful import latest_per_key_stateful
 

@@ -2251,7 +2251,42 @@ def q_ext_graph_degree(spark, sf_dir):
     )
 
 
-@register("ext_graph_pagerank")  # iterative integer-state — rows-only
+@register(
+    "ext_graph_pagerank",
+    f"""
+    WITH RECURSIVE {_NEAR_DUP_CORPUS_SQL},
+    {_NGRAM_PAIRS_SQL},
+    edges AS (
+      SELECT id_a, id_b FROM pairs
+      JOIN cnt ca ON pairs.id_a = ca.id
+      JOIN cnt cb ON pairs.id_b = cb.id
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5
+    ),
+    ed AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    pr AS (
+      SELECT 0 AS it, d.src AS id,
+             CAST(1000000000 // nn.n AS BIGINT) AS rank
+      FROM deg d, nn
+      UNION ALL
+      SELECT pr.it + 1, ed.dst AS id,
+             CAST(150000000 // nn.n
+                  + CAST(sum(pr.rank // d.deg) AS HUGEINT) * 850000 // 1000000
+               AS BIGINT) AS rank
+      FROM pr
+      JOIN ed ON pr.id = ed.src
+      JOIN deg d ON d.src = pr.id, nn
+      WHERE pr.it < 10
+      GROUP BY pr.it, ed.dst, nn.n
+    )
+    SELECT id, rank AS rank_nano FROM pr WHERE it = 10
+    """,
+)
 def q_ext_graph_pagerank(spark, sf_dir):
     """PageRank over the near-dup graph with EXACT INTEGER state
     (1e-9-unit ranks, floor-div contributions): the result is a pure
@@ -2259,7 +2294,15 @@ def q_ext_graph_pagerank(spark, sf_dir):
     and cluster sizes, unlike float PageRank whose summation order
     drifts.  10 rounds, one join+agg per round, no driver collect.
     Hand-computed two/three-node fixtures and a partitioning-
-    independence pin live in pytest.  See ext/graph.pagerank_int."""
+    independence pin live in pytest.  See ext/graph.pagerank_int.
+
+    ORACLE (round-6 upgrade, the BFD recursive-CTE precedent): exact
+    integer state means the whole iteration is restatable — the oracle
+    rebuilds the same Jaccard-0.5 edge set relationally (shared with
+    ext_graph_degree) and replays all 10 rounds in a WITH RECURSIVE
+    with the identical teleport/floor-div/damping arithmetic, so every
+    rank must match bit-for-bit (all operands non-negative → // and
+    DIV agree)."""
     from .ext.dedup import ngram_jaccard_pairs
     from .ext.graph import pagerank_int
     from .registry_ext import _near_dup_corpus

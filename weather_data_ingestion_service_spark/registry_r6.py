@@ -518,6 +518,196 @@ def q_f_uuid_md5(spark, sf_dir):
     )
 
 
+# =====================================================================
+# J. Morton / Z-order spatial clustering key (exact bit interleave)
+# =====================================================================
+
+#: Σ_i ((x>>i)&1)<<2i  |  ((y>>i)&1)<<(2i+1) — spelled out so both
+#: engines run the identical 16-term integer expression
+_MORTON_TERMS = " + ".join(
+    f"(((tile_x >> {i}) & 1) * {1 << (2 * i)})"
+    f" + (((tile_y >> {i}) & 1) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+
+@register(
+    "f_morton_z",
+    f"""
+    WITH t AS (
+      SELECT c_custkey,
+             CAST(floor((CAST(c_custkey % 500 AS DOUBLE) - 200.0 + 180.0)
+                  / 360.0 * 256.0) AS BIGINT) AS tile_x,
+             CAST(floor((90.0 - c_acctbal / 60.0) / 180.0 * 256.0)
+               AS BIGINT) AS tile_y
+      FROM customer
+      WHERE c_acctbal / 60.0 BETWEEN -90 AND 90
+        AND CAST(c_custkey % 500 AS DOUBLE) - 200.0 BETWEEN -180 AND 180)
+    SELECT c_custkey, tile_x, tile_y,
+           CAST({_MORTON_TERMS} AS BIGINT) AS z_key
+    FROM t
+    """,
+)
+def q_f_morton_z(spark, sf_dir):
+    """Morton (Z-order) key over the zoom-8 tile grid: interleave the
+    8 bits of tile_x and tile_y into one 16-bit key — the spatial
+    CLUSTERING key for data skipping: range-partitioning and sorting
+    writes by z_key keeps spatially-near rows in the same parquet row
+    groups, so a lat/lon box predicate prunes via min/max statistics
+    (the Z-ordering trick behind Delta/Iceberg OPTIMIZE, as a plain
+    column).  Exact 16-term integer bit expression, identical on both
+    engines; same tile derivation as f_geo_tile."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") / 60.0).alias("lat"),
+        ((F.col("c_custkey") % 500).cast("double") - 200.0).alias("lon"),
+    )
+    z = 256.0
+    t = cust.filter(
+        F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180)
+    ).select(
+        "c_custkey",
+        F.floor((F.col("lon") + 180.0) / 360.0 * z).cast("long").alias("tile_x"),
+        F.floor((90.0 - F.col("lat")) / 180.0 * z).cast("long").alias("tile_y"),
+    )
+    return t.select(
+        "c_custkey",
+        "tile_x",
+        "tile_y",
+        F.expr(f"CAST({_MORTON_TERMS} AS BIGINT)").alias("z_key"),
+    )
+
+
+# =====================================================================
+# K. IQR anomaly flags (exact rank-selected quartiles)
+# =====================================================================
+
+
+@register(
+    "win_anomaly_iqr",
+    f"""
+    WITH {_DAILY_SQL},
+    r AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    q AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+             min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+      FROM r GROUP BY event_type)
+    SELECT r.event_type, r.day, r.cents,
+           (r.cents < q.q1 - 3 * (q.q3 - q.q1) // 2) AS is_low,
+           (r.cents > q.q3 + 3 * (q.q3 - q.q1) // 2) AS is_high
+    FROM r JOIN q ON r.event_type = q.event_type
+    """,
+)
+def q_win_anomaly_iqr(spark, sf_dir):
+    """Tukey-fence anomaly flags per key: quartiles are SELECTED at
+    explicit ranks ceil(n/4) and ceil(3n/4) under the (cents, day)
+    total order — never interpolated (the CLAUDE.md quantile rule) —
+    and the 1.5·IQR fences are exact integers (3·IQR DIV 2, IQR ≥ 0 so
+    floor == truncate).  One rank window over the tiny daily table
+    plus a per-key broadcastable quartile join-back."""
+    d = _daily(spark, sf_dir)
+    wr = Window.partitionBy("event_type").orderBy("cents", "day")
+    wn = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("cents"))).alias("q1"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("cents"))
+        ).alias("q3"),
+    )
+    fence = F.expr("3 * (q3 - q1) DIV 2")
+    return r.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "day",
+        "cents",
+        (F.col("cents") < F.col("q1") - fence).alias("is_low"),
+        (F.col("cents") > F.col("q3") + fence).alias("is_high"),
+    )
+
+
+# =====================================================================
+# L. Winsorized mean (robust location, exact clamps)
+# =====================================================================
+
+
+@register(
+    "agg_winsorized_mean",
+    f"""
+    WITH {_DAILY_SQL},
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    b AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS lo,
+             min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS hi
+      FROM r GROUP BY event_type)
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(b.lo) AS BIGINT) AS lo_cents,
+           CAST(min(b.hi) AS BIGINT) AS hi_cents,
+           CAST(sum(least(greatest(r.cents, b.lo), b.hi)) * 1000000
+                // count(*) AS BIGINT) AS wmean_micro
+    FROM r JOIN b ON r.event_type = b.event_type
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+)
+def q_agg_winsorized_mean(spark, sf_dir):
+    """Winsorized mean of the daily cents series per key: clamp to the
+    rank-SELECTED 5th/95th percentile values (ranks ceil(n/20),
+    ceil(19n/20) under the (cents, day) total order — selection, not
+    interpolation) and publish the exact integer micro-mean — the
+    robust location estimate a metrics pipeline prefers over the
+    outlier-dragged mean.  Same rank-window + broadcast bounds shape
+    as win_anomaly_iqr."""
+    d = _daily(spark, sf_dir)
+    wr = Window.partitionBy("event_type").orderBy("cents", "day")
+    wn = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("cents"))
+        ).alias("hi"),
+    )
+    return (
+        r.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min("lo").cast("long").alias("lo_cents"),
+            F.min("hi").cast("long").alias("hi_cents"),
+            F.expr(
+                "CAST(sum(least(greatest(cents, lo), hi)) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("wmean_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
     "win_ewma_dyadic",
     "win_rolling_median",
@@ -528,4 +718,7 @@ _register_new_this_round(
     "ext_multimodal_meta",
     "ext_eval_confusion",
     "f_uuid_md5",
+    "f_morton_z",
+    "win_anomaly_iqr",
+    "agg_winsorized_mean",
 )
