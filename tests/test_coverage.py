@@ -107,6 +107,7 @@ ORACLE_IDS = {
     "agg_gini_impurity", "ext_text_hashtf", "ext_multimodal_meta",
     "ext_eval_confusion", "f_uuid_md5", "f_morton_z", "win_anomaly_iqr",
     "agg_winsorized_mean", "ext_graph_pagerank", "stream_stateful_latest",
+    "stream_sessionize_stateful", "ext_multimodal_phash_near",
 }
 
 ROWS_ONLY_IDS = {
@@ -120,8 +121,8 @@ ROWS_ONLY_IDS = {
     "agg_approx_quantile", "ext_multimodal_audio",
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",
-    "stream_sessionize_stateful", "ext_tokenizer_apply",
-    "ext_knn_graph", "ext_multimodal_phash_near",
+    "ext_tokenizer_apply",
+    "ext_knn_graph",
     "stream_curation_pipeline", "ext_eval_dedup",
 }
 

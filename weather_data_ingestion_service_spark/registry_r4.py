@@ -1615,14 +1615,47 @@ def q_win_resample_interp(spark, sf_dir):
     )
 
 
-@register("stream_sessionize_stateful")  # managed-state streaming — rows-only
+@register(
+    "stream_sessionize_stateful",
+    """
+    WITH e AS (SELECT user_id AS key, ts FROM events),
+    s AS (
+      SELECT key, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY key ORDER BY ts)),
+    g AS (
+      SELECT key, ts,
+             sum(brk) OVER (PARTITION BY key ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM s),
+    sess AS (
+      SELECT key, sid, min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY key, sid),
+    x AS (
+      SELECT sess.*, max(sid) OVER (PARTITION BY key) AS last_sid FROM sess)
+    SELECT key, session_start, session_end, n_events
+    FROM x WHERE sid < last_sid
+    """,
+)
 def q_stream_sessionize_stateful(spark, sf_dir):
     """Custom stateful streaming sessionization (applyInPandasWithState,
     availableNow → memory): per-user open-session state carried across
     micro-batches, one output row per CLOSED session.  The
     session-spanning-a-batch-boundary case is exactly what managed
     state buys over ``session_window``; equivalence to the batch twin's
-    closed prefix is pytest-pinned (tests/test_streaming.py)."""
+    closed prefix is pytest-pinned (tests/test_streaming.py).
+
+    ORACLE (round-6 upgrade, batch twin): with the single-file
+    availableNow source (one micro-batch, events folded in sorted
+    event-time order) the emitted rows are EXACTLY the gap-islands
+    sessions minus each key's open tail — restated as lag + 6 h
+    integer epoch-µs gap breaks + cumulative-sum islands, dropping the
+    per-key last island.  Cross-batch boundary-spanning sessions stay
+    pinned by the controlled-arrival streaming tests."""
     from .streaming.jobs import run_stream_to_memory, streaming_events_source
 
     from .streaming.stateful import sessions_stateful

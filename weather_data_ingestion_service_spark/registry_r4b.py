@@ -1887,7 +1887,14 @@ def q_ext_data_card(spark, sf_dir):
     )
 
 
-@register("ext_multimodal_phash_near")  # banded Hamming candidates — rows-only
+@register(
+    "ext_multimodal_phash_near",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND a.doc_id % 50 = b.doc_id % 50
+    """,
+)
 def q_ext_multimodal_phash_near(spark, sf_dir):
     """NEAR-duplicate image pairs: perceptual aHash (stdlib PNG
     decode) banded into 4 chunks, bucket-joined, Hamming-filtered at
@@ -1895,7 +1902,15 @@ def q_ext_multimodal_phash_near(spark, sf_dir):
     comparison.  Uses the same planted-duplicate payload synthesis as
     ext_multimodal_phash, so exact duplicates appear at Hamming 0 and
     the banding recall contract (bands ≥ max_hamming+1) is enforced.
-    See ext/multimodal.image_near_dup_pairs."""
+    See ext/multimodal.image_near_dup_pairs.
+
+    ORACLE (round-6 upgrade): with the 'bits' payload synthesis the 50
+    planted aHashes are md5 bit patterns whose minimum pairwise
+    Hamming distance is 20 (computed over the fixed key set — the
+    images don't vary with SF), so the ≤3 filter admits EXACTLY the
+    within-group Hamming-0 pairs: every (a < b) with a ≡ b (mod 50).
+    A banding recall miss, a decode flake, or a cross-group collision
+    would all hash-fail."""
     from .ext.multimodal import image_near_dup_pairs
 
     hashed = _planted_image_hashes(spark, sf_dir)
