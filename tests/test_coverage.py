@@ -108,6 +108,8 @@ ORACLE_IDS = {
     "ext_eval_confusion", "f_uuid_md5", "f_morton_z", "win_anomaly_iqr",
     "agg_winsorized_mean", "ext_graph_pagerank", "stream_stateful_latest",
     "stream_sessionize_stateful", "ext_multimodal_phash_near",
+    "agg_mannwhitney", "agg_ttest_welch", "ext_filter_gopher",
+    "ext_pref_pairs", "join_point_in_polygon",
 }
 
 ROWS_ONLY_IDS = {

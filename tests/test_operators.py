@@ -1853,3 +1853,200 @@ class TestDenseIndexByKey:
                 ).collect()
             }
             assert got == ref, n_parts
+
+
+class TestMannWhitney:
+    def test_hand_computed_with_ties(self, spark):
+        """Pool {a:1,2  b:2,3}: ranks 1; 2,2 -> avg 2.5; 3 -> 4.
+        Doubled rank sums: a = 2+5 = 7, b = 5+8 = 13.
+        U*2 = R*2 - n(n+1): a -> 7-6 = 1, b -> 13-6 = 7."""
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            mannwhitney_one_vs_rest,
+        )
+
+        d = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 2), ("b", 3)],
+            "event_type string, cents long",
+        )
+        got = {r.event_type: (r.n_days, r.u_x2)
+               for r in mannwhitney_one_vs_rest(d).collect()}
+        assert got == {"a": (2, 1), "b": (2, 7)}
+
+    def test_separated_groups_hit_extremes(self, spark):
+        """Fully separated distributions give U = 0 and U = n1*n2."""
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            mannwhitney_one_vs_rest,
+        )
+
+        d = spark.createDataFrame(
+            [("lo", v) for v in (1, 2, 3)] + [("hi", v) for v in (10, 20, 30)],
+            "event_type string, cents long",
+        )
+        got = {r.event_type: r.u_x2 for r in mannwhitney_one_vs_rest(d).collect()}
+        assert got == {"lo": 0, "hi": 2 * 9}  # doubled U
+
+
+class TestWelchTTest:
+    def test_hand_computed_symmetric(self, spark):
+        """a = {1,2,3} vs b = {4,5,6}: equal variances (1 each),
+        t = (2-5)/sqrt(1/3 + 1/3) = -3/sqrt(2/3)."""
+        import math
+
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            welch_ttest_one_vs_rest,
+        )
+
+        d = spark.createDataFrame(
+            [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (4, 5, 6)],
+            "event_type string, cents long",
+        )
+        rows = {r.event_type: r for r in welch_ttest_one_vs_rest(d).collect()}
+        t_a = rows["a"].t_welch
+        assert abs(t_a - (-3.0 / math.sqrt(2.0 / 3.0))) < 1e-12
+        # one-vs-rest symmetry with two groups: b's test is a's negated
+        assert rows["b"].t_welch == -t_a
+        assert rows["a"].mean_diff_cents == -3.0
+
+    def test_singleton_groups_are_dropped(self, spark):
+        """n = 1 on either side has no variance — row must not appear
+        (and must not divide by zero)."""
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            welch_ttest_one_vs_rest,
+        )
+
+        d = spark.createDataFrame(
+            [("solo", 5)] + [("rest", v) for v in (1, 2, 3)],
+            "event_type string, cents long",
+        )
+        # 'solo' has n1=1; 'rest' complement is the singleton -> n2=1
+        assert welch_ttest_one_vs_rest(d).count() == 0
+
+
+class TestGopherFlags:
+    def test_rule_attribution(self, spark):
+        """Each rule trips independently; keep is their conjunction."""
+        from weather_data_ingestion_service_spark.ext.text import gopher_flags
+
+        good = " ".join(["the", "and", "with"] + ["word"] * 60)
+        short = "the and some words here"                      # < 50 words
+        longwords = " ".join(
+            ["the", "and"] + ["x" * 40] * 60
+        )                                                      # mean len > 10
+        numeric = " ".join(["the", "and"] + ["123"] * 60)      # alpha < 80%
+        nostop = " ".join(["alpha"] * 60)                      # < 2 stopwords
+        symbols = " ".join(
+            ["the", "and"] + ["ok"] * 50 + ["#tag"] * 10
+        )                                                      # sym ratio > 0.1
+        df = spark.createDataFrame(
+            list(enumerate([good, short, longwords, numeric, nostop, symbols])),
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in gopher_flags(df).collect()}
+        assert rows[0].keep
+        assert not rows[1].ok_words and rows[1].ok_stop
+        assert not rows[2].ok_wordlen and rows[2].ok_words
+        assert not rows[3].ok_alpha and rows[3].ok_words
+        assert not rows[4].ok_stop and rows[4].ok_alpha
+        assert not rows[5].ok_symbols and rows[5].ok_stop
+        for i in range(1, 6):
+            assert not rows[i].keep, i
+
+    def test_counts_exact(self, spark):
+        from weather_data_ingestion_service_spark.ext.text import gopher_flags
+
+        df = spark.createDataFrame(
+            [(1, "The the IS it#x ...y 123")], "doc_id long, text string"
+        )
+        r = gopher_flags(df).collect()[0]
+        # tokens: the, the, is, it#x, ...y, 123
+        assert r.n_words == 6
+        assert r.sum_wlen == 3 + 3 + 2 + 4 + 4 + 3
+        assert r.n_alpha == 5          # '123' has no [a-z]
+        assert r.n_stop == 2           # distinct {the, is}
+        # '#' in it#x and '...' in ...y
+
+
+class TestPreferencePairs:
+    def test_mirrored_tiebreaks_never_alias(self, spark):
+        """All-tied scores: pair i must still pick distinct docs
+        (smallest ids as chosen, largest as rejected)."""
+        from weather_data_ingestion_service_spark.ext.sampling import (
+            preference_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g", 7) for i in range(5)], "doc_id long, grp string, score long"
+        )
+        rows = preference_pairs(df, ["grp"], "score", "doc_id", k=3).collect()
+        got = {(r.pair_rank, r.chosen_id, r.rejected_id) for r in rows}
+        # n = 5 -> 2i <= 5 allows i in {1, 2}
+        assert got == {(1, 0, 4), (2, 1, 3)}
+        assert all(r.score_gap == 0 for r in rows)
+
+    def test_best_pairs_with_worst(self, spark):
+        from weather_data_ingestion_service_spark.ext.sampling import (
+            preference_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g", 10 * i) for i in range(1, 7)],
+            "doc_id long, grp string, score long",
+        )
+        rows = {r.pair_rank: r for r in
+                preference_pairs(df, ["grp"], "score", "doc_id", k=3).collect()}
+        assert (rows[1].chosen_id, rows[1].rejected_id) == (6, 1)
+        assert rows[1].score_gap == 50
+        assert (rows[3].chosen_id, rows[3].rejected_id) == (4, 3)
+
+
+class TestPointInPolygon:
+    SQUARE = {"sq": [(0, 0), (10, 0), (10, 10), (0, 10)]}
+
+    def _tag(self, spark, pts, polys):
+        from weather_data_ingestion_service_spark.operators.spatial import (
+            tag_points_in_polygons,
+        )
+
+        df = spark.createDataFrame(pts, "c long, px long, py long")
+        return {
+            (r.c, r.poly_id)
+            for r in tag_points_in_polygons(df, polys, "px", "py").collect()
+        }
+
+    def test_square_containment(self, spark):
+        got = self._tag(
+            spark,
+            [(1, 5, 5), (2, 15, 5), (3, -1, 5), (4, 5, 15), (5, 5, -1)],
+            self.SQUARE,
+        )
+        assert got == {(1, "sq")}
+
+    def test_concave_notch_is_outside(self, spark):
+        """Chevron with the notch at the top-middle: a point inside the
+        notch lies within the convex hull but OUTSIDE the polygon —
+        bounding boxes and hulls get this wrong, parity doesn't."""
+        chevron = {"ch": [(0, 0), (20, 0), (20, 20), (10, 5), (0, 20)]}
+        got = self._tag(
+            spark,
+            [(1, 10, 12), (2, 10, 2), (3, 2, 10), (4, 18, 10)],
+            chevron,
+        )
+        # (10,12) sits in the notch above the concave vertex (10,5)
+        assert got == {(2, "ch"), (3, "ch"), (4, "ch")}
+
+    def test_overlapping_polygons_multi_tag(self, spark):
+        polys = {
+            "a": [(0, 0), (10, 0), (10, 10), (0, 10)],
+            "b": [(5, 5), (20, 5), (20, 20), (5, 20)],
+        }
+        got = self._tag(spark, [(1, 7, 7), (2, 1, 1), (3, 15, 15)], polys)
+        assert got == {(1, "a"), (1, "b"), (2, "a"), (3, "b")}
+
+    def test_horizontal_edges_elided(self):
+        from weather_data_ingestion_service_spark.operators.spatial import (
+            polygon_inside_sql,
+        )
+
+        sql = polygon_inside_sql("px", "py", [(0, 0), (10, 0), (10, 10), (0, 10)])
+        # square: the two horizontal edges contribute literal zeros
+        assert sql.count("CASE WHEN") == 2

@@ -237,6 +237,15 @@ EXCHANGE_BUDGET = {
                                  # (bounds join back via broadcast)
     "agg_winsorized_mean": 5,    # daily agg + rank window + bounds agg
                                  # + final per-key agg + output sort
+    "agg_mannwhitney": 6,        # daily agg + distinct-cents freq agg +
+                                 # cum window + join-back + key agg + sort
+    "agg_ttest_welch": 6,        # daily agg + key power sums + one-row
+                                 # total (broadcast) + sort
+    "ext_filter_gopher": 1,      # narrow token projection + output sort
+    "ext_pref_pairs": 3,         # one (lang, source) exchange shared by
+                                 # both rank windows + rank self-join + sort
+    "join_point_in_polygon": 0,  # broadcast-as-literal: single codegen
+                                 # map stage, zero exchanges
 }
 
 
@@ -583,3 +592,13 @@ def test_temperature_sample_no_corpus_shuffle(spark, sf_dir):
     # corpus-side rows never hit a shuffle exchange: every Exchange in
     # the plan belongs to the tiny per-group size aggregation
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_point_in_polygon_zero_exchange_pruned_scan(spark, sf_dir):
+    """The polygon dimension is compiled into the projection
+    (broadcast-as-literal): no join, no exchange, and the customer
+    scan reads ONLY the key column the coordinates derive from."""
+    df = QS["join_point_in_polygon"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    plan = formatted_plan(df)
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan, plan[-1500:]

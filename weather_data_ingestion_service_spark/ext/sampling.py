@@ -350,3 +350,55 @@ def dense_index_by_key(
             yield pdf
 
     return part.mapInPandas(add_index, out_schema)
+
+
+def preference_pairs(
+    scored: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Chosen/rejected preference-pair mining: within each group, pair
+    the i-th best row with the i-th worst (i <= k), guarded by
+    2i <= n so the sides never alias.  MIRRORED deterministic
+    tie-breaks (score DESC, id ASC vs score ASC, id DESC) make the
+    worst-ranking the exact reverse of the best-ranking — the pairing
+    is a pure total-order fold, identical on any engine.  Two
+    row_number windows over one (group) partitioning plus a self-join
+    keyed by (group, rank) touching <= k rows per side per group."""
+    g = Window.partitionBy(*group_cols)
+    r = scored.select(
+        *group_cols, id_col, score_col,
+        F.row_number()
+        .over(g.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+        .alias("rb"),
+        F.row_number()
+        .over(g.orderBy(F.col(score_col).asc(), F.col(id_col).desc()))
+        .alias("rw"),
+        F.count(F.lit(1)).over(g).alias("n"),
+    )
+    b = r.filter((F.col("rb") <= k) & (2 * F.col("rb") <= F.col("n"))).select(
+        *group_cols, "rb",
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("score_b"),
+    )
+    w_ = r.select(
+        *[F.col(c).alias(f"{c}_w") for c in group_cols],
+        "rw",
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("score_w"),
+    )
+    cond = F.col("rb") == F.col("rw")
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"{c}_w"))
+    return (
+        b.join(w_, cond)
+        .select(
+            *group_cols,
+            F.col("rb").cast("long").alias("pair_rank"),
+            "chosen_id", "rejected_id",
+            (F.col("score_b") - F.col("score_w")).cast("long").alias("score_gap"),
+        )
+        .orderBy(*group_cols, "pair_rank")
+    )

@@ -694,3 +694,57 @@ def quality_gate_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         r_rep.alias("r_repetition"),
         (r_wc & r_ml & r_rep).alias("keep"),
     )
+
+
+#: Gopher stopword requirement: >= 2 distinct hits from this list
+GOPHER_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with", "it", "is",
+]
+
+
+def gopher_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A.1.1) as an
+    exact integer gate — per-rule flags plus the combined keep; see
+    registry_r6 ext_filter_gopher for the oracle restatement.  One
+    narrow codegen'd projection over the token array."""
+    toks = tokens(text_col)
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    m = df.select(
+        id_col,
+        F.size(toks).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_wlen"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.array_intersect(toks, stops)).cast("long").alias("n_stop"),
+        F.size(F.filter(toks, lambda x: x.contains("#") | x.contains("...")))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    ok_words = F.col("n_words").between(50, 100000)
+    ok_wordlen = (3 * F.col("n_words") <= F.col("sum_wlen")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    ok_alpha = 100 * F.col("n_alpha") >= 80 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    ok_sym = 10 * F.col("n_sym") <= F.col("n_words")
+    return m.select(
+        id_col, "n_words", "sum_wlen", "n_alpha", "n_stop",
+        ok_words.alias("ok_words"),
+        ok_wordlen.alias("ok_wordlen"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        ok_sym.alias("ok_symbols"),
+        (ok_words & ok_wordlen & ok_alpha & ok_stop & ok_sym).alias("keep"),
+    ).orderBy(id_col)

@@ -271,3 +271,92 @@ def gini_impurity(
     return g.select(
         *group_cols, "n_rows", (F.lit(1.0) - acc).alias("gini")
     )
+
+
+def mannwhitney_one_vs_rest(
+    d: DataFrame, key: str = "event_type", value: str = "cents"
+) -> DataFrame:
+    """One-vs-rest Mann-Whitney U per key over integer measures, in
+    EXACT doubled-rank arithmetic (see registry_r6 agg_mannwhitney for
+    the oracle restatement and the derivation).
+
+    Scale shape: the pooled ranking is a cumulative count over the
+    DISTINCT value frequency table — bounded by the number of distinct
+    measures, never a row-level global sort — joined back on the value
+    and folded per key with ordinary partial aggregation.
+    """
+    freq = d.groupBy(value).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = freq.select(
+        value,
+        "cnt",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1).alias("rmin"),
+    )
+    return (
+        d.join(ranked, value)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.lit(2) * F.col("rmin") + F.col("cnt") - 1).alias("r_x2"),
+        )
+        .select(
+            key,
+            "n_days",
+            (F.col("r_x2") - F.col("n_days") * (F.col("n_days") + 1))
+            .cast("long")
+            .alias("u_x2"),
+        )
+        .orderBy(key)
+    )
+
+
+#: shared Spark-SQL/DuckDB Welch-t expression strings — parity by
+#: construction (registry_r6 agg_ttest_welch embeds the same strings
+#: in the oracle); DECIMAL(38,0) cross-products per the spearman rule
+WELCH_MEAN_SQL = (
+    "CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
+)
+WELCH_T_SQL = (
+    f"({WELCH_MEAN_SQL}) / sqrt("
+    "CAST(CAST(n1 AS DECIMAL(38,0)) * b1 - CAST(a1 AS DECIMAL(38,0)) * a1"
+    " AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(CAST(n2 AS DECIMAL(38,0)) * b2 - CAST(a2 AS DECIMAL(38,0)) * a2"
+    " AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))"
+)
+
+
+def welch_ttest_one_vs_rest(
+    d: DataFrame, key: str = "event_type", value: str = "cents"
+) -> DataFrame:
+    """Welch's unequal-variance t per key vs the pooled rest, from
+    associative integer power sums; complement sums derive by
+    subtraction from one broadcast one-row total, so k tests cost one
+    pass.  Requires n >= 2 on both sides."""
+    s = d.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum(value).cast("long").alias("a1"),
+        F.sum(F.col(value) * F.col(value)).cast("long").alias("b1"),
+    )
+    t = s.agg(
+        F.sum("n1").cast("long").alias("nn"),
+        F.sum("a1").cast("long").alias("aa"),
+        F.sum("b1").cast("long").alias("bb"),
+    )
+    x = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            key, "n1", "a1", "b1",
+            (F.col("nn") - F.col("n1")).alias("n2"),
+            (F.col("aa") - F.col("a1")).alias("a2"),
+            (F.col("bb") - F.col("b1")).alias("b2"),
+        )
+        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    )
+    return x.select(
+        key,
+        "n1",
+        "n2",
+        F.expr(WELCH_MEAN_SQL).alias("mean_diff_cents"),
+        F.expr(WELCH_T_SQL).alias("t_welch"),
+    ).orderBy(key)

@@ -708,6 +708,281 @@ def q_agg_winsorized_mean(spark, sf_dir):
     )
 
 
+# =====================================================================
+# M. Mann-Whitney U (exact doubled-rank integers)
+# =====================================================================
+
+
+@register(
+    "agg_mannwhitney",
+    f"""
+    WITH {_DAILY_SQL},
+    r AS (
+      SELECT event_type,
+             rank() OVER (ORDER BY cents) AS rmin,
+             count(*) OVER (PARTITION BY cents) AS cnt
+      FROM d)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(2 * rmin + cnt - 1)
+                - count(*) * (count(*) + 1) AS BIGINT) AS u_x2
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_mannwhitney(spark, sf_dir):
+    """One-vs-rest Mann-Whitney U per event type — the nonparametric
+    "does this key's distribution sit higher than the rest of the
+    pool" test, in EXACT integers: tie-averaged ranks are kept doubled
+    (avg rank of a tie run starting at min-rank a with c members is
+    (2a + c - 1)/2, so 2·R is integral) and U·2 = 2·R − n(n+1) is
+    published as BIGINT — no float ranks, engine-independent.
+
+    Scale shape: ranks come from a cumulative count over the DISTINCT
+    daily-cents frequency table (bounded by days x types), never a
+    row-level global sort; raw events are touched once by the daily
+    rollup.  The oracle restates it with a plain rank window —
+    identical by rmin = 1 + (count of strictly smaller rows)."""
+    from .operators.aggregates import mannwhitney_one_vs_rest
+
+    return mannwhitney_one_vs_rest(_daily(spark, sf_dir))
+
+
+# =====================================================================
+# N. Welch two-sample t (power sums -> one IEEE tree)
+# =====================================================================
+
+#: shared Spark-SQL/DuckDB expression strings — parity by construction
+#: (the library operator embeds the SAME strings in its plan)
+from .operators.aggregates import WELCH_MEAN_SQL as _WELCH_MEAN  # noqa: E402
+from .operators.aggregates import WELCH_T_SQL as _WELCH_T  # noqa: E402
+
+
+@register(
+    "agg_ttest_welch",
+    f"""
+    WITH {_DAILY_SQL},
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(cents) AS BIGINT) AS a1,
+             CAST(sum(cents * cents) AS BIGINT) AS b1
+      FROM d GROUP BY event_type),
+    t AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(a1) AS BIGINT) AS aa,
+             CAST(sum(b1) AS BIGINT) AS bb
+      FROM s),
+    x AS (
+      SELECT event_type, n1, a1, b1,
+             nn - n1 AS n2, aa - a1 AS a2, bb - b1 AS b2
+      FROM s CROSS JOIN t)
+    SELECT event_type, n1, n2,
+           {_WELCH_MEAN} AS mean_diff_cents,
+           {_WELCH_T} AS t_welch
+    FROM x WHERE n1 >= 2 AND n2 >= 2 ORDER BY event_type
+    """,
+)
+def q_agg_ttest_welch(spark, sf_dir):
+    """Welch's unequal-variance t statistic, one event type vs the
+    pooled rest, from associative integer power sums (n, Σx, Σx²) —
+    the agg_variance_exact pattern extended to a two-sample test.  The
+    complement group's sums are derived by subtraction from one
+    broadcast one-row total, so k one-vs-rest tests cost ONE pass.
+    Cross-products n·Σx² − (Σx)² are accumulated in DECIMAL(38,0)
+    (int64 wraps silently past ~sf10 daily magnitudes — the
+    spearman_rho lesson); the final mean-diff / sqrt(v1/n1 + v2/n2) is
+    one identical correctly-rounded IEEE expression tree on both
+    engines, shared as a literal string with the oracle."""
+    from .operators.aggregates import welch_ttest_one_vs_rest
+
+    return welch_ttest_one_vs_rest(_daily(spark, sf_dir))
+
+
+# =====================================================================
+# O. Gopher quality gate (Rae et al. 2021 document rules)
+# =====================================================================
+
+#: Gopher stopword requirement: >= 2 distinct hits from this list
+from .ext.text import GOPHER_STOPWORDS as _GOPHER_STOPWORDS  # noqa: E402
+
+#: derived from the library list so oracle and plan can never drift
+_GOPHER_STOPS = ",".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+
+@register(
+    "ext_filter_gopher",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                  AS BIGINT) AS sum_wlen,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_intersect(toks, [{_GOPHER_STOPS}]))
+                  AS BIGINT) AS n_stop,
+             CAST(len(list_filter(toks,
+                      x -> contains(x, '#') OR contains(x, '...')))
+                  AS BIGINT) AS n_sym
+      FROM t)
+    SELECT doc_id, n_words, sum_wlen, n_alpha, n_stop,
+           (n_words BETWEEN 50 AND 100000) AS ok_words,
+           (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+             AS ok_wordlen,
+           (100 * n_alpha >= 80 * n_words) AS ok_alpha,
+           (n_stop >= 2) AS ok_stop,
+           (10 * n_sym <= n_words) AS ok_symbols,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (3 * n_words <= sum_wlen AND sum_wlen <= 10 * n_words)
+            AND (100 * n_alpha >= 80 * n_words)
+            AND (n_stop >= 2) AND (10 * n_sym <= n_words)) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def q_ext_filter_gopher(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 §A.1.1) as an
+    exact integer gate, the MassiveText sibling of ext_filter_c4:
+    word-count band [50, 100k], mean word length in [3, 10] (stated as
+    cross-multiplied integer bounds — no division), >= 80% of words
+    containing an alphabetic character, >= 2 distinct stopword hits,
+    and symbol-to-word ratio ('#'/'...') <= 0.1.  Per-rule flags are
+    published alongside the combined keep so the funnel attribution
+    per rule is one aggregation away.  The newline-dependent rules
+    (bullet / ellipsis line starts) are out of scope for the
+    single-line synthetic corpus and documented off.  One narrow
+    projection over the token array; the whole gate is codegen'd —
+    100 TB shape is scan-bound."""
+    from .ext.text import gopher_flags
+
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# P. Preference-pair construction (RLHF chosen/rejected mining)
+# =====================================================================
+
+
+@register(
+    "ext_pref_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(len(list_distinct({_TOK_SQL})) AS BIGINT) AS score
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, source, score,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY score DESC, doc_id ASC) AS rb,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY score ASC, doc_id DESC) AS rw,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM t)
+    SELECT b.lang, b.source, CAST(b.rb AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           CAST(b.score - w.score AS BIGINT) AS score_gap
+    FROM r b JOIN r w
+      ON b.lang = w.lang AND b.source = w.source AND b.rb = w.rw
+    WHERE b.rb <= 3 AND 2 * b.rb <= b.n
+    ORDER BY b.lang, b.source, pair_rank
+    """,
+)
+def q_ext_pref_pairs(spark, sf_dir):
+    """Preference-pair mining for reward-model / DPO training data:
+    within each (lang, source) group, pair the i-th best document with
+    the i-th worst (lexical-diversity score = distinct token count,
+    deterministic id tie-breaks), up to 3 pairs, guarded by 2i <= n so
+    chosen and rejected never alias.  MIRRORED tie-breaks (DESC,id ASC
+    vs ASC,id DESC) make the worst-ranking the exact reverse of the
+    best-ranking — the pairing is a pure total-order fold, identical
+    on any engine.  Scale shape: two row_number windows over the same
+    (lang, source) partitioning (one exchange, two sorts) and a
+    self-join keyed by (group, rank) that touches <= 3 rows per side
+    per group."""
+    from .ext.sampling import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        F.size(F.array_distinct(_tok())).cast("long").alias("score"),
+    )
+    return preference_pairs(scored, ["lang", "source"], "score", "doc_id", k=3)
+
+
+# =====================================================================
+# Q. Point-in-polygon region tagging (exact integer ray casting)
+# =====================================================================
+
+#: region polygons in integer micro-degrees — the chevron is CONCAVE
+#: (parity crossing is what ray casting buys over bounding boxes)
+_REGIONS = {
+    "quad": [
+        (-90_000_000, -45_000_000), (90_000_000, -45_000_000),
+        (90_000_000, 45_000_000), (-90_000_000, 45_000_000),
+    ],
+    "tri": [
+        (-150_000_000, -80_000_000), (150_000_000, -80_000_000),
+        (0, 80_000_000),
+    ],
+    "chevron": [
+        (-120_000_000, -60_000_000), (120_000_000, -60_000_000),
+        (120_000_000, 60_000_000), (0, -20_000_000),
+        (-120_000_000, 60_000_000),
+    ],
+}
+
+#: synthetic integer micro-degree coordinates from the customer key —
+#: pure int64 arithmetic, identical on both engines; the Knuth-style
+#: multipliers spread even single-digit keys across the full range
+#: (max product ~4e16 at sf100, inside int64)
+_PX_SQL = "(c_custkey * 2654435761) % 360000000 - 180000000"
+_PY_SQL = "(c_custkey * 2246822519) % 180000000 - 90000000"
+
+
+def _pip_oracle_sql() -> str:
+    from .operators.spatial import polygon_inside_sql
+
+    arms = [
+        f"SELECT c_custkey, px, py, '{pid}' AS poly_id FROM p"
+        f" WHERE {polygon_inside_sql('px', 'py', verts)}"
+        for pid, verts in sorted(_REGIONS.items())
+    ]
+    return (
+        "WITH p AS (SELECT c_custkey,"
+        f" CAST({_PX_SQL} AS BIGINT) AS px,"
+        f" CAST({_PY_SQL} AS BIGINT) AS py FROM customer)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+@register("join_point_in_polygon", _pip_oracle_sql())
+def q_join_point_in_polygon(spark, sf_dir):
+    """Region membership for every point: ray-casting point-in-polygon
+    with EXACT int64 micro-degree arithmetic (operators/spatial.py) —
+    crossing tests are cross-multiplied integer comparisons, never a
+    division, so Spark and the oracle agree bit-for-bit even on
+    boundary points; the chevron region is concave, which parity
+    handles and bounding boxes cannot.  The polygon dimension is
+    compiled into the projection as literal CASE terms
+    (broadcast-as-literal): tagging is ONE narrow codegen'd map stage
+    with zero exchanges — the 100 TB shape is scan-bound
+    (plan-asserted in tests/test_plans.py)."""
+    from .operators.spatial import tag_points_in_polygons
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_PX_SQL).cast("long").alias("px"),
+        F.expr(_PY_SQL).cast("long").alias("py"),
+    )
+    return tag_points_in_polygons(cust, _REGIONS)
+
+
+_register_new_this_round(
+    "agg_mannwhitney",
+    "agg_ttest_welch",
+    "ext_filter_gopher",
+    "ext_pref_pairs",
+    "join_point_in_polygon",
+)
+
 _register_new_this_round(
     "win_ewma_dyadic",
     "win_rolling_median",
