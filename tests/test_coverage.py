@@ -110,12 +110,12 @@ ORACLE_IDS = {
     "stream_sessionize_stateful", "ext_multimodal_phash_near",
     "agg_mannwhitney", "agg_ttest_welch", "ext_filter_gopher",
     "ext_pref_pairs", "join_point_in_polygon",
+    "ext_multimodal_frames", "ext_multimodal_resize",
 }
 
 ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near",
     "ext_simsearch_lsh",
-    "ext_multimodal_frames", "ext_multimodal_resize",
     "wx_forecast_hourly", "wx_history_daily",
     "ext_simsearch_ivf",
     "ext_embed_pca",

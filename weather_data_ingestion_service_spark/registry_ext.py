@@ -1423,10 +1423,40 @@ def q_ext_embed_centroids(spark, sf_dir):
     return label_centroid_components(emb, "label", "embedding")
 
 
-@register("ext_multimodal_frames")  # stubbed codec — rows-only
+@register(
+    "ext_multimodal_frames",
+    """
+    WITH t AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS L,
+             1 + CAST(octet_length(encode(text)) AS BIGINT) % 32 AS nf
+      FROM documents),
+    f AS (SELECT doc_id, text, L, nf, unnest(range(0, nf, 4)) AS fno FROM t),
+    s AS (
+      SELECT doc_id, fno,
+             array_to_string(list_transform(
+               range(0, greatest(0, least(64, (L - fno + nf - 1) // nf))),
+               j -> substr(text, CAST(fno + 1 + j * nf AS BIGINT), 1)), '')
+               AS fstr
+      FROM f)
+    SELECT doc_id, CAST(fno AS INT) AS frame_no,
+           CAST(fno * 1000 // 30 AS BIGINT) AS frame_ts_ms,
+           encode(fstr) AS frame_payload, md5(fstr) AS frame_md5
+    FROM s
+    """,
+)
 def q_ext_multimodal_frames(spark, sf_dir):
     """Video frame sampling via mapInPandas row fan-out (one payload →
-    k typed frame rows; decode stubbed deterministically)."""
+    k typed frame rows; decode stubbed deterministically — the REAL
+    container parse is ext_multimodal_clip).
+
+    ORACLE (round-6 upgrade): the deterministic stub — n_frames =
+    1 + len % 32, every 4th frame, frame bytes = the stride slice
+    payload[fno::n_frames][:64] — is restated relationally as a
+    per-character gather (substr at fno + 1 + j·n_frames), valid
+    because this corpus is pure ASCII (byte slicing == char slicing;
+    the byte-level contract itself is pytest-pinned).  Proves the
+    Arrow fan-out path — schema, cardinality, payload bytes, digests —
+    against an engine that never ran Python."""
     from .ext.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1463,10 +1493,34 @@ def q_ext_multimodal_clip(spark, sf_dir):
     return frames.select("doc_id", "frame_no", "frame_ts_ms")
 
 
-@register("ext_multimodal_resize")  # stubbed codec — rows-only
+@register(
+    "ext_multimodal_resize",
+    """
+    WITH t AS (
+      SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS L
+      FROM documents),
+    s AS (SELECT doc_id, text, L, greatest(L // 49, 1) AS stride FROM t),
+    o AS (
+      SELECT doc_id,
+             encode(array_to_string(list_transform(
+               range(0, least(49, (L + stride - 1) // stride)),
+               j -> substr(text, CAST(1 + j * stride AS BIGINT), 1)), ''))
+               AS payload
+      FROM s)
+    SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+           payload, CAST(octet_length(payload) AS INT) AS payload_bytes
+    FROM o
+    """,
+)
 def q_ext_multimodal_resize(spark, sf_dir):
     """Image resize to a fixed training resolution (binary in, smaller
-    binary out; resampling stubbed deterministically)."""
+    binary out; resampling stubbed deterministically — the REAL pixel
+    path is ext_multimodal_resize_png).
+
+    ORACLE (round-6 upgrade): the stub's stride subsample —
+    payload[::max(len//49, 1)][:49] — restated as a per-character
+    gather, exact on this pure-ASCII corpus (see
+    ext_multimodal_frames for the slicing argument)."""
     from .ext.multimodal import resize_images
 
     docs = load_table(spark, sf_dir, "documents")
