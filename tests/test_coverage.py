@@ -111,6 +111,7 @@ ORACLE_IDS = {
     "agg_mannwhitney", "agg_ttest_welch", "ext_filter_gopher",
     "ext_pref_pairs", "join_point_in_polygon",
     "ext_multimodal_frames", "ext_multimodal_resize",
+    "stream_curation_pipeline",
 }
 
 ROWS_ONLY_IDS = {
@@ -125,7 +126,7 @@ ROWS_ONLY_IDS = {
     "ext_text_compression", "ext_tokenizer_bpe",
     "ext_tokenizer_apply",
     "ext_knn_graph",
-    "stream_curation_pipeline", "ext_eval_dedup",
+    "ext_eval_dedup",
 }
 
 

@@ -1917,7 +1917,36 @@ def q_ext_multimodal_phash_near(spark, sf_dir):
     return image_near_dup_pairs(hashed, "doc_id", "ahash", max_hamming=3, bands=4)
 
 
-@register("stream_curation_pipeline")  # genuinely streaming — rows-only
+@register(
+    "stream_curation_pipeline",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOK_SQL} AS w FROM documents),
+    u AS (
+      SELECT doc_id, text, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_chars
+      FROM t
+    ),
+    fr AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    k AS (
+      SELECT u.doc_id, u.text
+      FROM u LEFT JOIN fr ON u.doc_id = fr.doc_id
+      WHERE (u.n_words BETWEEN 20 AND 80)
+        AND u.sum_chars * 1000 >= 4000 * u.n_words
+        AND u.sum_chars * 1000 < 4900 * u.n_words
+        AND coalesce(fr.max_freq, 0) * 100 < 12 * u.n_words
+    )
+    SELECT CAST(0 AS BIGINT) AS batch_id,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_admitted,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_hashes
+    FROM k
+    """,
+)
 def q_stream_curation_pipeline(spark, sf_dir):
     """STREAMING corpus curation: the gate→dedup→admit pipeline over a
     document feed — per micro-batch quality gate (shared
@@ -1926,7 +1955,16 @@ def q_stream_curation_pipeline(spark, sf_dir):
     completion (availableNow) over the staged corpus and returns the
     admitted store's per-batch accounting.  Cross-batch dedup and
     retry idempotence are pinned by tests/test_streaming.py.  See
-    streaming/curation.py."""
+    streaming/curation.py.
+
+    ORACLE (round-6 upgrade, batch twin): the staged source is ONE
+    coalesced file and the source caps at one file per trigger, so the
+    availableNow run is exactly one epoch (batch 0) and the admitted
+    store closure is the C4-gate survivors deduplicated to one row per
+    content hash — restated as count(DISTINCT md5(text)) over the
+    shared gate's SQL.  Multi-batch arrivals, cross-batch dedup and
+    replay idempotence stay pinned by the controlled streaming
+    tests."""
     from .registry import _clean_stale_scratch, _session_tag
     from .streaming.curation import curation_sink
 
