@@ -111,7 +111,7 @@ ORACLE_IDS = {
     "agg_mannwhitney", "agg_ttest_welch", "ext_filter_gopher",
     "ext_pref_pairs", "join_point_in_polygon",
     "ext_multimodal_frames", "ext_multimodal_resize",
-    "stream_curation_pipeline",
+    "stream_curation_pipeline", "ext_dedup_containment",
 }
 
 ROWS_ONLY_IDS = {

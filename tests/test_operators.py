@@ -2050,3 +2050,68 @@ class TestPointInPolygon:
         sql = polygon_inside_sql("px", "py", [(0, 0), (10, 0), (10, 10), (0, 10)])
         # square: the two horizontal edges contribute literal zeros
         assert sql.count("CASE WHEN") == 2
+
+
+class TestContainmentPairs:
+    def test_directed_hand_case(self, spark):
+        """A = 'a b c d e' has 3-gram shingles {abc,bcd,cde}, all inside
+        B = 'a b c d e f g' (5 shingles): C(A→B) = 1 passes at 0.9,
+        C(B→A) = 3/5 does not — the pair comes out DIRECTED."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            containment_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d e f g"),
+                (3, "x y z w v u t"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {(r.id_a, r.id_b): r
+                for r in containment_pairs(df, "doc_id", "text").collect()}
+        assert set(rows) == {(1, 2)}
+        r = rows[(1, 2)]
+        assert (r.n_a, r.inter, r.containment_micro) == (3, 3, 1_000_000)
+
+    def test_prefix_filter_is_lossless(self, spark, sf_dir):
+        """The asymmetric prefix filter must be candidate-complete:
+        output == the naive all-pairs containment join on the same
+        corpus (the Bayardo-style guarantee, containment variant)."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            containment_pairs,
+            hashed_shingles,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.registry_ext import (
+            _near_dup_corpus,
+        )
+
+        corpus = _near_dup_corpus(spark, sf_dir)
+        got = {
+            (r.id_a, r.id_b, r.n_a, r.inter)
+            for r in containment_pairs(corpus, "doc_id", "text").collect()
+        }
+        sh = hashed_shingles(corpus, "text", 3).select("doc_id", "sh")
+        ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+        a = ex.select(F.col("doc_id").alias("id_a"), "shingle")
+        b = ex.select(F.col("doc_id").alias("id_b"), "shingle")
+        naive = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.size("sh").cast("long").alias("n_a"),
+                ),
+                "id_a",
+            )
+            .filter(F.col("inter") * 10 >= 9 * F.col("n_a"))
+        )
+        exp = {
+            (r.id_a, r.id_b, r.n_a, r.inter) for r in naive.collect()
+        }
+        assert got == exp and got

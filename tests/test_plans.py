@@ -246,6 +246,9 @@ EXCHANGE_BUDGET = {
                                  # both rank windows + rank self-join + sort
     "join_point_in_polygon": 0,  # broadcast-as-literal: single codegen
                                  # map stage, zero exchanges
+    "ext_dedup_containment": 3,  # rank window + posting join + pair
+                                 # dedup (vocab broadcasts; persisted
+                                 # shingle subtree feeds both sides)
 }
 
 

@@ -901,3 +901,90 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    t_num: int = 9,
+    t_den: int = 10,
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """DIRECTED containment near-dup pairs: emit (id_a → id_b) when
+    ``|A∩B| / |A| >= t_num/t_den`` over word n-gram shingle sets — the
+    asymmetric signal symmetric Jaccard cannot give: a short document
+    embedded verbatim inside a much longer one has containment ~1 but
+    Jaccard ~|A|/|B|, far below any dedup threshold.  (The
+    boilerplate/mirror-page case Lee et al.'s span dedup attacks at
+    substring level, here at set level.)
+
+    Candidate generation is the asymmetric prefix filter: if
+    ``|A∩B| >= t·|A|`` then B must share a shingle with A's first
+    ``|A| - ceil(t·|A|) + 1`` shingles under the global rarest-first
+    order (missing all of them caps the overlap at ``ceil(t·|A|)-1``);
+    so only the CONTAINED side is prefixed while the container side
+    joins with its full posting list.  Rarest-first ordering keeps the
+    join keys rare, so the posting lists hit per key stay short.  The
+    threshold itself is a rational (t_num/t_den) and every comparison
+    is an integer cross-multiplication — no float thresholds anywhere
+    (``containment_micro = inter·10⁶ DIV |A|`` published exactly).
+
+    Scale: one exchange of the exploded posting table on the shingle
+    hash (int64); at 100 TB a bloom/semi prefilter of the postings by
+    the prefix-shingle set drops the exchange to the rare-shingle
+    slice — the join is already keyed to make that a drop-in.
+    """
+    sh = (
+        hashed_shingles(df.select(id_col, text_col), text_col, n)
+        .select(id_col, "sh")
+        .persist()
+    )
+    ex = sh.select(
+        id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    if broadcast_vocab is None:
+        freq = freq.persist()
+        broadcast_vocab = freq.count() <= _VOCAB_BROADCAST_MAX_ROWS
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
+    w = Window.partitionBy(id_col).orderBy("df_", "shingle")
+    ranked = ex.join(freq, "shingle").withColumn("pos", F.row_number().over(w))
+    # integer ceil division: ceil(t·n) = (n·t_num + t_den − 1) DIV t_den
+    prefix_len = F.col("n_sh") - F.expr(
+        f"(n_sh * {t_num} + {t_den - 1}) DIV {t_den}"
+    ) + 1
+    probe = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col(id_col).alias("id_a"), "shingle"
+    )
+    post = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        probe.join(post, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    arr_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    arr_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("inter"),
+        )
+        .filter(F.col("inter") * t_den >= t_num * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "inter",
+            F.expr("inter * 1000000 DIV n_a").alias("containment_micro"),
+        )
+    )

@@ -975,12 +975,56 @@ def q_join_point_in_polygon(spark, sf_dir):
     return tag_points_in_polygons(cust, _REGIONS)
 
 
+# =====================================================================
+# R. Directed containment dedup (asymmetric near-dup)
+# =====================================================================
+
+
+def _containment_oracle_sql() -> str:
+    from .registry_ext import _NEAR_DUP_CORPUS_SQL, _NGRAM_PAIRS_SQL
+
+    return f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    {_NGRAM_PAIRS_SQL},
+    dpairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id <> b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(ca.n_sh AS BIGINT) AS n_a, inter,
+           CAST(inter * 1000000 // ca.n_sh AS BIGINT) AS containment_micro
+    FROM dpairs JOIN cnt ca ON dpairs.id_a = ca.id
+    WHERE inter * 10 >= 9 * ca.n_sh
+    """
+
+
+@register("ext_dedup_containment", _containment_oracle_sql())
+def q_ext_dedup_containment(spark, sf_dir):
+    """Directed set-containment near-dup pairs (|A∩B|/|A| ≥ 0.9 over
+    word 3-gram shingles) on the planted prefix-copy corpus: the 80%
+    truncations are ~fully CONTAINED in their originals while their
+    Jaccard is only ~0.8 — the doc-inside-doc signal the symmetric
+    ext_dedup_ngram threshold family misses.  Asymmetric prefix-filter
+    candidates + exact array_intersect verify, integer
+    cross-multiplied threshold (ext/dedup.containment_pairs); the
+    oracle rebuilds the directed pair graph from the SHARED shingle
+    CTE (registry_ext._NGRAM_PAIRS_SQL), so tokenization cannot
+    drift."""
+    from .ext.dedup import containment_pairs
+    from .registry_ext import _near_dup_corpus
+
+    return containment_pairs(
+        _near_dup_corpus(spark, sf_dir), "doc_id", "text",
+        n=3, t_num=9, t_den=10,
+    )
+
+
 _register_new_this_round(
     "agg_mannwhitney",
     "agg_ttest_welch",
     "ext_filter_gopher",
     "ext_pref_pairs",
     "join_point_in_polygon",
+    "ext_dedup_containment",
 )
 
 _register_new_this_round(
