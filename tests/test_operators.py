@@ -2115,3 +2115,38 @@ class TestContainmentPairs:
             (r.id_a, r.id_b, r.n_a, r.inter) for r in naive.collect()
         }
         assert got == exp and got
+
+
+class TestGramMatrixQuantized:
+    def test_hand_computed(self, spark):
+        """[[1,0],[3,4]] quantizes to [127,0] and [95,127]:
+        S = [[127²+95², 95·127], [·, 127²]]."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            gram_matrix_quantized,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [3.0, 4.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {(r.i, r.j): r.s for r in gram_matrix_quantized(df).collect()}
+        assert got == {
+            (0, 0): 127 * 127 + 95 * 95,
+            (0, 1): 95 * 127,
+            (1, 1): 127 * 127,
+        }
+
+    def test_partitioning_independent(self, spark, sf_dir):
+        """Integer partial Grams are associative: any partitioning of
+        the corpus sums to the same matrix."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            gram_matrix_quantized,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = {(r.i, r.j): r.s
+             for r in gram_matrix_quantized(emb.repartition(2)).collect()}
+        b = {(r.i, r.j): r.s
+             for r in gram_matrix_quantized(emb.repartition(7)).collect()}
+        assert a == b and len(a) == 64 * 65 // 2

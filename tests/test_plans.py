@@ -249,6 +249,8 @@ EXCHANGE_BUDGET = {
     "ext_dedup_containment": 3,  # rank window + posting join + pair
                                  # dedup (vocab broadcasts; persisted
                                  # shingle subtree feeds both sides)
+    "ext_embed_gram": 2,         # partial-Gram agg (2080 rows/part)
+                                 # + output sort
 }
 
 

@@ -1337,3 +1337,57 @@ def spearman_rho(
             " - CAST(n AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("rho_micro"),
     )
+
+
+def gram_matrix_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """EXACT upper-triangular Gram matrix ``S_ij = Σ_v q_i(v)·q_j(v)``
+    of the int8-quantized corpus — the second-moment statistic behind
+    covariance/PCA/whitening, computed with integer state so the
+    result is associative and engine-identical (float Gram sums are
+    order-dependent and can never hash-match another engine; the
+    quantization itself is the bit-reproducible ``quantize_embeddings``
+    path).
+
+    Scale shape: one Arrow pass computes a PER-PARTITION partial Gram
+    with a single int64 BLAS matmul (``Qᵀ·Q`` — d²/2 accumulators per
+    partition, NOT d² rows per vector), then the shuffle carries only
+    ``n_partitions × d(d+1)/2`` tiny rows into the final sum — at
+    100 TB the exchange is the d×d triangle per partition regardless
+    of corpus size.  Bounds: |q| ≤ 127 ⇒ each product ≤ 16129, so
+    int64 holds exact sums past 5·10¹⁴ vectors.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q = quantize_embeddings(df, id_col, vec_col, bits).select("qvec")
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            G = Q.T @ Q if G is None else G + Q.T @ Q
+        if G is not None:
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int64"),
+                    "j": iu[1].astype("int64"),
+                    "s": G[iu].astype("int64"),
+                }
+            )
+
+    partial = q.mapInPandas(partial_gram, "i long, j long, s long")
+    return (
+        partial.groupBy("i", "j")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .orderBy("i", "j")
+    )

@@ -1018,6 +1018,54 @@ def q_ext_dedup_containment(spark, sf_dir):
     )
 
 
+# =====================================================================
+# S. Exact integer Gram matrix of the quantized embedding corpus
+# =====================================================================
+
+
+@register(
+    "ext_embed_gram",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+      FROM embeddings
+    ),
+    ql AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5)
+                                   AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qvec
+      FROM q
+    ),
+    e AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(qvec, 1) - 1 AS BIGINT) AS i,
+             CAST(unnest(qvec) AS BIGINT) AS x
+      FROM ql
+    )
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS s
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_ext_embed_gram(spark, sf_dir):
+    """Exact upper-triangular Gram matrix of the int8-quantized
+    embedding corpus (ext/simsearch.gram_matrix_quantized): covariance
+    /PCA/whitening's second moment with INTEGER state — per-partition
+    Qᵀ·Q via one int64 matmul in an Arrow pass, then a shuffle of only
+    d(d+1)/2 rows per partition.  The oracle rebuilds it from the
+    shared quantization formula via an (i ≤ j) positional self-join —
+    different physics, identical integers."""
+    from .ext.simsearch import gram_matrix_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix_quantized(emb, "vec_id", "embedding")
+
+
 _register_new_this_round(
     "agg_mannwhitney",
     "agg_ttest_welch",
@@ -1025,6 +1073,7 @@ _register_new_this_round(
     "ext_pref_pairs",
     "join_point_in_polygon",
     "ext_dedup_containment",
+    "ext_embed_gram",
 )
 
 _register_new_this_round(
