@@ -1907,6 +1907,29 @@ class TestWelchTTest:
         assert rows["b"].t_welch == -t_a
         assert rows["a"].mean_diff_cents == -3.0
 
+    def test_zero_variance_both_sides_dropped(self, spark):
+        """Both sides constant -> pooled variance 0 -> t undefined;
+        the row must be filtered (Spark ANSI would otherwise throw
+        where DuckDB yields NULL).  One-sided constancy stays fine."""
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            welch_ttest_one_vs_rest,
+        )
+
+        flat = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 9), ("b", 9)],
+            "event_type string, cents long",
+        )
+        assert welch_ttest_one_vs_rest(flat).count() == 0
+        onesided = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 1), ("b", 9)],
+            "event_type string, cents long",
+        )
+        rows = {r.event_type: r for r in
+                welch_ttest_one_vs_rest(onesided).collect()}
+        assert set(rows) == {"a", "b"}
+        import math
+        assert all(math.isfinite(r.t_welch) for r in rows.values())
+
     def test_singleton_groups_are_dropped(self, spark):
         """n = 1 on either side has no variance — row must not appear
         (and must not divide by zero)."""

@@ -364,18 +364,18 @@ def preference_pairs(
     2i <= n so the sides never alias.  MIRRORED deterministic
     tie-breaks (score DESC, id ASC vs score ASC, id DESC) make the
     worst-ranking the exact reverse of the best-ranking — the pairing
-    is a pure total-order fold, identical on any engine.  Two
-    row_number windows over one (group) partitioning plus a self-join
-    keyed by (group, rank) touching <= k rows per side per group."""
+    is a pure total-order fold, identical on any engine.  ONE
+    row_number window (rank-from-bottom is derived, not re-sorted:
+    under the mirrored strict total order the worst-ranking is exactly
+    the reverse of the best-ranking, so rw = n + 1 - rb) plus a
+    self-join keyed by (group, rank) touching <= k rows per side per
+    group."""
     g = Window.partitionBy(*group_cols)
     r = scored.select(
         *group_cols, id_col, score_col,
         F.row_number()
         .over(g.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
         .alias("rb"),
-        F.row_number()
-        .over(g.orderBy(F.col(score_col).asc(), F.col(id_col).desc()))
-        .alias("rw"),
         F.count(F.lit(1)).over(g).alias("n"),
     )
     b = r.filter((F.col("rb") <= k) & (2 * F.col("rb") <= F.col("n"))).select(
@@ -385,7 +385,7 @@ def preference_pairs(
     )
     w_ = r.select(
         *[F.col(c).alias(f"{c}_w") for c in group_cols],
-        "rw",
+        (F.col("n") + 1 - F.col("rb")).alias("rw"),
         F.col(id_col).alias("rejected_id"),
         F.col(score_col).alias("score_w"),
     )

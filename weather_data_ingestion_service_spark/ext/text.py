@@ -662,6 +662,19 @@ def max_run_length(w) -> F.Column:
     )
 
 
+def sum_token_chars(toks) -> F.Column:
+    """Exact token-length-sum fold Σ len(tok) as ONE expression — the
+    single definition shared by the C4 gate (quality_gate_flags) and
+    the Gopher gate (gopher_flags), so their oracle restatements can
+    never drift from two hand-maintained copies.  NULL array in →
+    NULL out (callers decide whether to coalesce)."""
+    return F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
 def quality_gate_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """C4/Gopher-style quality gate as ONE NARROW PROJECTION: appends
     ``n_words``, ``max_freq`` and the rule booleans (word-count band,
@@ -675,11 +688,7 @@ def quality_gate_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.withColumn("__w", w).select(
         "*",
         F.size("__w").cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform("__w", F.length),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("sum_chars"),
+        sum_token_chars(F.col("__w")).alias("sum_chars"),
         max_run_length(F.col("__w")).alias("max_freq"),
     ).drop("__w")
     r_wc = F.col("n_words").between(20, 80)
@@ -714,14 +723,7 @@ def gopher_flags(
     m = df.select(
         id_col,
         F.size(toks).cast("long").alias("n_words"),
-        F.coalesce(
-            F.aggregate(
-                F.transform(toks, lambda x: F.length(x).cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            ),
-            F.lit(0),
-        )
+        F.coalesce(sum_token_chars(toks), F.lit(0))
         .cast("long")
         .alias("sum_wlen"),
         F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))

@@ -312,7 +312,11 @@ def mannwhitney_one_vs_rest(
 
 #: shared Spark-SQL/DuckDB Welch-t expression strings — parity by
 #: construction (registry_r6 agg_ttest_welch embeds the same strings
-#: in the oracle); DECIMAL(38,0) cross-products per the spearman rule
+#: in the oracle).  b1/b2 arrive as DECIMAL(38,0) power sums (a
+#: BIGINT Σx² wraps past ~sf10 daily magnitudes — the spearman/
+#: agg_autocorr lesson) and the cross-products stay DECIMAL(38,0)
+#: (both engines keep that exact: no double cancellation before the
+#: single rounding cast).
 WELCH_MEAN_SQL = (
     "CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
     " - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)"
@@ -324,6 +328,15 @@ WELCH_T_SQL = (
     " + CAST(CAST(n2 AS DECIMAL(38,0)) * b2 - CAST(a2 AS DECIMAL(38,0)) * a2"
     " AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE))"
 )
+#: zero-variance-on-both-sides guard: sqrt(v1/n1 + v2/n2) = 0 exactly
+#: when both n·Σx² − (Σx)² vanish (each is ≥ 0 by Cauchy–Schwarz);
+#: dividing by that zero is engine-DIVERGENT (Spark ANSI vs DuckDB
+#: NULL), so the degenerate rows are filtered identically on both
+#: engines instead of published
+WELCH_NONDEGENERATE_SQL = (
+    "(CAST(n1 AS DECIMAL(38,0)) * b1 - CAST(a1 AS DECIMAL(38,0)) * a1 > 0"
+    " OR CAST(n2 AS DECIMAL(38,0)) * b2 - CAST(a2 AS DECIMAL(38,0)) * a2 > 0)"
+)
 
 
 def welch_ttest_one_vs_rest(
@@ -332,16 +345,19 @@ def welch_ttest_one_vs_rest(
     """Welch's unequal-variance t per key vs the pooled rest, from
     associative integer power sums; complement sums derive by
     subtraction from one broadcast one-row total, so k tests cost one
-    pass.  Requires n >= 2 on both sides."""
+    pass.  Requires n >= 2 on both sides; keys whose BOTH sides are
+    constant series (zero pooled variance → t undefined) are dropped,
+    identically on both engines."""
+    dec = F.col(value).cast("decimal(38,0)")
     s = d.groupBy(key).agg(
         F.count(F.lit(1)).cast("long").alias("n1"),
         F.sum(value).cast("long").alias("a1"),
-        F.sum(F.col(value) * F.col(value)).cast("long").alias("b1"),
+        F.sum(dec * dec).cast("decimal(38,0)").alias("b1"),
     )
     t = s.agg(
         F.sum("n1").cast("long").alias("nn"),
         F.sum("a1").cast("long").alias("aa"),
-        F.sum("b1").cast("long").alias("bb"),
+        F.sum("b1").cast("decimal(38,0)").alias("bb"),
     )
     x = (
         s.crossJoin(F.broadcast(t))
@@ -349,9 +365,13 @@ def welch_ttest_one_vs_rest(
             key, "n1", "a1", "b1",
             (F.col("nn") - F.col("n1")).alias("n2"),
             (F.col("aa") - F.col("a1")).alias("a2"),
-            (F.col("bb") - F.col("b1")).alias("b2"),
+            (F.col("bb") - F.col("b1")).cast("decimal(38,0)").alias("b2"),
         )
-        .filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+        .filter(
+            (F.col("n1") >= 2)
+            & (F.col("n2") >= 2)
+            & F.expr(WELCH_NONDEGENERATE_SQL)
+        )
     )
     return x.select(
         key,

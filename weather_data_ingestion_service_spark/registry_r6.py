@@ -754,6 +754,9 @@ def q_agg_mannwhitney(spark, sf_dir):
 #: (the library operator embeds the SAME strings in its plan)
 from .operators.aggregates import WELCH_MEAN_SQL as _WELCH_MEAN  # noqa: E402
 from .operators.aggregates import WELCH_T_SQL as _WELCH_T  # noqa: E402
+from .operators.aggregates import (  # noqa: E402
+    WELCH_NONDEGENERATE_SQL as _WELCH_GUARD,
+)
 
 
 @register(
@@ -763,20 +766,22 @@ from .operators.aggregates import WELCH_T_SQL as _WELCH_T  # noqa: E402
     s AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
              CAST(sum(cents) AS BIGINT) AS a1,
-             CAST(sum(cents * cents) AS BIGINT) AS b1
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0)) AS b1
       FROM d GROUP BY event_type),
     t AS (
       SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(a1) AS BIGINT) AS aa,
-             CAST(sum(b1) AS BIGINT) AS bb
+             CAST(sum(b1) AS DECIMAL(38,0)) AS bb
       FROM s),
     x AS (
       SELECT event_type, n1, a1, b1,
-             nn - n1 AS n2, aa - a1 AS a2, bb - b1 AS b2
+             nn - n1 AS n2, aa - a1 AS a2,
+             CAST(bb - b1 AS DECIMAL(38,0)) AS b2
       FROM s CROSS JOIN t)
     SELECT event_type, n1, n2,
            {_WELCH_MEAN} AS mean_diff_cents,
            {_WELCH_T} AS t_welch
-    FROM x WHERE n1 >= 2 AND n2 >= 2 ORDER BY event_type
+    FROM x WHERE n1 >= 2 AND n2 >= 2 AND {_WELCH_GUARD}
+    ORDER BY event_type
     """,
 )
 def q_agg_ttest_welch(spark, sf_dir):
@@ -785,11 +790,14 @@ def q_agg_ttest_welch(spark, sf_dir):
     the agg_variance_exact pattern extended to a two-sample test.  The
     complement group's sums are derived by subtraction from one
     broadcast one-row total, so k one-vs-rest tests cost ONE pass.
-    Cross-products n·Σx² − (Σx)² are accumulated in DECIMAL(38,0)
-    (int64 wraps silently past ~sf10 daily magnitudes — the
-    spearman_rho lesson); the final mean-diff / sqrt(v1/n1 + v2/n2) is
-    one identical correctly-rounded IEEE expression tree on both
-    engines, shared as a literal string with the oracle."""
+    Σx² and the n·Σx² − (Σx)² cross-products are accumulated in
+    DECIMAL(38,0) end to end (a BIGINT Σx² wraps silently past ~sf10
+    daily magnitudes — the spearman_rho lesson); keys where BOTH sides
+    are constant (zero pooled variance → division by zero, which the
+    engines disagree on) are filtered identically; the final
+    mean-diff / sqrt(v1/n1 + v2/n2) is one identical correctly-rounded
+    IEEE expression tree on both engines, shared as a literal string
+    with the oracle."""
     from .operators.aggregates import welch_ttest_one_vs_rest
 
     return welch_ttest_one_vs_rest(_daily(spark, sf_dir))
