@@ -112,7 +112,7 @@ ORACLE_IDS = {
     "ext_pref_pairs", "join_point_in_polygon",
     "ext_multimodal_frames", "ext_multimodal_resize",
     "stream_curation_pipeline", "ext_dedup_containment",
-    "ext_embed_gram",
+    "ext_embed_gram", "win_drawdown", "agg_hodges_lehmann",
 }
 
 ROWS_ONLY_IDS = {

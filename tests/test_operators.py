@@ -2173,3 +2173,69 @@ class TestGramMatrixQuantized:
         b = {(r.i, r.j): r.s
              for r in gram_matrix_quantized(emb.repartition(7)).collect()}
         assert a == b and len(a) == 64 * 65 // 2
+
+
+class TestDrawdownAndHL:
+    def test_drawdown_hand_case(self, spark):
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            q_win_drawdown,  # noqa: F401  (shape check only)
+        )
+        from pyspark.sql import Window
+
+        d = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([5, 3, 8, 2])],
+            "event_type string, day date, cents long",
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        rows = (
+            d.select("day", (F.max("cents").over(w) - F.col("cents"))
+                     .alias("dd"))
+            .orderBy("day")
+            .collect()
+        )
+        assert [r.dd for r in rows] == [0, 2, 0, 6]
+
+    def test_hodges_lehmann_hand_case(self, spark):
+        """{1,3,5}: Walsh sums [2,4,6,6,8,10], median (rank 3) = 6."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            hodges_lehmann_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1 + i), c) for i, c in enumerate([1, 3, 5])],
+            "event_type string, day date, cents long",
+        )
+        r = hodges_lehmann_daily(d).collect()[0]
+        assert (r.n_pairs, r.hl_x2) == (6, 6)
+
+    def test_hodges_lehmann_outlier_resistant(self, spark):
+        """A wild outlier barely moves HL while it drags the mean."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            hodges_lehmann_daily,
+        )
+
+        base = [10, 11, 12, 13, 14]
+        d1 = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1 + i), c) for i, c in enumerate(base)],
+            "event_type string, day date, cents long",
+        )
+        d2 = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate(base + [100000])],
+            "event_type string, day date, cents long",
+        )
+        hl1 = hodges_lehmann_daily(d1).collect()[0].hl_x2
+        hl2 = hodges_lehmann_daily(d2).collect()[0].hl_x2
+        assert hl1 == 24  # median Walsh sum of the clean series
+        assert abs(hl2 - hl1) <= 2  # outlier shifts HL by <= 1 unit

@@ -251,6 +251,9 @@ EXCHANGE_BUDGET = {
                                  # shingle subtree feeds both sides)
     "ext_embed_gram": 2,         # partial-Gram agg (2080 rows/part)
                                  # + output sort
+    "win_drawdown": 2,           # daily agg + per-key window
+    "agg_hodges_lehmann": 4,     # persisted daily agg + recent-days cap
+                                 # window + pair join + select
 }
 
 

@@ -1074,6 +1074,134 @@ def q_ext_embed_gram(spark, sf_dir):
     return gram_matrix_quantized(emb, "vec_id", "embedding")
 
 
+# =====================================================================
+# T. Running-peak drawdown (pure integer window)
+# =====================================================================
+
+
+@register(
+    "win_drawdown",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT event_type, day, cents,
+           CAST(max(cents) OVER w AS BIGINT) AS peak_cents,
+           CAST(max(cents) OVER w - cents AS BIGINT) AS drawdown_cents
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_drawdown(spark, sf_dir):
+    """Running-peak drawdown per event type: cumulative max of the
+    daily cents series minus the current value — the how-far-below-
+    the-best-seen signal (equipment degradation, station dropout,
+    revenue dip), exact integers end to end.  One per-key row window
+    over the daily aggregate; the cumulative max and the subtraction
+    ride the same window pass."""
+    d = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("cents").over(w).cast("long")
+    return d.select(
+        "event_type",
+        "day",
+        "cents",
+        peak.alias("peak_cents"),
+        (peak - F.col("cents")).cast("long").alias("drawdown_cents"),
+    )
+
+
+# =====================================================================
+# U. Hodges-Lehmann robust location (median of Walsh averages)
+# =====================================================================
+
+
+def hodges_lehmann_daily(d, max_days=None):
+    """Hodges-Lehmann estimator per key over a (event_type, day,
+    cents) daily table: the median of all Walsh averages
+    (cᵢ + cⱼ)/2, i ≤ j — published DOUBLED (hl_x2 = the selected
+    pair sum) so the estimator stays an exact integer.  Selection at
+    rank (m+1) DIV 2 under the (sum, day-pair) total order — never
+    interpolated (the CLAUDE.md median rule).  The pairwise kernel is
+    capped to the most recent ``_TREND_MAX_DAYS`` days per key, the
+    agg_theilsen scale posture."""
+    from .registry_r5 import _TREND_MAX_DAYS, _recent_days
+
+    d = _recent_days(d, max_days or _TREND_MAX_DAYS)
+    a = d.select(
+        "event_type", F.col("day").alias("day_a"), F.col("cents").alias("c_a")
+    )
+    b = d.select(
+        "event_type", F.col("day").alias("day_b"), F.col("cents").alias("c_b")
+    )
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") <= F.col("day_b"))
+        .select(
+            "event_type",
+            (F.col("c_a") + F.col("c_b")).alias("w2"),
+            "day_a",
+            "day_b",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("w2", "day_a", "day_b")
+    wn = Window.partitionBy("event_type")
+    return (
+        p.select(
+            "event_type",
+            "w2",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n_pairs"),
+        )
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("w2").cast("long").alias("hl_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hl_oracle_sql() -> str:
+    from .registry_r5 import _RECENT_DAYS_SQL
+
+    return f"""
+    WITH {_DAILY_SQL},
+    {_RECENT_DAYS_SQL},
+    p AS (
+      SELECT a.event_type, a.cents + b.cents AS w2,
+             a.day AS day_a, b.day AS day_b
+      FROM dc a JOIN dc b
+        ON a.event_type = b.event_type AND a.day <= b.day),
+    r AS (
+      SELECT event_type, w2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY w2, day_a, day_b) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p)
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(w2 AS BIGINT) AS hl_x2
+    FROM r WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+    """
+
+
+@register("agg_hodges_lehmann", _hl_oracle_sql())
+def q_agg_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann robust location per event type — the
+    rank-based companion to agg_theilsen's slope and agg_mannwhitney's
+    shift test: median of all pairwise Walsh averages over the daily
+    cents series, exact in doubled integer units (hl_x2 DIV 2 is the
+    classical estimator; keeping it doubled avoids the half-unit).
+    30%-breakdown location without the mean's outlier sensitivity or
+    the median's low efficiency."""
+    return hodges_lehmann_daily(_daily(spark, sf_dir).persist())
+
+
 _register_new_this_round(
     "agg_mannwhitney",
     "agg_ttest_welch",
@@ -1082,6 +1210,8 @@ _register_new_this_round(
     "join_point_in_polygon",
     "ext_dedup_containment",
     "ext_embed_gram",
+    "win_drawdown",
+    "agg_hodges_lehmann",
 )
 
 _register_new_this_round(
