@@ -254,6 +254,8 @@ EXCHANGE_BUDGET = {
     "win_drawdown": 2,           # daily agg + per-key window
     "agg_hodges_lehmann": 4,     # persisted daily agg + recent-days cap
                                  # window + pair join + select
+    # stream_window_append_final: streaming plan — runs a real query,
+    # no batch exchange budget applies (like the other stream_* runs)
 }
 
 

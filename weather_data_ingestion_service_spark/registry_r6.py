@@ -1202,7 +1202,51 @@ def q_agg_hodges_lehmann(spark, sf_dir):
     return hodges_lehmann_daily(_daily(spark, sf_dir).persist())
 
 
+# =====================================================================
+# V. Append-mode watermark closure (finalized-windows stream)
+# =====================================================================
+
+
+@register(
+    "stream_window_append_final",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+      FROM events GROUP BY 1)
+    SELECT bucket_start, n, value_sum
+    FROM d CROSS JOIN m
+    WHERE epoch_us(bucket_start) + 86400000000
+          <= epoch_us(mx) - 345600000000
+    """,
+)
+def q_stream_window_append_final(spark, sf_dir):
+    """APPEND-mode streaming run of the daily tumbling aggregate: only
+    windows the 4-day watermark has CLOSED are emitted — the finalized,
+    immutable prefix (what a downstream sink may safely archive), while
+    the complete-mode twin (stream_window_tumbling) emits everything.
+    This driver-checks the LATE-DATA CLOSURE semantics relationally:
+    after availableNow's final no-data micro-batch the emitted set is
+    exactly the daily buckets with ``bucket_end <= max(ts) − 4 days``
+    (integer epoch-µs arithmetic in the oracle; the 5 open trailing
+    windows of the fixture are withheld).  Per-batch arrival and
+    drop-late behavior stay pinned by tests/test_streaming.py."""
+    from .streaming.jobs import (
+        run_stream_to_memory,
+        streamed_daily_aggregate_closed,
+        streaming_events_source,
+    )
+
+    src = streaming_events_source(spark, sf_dir)
+    return run_stream_to_memory(
+        streamed_daily_aggregate_closed(src), "append"
+    )
+
+
 _register_new_this_round(
+    "stream_window_append_final",
     "agg_mannwhitney",
     "agg_ttest_welch",
     "ext_filter_gopher",

@@ -213,3 +213,27 @@ def streamed_interval_join(
         F.col("l.ts").alias("left_ts"),
         F.col("r.ts").alias("right_ts"),
     )
+
+
+def streamed_daily_aggregate_closed(
+    events: DataFrame, watermark: str = LATE_HORIZON
+) -> DataFrame:
+    """Tumbling daily aggregate shaped for APPEND output mode: grouped
+    by the full ``window`` struct (append-mode eviction tracks the
+    event-time window column) and projected to the bucket start after
+    aggregation.  In append mode only CLOSED windows are emitted —
+    ``window.end <= watermark`` after the final no-data micro-batch
+    (SPARK-24156 eager eviction) — i.e. the finalized prefix a
+    downstream consumer can treat as immutable, while windows still
+    inside the late-data horizon stay in state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "value_sum"
+            ),
+        )
+        .select(F.col("window.start").alias("bucket_start"), "n", "value_sum")
+    )
