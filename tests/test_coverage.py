@@ -113,7 +113,7 @@ ORACLE_IDS = {
     "ext_multimodal_frames", "ext_multimodal_resize",
     "stream_curation_pipeline", "ext_dedup_containment",
     "ext_embed_gram", "win_drawdown", "agg_hodges_lehmann",
-    "stream_window_append_final",
+    "stream_window_append_final", "ext_pack_positions",
 }
 
 ROWS_ONLY_IDS = {

@@ -2239,3 +2239,47 @@ class TestDrawdownAndHL:
         hl2 = hodges_lehmann_daily(d2).collect()[0].hl_x2
         assert hl1 == 24  # median Walsh sum of the clean series
         assert abs(hl2 - hl1) <= 2  # outlier shifts HL by <= 1 unit
+
+
+class TestPackSegments:
+    def test_segment_map_invariants(self, spark):
+        """The per-bin segment map must tile the stream exactly: every
+        bin but the shard's last is full; each doc's segments (in bin
+        order) have pos_starts equal to the running prefix of its
+        seg_lens and sum to its token count."""
+        from collections import defaultdict
+
+        from weather_data_ingestion_service_spark.ext.packing import (
+            pack_segments,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 3 + (i * 7) % 15) for i in range(40)],
+            "doc_id long, n_chars long",
+        )
+        tok = {r.doc_id: r.n_chars for r in df.collect()}
+        rows = pack_segments(df, "doc_id", "n_chars", budget=10,
+                             n_shards=1).collect()
+        last_bin = max(r.bin_id for r in rows)
+        bins = defaultdict(list)
+        per_doc = defaultdict(list)
+        for r in rows:
+            bins[(r.shard, r.bin_id)].append(r)
+            per_doc[r.doc_id].append((r.bin_id, r.pos_start, r.seg_len))
+        for (shard, b), segs in bins.items():
+            segs.sort(key=lambda r: r.seg_idx)
+            # seg_idx order == seg_start order, tiling contiguously
+            run = segs[0].seg_start
+            assert run == 0
+            for r in segs:
+                assert r.seg_start == run
+                run += r.seg_len
+            if b < last_bin:
+                assert run == 10, (b, run)  # every non-final bin full
+        for d, segs in per_doc.items():
+            segs.sort()
+            run = 0
+            for _, p, ln in segs:
+                assert p == run  # document-reset positions carry over
+                run += ln
+            assert run == tok[d]

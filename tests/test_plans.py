@@ -256,6 +256,8 @@ EXCHANGE_BUDGET = {
                                  # window + pair join + select
     # stream_window_append_final: streaming plan — runs a real query,
     # no batch exchange budget applies (like the other stream_* runs)
+    "ext_pack_positions": 1,     # one shard-stream window; segment
+                                 # fan-out + bin rollup reuse it
 }
 
 

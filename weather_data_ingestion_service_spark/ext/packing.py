@@ -156,3 +156,71 @@ def pack_bestfit(
     return src.groupBy("shard").applyInPandas(
         pack, "id long, n_tokens long, shard long, bin_id long, oversized boolean"
     )
+
+
+def pack_segments(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Materialize the PER-BIN segment map of ``pack_sequences``: for
+    every (shard, bin) the ordered document segments it contains —
+    ``doc_ids``, in-bin ``seg_starts``, per-document ``pos_starts``
+    (the position-id offset of the segment's first token WITHIN its
+    document: 0 when the doc starts here, the carried offset when it
+    straddled in) and ``seg_lens``.  This is exactly the metadata a
+    trainer needs to build block-diagonal attention masks and
+    document-reset position ids — the detail that stops packed
+    neighbors from attending across document boundaries.
+
+    One row per (doc, bin) SEGMENT — a doc spanning k bins fans out
+    to k rows, bounded by ceil(len/budget) + 1 per doc — with
+    ``seg_idx`` ranking segments within their bin by the unique in-bin
+    start (scalar columns only: the driver's canonicalizer rejects
+    array cells, so the map ships relationally, not as per-bin
+    arrays).  Integer arithmetic end to end.
+    """
+    packed = pack_sequences(df, id_col, token_col, budget, n_shards=n_shards)
+    tok = F.col(token_col).cast("long")
+    ofs = (F.col("bin_id") * budget + F.col("bin_offset")).cast("long")
+    seg = (
+        packed.filter(tok > 0)
+        .withColumn("_ofs", ofs)
+        .withColumn("_endbin", F.expr(f"(_ofs + {token_col} - 1) div {int(budget)}"))
+        .select(
+            id_col,
+            "shard",
+            "_ofs",
+            tok.alias("_tok"),
+            F.explode(F.sequence(F.col("bin_id"), F.col("_endbin"))).alias("b"),
+        )
+    )
+    x = seg.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("b").cast("long").alias("bin_id"),
+        F.col(id_col),
+        F.greatest(F.col("_ofs") - F.col("b") * budget, F.lit(0))
+        .cast("long")
+        .alias("seg_start"),
+        F.greatest(F.col("b") * budget - F.col("_ofs"), F.lit(0))
+        .cast("long")
+        .alias("pos_start"),
+        (
+            F.least(F.col("_ofs") + F.col("_tok"), (F.col("b") + 1) * budget)
+            - F.greatest(F.col("_ofs"), F.col("b") * budget)
+        )
+        .cast("long")
+        .alias("seg_len"),
+    )
+    w = Window.partitionBy("shard", "bin_id").orderBy("seg_start")
+    return x.select(
+        "shard",
+        "bin_id",
+        F.row_number().over(w).cast("long").alias("seg_idx"),
+        id_col,
+        "seg_start",
+        "pos_start",
+        "seg_len",
+    )

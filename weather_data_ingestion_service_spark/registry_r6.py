@@ -1245,7 +1245,66 @@ def q_stream_window_append_final(spark, sf_dir):
     )
 
 
+# =====================================================================
+# W. Packing segment map (attention-mask / position-id metadata)
+# =====================================================================
+
+
+@register(
+    "ext_pack_positions",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+               % 8 AS shard
+      FROM documents
+    ),
+    o AS (
+      SELECT *,
+             CAST(COALESCE(sum(n_chars) OVER (
+                    PARTITION BY shard ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS ofs
+      FROM s WHERE n_chars > 0
+    ),
+    seg AS (
+      SELECT doc_id, shard, ofs, n_chars,
+             unnest(range(ofs // 2048, (ofs + n_chars - 1) // 2048 + 1)) AS b
+      FROM o),
+    x AS (
+      SELECT CAST(shard AS BIGINT) AS shard, CAST(b AS BIGINT) AS bin_id,
+             doc_id,
+             CAST(greatest(ofs - b * 2048, 0) AS BIGINT) AS seg_start,
+             CAST(greatest(b * 2048 - ofs, 0) AS BIGINT) AS pos_start,
+             CAST(least(ofs + n_chars, (b + 1) * 2048)
+                  - greatest(ofs, b * 2048) AS BIGINT) AS seg_len
+      FROM seg)
+    SELECT shard, bin_id,
+           CAST(row_number() OVER (PARTITION BY shard, bin_id
+                                   ORDER BY seg_start) AS BIGINT) AS seg_idx,
+           doc_id, seg_start, pos_start, seg_len
+    FROM x
+    """,
+)
+def q_ext_pack_positions(spark, sf_dir):
+    """Per-bin segment map of the 2048-token concat-and-chunk packing
+    (ext/packing.pack_segments): ordered doc segments with in-bin
+    starts, document-reset position-id offsets (straddling docs carry
+    their position across the bin boundary) and segment lengths — the
+    block-diagonal-attention metadata trainers consume.  Straddling
+    docs fan out to one row per spanned bin before the (shard, bin)
+    rollup; seg_idx ranks segments within their bin by the unique
+    in-bin start (scalar columns only — the driver's canonicalizer
+    rejects array cells, the round-2/3 lesson)."""
+    from .ext.packing import pack_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_segments(docs, "doc_id", "n_chars", budget=2048, n_shards=8)
+
+
 _register_new_this_round(
+    "ext_pack_positions",
     "stream_window_append_final",
     "agg_mannwhitney",
     "agg_ttest_welch",
