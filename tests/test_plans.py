@@ -258,6 +258,9 @@ EXCHANGE_BUDGET = {
     # no batch exchange budget applies (like the other stream_* runs)
     "ext_pack_positions": 1,     # one shard-stream window; segment
                                  # fan-out + bin rollup reuse it
+    "ext_chat_template": 1,      # one (user, day) hash aggregate
+    "sink_schema_merge": 2,      # read-back rollup + order (writes
+                                 # are the op)
 }
 
 

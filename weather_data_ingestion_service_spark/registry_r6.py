@@ -1303,7 +1303,143 @@ def q_ext_pack_positions(spark, sf_dir):
     return pack_segments(docs, "doc_id", "n_chars", budget=2048, n_shards=8)
 
 
+# =====================================================================
+# X. Chat-template rendering (instruction-data serialization)
+# =====================================================================
+
+#: event_type → chat role (deterministic; the render is a pure fold)
+_CHAT_ROLE_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'system'"
+    " WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'assistant'"
+    " ELSE 'user' END"
+)
+
+
+@register(
+    "ext_chat_template",
+    f"""
+    WITH t AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ts, event_id,
+             '<|im_start|>' || {_CHAT_ROLE_SQL} || chr(10)
+               || event_type || ' ' || props || '<|im_end|>' AS turn
+      FROM events)
+    SELECT user_id, day,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(turn, '' ORDER BY ts, event_id) AS convo
+    FROM t GROUP BY user_id, day
+    """,
+)
+def q_ext_chat_template(spark, sf_dir):
+    """Chat-template rendering — the serialization step that turns an
+    interaction log into instruction-tuning strings: per (user, day)
+    the event turns are role-mapped, wrapped in <|im_start|>/<|im_end|>
+    markers and concatenated in STRICT (ts, event_id) order.  Ordered
+    concatenation needs a deterministic fold: Spark's collect_list has
+    no ordering contract, so the turns collect as (ts, event_id, turn)
+    structs, array_sort pins the order, and array_join folds — exactly
+    the oracle's string_agg(... ORDER BY).  One hash aggregate; at
+    100 TB the per-key turn lists are conversation-sized, never
+    corpus-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        F.concat(
+            F.lit("<|im_start|>"),
+            F.expr(_CHAT_ROLE_SQL),
+            F.lit(chr(10)),
+            F.col("event_type"),
+            F.lit(" "),
+            F.col("props"),
+            F.lit("<|im_end|>"),
+        ).alias("turn"),
+    )
+    return (
+        t.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "turn"))
+                    ),
+                    lambda s: s["turn"],
+                ),
+                "",
+            ).alias("convo"),
+        )
+    )
+
+
+# =====================================================================
+# Y. Schema-evolution merge read (mergeSchema across generations)
+# =====================================================================
+
+
+@register(
+    "sink_schema_merge",
+    """
+    WITH u AS (
+      SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+             CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+      FROM documents WHERE doc_id % 2 = 1)
+    SELECT coalesce(lang, 'missing') AS lang,
+           coalesce(source, 'missing') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+    FROM u GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_sink_schema_merge(spark, sf_dir):
+    """Schema evolution at the storage layer — the contract a
+    long-lived 100 TB table depends on: generation 1 files carry
+    (doc_id, lang), generation 2 adds (source, n_chars) and drops
+    lang; ``mergeSchema`` reads both generations as ONE table with
+    NULLs for each file's missing columns (per-file pruned scans, no
+    rewrite of old data).  The read-back rollup proves every row kept
+    its own generation's columns; the oracle restates the merge as a
+    NULL-padded union."""
+    import os
+
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_schmerge_*")
+    out = f"/tmp/wds_schmerge_{_session_tag(spark, sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.exists(out):
+        docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/gen=1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "source", "n_chars"
+        ).write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("lang", F.lit("missing")).alias("lang"),
+            F.coalesce("source", F.lit("missing")).alias("source"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("chars_sum"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 _register_new_this_round(
+    "sink_schema_merge",
+    "ext_chat_template",
     "ext_pack_positions",
     "stream_window_append_final",
     "agg_mannwhitney",
