@@ -855,3 +855,167 @@ class TestRound5Laws:
             total = sum(m.est_tokens for m in ms)
             mx = max(m.est_tokens for m in ms)
             assert total < ms[0].quota + mx, (src, total)
+
+
+class TestPointInPolygonProperties:
+    """The crossing expression is ONE generated SQL string shared by
+    the Spark plan and the oracle, so fuzzing it through DuckDB (fast,
+    hundreds of examples) covers both engines; the Python reference
+    re-implements the identical half-open ray-cast rule."""
+
+    @staticmethod
+    def _ref_inside(px, py, verts):
+        n = len(verts)
+        crossings = 0
+        for i in range(n):
+            x1, y1 = verts[i]
+            x2, y2 = verts[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if (y1 <= py) == (y2 <= py):
+                continue
+            lhs = (py - y1) * (x2 - x1)
+            rhs = (px - x1) * (y2 - y1)
+            if (lhs > rhs) if y2 > y1 else (lhs < rhs):
+                crossings += 1
+        return crossings % 2 == 1
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        verts=st.lists(
+            st.tuples(
+                st.integers(min_value=-(10**8), max_value=10**8),
+                st.integers(min_value=-(10**8), max_value=10**8),
+            ),
+            min_size=3,
+            max_size=8,
+        ),
+        pt=st.tuples(
+            st.integers(min_value=-(2 * 10**8), max_value=2 * 10**8),
+            st.integers(min_value=-(10**8), max_value=10**8),
+        ),
+    )
+    def test_sql_expression_matches_reference(self, verts, pt):
+        import duckdb
+
+        from weather_data_ingestion_service_spark.operators.spatial import (
+            polygon_inside_sql,
+        )
+
+        px, py = pt
+        sql = polygon_inside_sql(str(px), str(py), verts)
+        got = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
+        assert got == self._ref_inside(px, py, verts)
+
+    def test_triangle_interior_and_exterior_grid(self):
+        """Deterministic sweep: every grid point classified identically
+        by SQL and reference over a skewed triangle (covers vertex-row
+        and edge-collinear cases the fuzzer may miss)."""
+        import duckdb
+
+        from weather_data_ingestion_service_spark.operators.spatial import (
+            polygon_inside_sql,
+        )
+
+        verts = [(0, 0), (10, 2), (4, 9)]
+        con = duckdb.connect()
+        for px in range(-2, 13):
+            for py in range(-2, 11):
+                sql = polygon_inside_sql(str(px), str(py), verts)
+                got = con.execute(f"SELECT {sql}").fetchone()[0]
+                assert got == self._ref_inside(px, py, verts), (px, py)
+
+
+class TestRankStatProperties:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=-50, max_value=50),
+                    min_size=2, max_size=12),
+        ys=st.lists(st.integers(min_value=-50, max_value=50),
+                    min_size=2, max_size=12),
+    )
+    def test_mannwhitney_matches_bruteforce(self, spark, xs, ys):
+        """u_x2 for a group == Σ over (own, other) pairs of
+        2·[own>other] + [own==other] — the comparison-count definition
+        of U, doubled."""
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            mannwhitney_one_vs_rest,
+        )
+
+        d = spark.createDataFrame(
+            [("a", v) for v in xs] + [("b", v) for v in ys],
+            "event_type string, cents long",
+        )
+        got = {r.event_type: r.u_x2
+               for r in mannwhitney_one_vs_rest(d).collect()}
+        for key, own, other in (("a", xs, ys), ("b", ys, xs)):
+            exp = sum(
+                2 if o > t else (1 if o == t else 0)
+                for o in own for t in other
+            )
+            assert got[key] == exp, key
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                      min_size=1, max_size=10),
+    )
+    def test_hodges_lehmann_matches_bruteforce(self, spark, vals):
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            hodges_lehmann_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1) + dt.timedelta(days=i), c)
+             for i, c in enumerate(vals)],
+            "event_type string, day date, cents long",
+        )
+        walsh = sorted(
+            vals[i] + vals[j]
+            for i in range(len(vals)) for j in range(i, len(vals))
+        )
+        r = hodges_lehmann_daily(d).collect()[0]
+        assert r.n_pairs == len(walsh)
+        assert r.hl_x2 == walsh[(len(walsh) + 1) // 2 - 1]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=-100, max_value=100),
+                    min_size=2, max_size=8),
+        ys=st.lists(st.integers(min_value=-100, max_value=100),
+                    min_size=2, max_size=8),
+    )
+    def test_welch_matches_python_float_tree(self, spark, xs, ys):
+        """The published t must equal the SAME IEEE tree evaluated in
+        Python (int-exact moments, correctly-rounded / and sqrt) —
+        bit-equality, not approximation."""
+        import math
+
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            welch_ttest_one_vs_rest,
+        )
+
+        d = spark.createDataFrame(
+            [("a", v) for v in xs] + [("b", v) for v in ys],
+            "event_type string, cents long",
+        )
+        rows = {r.event_type: r for r in welch_ttest_one_vs_rest(d).collect()}
+
+        def expect(own, other):
+            n1, a1, b1 = len(own), sum(own), sum(v * v for v in own)
+            n2, a2, b2 = len(other), sum(other), sum(v * v for v in other)
+            if n1 * b1 - a1 * a1 == 0 and n2 * b2 - a2 * a2 == 0:
+                return None
+            mean = a1 / n1 - a2 / n2
+            v1 = (n1 * b1 - a1 * a1) / (n1 * (n1 - 1)) / n1
+            v2 = (n2 * b2 - a2 * a2) / (n2 * (n2 - 1)) / n2
+            return mean / math.sqrt(v1 + v2)
+
+        for key, own, other in (("a", xs, ys), ("b", ys, xs)):
+            exp = expect(own, other)
+            if exp is None:
+                assert key not in rows
+            else:
+                assert rows[key].t_welch == exp, key

@@ -42,8 +42,12 @@ def crossing_case_sql(px: str, py: str, x1: int, y1: int, x2: int, y2: int) -> s
     """
     if y1 == y2:  # horizontal edge never crosses the half-open span
         return "0"
-    lhs = f"({py} - {y1}) * ({x2} - {x1})"
-    rhs = f"({px} - {x1}) * ({y2} - {y1})"
+    # edge deltas are precomputed literals cast to BIGINT so the
+    # products run in int64 even when an engine types small literals
+    # as INT32 (DuckDB would otherwise overflow-check the 32-bit
+    # multiply)
+    lhs = f"({py} - {y1}) * CAST({x2 - x1} AS BIGINT)"
+    rhs = f"({px} - {x1}) * CAST({y2 - y1} AS BIGINT)"
     cmp_ = f"{lhs} > {rhs}" if y2 > y1 else f"{lhs} < {rhs}"
     return (
         f"(CASE WHEN (({y1} <= {py}) <> ({y2} <= {py})) AND ({cmp_})"
