@@ -114,7 +114,7 @@ ORACLE_IDS = {
     "stream_curation_pipeline", "ext_dedup_containment",
     "ext_embed_gram", "win_drawdown", "agg_hodges_lehmann",
     "stream_window_append_final", "ext_pack_positions",
-    "ext_chat_template", "sink_schema_merge",
+    "ext_chat_template", "sink_schema_merge", "agg_runs_test",
 }
 
 ROWS_ONLY_IDS = {

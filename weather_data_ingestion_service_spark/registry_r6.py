@@ -1437,7 +1437,83 @@ def q_sink_schema_merge(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Z. Wald-Wolfowitz runs test (sign-run integer counts)
+# =====================================================================
+
+
+@register(
+    "agg_runs_test",
+    f"""
+    WITH {_DAILY_SQL},
+    l AS (
+      SELECT event_type, day, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM d),
+    sgn AS (
+      SELECT event_type, day,
+             CASE WHEN cents > prev THEN 1
+                  WHEN cents < prev THEN -1 END AS s
+      FROM l WHERE prev IS NOT NULL AND cents <> prev),
+    brk AS (
+      SELECT event_type, s,
+             CASE WHEN lag(s) OVER w IS NULL OR s <> lag(s) OVER w
+                  THEN 1 ELSE 0 END AS new_run
+      FROM sgn WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type,
+           CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(sum(new_run) AS BIGINT) AS n_runs
+    FROM brk GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs statistic over the daily cents series'
+    up/down signs (ties dropped, the standard treatment): n_up,
+    n_down and the RUN count — too few runs means trending, too many
+    means oscillation, and the z-score against E[R] = 2·n₊·n₋/n + 1
+    is one driver formula away from these exact integers.  Completes
+    the nonparametric family (Mann-Kendall direction, Theil-Sen
+    magnitude, Mann-Whitney shift, Hodges-Lehmann location):
+    randomness of the sequence itself.  Two per-key row windows over
+    the daily aggregate sharing one partitioning."""
+    d = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    l_ = d.select(
+        "event_type", "day", "cents",
+        F.lag("cents").over(w).alias("prev"),
+    )
+    sgn = (
+        l_.filter(F.col("prev").isNotNull() & (F.col("cents") != F.col("prev")))
+        .select(
+            "event_type", "day",
+            F.when(F.col("cents") > F.col("prev"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    prev_s = F.lag("s").over(w)
+    brk = sgn.select(
+        "event_type", "s",
+        F.when(prev_s.isNull() | (F.col("s") != prev_s), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return (
+        brk.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_up"),
+            F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_down"),
+            F.sum("new_run").cast("long").alias("n_runs"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
+    "agg_runs_test",
     "sink_schema_merge",
     "ext_chat_template",
     "ext_pack_positions",
