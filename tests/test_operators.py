@@ -2330,3 +2330,37 @@ class TestRunsTest:
         )
         # signs: +,-,+,(tie),+,- -> +,-,+,+,- -> runs: +|-|++|- = 4
         assert (r.n_up, r.n_down, r.n_runs) == (3, 2, 4)
+
+
+class TestLMoments:
+    def test_lambda2_matches_gini_mean_difference(self, spark):
+        """For {1,2,4}: b0 = 7/3, b1 = (0·1 + 1·2 + 2·4)/(3·2) = 10/6;
+        λ2 = 2b1 − b0 = 10/3 − 7/3 = 1 — exactly half the Gini mean
+        difference (|1−2|+|1−4|+|2−4|)/3 / 2 = 1.  The published sums
+        must reproduce that: s0 = 7, s1 = 10 with n = 3."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            q_agg_lmoments,  # noqa: F401
+        )
+        from pyspark.sql import Window
+
+        d = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([4, 1, 2])],
+            "event_type string, day date, cents long",
+        )
+        wr = Window.partitionBy("event_type").orderBy("cents", "day")
+        r = d.select("event_type", "cents",
+                     F.row_number().over(wr).alias("rk"))
+        row = (
+            r.groupBy("event_type")
+            .agg(F.sum("cents").alias("s0"),
+                 F.sum((F.col("rk") - 1) * F.col("cents")).alias("s1"))
+            .collect()[0]
+        )
+        assert (row.s0, row.s1) == (7, 10)
+        n = 3
+        b0 = row.s0 / n
+        b1 = row.s1 / (n * (n - 1))
+        assert 2 * b1 - b0 == 1.0

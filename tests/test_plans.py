@@ -263,6 +263,8 @@ EXCHANGE_BUDGET = {
                                  # are the op)
     "agg_runs_test": 3,          # daily agg + shared key windows +
                                  # final agg/sort
+    "agg_lmoments": 3,           # daily agg + rank window + final
+                                 # agg/sort
 }
 
 

@@ -1512,7 +1512,77 @@ def q_agg_runs_test(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AA. L-moment rank-weighted sums (extreme-value statistics)
+# =====================================================================
+
+
+@register(
+    "agg_lmoments",
+    f"""
+    WITH {_DAILY_SQL},
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, day) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS s0,
+           CAST(sum(CAST(rk - 1 AS HUGEINT) * cents) AS DECIMAL(38,0)) AS s1,
+           CAST(sum(CAST((rk - 1) * (rk - 2) AS HUGEINT) * cents)
+                AS DECIMAL(38,0)) AS s2,
+           CAST(sum(CAST((rk - 1) * (rk - 2) * (rk - 3) AS HUGEINT) * cents)
+                AS DECIMAL(38,0)) AS s3
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_lmoments(spark, sf_dir):
+    """L-moment building blocks per event type — THE extreme-value /
+    hydrology statistics family (Hosking 1990): probability-weighted
+    moments b_k = Σ (r−1)…(r−k)·x_(r) / (n(n−1)…(n−k)) over the
+    ORDER STATISTICS x_(r), published as the exact rank-weighted
+    integer sums s0..s3 (DECIMAL(38,0) — r³·cents exceeds int64 at
+    warehouse scale) under the deterministic (cents, day) total
+    order.  λ1 = b0, λ2 = 2b1−b0, λ3 = 6b2−6b1+b0, λ4 and the
+    L-skewness/L-kurtosis ratios are one driver formula away — linear
+    in order statistics, so far more outlier-robust than classical
+    skewness/kurtosis.  One rank window over the daily aggregate +
+    one grouped fold."""
+    d = _daily(spark, sf_dir)
+    wr = Window.partitionBy("event_type").orderBy("cents", "day")
+    wn = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rk1 = F.col("rk") - 1
+    rk2 = rk1 * (F.col("rk") - 2)
+    rk3 = rk2 * (F.col("rk") - 3)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum(dec(F.col("cents"))).cast("decimal(38,0)").alias("s0"),
+            F.sum(dec(rk1) * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("s1"),
+            F.sum(dec(rk2) * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+            F.sum(dec(rk3) * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("s3"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
+    "agg_lmoments",
     "agg_runs_test",
     "sink_schema_merge",
     "ext_chat_template",
