@@ -265,6 +265,8 @@ EXCHANGE_BUDGET = {
                                  # final agg/sort
     "agg_lmoments": 3,           # daily agg + rank window + final
                                  # agg/sort
+    "ext_dataset_diff": 4,       # both snapshot sides shuffle into the
+                                 # full-outer join + rollup + order
 }
 
 

@@ -1581,7 +1581,99 @@ def q_agg_lmoments(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AB. Dataset snapshot diff (corpus release accounting)
+# =====================================================================
+
+#: snapshot B derivation, shared by plan and oracle: every 10th doc
+#: dropped, every 7th (surviving) doc revised, every 13th re-added
+#: under a new id — the three release-delta classes
+_DIFF_B_SQL = """
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 13 = 0)
+"""
+
+
+@register(
+    "ext_dataset_diff",
+    f"""
+    WITH {_DIFF_B_SQL},
+    a AS (SELECT doc_id, text, source FROM documents),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY source, status ORDER BY source, status
+    """,
+)
+def q_ext_dataset_diff(spark, sf_dir):
+    """Corpus release diff — the accounting a curator publishes
+    between dataset versions: FULL OUTER join of two snapshots on the
+    doc key, per-doc status by content-hash comparison (added /
+    removed / changed / unchanged), rolled up per source.  Snapshot B
+    is derived deterministically (drop, revise, re-add classes) so
+    the oracle reconstructs it exactly.  Scale shape: one equi-join
+    on the id + one grouped rollup; content equality compares md5
+    digests, never the full texts, so the join rows stay narrow at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    b = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.md5(F.col("text").cast("binary")).alias("h_a"),
+        F.col("source").alias("src_a"),
+    )
+    b2 = b.select(
+        F.col("doc_id").alias("id_b"),
+        F.md5(F.col("text").cast("binary")).alias("h_b"),
+        F.col("source").alias("src_b"),
+    )
+    j = a.join(b2, a["id_a"] == b2["id_b"], "full_outer").select(
+        F.coalesce("src_a", "src_b").alias("source"),
+        F.when(F.col("id_a").isNull(), "added")
+        .when(F.col("id_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        j.groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
 _register_new_this_round(
+    "ext_dataset_diff",
     "agg_lmoments",
     "agg_runs_test",
     "sink_schema_merge",
