@@ -115,7 +115,7 @@ ORACLE_IDS = {
     "ext_embed_gram", "win_drawdown", "agg_hodges_lehmann",
     "stream_window_append_final", "ext_pack_positions",
     "ext_chat_template", "sink_schema_merge", "agg_runs_test",
-    "agg_lmoments", "ext_dataset_diff",
+    "agg_lmoments", "ext_dataset_diff", "win_bollinger",
 }
 
 ROWS_ONLY_IDS = {

@@ -267,6 +267,7 @@ EXCHANGE_BUDGET = {
                                  # agg/sort
     "ext_dataset_diff": 4,       # both snapshot sides shuffle into the
                                  # full-outer join + rollup + order
+    "win_bollinger": 2,          # daily agg + one shared per-key window
 }
 
 

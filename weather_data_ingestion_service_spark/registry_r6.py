@@ -1672,7 +1672,77 @@ def q_ext_dataset_diff(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AC. Bollinger bands from exact rolling integer moments
+# =====================================================================
+
+#: one identical IEEE tree on both engines (variance_exact pattern in
+#: a moving frame): mean and ±2σ bands from the exact integer window
+#: sums (w = 10 rows)
+#: DECIMAL(38,0) cross-products — ws1² wraps int64 past ~sf10 daily
+#: magnitudes (the Welch/spearman lesson)
+_BOLL_EXPR = (
+    "CAST(ws1 AS DOUBLE) / 10.0",
+    "sqrt(CAST(10 * CAST(ws2 AS DECIMAL(38,0))"
+    " - CAST(ws1 AS DECIMAL(38,0)) * ws1 AS DOUBLE) / 100.0)",
+)
+
+
+@register(
+    "win_bollinger",
+    f"""
+    WITH {_DAILY_SQL},
+    m AS (
+      SELECT event_type, day, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS ws1,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS ws2,
+             lag(cents, 9) OVER (PARTITION BY event_type ORDER BY day) AS c9
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, cents, ws1, ws2,
+           {_BOLL_EXPR[0]} AS ma10,
+           {_BOLL_EXPR[0]} - 2.0 * {_BOLL_EXPR[1]} AS band_lo,
+           {_BOLL_EXPR[0]} + 2.0 * {_BOLL_EXPR[1]} AS band_hi
+    FROM m WHERE c9 IS NOT NULL
+    """,
+)
+def q_win_bollinger(spark, sf_dir):
+    """Bollinger bands over the daily cents series: 10-day moving mean
+    ±2σ, where σ comes from EXACT integer rolling moments (Σx, Σx² in
+    the frame — the agg_variance_exact power-sum pattern inside a
+    moving window) so the bands are one identical correctly-rounded
+    IEEE tree on both engines; full frames only (lag-9 non-null).
+    Published alongside the raw integer sums, the monitoring-band
+    primitive for drift alerts.  Both rolling sums and the lag ride
+    one per-key window pass."""
+    d = _daily(spark, sf_dir)
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-9, 0)
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    m = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(wf).cast("long").alias("ws1"),
+        F.sum(F.col("cents") * F.col("cents")).over(wf).cast("long").alias("ws2"),
+        F.lag("cents", 9).over(wl).alias("c9"),
+    ).filter(F.col("c9").isNotNull())
+    ma = F.expr(_BOLL_EXPR[0])
+    sd = F.expr(_BOLL_EXPR[1])
+    return m.select(
+        "event_type", "day", "cents", "ws1", "ws2",
+        ma.alias("ma10"),
+        (ma - 2.0 * sd).alias("band_lo"),
+        (ma + 2.0 * sd).alias("band_hi"),
+    )
+
+
 _register_new_this_round(
+    "win_bollinger",
     "ext_dataset_diff",
     "agg_lmoments",
     "agg_runs_test",
