@@ -2180,27 +2180,17 @@ class TestDrawdownAndHL:
         import datetime as dt
 
         from weather_data_ingestion_service_spark.registry_r6 import (
-            q_win_drawdown,  # noqa: F401  (shape check only)
+            drawdown_daily,
         )
-        from pyspark.sql import Window
 
         d = spark.createDataFrame(
             [("t", dt.date(2024, 1, 1 + i), c)
              for i, c in enumerate([5, 3, 8, 2])],
             "event_type string, day date, cents long",
         )
-        w = (
-            Window.partitionBy("event_type")
-            .orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        rows = (
-            d.select("day", (F.max("cents").over(w) - F.col("cents"))
-                     .alias("dd"))
-            .orderBy("day")
-            .collect()
-        )
-        assert [r.dd for r in rows] == [0, 2, 0, 6]
+        rows = drawdown_daily(d).orderBy("day").collect()
+        assert [r.drawdown_cents for r in rows] == [0, 2, 0, 6]
+        assert [r.peak_cents for r in rows] == [5, 5, 8, 8]
 
     def test_hodges_lehmann_hand_case(self, spark):
         """{1,3,5}: Walsh sums [2,4,6,6,8,10], median (rank 3) = 6."""
@@ -2292,12 +2282,8 @@ class TestRunsTest:
         import datetime as dt
 
         from weather_data_ingestion_service_spark.registry_r6 import (
-            q_agg_runs_test,  # noqa: F401
+            runs_test_daily,
         )
-        from weather_data_ingestion_service_spark.registry import _cents  # noqa: F401
-
-        # route through the registered query shape: build daily directly
-        from pyspark.sql import Window
 
         vals = [1, 3, 2, 4, 4, 6, 5]  # the 4,4 step is a dropped tie
         d = spark.createDataFrame(
@@ -2305,29 +2291,7 @@ class TestRunsTest:
              for i, c in enumerate(vals)],
             "event_type string, day date, cents long",
         )
-        w = Window.partitionBy("event_type").orderBy("day")
-        l_ = d.select("event_type", "day", "cents",
-                      F.lag("cents").over(w).alias("prev"))
-        sgn = (
-            l_.filter(F.col("prev").isNotNull()
-                      & (F.col("cents") != F.col("prev")))
-            .select("event_type", "day",
-                    F.when(F.col("cents") > F.col("prev"), 1)
-                    .otherwise(-1).alias("s"))
-        )
-        prev_s = F.lag("s").over(w)
-        brk = sgn.select(
-            "event_type", "s",
-            F.when(prev_s.isNull() | (F.col("s") != prev_s), 1)
-            .otherwise(0).alias("new_run"),
-        )
-        r = (
-            brk.groupBy("event_type")
-            .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n_up"),
-                 F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n_down"),
-                 F.sum("new_run").alias("n_runs"))
-            .collect()[0]
-        )
+        r = runs_test_daily(d).collect()[0]
         # signs: +,-,+,(tie),+,- -> +,-,+,+,- -> runs: +|-|++|- = 4
         assert (r.n_up, r.n_down, r.n_runs) == (3, 2, 4)
 
@@ -2341,26 +2305,59 @@ class TestLMoments:
         import datetime as dt
 
         from weather_data_ingestion_service_spark.registry_r6 import (
-            q_agg_lmoments,  # noqa: F401
+            lmoments_daily,
         )
-        from pyspark.sql import Window
 
         d = spark.createDataFrame(
             [("t", dt.date(2024, 1, 1 + i), c)
              for i, c in enumerate([4, 1, 2])],
             "event_type string, day date, cents long",
         )
-        wr = Window.partitionBy("event_type").orderBy("cents", "day")
-        r = d.select("event_type", "cents",
-                     F.row_number().over(wr).alias("rk"))
-        row = (
-            r.groupBy("event_type")
-            .agg(F.sum("cents").alias("s0"),
-                 F.sum((F.col("rk") - 1) * F.col("cents")).alias("s1"))
-            .collect()[0]
-        )
-        assert (row.s0, row.s1) == (7, 10)
+        row = lmoments_daily(d).collect()[0]
+        assert (int(row.s0), int(row.s1)) == (7, 10)
         n = 3
-        b0 = row.s0 / n
-        b1 = row.s1 / (n * (n - 1))
+        b0 = int(row.s0) / n
+        b1 = int(row.s1) / (n * (n - 1))
         assert 2 * b1 - b0 == 1.0
+
+    def test_higher_sums_hand_case(self, spark):
+        """{1,2,4,8} in rank order: s2 = 2·4 + 6·8 = 56,
+        s3 = 6·8 = 48."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            lmoments_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("t", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([1, 2, 4, 8])],
+            "event_type string, day date, cents long",
+        )
+        row = lmoments_daily(d).collect()[0]
+        assert (int(row.s0), int(row.s1), int(row.s2), int(row.s3)) == (
+            15, 34, 56, 48,
+        )
+
+    def test_long_series_does_not_overflow_rank_polynomial(self, spark):
+        """1300 daily rows: (rk−1)(rk−2)(rk−3) reaches ~2.2e9 — past
+        int32 — and must flow through the DECIMAL path, not throw
+        (review r6 finding; ANSI Spark raised ARITHMETIC_OVERFLOW on
+        the int32 multiply)."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            lmoments_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("t", dt.date(2020, 1, 1) + dt.timedelta(days=i), 1)
+             for i in range(1300)],
+            "event_type string, day date, cents long",
+        )
+        row = lmoments_daily(d).collect()[0]
+        n = 1300
+        assert row.n_days == n and int(row.s0) == n
+        # Σ(r−1)(r−2)(r−3) over r=1..n with x=1 is C(n−1,3)·6... check
+        # against the closed form n(n−1)(n−2)(n−3)/4
+        assert int(row.s3) == n * (n - 1) * (n - 2) * (n - 3) // 4

@@ -1098,7 +1098,12 @@ def q_win_drawdown(spark, sf_dir):
     revenue dip), exact integers end to end.  One per-key row window
     over the daily aggregate; the cumulative max and the subtraction
     ride the same window pass."""
-    d = _daily(spark, sf_dir)
+    return drawdown_daily(_daily(spark, sf_dir))
+
+
+def drawdown_daily(d):
+    """Running-peak drawdown over a (event_type, day, cents) daily
+    table — see q_win_drawdown."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -1412,7 +1417,10 @@ def q_sink_schema_merge(spark, sf_dir):
     _clean_stale_scratch("/tmp/wds_schmerge_*")
     out = f"/tmp/wds_schmerge_{_session_tag(spark, sf_dir)}"
     docs = load_table(spark, sf_dir, "documents")
-    if not os.path.exists(out):
+    # guard on the LAST-written subpath: a crash between the two
+    # writes must not leave a torn dir that later invocations skip
+    # (review r6 finding); both writes are overwrite-idempotent
+    if not os.path.exists(f"{out}/gen=2"):
         docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
             "overwrite"
         ).parquet(f"{out}/gen=1")
@@ -1477,7 +1485,12 @@ def q_agg_runs_test(spark, sf_dir):
     magnitude, Mann-Whitney shift, Hodges-Lehmann location):
     randomness of the sequence itself.  Two per-key row windows over
     the daily aggregate sharing one partitioning."""
-    d = _daily(spark, sf_dir)
+    return runs_test_daily(_daily(spark, sf_dir))
+
+
+def runs_test_daily(d):
+    """Wald-Wolfowitz sign-run counts over a (event_type, day, cents)
+    daily table — see q_agg_runs_test."""
     w = Window.partitionBy("event_type").orderBy("day")
     l_ = d.select(
         "event_type", "day", "cents",
@@ -1549,18 +1562,26 @@ def q_agg_lmoments(spark, sf_dir):
     in order statistics, so far more outlier-robust than classical
     skewness/kurtosis.  One rank window over the daily aggregate +
     one grouped fold."""
-    d = _daily(spark, sf_dir)
+    return lmoments_daily(_daily(spark, sf_dir))
+
+
+def lmoments_daily(d):
+    """Rank-weighted L-moment sums over a (event_type, day, cents)
+    daily table — see q_agg_lmoments.  The rank polynomial is built
+    through DECIMAL from a LONG rank (row_number is 32-bit;
+    (rk−1)(rk−2)(rk−3) overflows int32 at rk ≈ 1293 — ANSI Spark
+    throws where the oracle's HUGEINT doesn't; review r6 finding)."""
     wr = Window.partitionBy("event_type").orderBy("cents", "day")
     wn = Window.partitionBy("event_type")
     r = d.select(
         "event_type",
         "cents",
-        F.row_number().over(wr).alias("rk"),
+        F.row_number().over(wr).cast("long").alias("rk"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     rk1 = F.col("rk") - 1
-    rk2 = rk1 * (F.col("rk") - 2)
+    rk2 = dec(rk1) * (F.col("rk") - 2)
     rk3 = rk2 * (F.col("rk") - 3)
     return (
         r.groupBy("event_type")
@@ -1570,10 +1591,10 @@ def q_agg_lmoments(spark, sf_dir):
             F.sum(dec(rk1) * F.col("cents"))
             .cast("decimal(38,0)")
             .alias("s1"),
-            F.sum(dec(rk2) * F.col("cents"))
+            F.sum(rk2 * F.col("cents"))
             .cast("decimal(38,0)")
             .alias("s2"),
-            F.sum(dec(rk3) * F.col("cents"))
+            F.sum(rk3 * F.col("cents"))
             .cast("decimal(38,0)")
             .alias("s3"),
         )
@@ -1595,7 +1616,7 @@ _DIFF_B_SQL = """
              source
       FROM documents WHERE doc_id % 10 <> 0
       UNION ALL
-      SELECT doc_id + 500000 AS doc_id, text, source
+      SELECT -doc_id - 1 AS doc_id, text, source
       FROM documents WHERE doc_id % 13 = 0)
 """
 
@@ -1622,7 +1643,8 @@ def q_ext_dataset_diff(spark, sf_dir):
     between dataset versions: FULL OUTER join of two snapshots on the
     doc key, per-doc status by content-hash comparison (added /
     removed / changed / unchanged), rolled up per source.  Snapshot B
-    is derived deterministically (drop, revise, re-add classes) so
+    is derived deterministically (drop, revise, re-add-under-negative-id
+    classes — a namespace disjoint from real ids at any scale) so
     the oracle reconstructs it exactly.  Scale shape: one equi-join
     on the id + one grouped rollup; content equality compares md5
     digests, never the full texts, so the join rows stay narrow at
@@ -1642,8 +1664,11 @@ def q_ext_dataset_diff(spark, sf_dir):
             "source",
         )
         .unionByName(
+            # re-added ids live in the NEGATIVE namespace, disjoint
+            # from real doc_ids at any scale (doc_id + 500000 collided
+            # with genuine ids past ~500k docs — review r6 finding)
             docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 500000).alias("doc_id"), "text", "source"
+                (-F.col("doc_id") - 1).alias("doc_id"), "text", "source"
             )
         )
     )
