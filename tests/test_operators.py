@@ -2361,3 +2361,38 @@ class TestLMoments:
         # Σ(r−1)(r−2)(r−3) over r=1..n with x=1 is C(n−1,3)·6... check
         # against the closed form n(n−1)(n−2)(n−3)/4
         assert int(row.s3) == n * (n - 1) * (n - 2) * (n - 3) // 4
+
+
+class TestSpanCorruption:
+    def test_spans_non_overlapping_and_within_doc(self, spark, sf_dir):
+        """Per doc: spans sit inside their 10-token segments (so never
+        overlap), lengths <= 3, and the masked text matches the token
+        slice it claims."""
+        from collections import defaultdict
+
+        import __spark_entry__ as entry
+
+        df = entry.queries()["ext_span_corruption"](spark, sf_dir)
+        from weather_data_ingestion_service_spark.io import load_table
+
+        toks = {
+            r.doc_id: r.text.lower().split()
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        per_doc = defaultdict(list)
+        for r in df.collect():
+            per_doc[r.doc_id].append(r)
+        assert per_doc
+        for d, rows in per_doc.items():
+            seen = set()
+            for r in rows:
+                seg = r.start_tok // 10
+                assert seg == r.span_idx  # span stays in its segment
+                assert 1 <= r.span_len <= 3
+                assert r.start_tok + r.span_len <= len(toks[d])
+                span = set(range(r.start_tok, r.start_tok + r.span_len))
+                assert not (span & seen)  # non-overlap
+                seen |= span
+                assert r.masked_text == " ".join(
+                    toks[d][r.start_tok:r.start_tok + r.span_len]
+                )

@@ -268,6 +268,7 @@ EXCHANGE_BUDGET = {
     "ext_dataset_diff": 4,       # both snapshot sides shuffle into the
                                  # full-outer join + rollup + order
     "win_bollinger": 2,          # daily agg + one shared per-key window
+    "ext_span_corruption": 0,    # fully narrow segment fan-out
 }
 
 

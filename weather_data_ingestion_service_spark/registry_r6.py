@@ -1766,7 +1766,104 @@ def q_win_bollinger(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AD. T5-style span corruption masks (denoising objectives)
+# =====================================================================
+
+
+@register(
+    "ext_span_corruption",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+    u AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
+    k AS (SELECT doc_id, w, n, greatest(n // 10, 1) AS k FROM u),
+    e AS (SELECT doc_id, w, n, CAST(unnest(range(0, k)) AS BIGINT) AS i FROM k),
+    x AS (
+      SELECT doc_id, w, i AS span_idx, i * 10 AS seg_start,
+             least(10, n - i * 10) AS seg_len
+      FROM e WHERE i * 10 < n),
+    y AS (
+      SELECT doc_id, w, span_idx, seg_start, seg_len,
+             least(3, seg_len) AS span_len,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                     || CAST(span_idx AS VARCHAR)), 1, 15)
+                  AS BIGINT) % (seg_len - least(3, seg_len) + 1) AS off
+      FROM x)
+    SELECT doc_id, span_idx,
+           CAST(seg_start + off AS BIGINT) AS start_tok,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(
+             w[seg_start + off + 1 : seg_start + off + span_len], ' ')
+             AS masked_text
+    FROM y
+    """,
+)
+def q_ext_span_corruption(spark, sf_dir):
+    """T5/UL2-style span-corruption mask construction — the denoising-
+    objective preprocessing step: one ≤3-token span per 10-token
+    segment, placed at a DETERMINISTIC md5-derived offset within its
+    segment (a pure function of (doc_id, span_idx) — reproducible
+    masks across runs, partitionings and engines, and non-overlapping
+    by the segment construction).  Emits (span_idx ≙ sentinel id,
+    start token, length, masked text) per span; the targets/inputs
+    split is a join away.  Scale shape: segment fan-out is n/10 rows
+    per doc BEFORE any shuffle and there is no shuffle — fully narrow,
+    codegen'd but for the md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tok().alias("w"))
+    u = t.select(
+        "doc_id", "w", F.size("w").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    kf = u.withColumn("k", F.greatest(F.expr("n div 10"), F.lit(1)))
+    e = kf.select(
+        "doc_id", "w", "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("k") - 1)).alias("i"),
+    ).filter(F.col("i") * 10 < F.col("n"))
+    x = e.select(
+        "doc_id", "w",
+        F.col("i").alias("span_idx"),
+        (F.col("i") * 10).alias("seg_start"),
+        F.least(F.lit(10), F.col("n") - F.col("i") * 10).alias("seg_len"),
+    )
+    span_len = F.least(F.lit(3), F.col("seg_len"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("span_idx").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    y = x.select(
+        "doc_id", "w", "span_idx", "seg_start", "seg_len",
+        span_len.alias("span_len"),
+        (h % (F.col("seg_len") - span_len + 1)).alias("off"),
+    )
+    return y.select(
+        "doc_id",
+        "span_idx",
+        (F.col("seg_start") + F.col("off")).cast("long").alias("start_tok"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("w"),
+                (F.col("seg_start") + F.col("off") + 1).cast("int"),
+                F.col("span_len").cast("int"),
+            ),
+        ).alias("masked_text"),
+    )
+
+
 _register_new_this_round(
+    "ext_span_corruption",
     "win_bollinger",
     "ext_dataset_diff",
     "agg_lmoments",
