@@ -2396,3 +2396,30 @@ class TestSpanCorruption:
                 assert r.masked_text == " ".join(
                     toks[d][r.start_tok:r.start_tok + r.span_len]
                 )
+
+
+class TestWilcoxon:
+    def test_hand_computed_signed_ranks(self, spark):
+        """Two types a/b over 4 days: per-day diff for a is
+        1·a − b; diffs (2, −4, 6, 0): the zero drops, |diffs| 2,4,6
+        rank 1,2,3 → W⁺·2 for a = 2·(1) + 2·(3) = wait — positives are
+        2 (rank 1) and 6 (rank 3): W⁺·2 = (2·1+0) + (2·3+0) = 8;
+        b's diffs are the negation → W⁺·2 = 2·2 = 4."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            wilcoxon_one_vs_rest_daily,
+        )
+
+        days = [dt.date(2024, 1, 1 + i) for i in range(4)]
+        rows = []
+        for i, (a, b) in enumerate([(5, 3), (1, 5), (9, 3), (4, 4)]):
+            rows += [("a", days[i], a), ("b", days[i], b)]
+        d = spark.createDataFrame(
+            rows, "event_type string, day date, cents long"
+        )
+        got = {
+            x.event_type: (x.n_pairs, x.wplus_x2)
+            for x in wilcoxon_one_vs_rest_daily(d).collect()
+        }
+        assert got == {"a": (3, 8), "b": (3, 4)}

@@ -269,6 +269,8 @@ EXCHANGE_BUDGET = {
                                  # full-outer join + rollup + order
     "win_bollinger": 2,          # daily agg + one shared per-key window
     "ext_span_corruption": 0,    # fully narrow segment fan-out
+    "agg_wilcoxon": 5,           # daily agg + day-total join + abs-rank
+                                 # windows + final agg
 }
 
 

@@ -1862,7 +1862,98 @@ def q_ext_span_corruption(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AE. Wilcoxon signed-rank (paired one-vs-rest, doubled ranks)
+# =====================================================================
+
+
+@register(
+    "agg_wilcoxon",
+    f"""
+    WITH {_DAILY_SQL},
+    tot AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS c_d,
+             CAST(sum(cents) AS BIGINT) AS tot
+      FROM d GROUP BY day),
+    p AS (
+      SELECT d.event_type, d.day,
+             (tot.c_d - 1) * d.cents - (tot.tot - d.cents) AS diff
+      FROM d JOIN tot ON d.day = tot.day
+      WHERE tot.c_d >= 2),
+    nz AS (SELECT * FROM p WHERE diff <> 0),
+    r AS (
+      SELECT event_type, diff,
+             rank() OVER (PARTITION BY event_type ORDER BY abs(diff)) AS rmin,
+             count(*) OVER (PARTITION BY event_type, abs(diff)) AS cnt
+      FROM nz)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN diff > 0 THEN 2 * rmin + cnt - 1 ELSE 0 END)
+                AS BIGINT) AS wplus_x2
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank, each event type PAIRED against the rest
+    of the pool on the SAME day — the paired sibling of the unpaired
+    agg_mannwhitney: the per-day difference is taken scale-invariantly
+    in integers ((c−1)·own − rest_sum has the sign and relative
+    magnitude of own − rest_mean without a division), zero diffs drop
+    (the standard treatment), |diff| ranks per key with doubled
+    tie-averaged ranks, and W⁺·2 = Σ ranks of positive diffs is
+    published exactly.  Day pairing removes the day-to-day volatility
+    Mann-Whitney mixes into its pooled ranking.  Scale shape: one
+    day-total aggregate joined back + per-key rank windows over the
+    daily table."""
+    return wilcoxon_one_vs_rest_daily(_daily(spark, sf_dir))
+
+
+def wilcoxon_one_vs_rest_daily(d):
+    """Paired one-vs-rest Wilcoxon signed-rank over a (event_type,
+    day, cents) daily table — see q_agg_wilcoxon."""
+    tot = d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("c_d"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    p = (
+        d.join(tot, "day")
+        .filter(F.col("c_d") >= 2)
+        .select(
+            "event_type",
+            "day",
+            (
+                (F.col("c_d") - 1) * F.col("cents")
+                - (F.col("tot") - F.col("cents"))
+            ).alias("diff"),
+        )
+        .filter(F.col("diff") != 0)
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("diff")))
+    wc = Window.partitionBy("event_type", F.abs(F.col("diff")))
+    r = p.select(
+        "event_type",
+        "diff",
+        F.rank().over(wr).alias("rmin"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.col("diff") > 0,
+                    2 * F.col("rmin") + F.col("cnt") - 1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("wplus_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
+    "agg_wilcoxon",
     "ext_span_corruption",
     "win_bollinger",
     "ext_dataset_diff",
