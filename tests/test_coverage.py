@@ -116,7 +116,7 @@ ORACLE_IDS = {
     "stream_window_append_final", "ext_pack_positions",
     "ext_chat_template", "sink_schema_merge", "agg_runs_test",
     "agg_lmoments", "ext_dataset_diff", "win_bollinger",
-    "ext_span_corruption", "agg_wilcoxon",
+    "ext_span_corruption", "agg_wilcoxon", "stream_asof_enrich",
 }
 
 ROWS_ONLY_IDS = {

@@ -271,6 +271,8 @@ EXCHANGE_BUDGET = {
     "ext_span_corruption": 0,    # fully narrow segment fan-out
     "agg_wilcoxon": 5,           # daily agg + day-total join + abs-rank
                                  # windows + final agg
+    # stream_asof_enrich: streaming plan — runs a real foreachBatch
+    # query, no batch exchange budget applies
 }
 
 

@@ -1952,7 +1952,99 @@ def wilcoxon_one_vs_rest_daily(d):
     )
 
 
+# =====================================================================
+# AF. Streaming as-of enrichment (foreachBatch, batch-twin oracle)
+# =====================================================================
+
+
+@register(
+    "stream_asof_enrich",
+    """
+    WITH prof AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS pts,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS prof_cents
+      FROM events GROUP BY 1, 2),
+    e AS (
+      SELECT event_id, user_id, event_type, ts FROM events)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(p.prof_cents) AS BIGINT) AS n_enriched,
+           CAST(coalesce(sum(p.prof_cents), 0) AS BIGINT) AS prof_sum
+    FROM e ASOF LEFT JOIN prof p
+      ON e.user_id = p.user_id AND e.ts >= p.pts
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q_stream_asof_enrich(spark, sf_dir):
+    """Streaming AS-OF enrichment: Structured Streaming has no as-of
+    join, so each micro-batch enriches through the engine's batch
+    asof_join inside ``foreachBatch`` against a static profile
+    dimension (per-user daily minimum cents, stamped at the day
+    start) — the stream-side pattern for joining late-arriving facts
+    to slowly-changing reference data.  Runs the sink to completion
+    (availableNow) and returns the enriched accounting per event
+    type.  ORACLE (batch twin): with the static right side, per-batch
+    as-of ∪ batches == as-of of the union, so the closure equals one
+    DuckDB ASOF LEFT JOIN regardless of batch boundaries — the oracle
+    is exact for ANY batching, not just the single-file staging."""
+    import os
+
+    from .operators.joins import asof_join
+    from .registry import _cents, _clean_stale_scratch, _session_tag
+    from .streaming.jobs import streaming_events_source
+
+    _clean_stale_scratch("/tmp/wds_asofenr_*")
+    out = f"/tmp/wds_asofenr_{_session_tag(spark, sf_dir)}"
+    ev = load_table(spark, sf_dir, "events")
+    prof = (
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("day", "ts").alias("pts"),
+        )
+        .agg(F.min(_cents("value")).cast("long").alias("prof_cents"))
+    )
+
+    def enrich(batch_df, epoch_id):
+        enriched = asof_join(
+            batch_df.select("event_id", "user_id", "event_type", "ts"),
+            prof.withColumnRenamed("pts", "ts"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            payload_cols=["prof_cents"],
+            how="left",
+            direction="backward",
+        )
+        enriched.write.mode("overwrite").parquet(
+            f"{out}/epoch={int(epoch_id)}"
+        )
+
+    src = streaming_events_source(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(enrich)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    enriched = spark.read.parquet(out)
+    return (
+        enriched.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("prof_cents").cast("long").alias("n_enriched"),
+            F.coalesce(F.sum("prof_cents"), F.lit(0))
+            .cast("long")
+            .alias("prof_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
+    "stream_asof_enrich",
     "agg_wilcoxon",
     "ext_span_corruption",
     "win_bollinger",
