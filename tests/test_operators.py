@@ -2423,3 +2423,32 @@ class TestWilcoxon:
             for x in wilcoxon_one_vs_rest_daily(d).collect()
         }
         assert got == {"a": (3, 8), "b": (3, 4)}
+
+
+class TestSurvivalKM:
+    def test_risk_table_invariants(self, spark, sf_dir):
+        """n_risk is non-increasing in duration, n_events <= n_risk,
+        total events == closed-session count from the sessionize
+        batch twin, and the censored tail (one open session per user)
+        is n_risk(0) - total_closed."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.io import load_table
+
+        qs = entry.queries()
+        rows = sorted(
+            (r.dur_us, r.n_risk, r.n_events)
+            for r in qs["agg_survival_km"](spark, sf_dir).collect()
+        )
+        assert rows
+        for (d1, r1, e1), (d2, r2, e2) in zip(rows, rows[1:]):
+            assert d1 < d2 and r1 >= r2
+        assert all(e <= r for _, r, e in rows)
+        total_events = sum(e for _, _, e in rows)
+        closed = qs["stream_sessionize_stateful"](spark, sf_dir).count()
+        assert total_events == closed
+        n_users = (
+            load_table(spark, sf_dir, "events").select("user_id").distinct()
+            .count()
+        )
+        # sessions at risk at duration >= 0 is every session
+        assert rows[0][1] == closed + n_users

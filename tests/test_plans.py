@@ -273,6 +273,8 @@ EXCHANGE_BUDGET = {
                                  # windows + final agg
     # stream_asof_enrich: streaming plan — runs a real foreachBatch
     # query, no batch exchange budget applies
+    "agg_survival_km": 3,        # per-user session windows + duration
+                                 # agg + tiny desc cumulative window
 }
 
 

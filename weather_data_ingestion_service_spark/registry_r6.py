@@ -2043,7 +2043,125 @@ def q_stream_asof_enrich(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AG. Kaplan-Meier risk table (survival analysis, exact integers)
+# =====================================================================
+
+
+@register(
+    "agg_survival_km",
+    """
+    WITH e AS (SELECT user_id, ts FROM events),
+    b AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM b),
+    sess AS (
+      SELECT user_id, sid,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM g GROUP BY user_id, sid),
+    o AS (
+      SELECT dur_us,
+             CASE WHEN sid < max(sid) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS closed
+      FROM sess),
+    agg AS (
+      SELECT dur_us, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(closed) AS BIGINT) AS n_events
+      FROM o GROUP BY dur_us),
+    c AS (
+      SELECT dur_us, n_events,
+             CAST(sum(n_at) OVER (ORDER BY dur_us DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_risk
+      FROM agg)
+    SELECT CAST(dur_us AS BIGINT) AS dur_us, n_risk, n_events
+    FROM c WHERE n_events > 0 ORDER BY dur_us
+    """,
+)
+def q_agg_survival_km(spark, sf_dir):
+    """Kaplan-Meier risk table over SESSION durations (6 h gap-island
+    sessions, the stream_sessionize_stateful segmentation): every
+    CLOSED session contributes a churn event at its duration; each
+    user's open tail session is CENSORED — counted among those at
+    risk, never as an event — the survival-analysis treatment naive
+    session-length histograms get wrong.  The estimator
+    Ŝ(t) = Π (1 − d/n) is a product of rationals, so the EXACT
+    integer risk table (n at risk, events at t) is published and the
+    product is one driver fold away (the agg_autocorr moments
+    posture).  Durations are integer epoch-µs differences (the
+    CLAUDE.md duration rule).  Scale shape: per-user session windows →
+    per-duration aggregate → ONE descending cumulative window over
+    distinct durations — no session×duration join anywhere."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    b = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > 21600000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    g = b.select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sess = g.groupBy("user_id", "sid").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        )
+    )
+    o = sess.select(
+        "dur_us",
+        F.when(
+            F.col("sid") < F.max("sid").over(Window.partitionBy("user_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("closed"),
+    )
+    agg = o.groupBy("dur_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("closed").cast("long").alias("n_events"),
+    )
+    w = (
+        Window.orderBy(F.col("dur_us").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = agg.select(
+        "dur_us",
+        "n_events",
+        F.sum("n_at").over(w).cast("long").alias("n_risk"),
+    )
+    return (
+        c.filter(F.col("n_events") > 0)
+        .select(
+            F.col("dur_us").cast("long").alias("dur_us"), "n_risk", "n_events"
+        )
+        .orderBy("dur_us")
+    )
+
+
 _register_new_this_round(
+    "agg_survival_km",
     "stream_asof_enrich",
     "agg_wilcoxon",
     "ext_span_corruption",
