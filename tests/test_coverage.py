@@ -117,7 +117,7 @@ ORACLE_IDS = {
     "ext_chat_template", "sink_schema_merge", "agg_runs_test",
     "agg_lmoments", "ext_dataset_diff", "win_bollinger",
     "ext_span_corruption", "agg_wilcoxon", "stream_asof_enrich",
-    "agg_survival_km",
+    "agg_survival_km", "ext_eval_kappa",
 }
 
 ROWS_ONLY_IDS = {

@@ -2452,3 +2452,43 @@ class TestSurvivalKM:
         )
         # sessions at risk at duration >= 0 is every session
         assert rows[0][1] == closed + n_users
+
+
+class TestFleissKappa:
+    def test_components_and_kappa_bounds(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        r = entry.queries()["ext_eval_kappa"](spark, sf_dir).collect()[0]
+        n, tot, agree = r.n_items, r.total_keep_votes, r.agree_pairs
+        assert 0 <= agree <= 3 * n          # C(3,2) pairs per item
+        assert tot == r.c4_keep + r.gopher_keep + r.len_keep
+        p_bar = agree / (3 * n)
+        p_keep = tot / (3 * n)
+        p_e = p_keep ** 2 + (1 - p_keep) ** 2
+        kappa = (p_bar - p_e) / (1 - p_e)
+        assert -1.0 <= kappa <= 1.0
+
+    def test_unanimous_corpus_has_full_agreement(self, spark):
+        """All three raters keep a long clean doc and drop a short
+        one -> agree_pairs == 3 per item."""
+        from weather_data_ingestion_service_spark.ext.text import (
+            gopher_flags, quality_gate_flags,
+        )
+
+        # 60 distinct words, mean length 265/60 ~ 4.42 (inside C4's
+        # [4.0, 4.9) band), max token frequency 1 (inside the 12% cap)
+        good = " ".join(
+            ["the", "and", "with"]
+            + [f"ab{i:02d}" for i in range(30)]
+            + [f"abc{i:02d}" for i in range(27)]
+        )
+        df = spark.createDataFrame(
+            [(1, good, len(good)), (2, "tiny", 4)],
+            "doc_id long, text string, n_chars long",
+        )
+        c4 = {r.doc_id: r.keep for r in
+              quality_gate_flags(df.select("doc_id", "text"), "text").collect()}
+        gop = {r.doc_id: r.keep for r in gopher_flags(df).collect()}
+        lb = {r.doc_id: 250 <= r.n_chars <= 550 for r in df.collect()}
+        assert c4[1] and gop[1] and lb[1]
+        assert not (c4[2] or gop[2] or lb[2])

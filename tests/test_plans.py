@@ -275,6 +275,8 @@ EXCHANGE_BUDGET = {
     # query, no batch exchange budget applies
     "agg_survival_km": 3,        # per-user session windows + duration
                                  # agg + tiny desc cumulative window
+    "ext_eval_kappa": 1,         # three narrow gates merge in one
+                                 # single-row aggregate
 }
 
 

@@ -2160,7 +2160,113 @@ def q_agg_survival_km(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AH. Fleiss' kappa between quality gates (exact integer components)
+# =====================================================================
+
+
+@register(
+    "ext_eval_kappa",
+    f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOK_SQL} AS w FROM documents),
+    u AS (
+      SELECT doc_id, n_chars,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+                  AS BIGINT) AS sum_chars,
+             CAST(len(list_intersect(w, [{_GOPHER_STOPS}])) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(w,
+                      x -> contains(x, '#') OR contains(x, '...')))
+                  AS BIGINT) AS n_sym
+      FROM t),
+    fr AS (
+      SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_freq FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY doc_id, tok
+      ) GROUP BY doc_id),
+    votes AS (
+      SELECT u.doc_id,
+             CASE WHEN (u.n_words BETWEEN 20 AND 80)
+                   AND u.sum_chars * 1000 >= 4000 * u.n_words
+                   AND u.sum_chars * 1000 < 4900 * u.n_words
+                   AND coalesce(fr.max_freq, 0) * 100 < 12 * u.n_words
+                  THEN 1 ELSE 0 END AS c4,
+             CASE WHEN (u.n_words BETWEEN 50 AND 100000)
+                   AND (3 * u.n_words <= u.sum_chars
+                        AND u.sum_chars <= 10 * u.n_words)
+                   AND (100 * u.n_alpha >= 80 * u.n_words)
+                   AND (u.n_stop >= 2) AND (10 * u.n_sym <= u.n_words)
+                  THEN 1 ELSE 0 END AS gopher,
+             CASE WHEN u.n_chars BETWEEN 250 AND 550 THEN 1 ELSE 0 END
+               AS lenband
+      FROM u LEFT JOIN fr ON u.doc_id = fr.doc_id),
+    per AS (
+      SELECT doc_id, c4 + gopher + lenband AS k,
+             c4, gopher, lenband
+      FROM votes)
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(c4) AS BIGINT) AS c4_keep,
+           CAST(sum(gopher) AS BIGINT) AS gopher_keep,
+           CAST(sum(lenband) AS BIGINT) AS len_keep,
+           CAST(sum(k) AS BIGINT) AS total_keep_votes,
+           CAST(sum(k * (k - 1) / 2 + (3 - k) * (2 - k) / 2) AS BIGINT)
+             AS agree_pairs
+    FROM per
+    """,
+)
+def q_ext_eval_kappa(spark, sf_dir):
+    """Fleiss' kappa components for THREE quality raters — the C4
+    gate, the Gopher gate and a raw length band — treated as
+    annotators over the corpus: inter-gate agreement is the curation
+    QA question "do my filters even agree on what good data is".
+    κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) is a ratio of rationals, so the EXACT
+    integer components are published (items, per-rater keeps, total
+    keep votes, Σ per-item agreeing pairs out of C(3,2) each) and κ is
+    one driver formula away — the agg_autocorr moments posture.
+    Both gate restatements are the SAME SQL used by their own
+    oracles, so the raters here cannot drift from the registered
+    gates."""
+    from .ext.text import gopher_flags, quality_gate_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    c4 = quality_gate_flags(docs.select("doc_id", "text"), "text").select(
+        "doc_id", F.col("keep").cast("int").alias("c4")
+    )
+    gop = gopher_flags(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("gopher")
+    )
+    lb = docs.select(
+        "doc_id",
+        F.col("n_chars").between(250, 550).cast("int").alias("lenband"),
+    )
+    per = (
+        c4.join(gop, "doc_id")
+        .join(lb, "doc_id")
+        .select(
+            (F.col("c4") + F.col("gopher") + F.col("lenband")).alias("k"),
+            "c4", "gopher", "lenband",
+        )
+    )
+    k = F.col("k")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("c4").cast("long").alias("c4_keep"),
+        F.sum("gopher").cast("long").alias("gopher_keep"),
+        F.sum("lenband").cast("long").alias("len_keep"),
+        F.sum("k").cast("long").alias("total_keep_votes"),
+        F.sum(
+            (k * (k - 1) / 2 + (3 - k) * (2 - k) / 2).cast("long")
+        )
+        .cast("long")
+        .alias("agree_pairs"),
+    )
+
+
 _register_new_this_round(
+    "ext_eval_kappa",
     "agg_survival_km",
     "stream_asof_enrich",
     "agg_wilcoxon",
