@@ -2492,3 +2492,15 @@ class TestFleissKappa:
         lb = {r.doc_id: 250 <= r.n_chars <= 550 for r in df.collect()}
         assert c4[1] and gop[1] and lb[1]
         assert not (c4[2] or gop[2] or lb[2])
+
+    def test_kappa_marginals_equal_registered_gates(self, spark, sf_dir):
+        """Drift canary: the kappa row's per-rater keep counts must
+        equal the registered gate queries' own keep counts — if any
+        gate restatement drifts, this breaks before the driver does."""
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        r = qs["ext_eval_kappa"](spark, sf_dir).collect()[0]
+        c4 = qs["ext_filter_c4"](spark, sf_dir).filter("keep").count()
+        gop = qs["ext_filter_gopher"](spark, sf_dir).filter("keep").count()
+        assert (r.c4_keep, r.gopher_keep) == (c4, gop)
