@@ -2402,9 +2402,9 @@ class TestWilcoxon:
     def test_hand_computed_signed_ranks(self, spark):
         """Two types a/b over 4 days: per-day diff for a is
         1·a − b; diffs (2, −4, 6, 0): the zero drops, |diffs| 2,4,6
-        rank 1,2,3 → W⁺·2 for a = 2·(1) + 2·(3) = wait — positives are
-        2 (rank 1) and 6 (rank 3): W⁺·2 = (2·1+0) + (2·3+0) = 8;
-        b's diffs are the negation → W⁺·2 = 2·2 = 4."""
+        rank 1,2,3; a's positives are 2 (rank 1) and 6 (rank 3) →
+        W⁺·2 = (2·1+0) + (2·3+0) = 8; b's diffs are the negation →
+        only −(−4)=4 (rank 2) is positive → W⁺·2 = 2·2 = 4."""
         import datetime as dt
 
         from weather_data_ingestion_service_spark.registry_r6 import (
@@ -2423,6 +2423,34 @@ class TestWilcoxon:
             for x in wilcoxon_one_vs_rest_daily(d).collect()
         }
         assert got == {"a": (3, 8), "b": (3, 4)}
+
+    def test_mixed_pool_sizes_rank_by_rest_mean_magnitude(self, spark):
+        """Cross-day comparability: day1 has 2 types (a=10, b=4 →
+        a's own−rest_mean = +6), day2 has 3 types (a=1, b=5, c=6 →
+        a's own−rest_mean = 1 − 11/2 = −4.5).  With the lcm-scaled
+        rank key, |+6| outranks |−4.5| even though the RAW
+        (c−1)-scaled diffs are 6 and −9 — a fixed scaling would
+        invert the order.  a: positives {+6 (rank 2 of 2)} →
+        W⁺·2 = 2·2 = 4."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            wilcoxon_one_vs_rest_daily,
+        )
+
+        d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+        d = spark.createDataFrame(
+            [("a", d1, 10), ("b", d1, 4),
+             ("a", d2, 1), ("b", d2, 5), ("c", d2, 6)],
+            "event_type string, day date, cents long",
+        )
+        got = {
+            x.event_type: (x.n_pairs, x.wplus_x2)
+            for x in wilcoxon_one_vs_rest_daily(d).collect()
+        }
+        # a: diffs +6 (pool 2) and −4.5 (pool 3, stored as −9 with
+        # akey 4.5·720720); |6| > |4.5| → the positive diff has rank 2.
+        assert got["a"] == (2, 4)
 
 
 class TestSurvivalKM:
@@ -2450,8 +2478,13 @@ class TestSurvivalKM:
             load_table(spark, sf_dir, "events").select("user_id").distinct()
             .count()
         )
-        # sessions at risk at duration >= 0 is every session
-        assert rows[0][1] == closed + n_users
+        # n_risk at the first EVENT duration counts sessions with
+        # dur >= it — at most every session (closed + one open tail
+        # per user), with equality guaranteed only when that first
+        # event sits at the global minimum duration (dur_us == 0).
+        assert rows[0][1] <= closed + n_users
+        if rows[0][0] == 0:
+            assert rows[0][1] == closed + n_users
 
 
 class TestFleissKappa:
@@ -2465,8 +2498,11 @@ class TestFleissKappa:
         p_bar = agree / (3 * n)
         p_keep = tot / (3 * n)
         p_e = p_keep ** 2 + (1 - p_keep) ** 2
-        kappa = (p_bar - p_e) / (1 - p_e)
-        assert -1.0 <= kappa <= 1.0
+        if p_e < 1.0:  # unanimous corpus → kappa undefined (0/0)
+            kappa = (p_bar - p_e) / (1 - p_e)
+            assert -1.0 <= kappa <= 1.0
+        else:
+            assert agree == 3 * n  # p_e == 1 forces full agreement
 
     def test_unanimous_corpus_has_full_agreement(self, spark):
         """All three raters keep a long clean doc and drop a short

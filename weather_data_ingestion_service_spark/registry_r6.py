@@ -1876,15 +1876,19 @@ def q_ext_span_corruption(spark, sf_dir):
              CAST(sum(cents) AS BIGINT) AS tot
       FROM d GROUP BY day),
     p AS (
-      SELECT d.event_type, d.day,
+      SELECT d.event_type, d.day, tot.c_d,
              (tot.c_d - 1) * d.cents - (tot.tot - d.cents) AS diff
       FROM d JOIN tot ON d.day = tot.day
       WHERE tot.c_d >= 2),
-    nz AS (SELECT * FROM p WHERE diff <> 0),
+    nz AS (
+      SELECT event_type, diff,
+             abs(CAST(diff AS DECIMAL(38,0)) * (720720 // (c_d - 1)))
+               AS akey
+      FROM p WHERE diff <> 0),
     r AS (
       SELECT event_type, diff,
-             rank() OVER (PARTITION BY event_type ORDER BY abs(diff)) AS rmin,
-             count(*) OVER (PARTITION BY event_type, abs(diff)) AS cnt
+             rank() OVER (PARTITION BY event_type ORDER BY akey) AS rmin,
+             count(*) OVER (PARTITION BY event_type, akey) AS cnt
       FROM nz)
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(CASE WHEN diff > 0 THEN 2 * rmin + cnt - 1 ELSE 0 END)
@@ -1900,7 +1904,14 @@ def q_agg_wilcoxon(spark, sf_dir):
     magnitude of own − rest_mean without a division), zero diffs drop
     (the standard treatment), |diff| ranks per key with doubled
     tie-averaged ranks, and W⁺·2 = Σ ranks of positive diffs is
-    published exactly.  Day pairing removes the day-to-day volatility
+    published exactly.  The rank key rescales each day's diff by
+    720720 DIV (c−1) — 720720 = lcm(1..16), an exact common
+    denominator — so |own − rest_mean| magnitudes stay comparable
+    across days with DIFFERENT pool sizes (a fixed (c−1) scaling
+    would over-rank large-pool days); DECIMAL(38,0) keeps the
+    product exact, and beyond 17 pool members the DIV truncates
+    identically on both engines (documented bound — the events
+    event-type vocabulary is far below it).  Day pairing removes the day-to-day volatility
     Mann-Whitney mixes into its pooled ranking.  Scale shape: one
     day-total aggregate joined back + per-key rank windows over the
     daily table."""
@@ -1920,15 +1931,24 @@ def wilcoxon_one_vs_rest_daily(d):
         .select(
             "event_type",
             "day",
+            "c_d",
             (
                 (F.col("c_d") - 1) * F.col("cents")
                 - (F.col("tot") - F.col("cents"))
             ).alias("diff"),
         )
         .filter(F.col("diff") != 0)
+        .select(
+            "event_type",
+            "diff",
+            F.abs(
+                F.col("diff").cast("decimal(38,0)")
+                * F.expr("720720 DIV (c_d - 1)")
+            ).alias("akey"),
+        )
     )
-    wr = Window.partitionBy("event_type").orderBy(F.abs(F.col("diff")))
-    wc = Window.partitionBy("event_type", F.abs(F.col("diff")))
+    wr = Window.partitionBy("event_type").orderBy("akey")
+    wc = Window.partitionBy("event_type", "akey")
     r = p.select(
         "event_type",
         "diff",
@@ -1989,7 +2009,7 @@ def q_stream_asof_enrich(spark, sf_dir):
     as-of ∪ batches == as-of of the union, so the closure equals one
     DuckDB ASOF LEFT JOIN regardless of batch boundaries — the oracle
     is exact for ANY batching, not just the single-file staging."""
-    import os
+    import shutil
 
     from .operators.joins import asof_join
     from .registry import _cents, _clean_stale_scratch, _session_tag
@@ -1997,6 +2017,10 @@ def q_stream_asof_enrich(spark, sf_dir):
 
     _clean_stale_scratch("/tmp/wds_asofenr_*")
     out = f"/tmp/wds_asofenr_{_session_tag(spark, sf_dir)}"
+    # A re-run in the same session may produce FEWER micro-batches than
+    # the last one; per-epoch overwrite would leave stale epoch=N dirs
+    # in the union read — clear our own scratch before starting.
+    shutil.rmtree(out, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     prof = (
         ev.groupBy(
