@@ -118,6 +118,7 @@ ORACLE_IDS = {
     "agg_lmoments", "ext_dataset_diff", "win_bollinger",
     "ext_span_corruption", "agg_wilcoxon", "stream_asof_enrich",
     "agg_survival_km", "ext_eval_kappa",
+    "agg_kendall_tau", "win_rsi", "agg_herfindahl", "ext_text_zipf",
 }
 
 ROWS_ONLY_IDS = {

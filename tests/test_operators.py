@@ -2540,3 +2540,108 @@ class TestFleissKappa:
         c4 = qs["ext_filter_c4"](spark, sf_dir).filter("keep").count()
         gop = qs["ext_filter_gopher"](spark, sf_dir).filter("keep").count()
         assert (r.c4_keep, r.gopher_keep) == (c4, gop)
+
+
+class TestKendallTau:
+    def test_hand_computed_pair_counts(self, spark):
+        """n = (1,2,2,3), cents = (10,5,5,20) over 4 days: pairs
+        (1,2) disc, (1,3) disc, (1,4) conc, (2,3) both-tie,
+        (2,4) conc, (3,4) conc -> 6 pairs, 3 conc, 2 disc, 1 tie_xy."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            kendall_tau_components_daily,
+        )
+
+        rows = [
+            ("a", dt.date(2024, 1, 1 + i), n, c)
+            for i, (n, c) in enumerate([(1, 10), (2, 5), (2, 5), (3, 20)])
+        ]
+        d = spark.createDataFrame(
+            rows, "event_type string, day date, n long, cents long"
+        )
+        r = kendall_tau_components_daily(d).collect()[0]
+        assert (
+            r.n_pairs, r.concordant, r.discordant,
+            r.ties_x, r.ties_y, r.ties_xy,
+        ) == (6, 3, 2, 0, 0, 1)
+
+
+class TestRSI:
+    def test_hand_computed_and_flat_neutral(self, spark):
+        """cents (10,12,11,14,14) with a 3-delta frame: deltas
+        (+2,-1,+3,0); day4 frame G=5,L=1 -> 5e6//6 = 833333; day5
+        frame G=3,L=1 -> 750000.  A flat series pins neutral 500000."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry_r6 import rsi_daily
+
+        days = [dt.date(2024, 1, 1 + i) for i in range(5)]
+        rows = [("a", days[i], c) for i, c in enumerate([10, 12, 11, 14, 14])]
+        rows += [("flat", days[i], 7) for i in range(5)]
+        d = spark.createDataFrame(
+            rows, "event_type string, day date, cents long"
+        )
+        got = {
+            (r.event_type, r.day): r.rsi_micro
+            for r in rsi_daily(d, periods=3).collect()
+        }
+        assert got[("a", days[3])] == 833333
+        assert got[("a", days[4])] == 750000
+        assert got[("flat", days[3])] == 500000
+        assert got[("flat", days[4])] == 500000
+        assert len(got) == 4  # rows need a full 3-delta history
+
+
+class TestHerfindahl:
+    def test_even_vs_single_source(self, spark, sf_dir):
+        """Registry bounds: 1e6/n_types <= hhi <= 1e6; hand case
+        30/10 split -> (900+100)*1e6 // 1600 = 625000."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            q_agg_herfindahl,
+        )
+
+        for r in entry.queries()["agg_herfindahl"](spark, sf_dir).collect():
+            assert 1000000 // r.n_types <= r.hhi_micro <= 1000000
+
+    def test_hand_computed_split(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            kendall_tau_components_daily,  # noqa: F401 (import check)
+        )
+
+        # feed the library shape directly through the same arithmetic
+        d = spark.createDataFrame(
+            [("a", dt.date(2024, 1, 1), 30), ("b", dt.date(2024, 1, 1), 10),
+             ("a", dt.date(2024, 1, 2), 5)],
+            "event_type string, day date, cents long",
+        )
+        s2 = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        s = F.sum("cents").cast("decimal(38,0)")
+        out = {
+            r.day.isoformat(): r.hhi
+            for r in d.groupBy("day")
+            .agg((s2 * 1000000).alias("n"),
+                 (s * F.sum("cents")).alias("dn"))
+            .select("day", F.expr("CAST(n DIV dn AS BIGINT)").alias("hhi"))
+            .collect()
+        }
+        assert out["2024-01-01"] == 625000
+        assert out["2024-01-02"] == 1000000
+
+
+class TestZipfHead:
+    def test_tie_break_and_products(self, spark):
+        """Tokens b,b,a,a,c: freq ties (a,b) break alphabetically ->
+        ranks a1 b2 c3, zipf products 2, 4, 3."""
+        from weather_data_ingestion_service_spark.registry_r6 import zipf_topk
+
+        docs = spark.createDataFrame(
+            [(1, "b b a"), (2, "a c")], "doc_id long, text string"
+        )
+        rows = [(r.rnk, r.tok, r.freq, r.zipf_product)
+                for r in zipf_topk(docs, "text", k=20).collect()]
+        assert rows == [(1, "a", 2, 2), (2, "b", 2, 4), (3, "c", 1, 3)]

@@ -277,6 +277,14 @@ EXCHANGE_BUDGET = {
                                  # agg + tiny desc cumulative window
     "ext_eval_kappa": 1,         # three narrow gates merge in one
                                  # single-row aggregate
+    "agg_kendall_tau": 5,        # daily agg + recent-days window +
+                                 # day-pair join + final agg/sort
+    "win_rsi": 3,                # daily agg + shared per-key window
+                                 # (lag + rolling-14 reuse it) + sort
+    "agg_herfindahl": 3,         # daily agg + day rollup + sort
+    "ext_text_zipf": 1,          # one token-count shuffle; top-k is
+                                 # TakeOrderedAndProject, the rank
+                                 # window sees only the 20 survivors
 }
 
 

@@ -2289,6 +2289,313 @@ def q_ext_eval_kappa(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AI. Kendall tau-b components (two-variable rank association)
+# =====================================================================
+
+
+@register(
+    "agg_kendall_tau",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    dc AS (
+      SELECT event_type, day, n, cents FROM (
+        SELECT d.*, row_number() OVER (
+          PARTITION BY event_type ORDER BY day DESC) AS rnr
+        FROM d)
+      WHERE rnr <= 1000),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN (a.n > b.n AND a.cents > b.cents)
+                    OR (a.n < b.n AND a.cents < b.cents)
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.n > b.n AND a.cents < b.cents)
+                    OR (a.n < b.n AND a.cents > b.cents)
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.n = b.n AND a.cents <> b.cents
+                  THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.n <> b.n AND a.cents = b.cents
+                  THEN 1 ELSE 0 END AS tie_y,
+             CASE WHEN a.n = b.n AND a.cents = b.cents
+                  THEN 1 ELSE 0 END AS tie_xy
+      FROM dc a JOIN dc b
+        ON a.event_type = b.event_type AND a.day < b.day)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           CAST(sum(tie_x) AS BIGINT) AS ties_x,
+           CAST(sum(tie_y) AS BIGINT) AS ties_y,
+           CAST(sum(tie_xy) AS BIGINT) AS ties_xy
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_kendall_tau(spark, sf_dir):
+    """Kendall tau-b COMPONENTS between two per-day variables of the
+    same key — daily event count vs daily cents volume: over all day
+    pairs, exact integer concordant / discordant / tie-on-x / tie-on-y
+    / tie-on-both counts, published raw (the kappa posture) so
+    τ_b = (nc−nd)/√((n₀−tx−txy)(n₀−ty−txy)) is one driver formula
+    away with no float fold inside either engine.  Sign comparisons
+    only — no (Δn·Δcents) product — so no overflow at any magnitude.
+    The day-pair kernel is capped to the most recent 1000 days per key
+    (the agg_theilsen `_recent_days` guard, restated identically in
+    the oracle), keeping it O(days²)-bounded regardless of time span.
+    Completes the rank-association family: Mann-Kendall (vs time),
+    Spearman (vs exact ranks), tau-b (vs a second variable)."""
+    from .registry import _cents
+    from .registry_r5 import _recent_days
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(_cents("value")).cast("long").alias("cents"),
+    )
+    return kendall_tau_components_daily(_recent_days(d))
+
+
+def kendall_tau_components_daily(d):
+    """Exact tau-b pair counts over a (event_type, day, n, cents)
+    daily table — see q_agg_kendall_tau."""
+    a = d.select(
+        "event_type",
+        F.col("day").alias("day_a"),
+        F.col("n").alias("n_a"),
+        F.col("cents").alias("c_a"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+        F.col("cents").alias("c_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ca, cb = F.col("c_a"), F.col("c_b")
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            F.when(
+                ((na > nb) & (ca > cb)) | ((na < nb) & (ca < cb)), 1
+            ).otherwise(0).alias("conc"),
+            F.when(
+                ((na > nb) & (ca < cb)) | ((na < nb) & (ca > cb)), 1
+            ).otherwise(0).alias("disc"),
+            F.when((na == nb) & (ca != cb), 1).otherwise(0).alias("tie_x"),
+            F.when((na != nb) & (ca == cb), 1).otherwise(0).alias("tie_y"),
+            F.when((na == nb) & (ca == cb), 1).otherwise(0).alias("tie_xy"),
+        )
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("conc").cast("long").alias("concordant"),
+            F.sum("disc").cast("long").alias("discordant"),
+            F.sum("tie_x").cast("long").alias("ties_x"),
+            F.sum("tie_y").cast("long").alias("ties_y"),
+            F.sum("tie_xy").cast("long").alias("ties_xy"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# AJ. Cutler's RSI (ratio of rolling integer gain/loss sums)
+# =====================================================================
+
+
+@register(
+    "win_rsi",
+    f"""
+    WITH {_DAILY_SQL},
+    l AS (
+      SELECT event_type, day,
+             cents - lag(cents) OVER
+               (PARTITION BY event_type ORDER BY day) AS delta
+      FROM d),
+    g AS (
+      SELECT event_type, day,
+             greatest(delta, 0) AS gain, greatest(-delta, 0) AS loss
+      FROM l WHERE delta IS NOT NULL),
+    r AS (
+      SELECT event_type, day,
+             sum(gain) OVER w14 AS g14, sum(loss) OVER w14 AS l14,
+             count(*) OVER w14 AS c14
+      FROM g WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           CAST(CASE WHEN g14 + l14 = 0 THEN 500000
+                ELSE CAST(g14 AS HUGEINT) * 1000000 // (g14 + l14)
+                END AS BIGINT) AS rsi_micro
+    FROM r WHERE c14 = 14 ORDER BY event_type, day
+    """,
+)
+def q_win_rsi(spark, sf_dir):
+    """Cutler's RSI over the daily cents series: gains and losses are
+    integer day-over-day deltas split by sign, summed over a 14-row
+    moving frame, and RSI = 10⁶·ΣG/(ΣG+ΣL) is ONE exact floor-divide
+    per row (DECIMAL/HUGEINT numerator — no smoothing recursion, no
+    float state; Wilder's variant is float-recursive by construction,
+    Cutler's is the order-independent form used exactly here).  A flat
+    14-day frame (ΣG+ΣL = 0) pins the conventional neutral 500000.
+    Rows need a full 14-delta history.  Completes the monitoring-band
+    family next to win_bollinger/win_cusum.  Scale shape: two windows
+    over the SAME per-key ordering — one exchange, reused."""
+    return rsi_daily(_daily(spark, sf_dir))
+
+
+def rsi_daily(d, periods: int = 14):
+    """Cutler's RSI in exact micro-units over a (event_type, day,
+    cents) daily table — see q_win_rsi."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = (F.col("cents") - F.lag("cents").over(w)).alias("delta")
+    g = (
+        d.select("event_type", "day", lagd)
+        .filter(F.col("delta").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.greatest(F.col("delta"), F.lit(0)).alias("gain"),
+            F.greatest(-F.col("delta"), F.lit(0)).alias("loss"),
+        )
+    )
+    w14 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(periods - 1), Window.currentRow)
+    )
+    r = g.select(
+        "event_type",
+        "day",
+        F.sum("gain").over(w14).alias("g14"),
+        F.sum("loss").over(w14).alias("l14"),
+        F.count(F.lit(1)).over(w14).alias("c14"),
+    )
+    return (
+        r.filter(F.col("c14") == periods)
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("g14") + F.col("l14") == 0, F.lit(500000))
+            .otherwise(
+                F.expr(
+                    "CAST(g14 AS DECIMAL(38,0)) * 1000000 DIV (g14 + l14)"
+                )
+            )
+            .cast("long")
+            .alias("rsi_micro"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# =====================================================================
+# AK. Herfindahl-Hirschman concentration index (exact micro-units)
+# =====================================================================
+
+
+@register(
+    "agg_herfindahl",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT day, CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+                // greatest(CAST(sum(cents) AS HUGEINT) * sum(cents), 1)
+             AS BIGINT) AS hhi_micro
+    FROM d GROUP BY day ORDER BY day
+    """,
+)
+def q_agg_herfindahl(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of daily volume across event
+    types — the mixture-skew monitor for a multi-source corpus (is one
+    source dominating today's intake?): HHI = Σ(sᵢ/S)² published as
+    10⁶·Σsᵢ²//S², one exact floor-divide over DECIMAL(38,0)/HUGEINT
+    power sums (the variance_exact posture — no per-share float
+    division whose summation order could drift).  10⁶/n_types = even
+    split, 10⁶ = single-source day.  Scale shape: one map-side-
+    combinable aggregate over the tiny daily table."""
+    d = _daily(spark, sf_dir)
+    s2 = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+    s = F.sum("cents").cast("decimal(38,0)")
+    return (
+        d.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (s2 * 1000000).alias("__num"),
+            F.greatest(s * F.sum("cents"), F.lit(1).cast("decimal(38,0)"))
+            .alias("__den"),
+        )
+        .select(
+            "day",
+            "n_types",
+            F.expr("CAST(__num DIV __den AS BIGINT)").alias("hhi_micro"),
+        )
+        .orderBy("day")
+    )
+
+
+# =====================================================================
+# AL. Zipf rank-frequency head (corpus token-law diagnostics)
+# =====================================================================
+
+
+@register(
+    "ext_text_zipf",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOK_SQL}) AS tok FROM documents),
+    f AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok),
+    r AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM f)
+    SELECT CAST(rnk AS BIGINT) AS rnk, tok, freq,
+           CAST(rnk * freq AS BIGINT) AS zipf_product
+    FROM r WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def q_ext_text_zipf(spark, sf_dir):
+    """Zipf rank-frequency head of the corpus vocabulary: top-20
+    tokens under the deterministic (freq DESC, token ASC) total order
+    with rank·frequency published — Zipf's law predicts it near
+    constant, so a drifting head is the cheapest whole-corpus drift
+    alarm (natural text ≈ stable head; boilerplate floods or synthetic
+    spam snap it).  Scale shape: explode → map-side-combinable token
+    count → TakeOrderedAndProject top-k; the rank window runs on the
+    20 collected survivors only, never the vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_topk(docs, "text", k=20)
+
+
+def zipf_topk(docs, col, k=20):
+    """Top-``k`` (rank, token, freq, rank·freq) under (freq DESC,
+    token ASC) — see q_ext_text_zipf."""
+    f = (
+        docs.select(F.explode(_tok(col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(k)
+    )
+    wr = Window.orderBy(F.col("freq").desc(), "tok")
+    return f.select(
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        "tok",
+        "freq",
+    ).select(
+        "rnk", "tok", "freq",
+        (F.col("rnk") * F.col("freq")).cast("long").alias("zipf_product"),
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -2327,4 +2634,8 @@ _register_new_this_round(
     "f_morton_z",
     "win_anomaly_iqr",
     "agg_winsorized_mean",
+    "agg_kendall_tau",
+    "win_rsi",
+    "agg_herfindahl",
+    "ext_text_zipf",
 )
