@@ -119,6 +119,8 @@ ORACLE_IDS = {
     "ext_span_corruption", "agg_wilcoxon", "stream_asof_enrich",
     "agg_survival_km", "ext_eval_kappa",
     "agg_kendall_tau", "win_rsi", "agg_herfindahl", "ext_text_zipf",
+    "agg_jackknife", "agg_covariance_pairs", "ext_sample_bootstrap",
+    "agg_skyline_2d",
 }
 
 ROWS_ONLY_IDS = {

