@@ -1019,3 +1019,138 @@ class TestRankStatProperties:
                 assert key not in rows
             else:
                 assert rows[key].t_welch == exp, key
+
+
+class TestRound6BatchLaws:
+    """Laws for the late-round-6 kernels: Wilcoxon scale invariance,
+    RSI offset invariance, bootstrap weight law, skyline dominance."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        cents=st.lists(
+            st.tuples(st.integers(0, 500), st.integers(0, 500),
+                      st.integers(0, 500)),
+            min_size=3, max_size=8,
+        ),
+        scale=st.sampled_from([2, 7, 100]),
+    )
+    def test_wilcoxon_scale_invariant(self, spark, cents, scale):
+        """Multiplying every daily value by a positive constant must
+        not change signs or |diff| ranks, hence not W+*2."""
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            wilcoxon_one_vs_rest_daily,
+        )
+
+        def run(mult):
+            rows = []
+            for i, (a, b, c) in enumerate(cents):
+                d = dt.date(2024, 1, 1 + i)
+                rows += [("a", d, a * mult), ("b", d, b * mult),
+                         ("c", d, c * mult)]
+            df = spark.createDataFrame(
+                rows, "event_type string, day date, cents long"
+            )
+            return sorted(
+                (r.event_type, r.n_pairs, r.wplus_x2)
+                for r in wilcoxon_one_vs_rest_daily(df).collect()
+            )
+
+        assert run(1) == run(scale)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        cents=st.lists(st.integers(0, 1000), min_size=5, max_size=10),
+        offset=st.integers(1, 10000),
+    )
+    def test_rsi_offset_invariant(self, spark, cents, offset):
+        """RSI depends only on deltas: adding a constant to every
+        daily level leaves every rsi_micro unchanged."""
+        from weather_data_ingestion_service_spark.registry_r6 import rsi_daily
+
+        def run(add):
+            rows = [("a", dt.date(2024, 1, 1 + i), c + add)
+                    for i, c in enumerate(cents)]
+            df = spark.createDataFrame(
+                rows, "event_type string, day date, cents long"
+            )
+            return sorted(
+                (r.day, r.rsi_micro)
+                for r in rsi_daily(df, periods=3).collect()
+            )
+
+        assert run(0) == run(offset)
+
+    def test_bootstrap_weight_frequencies_near_poisson(self, spark, sf_dir):
+        """Across docs x replicates the md5-derived weights must hit
+        the Poisson(1) pmf within a loose tolerance (law of the
+        construction, not of the data)."""
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        e = docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("boot:"), F.col("doc_id").cast("string"),
+                            F.lit(":"), F.col("b").cast("string"),
+                        ).cast("binary")
+                    ), 1, 15,
+                ), 16, 10,
+            ).cast("long") % 1000000
+        )
+        wgt = (
+            F.when(u < 367879, 0).when(u < 735759, 1)
+            .when(u < 919699, 2).when(u < 981012, 3).otherwise(4)
+        )
+        freq = {
+            r.w: r.c
+            for r in e.select(wgt.alias("w")).groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        tot = sum(freq.values())
+        assert tot >= 2000
+        p0 = freq.get(0, 0) / tot
+        p1 = freq.get(1, 0) / tot
+        assert abs(p0 - 0.367879) < 0.05
+        assert abs(p1 - 0.367879) < 0.05
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 20)),
+            min_size=1, max_size=25,
+        )
+    )
+    def test_skyline_matches_bruteforce_dominance(self, spark, pts):
+        """The window-based front equals the O(n^2) dominance
+        definition: keep (x,y) iff no other point has x'>=x, y'>=y
+        with one strict."""
+        from pyspark.sql import Window
+
+        t = spark.createDataFrame(pts, "x long, y long")
+        g = t.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        wb = Window.partitionBy("x").orderBy(F.col("y").desc())
+        b = (g.select("x", "y", F.row_number().over(wb).alias("rb"))
+             .filter(F.col("rb") == 1))
+        wa = (Window.orderBy(F.col("x").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        got = sorted(
+            (r.x, r.y) for r in
+            b.select("x", "y", F.max("y").over(wa).alias("ba"))
+            .filter(F.col("ba").isNull() | (F.col("y") > F.col("ba")))
+            .collect()
+        )
+        uniq = set(pts)
+        brute = sorted(
+            (x, y) for (x, y) in uniq
+            if not any(
+                (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                for (x2, y2) in uniq
+            )
+        )
+        assert got == brute
