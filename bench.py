@@ -110,6 +110,12 @@ HEADLINE = [
     # aHash grouping (stdlib decode in mapInPandas + hash window)
     "ext_dedup_simhash",
     "ext_multimodal_phash",
+    # round-6 second batch: the new whole-corpus passes — the Zipf
+    # vocabulary head (classic wordcount), the 20x Poisson-bootstrap
+    # fan-out, and the tokenize+distinct skyline reduction
+    "ext_text_zipf",
+    "ext_sample_bootstrap",
+    "agg_skyline_2d",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing
