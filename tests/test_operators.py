@@ -2608,29 +2608,21 @@ class TestHerfindahl:
     def test_hand_computed_split(self, spark):
         import datetime as dt
 
-        from pyspark.sql import functions as F
         from weather_data_ingestion_service_spark.registry_r6 import (
-            kendall_tau_components_daily,  # noqa: F401 (import check)
+            herfindahl_daily,
         )
 
-        # feed the library shape directly through the same arithmetic
         d = spark.createDataFrame(
             [("a", dt.date(2024, 1, 1), 30), ("b", dt.date(2024, 1, 1), 10),
              ("a", dt.date(2024, 1, 2), 5)],
             "event_type string, day date, cents long",
         )
-        s2 = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
-        s = F.sum("cents").cast("decimal(38,0)")
         out = {
-            r.day.isoformat(): r.hhi
-            for r in d.groupBy("day")
-            .agg((s2 * 1000000).alias("n"),
-                 (s * F.sum("cents")).alias("dn"))
-            .select("day", F.expr("CAST(n DIV dn AS BIGINT)").alias("hhi"))
-            .collect()
+            r.day.isoformat(): (r.n_types, r.hhi_micro)
+            for r in herfindahl_daily(d).collect()
         }
-        assert out["2024-01-01"] == 625000
-        assert out["2024-01-02"] == 1000000
+        assert out["2024-01-01"] == (2, 625000)  # (900+100)e6 // 1600
+        assert out["2024-01-02"] == (1, 1000000)
 
 
 class TestZipfHead:
@@ -2654,7 +2646,9 @@ class TestJackknife:
         import datetime as dt
 
         import __spark_entry__ as entry
-        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            jackknife_daily,
+        )
 
         d = spark.createDataFrame(
             [("a", dt.date(2024, 1, 1 + i), c)
@@ -2662,22 +2656,9 @@ class TestJackknife:
             + [("solo", dt.date(2024, 1, 1), 5)],
             "event_type string, day date, cents long",
         )
-        t = d.groupBy("event_type").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("s"),
-        )
         got = {
-            (r.event_type, r.day.day): r.loo
-            for r in d.join(t, "event_type")
-            .filter(F.col("n") >= 2)
-            .select(
-                "event_type", "day",
-                F.expr(
-                    "CAST(CAST(s - cents AS DECIMAL(38,0)) * 1000000"
-                    " DIV (n - 1) AS BIGINT)"
-                ).alias("loo"),
-            )
-            .collect()
+            (r.event_type, r.day.day): r.loo_mean_micro
+            for r in jackknife_daily(d).collect()
         }
         assert got == {
             ("a", 1): 40000000, ("a", 2): 35000000, ("a", 3): 15000000,
@@ -2694,7 +2675,9 @@ class TestCovariancePairs:
         import datetime as dt
 
         import __spark_entry__ as entry
-        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            covariance_pairs_daily,
+        )
 
         days = [dt.date(2024, 1, 1), dt.date(2024, 1, 2)]
         d = spark.createDataFrame(
@@ -2703,21 +2686,9 @@ class TestCovariancePairs:
              ("c", days[0], 9)],  # c shares only day 1 with a/b
             "event_type string, day date, cents long",
         )
-        a = d.select(F.col("event_type").alias("type_a"), "day",
-                     F.col("cents").alias("c_a"))
-        b = d.select(F.col("event_type").alias("type_b"), "day",
-                     F.col("cents").alias("c_b"))
         got = {
             (r.type_a, r.type_b): (r.n_days, r.s_a, r.s_b, int(r.s_ab))
-            for r in a.join(b, "day")
-            .filter(F.col("type_a") < F.col("type_b"))
-            .groupBy("type_a", "type_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
-                 F.sum("c_a").cast("long").alias("s_a"),
-                 F.sum("c_b").cast("long").alias("s_b"),
-                 F.sum(F.col("c_a").cast("decimal(38,0)") * F.col("c_b"))
-                 .cast("decimal(38,0)").alias("s_ab"))
-            .collect()
+            for r in covariance_pairs_daily(d).collect()
         }
         assert got[("a", "b")] == (2, 4, 7, 17)
         assert got[("a", "c")] == (1, 1, 9, 9)
@@ -2757,26 +2728,17 @@ class TestSkyline2D:
         invariant: along the front x increases and y strictly
         decreases."""
         import __spark_entry__ as entry
-
-        # hand case through the same algebra, bypassing tokenization
-        from pyspark.sql import Window, functions as F
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            skyline_front,
+        )
 
         t = spark.createDataFrame(
             [(1, 5), (2, 5), (3, 1), (2, 3)], "x long, y long"
         )
-        g = t.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
-        wb = Window.partitionBy("x").orderBy(F.col("y").desc())
-        b = (g.select("x", "y", "n", F.row_number().over(wb).alias("rb"))
-             .filter(F.col("rb") == 1))
-        wa = (Window.orderBy(F.col("x").desc())
-              .rowsBetween(Window.unboundedPreceding, -1))
         front = sorted(
-            (r.x, r.y) for r in
-            b.select("x", "y", F.max("y").over(wa).alias("ba"))
-            .filter(F.col("ba").isNull() | (F.col("y") > F.col("ba")))
-            .collect()
+            (r.x, r.y, r.n_docs) for r in skyline_front(t).collect()
         )
-        assert front == [(2, 5), (3, 1)]
+        assert front == [(2, 5, 1), (3, 1, 1)]
         rows = entry.queries()["agg_skyline_2d"](spark, sf_dir).collect()
         xs = [r.n_chars for r in rows]
         ys = [r.distinct_tokens for r in rows]

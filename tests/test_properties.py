@@ -1085,31 +1085,19 @@ class TestRound6BatchLaws:
         the Poisson(1) pmf within a loose tolerance (law of the
         construction, not of the data)."""
         from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            poisson_boot_weight,
+        )
 
         docs = load_table(spark, sf_dir, "documents")
         e = docs.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
         )
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit("boot:"), F.col("doc_id").cast("string"),
-                            F.lit(":"), F.col("b").cast("string"),
-                        ).cast("binary")
-                    ), 1, 15,
-                ), 16, 10,
-            ).cast("long") % 1000000
-        )
-        wgt = (
-            F.when(u < 367879, 0).when(u < 735759, 1)
-            .when(u < 919699, 2).when(u < 981012, 3).otherwise(4)
-        )
         freq = {
             r.w: r.c
-            for r in e.select(wgt.alias("w")).groupBy("w")
+            for r in e.select(poisson_boot_weight("doc_id", "b").alias("w"))
+            .groupBy("w")
             .agg(F.count(F.lit(1)).alias("c")).collect()
         }
         tot = sum(freq.values())
@@ -1130,21 +1118,12 @@ class TestRound6BatchLaws:
         """The window-based front equals the O(n^2) dominance
         definition: keep (x,y) iff no other point has x'>=x, y'>=y
         with one strict."""
-        from pyspark.sql import Window
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            skyline_front,
+        )
 
         t = spark.createDataFrame(pts, "x long, y long")
-        g = t.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
-        wb = Window.partitionBy("x").orderBy(F.col("y").desc())
-        b = (g.select("x", "y", F.row_number().over(wb).alias("rb"))
-             .filter(F.col("rb") == 1))
-        wa = (Window.orderBy(F.col("x").desc())
-              .rowsBetween(Window.unboundedPreceding, -1))
-        got = sorted(
-            (r.x, r.y) for r in
-            b.select("x", "y", F.max("y").over(wa).alias("ba"))
-            .filter(F.col("ba").isNull() | (F.col("y") > F.col("ba")))
-            .collect()
-        )
+        got = sorted((r.x, r.y) for r in skyline_front(t).collect())
         uniq = set(pts)
         brute = sorted(
             (x, y) for (x, y) in uniq

@@ -2294,9 +2294,12 @@ def q_ext_eval_kappa(spark, sf_dir):
 # =====================================================================
 
 
+from .registry_r5 import _TREND_MAX_DAYS as _KT_MAX_DAYS  # noqa: E402
+
+
 @register(
     "agg_kendall_tau",
-    """
+    f"""
     WITH d AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(count(*) AS BIGINT) AS n,
@@ -2307,7 +2310,7 @@ def q_ext_eval_kappa(spark, sf_dir):
         SELECT d.*, row_number() OVER (
           PARTITION BY event_type ORDER BY day DESC) AS rnr
         FROM d)
-      WHERE rnr <= 1000),
+      WHERE rnr <= {_KT_MAX_DAYS}),
     p AS (
       SELECT a.event_type,
              CASE WHEN (a.n > b.n AND a.cents > b.cents)
@@ -2525,7 +2528,12 @@ def q_agg_herfindahl(spark, sf_dir):
     division whose summation order could drift).  10⁶/n_types = even
     split, 10⁶ = single-source day.  Scale shape: one map-side-
     combinable aggregate over the tiny daily table."""
-    d = _daily(spark, sf_dir)
+    return herfindahl_daily(_daily(spark, sf_dir))
+
+
+def herfindahl_daily(d):
+    """Exact per-day HHI micro-units over a (event_type, day, cents)
+    daily table — see q_agg_herfindahl."""
     s2 = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
     s = F.sum("cents").cast("decimal(38,0)")
     return (
@@ -2632,7 +2640,12 @@ def q_agg_jackknife(spark, sf_dir):
     per-key totals table is key-cardinality-sized → auto-broadcast
     back onto the daily table; zero window functions."""
     # persisted: the totals side reuses it — one raw-events scan
-    d = _daily(spark, sf_dir).persist()
+    return jackknife_daily(_daily(spark, sf_dir).persist())
+
+
+def jackknife_daily(d):
+    """Leave-one-day-out mean replicates over a (event_type, day,
+    cents) daily table — see q_agg_jackknife."""
     t = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
@@ -2682,7 +2695,12 @@ def q_agg_covariance_pairs(spark, sf_dir):
     throughout — no float accumulation order to drift.  Scale shape:
     the self-join runs on the persisted key×day daily aggregate (one
     raw scan), shuffles on day, and emits at most C(k,2) rows."""
-    d = _daily(spark, sf_dir).persist()
+    return covariance_pairs_daily(_daily(spark, sf_dir).persist())
+
+
+def covariance_pairs_daily(d):
+    """Pairwise covariance components over a (event_type, day, cents)
+    daily table — see q_agg_covariance_pairs."""
     a = d.select(
         F.col("event_type").alias("type_a"),
         "day",
@@ -2712,6 +2730,40 @@ def q_agg_covariance_pairs(spark, sf_dir):
 # =====================================================================
 # AP. Poisson bootstrap replicates (one-pass resampling error bars)
 # =====================================================================
+
+
+def poisson_boot_weight(id_col, b_col):
+    """Deterministic Poisson(1) bootstrap weight for (row, replicate):
+    md5('boot:<id>:<b>') mod 10⁶ against the integer Poisson CDF
+    thresholds, weight capped at 4.  The single Spark-side definition
+    the ext_sample_bootstrap query and the property test share (the
+    oracle restates it in SQL) — see q_ext_sample_bootstrap."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col(b_col).cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        F.when(u < 367879, 0)
+        .when(u < 735759, 1)
+        .when(u < 919699, 2)
+        .when(u < 981012, 3)
+        .otherwise(4)
+    )
 
 
 @register(
@@ -2759,35 +2811,10 @@ def q_ext_sample_bootstrap(spark, sf_dir):
         "n_chars",
         F.explode(F.sequence(F.lit(0), F.lit(19))).alias("b"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot:"),
-                        F.col("doc_id").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1000000
-    )
-    wgt = (
-        F.when(u < 367879, 0)
-        .when(u < 735759, 1)
-        .when(u < 919699, 2)
-        .when(u < 981012, 3)
-        .otherwise(4)
-    )
     return (
         e.select(F.col("b").cast("long").alias("replicate_id"),
-                 "n_chars", wgt.alias("wgt"))
+                 "n_chars",
+                 poisson_boot_weight("doc_id", "b").alias("wgt"))
         .groupBy("replicate_id")
         .agg(
             F.sum("wgt").cast("long").alias("n_eff"),
@@ -2849,6 +2876,17 @@ def q_agg_skyline_2d(spark, sf_dir):
         F.col("n_chars").cast("long").alias("x"),
         F.size(F.array_distinct(_tok("text"))).cast("long").alias("y"),
     )
+    return skyline_front(t).select(
+        F.col("x").alias("n_chars"),
+        F.col("y").alias("distinct_tokens"),
+        "n_docs",
+    )
+
+
+def skyline_front(t):
+    """Weak-dominance 2-D Pareto front of an (x, y) table, with
+    ``n_docs`` counting rows exactly on each front point, ordered by
+    x ascending — see q_agg_skyline_2d."""
     g = t.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -2863,13 +2901,11 @@ def q_agg_skyline_2d(spark, sf_dir):
     )
     return (
         b.select("x", "y", "n_docs", F.max("y").over(wa).alias("best_above"))
-        .filter(F.col("best_above").isNull() | (F.col("y") > F.col("best_above")))
-        .select(
-            F.col("x").alias("n_chars"),
-            F.col("y").alias("distinct_tokens"),
-            "n_docs",
+        .filter(
+            F.col("best_above").isNull() | (F.col("y") > F.col("best_above"))
         )
-        .orderBy("n_chars")
+        .select("x", "y", "n_docs")
+        .orderBy("x")
     )
 
 
