@@ -1133,3 +1133,71 @@ class TestRound6BatchLaws:
             )
         )
         assert got == brute
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        series=st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 50)),
+            min_size=2, max_size=12,
+        )
+    )
+    def test_kendall_components_match_bruteforce(self, spark, series):
+        """The join-based tau-b components equal the O(n^2) pair
+        classification computed in Python over the same (n, cents)
+        day series."""
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            kendall_tau_components_daily,
+        )
+
+        rows = [("k", dt.date(2024, 1, 1 + i), n, c)
+                for i, (n, c) in enumerate(series)]
+        d = spark.createDataFrame(
+            rows, "event_type string, day date, n long, cents long"
+        )
+        r = kendall_tau_components_daily(d).collect()[0]
+        conc = disc = tx = ty = txy = 0
+        for i in range(len(series)):
+            for j in range(i + 1, len(series)):
+                (na, ca), (nb, cb) = series[i], series[j]
+                if na == nb and ca == cb:
+                    txy += 1
+                elif na == nb:
+                    tx += 1
+                elif ca == cb:
+                    ty += 1
+                elif (na > nb) == (ca > cb):
+                    conc += 1
+                else:
+                    disc += 1
+        n_pairs = len(series) * (len(series) - 1) // 2
+        assert (
+            r.n_pairs, r.concordant, r.discordant,
+            r.ties_x, r.ties_y, r.ties_xy,
+        ) == (n_pairs, conc, disc, tx, ty, txy)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        cents=st.lists(st.integers(0, 200), min_size=4, max_size=12),
+    )
+    def test_rsi_matches_python_fold(self, spark, cents):
+        """rsi_daily equals the direct Python computation: 3-delta
+        rolling gain/loss sums, floor-divide micro-units, neutral
+        500000 on flat frames."""
+        from weather_data_ingestion_service_spark.registry_r6 import rsi_daily
+
+        rows = [("k", dt.date(2024, 1, 1 + i), c)
+                for i, c in enumerate(cents)]
+        d = spark.createDataFrame(
+            rows, "event_type string, day date, cents long"
+        )
+        got = {r.day.day: r.rsi_micro
+               for r in rsi_daily(d, periods=3).collect()}
+        deltas = [b - a for a, b in zip(cents, cents[1:])]
+        want = {}
+        for t in range(2, len(deltas)):
+            frame = deltas[t - 2:t + 1]
+            g = sum(x for x in frame if x > 0)
+            l = -sum(x for x in frame if x < 0)
+            day = t + 2  # delta t sits on day index t+1 (1-based +1)
+            want[day] = 500000 if g + l == 0 else g * 1000000 // (g + l)
+        assert got == want
