@@ -2744,3 +2744,54 @@ class TestSkyline2D:
         ys = [r.distinct_tokens for r in rows]
         assert xs == sorted(xs) and len(set(xs)) == len(xs)
         assert all(a > b for a, b in zip(ys, ys[1:]))  # strictly decreasing
+
+
+class TestCharStatsArrow:
+    def test_registry_invariants(self, spark, sf_dir):
+        """Corpus-level invariants: 1 <= distinct <= total code
+        points, modal freq bounded, and the pigeonhole identity."""
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["ext_text_charstats"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.n_distinct_chars <= r.n_cp
+            assert 1 <= r.max_char_freq <= r.n_cp
+            # pigeonhole: distinct * modal-freq >= total
+            assert r.n_distinct_chars * r.max_char_freq >= r.n_cp
+
+    def test_kernel_matches_python_counter(self, spark):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        docs = spark.createDataFrame(
+            [(1, "aab"), (2, "čč š"), (3, ""), (4, "xyz")],
+            "doc_id long, text string",
+        )
+
+        def kernel(batches):
+            for batch in batches:
+                ids = batch.column("doc_id").to_pylist()
+                texts = batch.column("text").to_pylist()
+                out = {"doc_id": [], "n_cp": [], "n_distinct_chars": [],
+                       "max_char_freq": []}
+                for i, t in zip(ids, texts):
+                    if not t:
+                        continue
+                    c = Counter(t)
+                    out["doc_id"].append(i)
+                    out["n_cp"].append(sum(c.values()))
+                    out["n_distinct_chars"].append(len(c))
+                    out["max_char_freq"].append(max(c.values()))
+                yield pa.RecordBatch.from_pydict(out)
+
+        got = {
+            r.doc_id: (r.n_cp, r.n_distinct_chars, r.max_char_freq)
+            for r in docs.mapInArrow(
+                kernel,
+                "doc_id long, n_cp long, n_distinct_chars long, "
+                "max_char_freq long",
+            ).collect()
+        }
+        assert got == {1: (3, 2, 2), 2: (4, 3, 2), 4: (3, 3, 1)}

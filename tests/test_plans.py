@@ -294,6 +294,8 @@ EXCHANGE_BUDGET = {
                                  # map-side-combinable agg + sort
     "agg_skyline_2d": 3,         # (x,y) agg + per-x best window +
                                  # distinct-x cumulative max/sort
+    "ext_text_charstats": 1,     # embarrassingly parallel mapInArrow
+                                 # kernel; only the final sort
 }
 
 

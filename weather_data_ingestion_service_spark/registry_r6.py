@@ -2909,6 +2909,76 @@ def skyline_front(t):
     )
 
 
+# =====================================================================
+# AR. Character statistics via mapInArrow (Arrow-native batch kernel)
+# =====================================================================
+
+
+@register(
+    "ext_text_charstats",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+      FROM documents WHERE len(text) > 0),
+    f AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_cp,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           CAST(max(cnt) AS BIGINT) AS max_char_freq
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_ext_text_charstats(spark, sf_dir):
+    """Per-document CHARACTER-level statistics — code-point count,
+    distinct characters, modal character frequency — the cheap
+    mojibake / encoding-noise / key-mash signals (natural text has a
+    wide char set with a flat head; a broken decode or a repeated-
+    glyph flood collapses n_distinct or spikes max_freq).  Runs as a
+    ``mapInArrow`` kernel: the ONE Python-UDF API surface the engine
+    hadn't exercised (pandas_udf / mapInPandas / applyInPandas /
+    applyInPandasWithState / UDTF are all in the registry) — Arrow
+    RecordBatches stream through zero-copy with no pandas
+    materialization, the right shape for byte-level feature
+    extractors.  Exact and engine-independent (a Counter over code
+    points), so the oracle restates it relationally with DuckDB's
+    per-char unnest.  Empty documents are excluded identically on
+    both sides.  Scale shape: embarrassingly parallel batch map,
+    zero shuffles before the final sort."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = {"doc_id": [], "n_cp": [], "n_distinct_chars": [],
+                   "max_char_freq": []}
+            from collections import Counter
+
+            for i, t in zip(ids, texts):
+                if not t:
+                    continue
+                c = Counter(t)
+                out["doc_id"].append(i)
+                out["n_cp"].append(sum(c.values()))
+                out["n_distinct_chars"].append(len(c))
+                out["max_char_freq"].append(max(c.values()))
+            yield pa.RecordBatch.from_pydict(out)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInArrow(
+            kernel,
+            "doc_id long, n_cp long, n_distinct_chars long, "
+            "max_char_freq long",
+        )
+        .orderBy("doc_id")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -2955,4 +3025,5 @@ _register_new_this_round(
     "agg_covariance_pairs",
     "ext_sample_bootstrap",
     "agg_skyline_2d",
+    "ext_text_charstats",
 )
