@@ -2795,3 +2795,47 @@ class TestCharStatsArrow:
             ).collect()
         }
         assert got == {1: (3, 2, 2), 2: (4, 3, 2), 4: (3, 3, 1)}
+
+
+class TestLongestStreak:
+    def test_hand_computed_islands(self, spark, sf_dir):
+        """User u: types A A B A A A -> longest 3 (A); user v:
+        B B and A A tie at 2 -> type asc picks A."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            longest_streak_per_user,
+        )
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("u", t, base + dt.timedelta(minutes=i), i)
+            for i, t in enumerate(["A", "A", "B", "A", "A", "A"])
+        ] + [
+            ("v", t, base + dt.timedelta(minutes=i), 100 + i)
+            for i, t in enumerate(["B", "B", "A", "A"])
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts timestamp,"
+            " event_id long"
+        )
+        got = {
+            r.user_id: (r.streak_type, r.longest_streak)
+            for r in longest_streak_per_user(ev).collect()
+        }
+        assert got == {"u": ("A", 3), "v": ("A", 2)}
+        # registry invariants: streak <= user's busiest type count
+        out = {r.user_id: (r.streak_type, r.longest_streak)
+               for r in entry.queries()["win_longest_streak"](
+                   spark, sf_dir).collect()}
+        counts = {
+            (r.user_id, r.event_type): r.c
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        for uid, (typ, ln) in out.items():
+            assert 1 <= ln <= counts[(uid, typ)]

@@ -296,6 +296,9 @@ EXCHANGE_BUDGET = {
                                  # distinct-x cumulative max/sort
     "ext_text_charstats": 1,     # embarrassingly parallel mapInArrow
                                  # kernel; only the final sort
+    "win_longest_streak": 2,     # ONE user-hash exchange feeds both
+                                 # islands windows, the run agg and
+                                 # the top-1 window; + final sort
 }
 
 

@@ -2979,6 +2979,86 @@ def q_ext_text_charstats(spark, sf_dir):
     )
 
 
+# =====================================================================
+# AS. Longest same-type run per user (gap-islands streak detection)
+# =====================================================================
+
+
+@register(
+    "win_longest_streak",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events),
+    r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM e),
+    runs AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM r GROUP BY user_id, event_type, rn - rt),
+    best AS (
+      SELECT user_id, event_type, run_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, event_type)
+               AS rb
+      FROM runs)
+    SELECT user_id, event_type AS streak_type, run_len AS longest_streak
+    FROM best WHERE rb = 1 ORDER BY user_id
+    """,
+)
+def q_win_longest_streak(spark, sf_dir):
+    """Longest CONSECUTIVE same-type run per user — the classic
+    gap-islands streak (row_number minus per-type row_number is
+    constant within a run), the engagement/sequence question a
+    per-type count can't answer (100 interleaved events ≠ a 100-run).
+    Ordering is the deterministic (ts, event_id) total order; the
+    winning streak per user breaks length ties by type ascending.
+    Scale shape: two windows over the SAME user partitioning (one
+    exchange, reused) → a run aggregate → a per-user top-1 window on
+    the runs table — no self-joins, no sequence materialization."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return longest_streak_per_user(ev)
+
+
+def longest_streak_per_user(ev):
+    """Gap-islands longest same-type run over a (user_id, event_type,
+    ts, event_id) table — see q_win_longest_streak."""
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    r = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"),
+    )
+    runs = r.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), "event_type"
+    )
+    return (
+        runs.select(
+            "user_id", "event_type", "run_len",
+            F.row_number().over(wb).alias("rb"),
+        )
+        .filter(F.col("rb") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("streak_type"),
+            F.col("run_len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3026,4 +3106,5 @@ _register_new_this_round(
     "ext_sample_bootstrap",
     "agg_skyline_2d",
     "ext_text_charstats",
+    "win_longest_streak",
 )
