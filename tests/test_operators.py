@@ -2839,3 +2839,36 @@ class TestLongestStreak:
         }
         for uid, (typ, ln) in out.items():
             assert 1 <= ln <= counts[(uid, typ)]
+
+
+class TestGiniVolume:
+    def test_hand_computed_components_and_bounds(self, spark, sf_dir):
+        """cents (10, 30, 60): ranks 1,2,3 -> s=100, sr=1*10+2*30+3*60
+        = 250; G = (2*250 - 4*100)/(3*100) = 1/3.  Equal series ->
+        G = 0.  Registry: 0 <= G < 1 for every key."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            gini_volume_daily,
+        )
+
+        def gini(n, s, sr):
+            return (2 * sr - (n + 1) * s) / (n * s)
+
+        d = spark.createDataFrame(
+            [("a", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([10, 30, 60])]
+            + [("flat", dt.date(2024, 1, 1 + i), 5) for i in range(4)],
+            "event_type string, day date, cents long",
+        )
+        got = {
+            r.event_type: (r.n_days, r.s, int(r.sr))
+            for r in gini_volume_daily(d).collect()
+        }
+        assert got["a"] == (3, 100, 250)
+        assert abs(gini(*got["a"]) - 1 / 3) < 1e-12
+        assert abs(gini(*got["flat"])) < 1e-12
+        for r in entry.queries()["agg_gini_volume"](spark, sf_dir).collect():
+            g = gini(r.n_days, r.s, int(r.sr))
+            assert 0 <= g < 1

@@ -299,6 +299,8 @@ EXCHANGE_BUDGET = {
     "win_longest_streak": 2,     # ONE user-hash exchange feeds both
                                  # islands windows, the run agg and
                                  # the top-1 window; + final sort
+    "agg_gini_volume": 3,        # daily agg + rank window + final
+                                 # agg/sort
 }
 
 

@@ -3059,6 +3059,64 @@ def longest_streak_per_user(ev):
     )
 
 
+# =====================================================================
+# AT. Gini / Lorenz components of daily volume (intake inequality)
+# =====================================================================
+
+
+@register(
+    "agg_gini_volume",
+    f"""
+    WITH {_DAILY_SQL},
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, day) AS rk
+      FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(CAST(rk AS HUGEINT) * cents) AS DECIMAL(38,0)) AS sr
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_gini_volume(spark, sf_dir):
+    """Gini COMPONENTS of daily intake volume per source — the
+    inequality sibling of agg_herfindahl (HHI asks "is one source
+    dominating today"; this asks "is one DAY dominating the source"):
+    ranks under the (cents, day) total order, Σcents and the
+    DECIMAL(38,0) rank-weighted sum Σr·x published exactly, so
+    G = (2·Σr·x − (n+1)·Σx)/(n·Σx) — and every Lorenz-curve point —
+    is one driver formula away (the agg_lmoments rank-weighted
+    posture; in fact Σr·x is its s1 + s0 under a different order,
+    kept separate because THIS order is by magnitude, not by date).
+    Scale shape: one per-key rank window over the tiny daily table +
+    one aggregate."""
+    return gini_volume_daily(_daily(spark, sf_dir))
+
+
+def gini_volume_daily(d):
+    """Gini/Lorenz components over a (event_type, day, cents) daily
+    table — see q_agg_gini_volume."""
+    wr = Window.partitionBy("event_type").orderBy("cents", "day")
+    return (
+        d.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wr).alias("rk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("cents").cast("long").alias("s"),
+            F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents"))
+            .cast("decimal(38,0)")
+            .alias("sr"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3107,4 +3165,5 @@ _register_new_this_round(
     "agg_skyline_2d",
     "ext_text_charstats",
     "win_longest_streak",
+    "agg_gini_volume",
 )
