@@ -2872,3 +2872,25 @@ class TestGiniVolume:
         for r in entry.queries()["agg_gini_volume"](spark, sf_dir).collect():
             g = gini(r.n_days, r.s, int(r.sr))
             assert 0 <= g < 1
+
+
+class TestHapax:
+    def test_hand_computed_tail_mass(self, spark, sf_dir):
+        """'a a b c' + 'c d': freqs a2 b1 c2 d1 -> vocab 4, tokens 6,
+        hapax {b,d}=2, dis {a,c}=2, ratio 2e6//4 = 500000."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            hapax_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a b c"), (2, "c d")], "doc_id long, text string"
+        )
+        r = hapax_stats(docs, "text").collect()[0]
+        assert (r.vocab_size, r.total_tokens, r.n_hapax, r.n_dis,
+                r.hapax_ratio_micro) == (4, 6, 2, 2, 500000)
+        # synthetic corpus: templated closed vocabulary -> 0 hapax is
+        # legitimate; assert the structural bounds only
+        out = entry.queries()["ext_text_hapax"](spark, sf_dir).collect()[0]
+        assert 0 <= out.n_hapax <= out.vocab_size <= out.total_tokens
+        assert 0 <= out.hapax_ratio_micro <= 1000000

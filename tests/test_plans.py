@@ -301,6 +301,8 @@ EXCHANGE_BUDGET = {
                                  # the top-1 window; + final sort
     "agg_gini_volume": 3,        # daily agg + rank window + final
                                  # agg/sort
+    "ext_text_hapax": 2,         # one token-count shuffle + the
+                                 # single-row rollup
 }
 
 

@@ -3117,6 +3117,66 @@ def gini_volume_daily(d):
     )
 
 
+# =====================================================================
+# AU. Hapax legomena / vocabulary tail mass (Heaps-law diagnostics)
+# =====================================================================
+
+
+@register(
+    "ext_text_hapax",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOK_SQL}) AS tok FROM documents),
+    f AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY tok)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS hapax_ratio_micro
+    FROM f
+    """,
+)
+def q_ext_text_hapax(spark, sf_dir):
+    """Vocabulary TAIL mass: hapax legomena (frequency-1 types), dis
+    legomena (frequency-2), vocabulary size and token total — the
+    corpus-health complement of ext_text_zipf's head: natural text
+    keeps ~40-60% of its vocabulary as hapax at any size (Heaps'
+    law); templated or synthetic floods collapse the ratio, OCR noise
+    and mojibake inflate it.  hapax_ratio_micro is one exact
+    floor-divide.  Good-Turing's unseen-mass estimate (n₁/N) and
+    Chao1 richness (V + n₁²/2n₂) are one driver formula away from
+    the published integers.  Scale shape: explode → one
+    map-side-combinable token count → a single-row rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hapax_stats(docs, "text")
+
+
+def hapax_stats(docs, col):
+    """Vocabulary tail-mass rollup — see q_ext_text_hapax."""
+    f = (
+        docs.select(F.explode(_tok(col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    one = F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).cast("long")
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+        one.alias("n_hapax"),
+        F.sum(F.when(F.col("freq") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dis"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)"
+            " AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("hapax_ratio_micro"),
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3166,4 +3226,5 @@ _register_new_this_round(
     "ext_text_charstats",
     "win_longest_streak",
     "agg_gini_volume",
+    "ext_text_hapax",
 )
