@@ -116,6 +116,10 @@ HEADLINE = [
     "ext_text_zipf",
     "ext_sample_bootstrap",
     "agg_skyline_2d",
+    # round-6 third batch: the mapInArrow character pass over the
+    # corpus and the gap-islands streak pass over raw events
+    "ext_text_charstats",
+    "win_longest_streak",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing
