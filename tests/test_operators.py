@@ -2761,40 +2761,45 @@ class TestCharStatsArrow:
             assert r.n_distinct_chars * r.max_char_freq >= r.n_cp
 
     def test_kernel_matches_python_counter(self, spark):
-        from collections import Counter
-
-        import pyarrow as pa
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            charstats,
+        )
 
         docs = spark.createDataFrame(
             [(1, "aab"), (2, "čč š"), (3, ""), (4, "xyz")],
             "doc_id long, text string",
         )
-
-        def kernel(batches):
-            for batch in batches:
-                ids = batch.column("doc_id").to_pylist()
-                texts = batch.column("text").to_pylist()
-                out = {"doc_id": [], "n_cp": [], "n_distinct_chars": [],
-                       "max_char_freq": []}
-                for i, t in zip(ids, texts):
-                    if not t:
-                        continue
-                    c = Counter(t)
-                    out["doc_id"].append(i)
-                    out["n_cp"].append(sum(c.values()))
-                    out["n_distinct_chars"].append(len(c))
-                    out["max_char_freq"].append(max(c.values()))
-                yield pa.RecordBatch.from_pydict(out)
-
         got = {
             r.doc_id: (r.n_cp, r.n_distinct_chars, r.max_char_freq)
-            for r in docs.mapInArrow(
-                kernel,
-                "doc_id long, n_cp long, n_distinct_chars long, "
-                "max_char_freq long",
-            ).collect()
+            for r in charstats(docs).collect()
         }
         assert got == {1: (3, 2, 2), 2: (4, 3, 2), 4: (3, 3, 1)}
+
+    def test_all_empty_first_batch_keeps_schema(self, spark):
+        """Regression: a partition whose FIRST Arrow batch holds only
+        empty docs must not poison the stream schema (explicit
+        pa.schema in the kernel) — forced with 1-row batches so the
+        empty doc arrives alone before a real one."""
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            charstats,
+        )
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                             None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+        try:
+            docs = spark.createDataFrame(
+                [(1, ""), (2, "ab")], "doc_id long, text string"
+            ).coalesce(1)
+            got = {r.doc_id: r.n_cp for r in charstats(docs).collect()}
+            assert got == {2: 2}
+        finally:
+            if old is None:
+                spark.conf.unset(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
 class TestLongestStreak:
@@ -2870,6 +2875,8 @@ class TestGiniVolume:
         assert abs(gini(*got["a"]) - 1 / 3) < 1e-12
         assert abs(gini(*got["flat"])) < 1e-12
         for r in entry.queries()["agg_gini_volume"](spark, sf_dir).collect():
+            if r.s == 0:  # all-zero-cents key: G undefined (0/0)
+                continue
             g = gini(r.n_days, r.s, int(r.sr))
             assert 0 <= g < 1
 

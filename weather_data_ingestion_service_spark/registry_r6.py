@@ -2946,18 +2946,36 @@ def q_ext_text_charstats(spark, sf_dir):
     per-char unnest.  Empty documents are excluded identically on
     both sides.  Scale shape: embarrassingly parallel batch map,
     zero shuffles before the final sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return charstats(docs).orderBy("doc_id")
+
+
+def charstats(docs):
+    """mapInArrow character-statistics kernel over a (doc_id, text)
+    table — see q_ext_text_charstats.  The RecordBatch schema is
+    EXPLICIT: a batch where every document is empty/NULL would
+    otherwise infer all-null column types and poison the Arrow stream
+    when a later batch in the same partition carries real rows
+    ("Tried to write record batch with different schema")."""
     import pyarrow as pa
 
-    docs = load_table(spark, sf_dir, "documents")
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_cp", pa.int64()),
+            ("n_distinct_chars", pa.int64()),
+            ("max_char_freq", pa.int64()),
+        ]
+    )
 
     def kernel(batches):
+        from collections import Counter
+
         for batch in batches:
             ids = batch.column("doc_id").to_pylist()
             texts = batch.column("text").to_pylist()
             out = {"doc_id": [], "n_cp": [], "n_distinct_chars": [],
                    "max_char_freq": []}
-            from collections import Counter
-
             for i, t in zip(ids, texts):
                 if not t:
                     continue
@@ -2966,16 +2984,12 @@ def q_ext_text_charstats(spark, sf_dir):
                 out["n_cp"].append(sum(c.values()))
                 out["n_distinct_chars"].append(len(c))
                 out["max_char_freq"].append(max(c.values()))
-            yield pa.RecordBatch.from_pydict(out)
+            yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
-    return (
-        docs.select("doc_id", "text")
-        .mapInArrow(
-            kernel,
-            "doc_id long, n_cp long, n_distinct_chars long, "
-            "max_char_freq long",
-        )
-        .orderBy("doc_id")
+    return docs.select("doc_id", "text").mapInArrow(
+        kernel,
+        "doc_id long, n_cp long, n_distinct_chars long, "
+        "max_char_freq long",
     )
 
 
