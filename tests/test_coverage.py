@@ -121,7 +121,7 @@ ORACLE_IDS = {
     "agg_kendall_tau", "win_rsi", "agg_herfindahl", "ext_text_zipf",
     "agg_jackknife", "agg_covariance_pairs", "ext_sample_bootstrap",
     "agg_skyline_2d", "ext_text_charstats", "win_longest_streak",
-    "agg_gini_volume", "ext_text_hapax",
+    "agg_gini_volume", "ext_text_hapax", "ext_epoch_shuffle",
 }
 
 ROWS_ONLY_IDS = {

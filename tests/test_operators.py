@@ -2901,3 +2901,54 @@ class TestHapax:
         out = entry.queries()["ext_text_hapax"](spark, sf_dir).collect()[0]
         assert 0 <= out.n_hapax <= out.vocab_size <= out.total_tokens
         assert 0 <= out.hapax_ratio_micro <= 1000000
+
+
+class TestEpochShuffle:
+    def test_permutation_laws(self, spark, sf_dir):
+        """Each epoch is a PERMUTATION of the corpus (every doc exactly
+        once), positions within each (epoch, shard) are dense 0..k-1,
+        the two epochs realize DIFFERENT orders, and the assignment is
+        run-to-run identical."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            epoch_shuffle,
+        )
+
+        q = entry.queries()["ext_epoch_shuffle"]
+        rows = [(r.epoch, r.shard, r.pos, r.doc_id)
+                for r in q(spark, sf_dir).collect()]
+        n = load_table(spark, sf_dir, "documents").count()
+        by_epoch = {}
+        for e, s, p, d in rows:
+            by_epoch.setdefault(e, []).append((s, p, d))
+        assert set(by_epoch) == {0, 1}
+        for e, lst in by_epoch.items():
+            assert sorted(d for _, _, d in lst) == sorted(
+                set(d for _, _, d in lst))
+            assert len(lst) == n  # permutation: every doc once
+            shard_pos = {}
+            for s, p, _ in lst:
+                shard_pos.setdefault(s, []).append(p)
+            for s, ps in shard_pos.items():
+                assert sorted(ps) == list(range(len(ps)))  # dense
+        order0 = [d for _, _, d in sorted(by_epoch[0])]
+        order1 = [d for _, _, d in sorted(by_epoch[1])]
+        assert order0 != order1  # epochs differ
+        again = [(r.epoch, r.shard, r.pos, r.doc_id)
+                 for r in q(spark, sf_dir).collect()]
+        assert rows == again  # deterministic
+
+    def test_kernel_respects_params(self, spark):
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            epoch_shuffle,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(10)], "doc_id long"
+        )
+        out = epoch_shuffle(docs, "doc_id", n_epochs=3, n_shards=2)
+        rows = out.collect()
+        assert len(rows) == 30
+        assert {r.epoch for r in rows} == {0, 1, 2}
+        assert {r.shard for r in rows} <= {0, 1}

@@ -303,6 +303,8 @@ EXCHANGE_BUDGET = {
                                  # agg/sort
     "ext_text_hapax": 2,         # one token-count shuffle + the
                                  # single-row rollup
+    "ext_epoch_shuffle": 2,      # one (epoch, shard) window exchange
+                                 # + final sort; no global window
 }
 
 

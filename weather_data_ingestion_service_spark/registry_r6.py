@@ -3191,6 +3191,90 @@ def hapax_stats(docs, col):
     )
 
 
+# =====================================================================
+# AV. Epoch-seeded corpus shuffle (training-loader order realization)
+# =====================================================================
+
+
+@register(
+    "ext_epoch_shuffle",
+    """
+    WITH h AS (
+      SELECT e.epoch, d.doc_id,
+             CAST('0x' || substr(md5('ep:' || CAST(e.epoch AS VARCHAR)
+                                     || ':' || CAST(d.doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS hk
+      FROM documents d,
+           (SELECT unnest(range(0, 2)) AS epoch) e)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(hk % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, hk % 8
+                                   ORDER BY hk, doc_id) - 1 AS BIGINT)
+             AS pos,
+           doc_id
+    FROM h ORDER BY epoch, shard, pos
+    """,
+)
+def q_ext_epoch_shuffle(spark, sf_dir):
+    """EPOCH-SEEDED corpus shuffle — the training-loader op static
+    ext_shard_assign can't express: each epoch e maps every document
+    to (shard, position) via md5('ep:e:id'), so every epoch visits
+    the corpus in a DIFFERENT deterministic order, reproducible
+    across engines, runs and cluster sizes (resumable training needs
+    exactly this bit-stability).  Shard-major reading realizes the
+    global shuffle the way real loaders do: shard = hash mod S,
+    position = rank within (epoch, shard) under the unique (hash, id)
+    order.  Scale shape: per-(epoch, shard) rank windows over
+    corpus/S-row groups — S is the scaling knob (8 here, O(1000) at
+    100 TB so no window partition exceeds executor memory); NO global
+    sort, no single-partition window, no dense-index pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", n_epochs=2, n_shards=8)
+
+
+def epoch_shuffle(docs, id_col, n_epochs=2, n_shards=8):
+    """Deterministic per-epoch (shard, position) assignment — see
+    q_ext_epoch_shuffle."""
+    e = docs.select(id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_epochs - 1))
+        ).alias("epoch"),
+    )
+    hk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("ep:"),
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    return (
+        e.select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "doc_id",
+            hk.alias("hk"),
+        )
+        .withColumn("shard", (F.col("hk") % n_shards).cast("long"))
+        .select(
+            "epoch",
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("epoch", "shard", "pos")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3241,4 +3325,5 @@ _register_new_this_round(
     "win_longest_streak",
     "agg_gini_volume",
     "ext_text_hapax",
+    "ext_epoch_shuffle",
 )
