@@ -2952,3 +2952,38 @@ class TestEpochShuffle:
         assert len(rows) == 30
         assert {r.epoch for r in rows} == {0, 1, 2}
         assert {r.shard for r in rows} <= {0, 1}
+
+
+class TestSeasonalResidual:
+    def test_residuals_sum_near_zero_per_weekday(self, spark, sf_dir):
+        """Within each (key, weekday) bucket the residuals sum to the
+        floor-division remainder only: |sum| < n (each term's truncation
+        loses < 1 micro-unit x n days), and a flat series gives exactly
+        zero."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        rows = entry.queries()["win_seasonal_residual"](
+            spark, sf_dir).collect()
+        assert rows
+        bucket = {}
+        for r in rows:
+            k = (r.event_type, r.day.weekday())
+            bucket.setdefault(k, []).append(r.residual_micro)
+        for k, vals in bucket.items():
+            assert abs(sum(vals)) < len(vals) * 1000000  # remainder bound
+        # flat hand series -> all-zero residuals through the shipped
+        # kernel (weekday mean == every day's value)
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            seasonal_residual_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("k", dt.date(2024, 1, 1 + i), 7) for i in range(14)],
+            "event_type string, day date, cents long",
+        )
+        res = seasonal_residual_daily(d).collect()
+        assert len(res) == 14
+        assert all(r.residual_micro == 0 for r in res)

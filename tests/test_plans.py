@@ -305,6 +305,9 @@ EXCHANGE_BUDGET = {
                                  # single-row rollup
     "ext_epoch_shuffle": 2,      # one (epoch, shard) window exchange
                                  # + final sort; no global window
+    "win_seasonal_residual": 4,  # persisted daily agg + weekday
+                                 # baseline rollup + broadcast-back
+                                 # join + sort
 }
 
 

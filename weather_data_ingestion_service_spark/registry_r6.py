@@ -3275,6 +3275,81 @@ def epoch_shuffle(docs, id_col, n_epochs=2, n_shards=8):
     )
 
 
+# =====================================================================
+# AW. Deseasonalized daily residuals (weekday-baseline anomalies)
+# =====================================================================
+
+
+@register(
+    "win_seasonal_residual",
+    f"""
+    WITH {_DAILY_SQL},
+    w AS (
+      SELECT event_type, CAST(dayofweek(day) AS INT) AS dow,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2)
+    SELECT d.event_type, d.day,
+           CAST(d.cents * 1000000 - (w.s * 1000000 // w.n) AS BIGINT)
+             AS residual_micro
+    FROM d JOIN w
+      ON d.event_type = w.event_type
+     AND CAST(dayofweek(d.day) AS INT) = w.dow
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q_win_seasonal_residual(spark, sf_dir):
+    """Deseasonalized daily residuals: each day's cents minus its
+    key's WEEKDAY-baseline mean (exact micro-units; the subtraction
+    happens AFTER the one floor-divide, so no negative-operand
+    division arises) — the series win_seasonal_profile's baseline
+    exists to enable: anomalies judged against "a normal Tuesday",
+    not against the week-blind mean that flags every weekend.  Both
+    engines bucket the weekday from the DATE (DuckDB dayofweek(date)
+    = Spark dayofweek(date) − 1; only bucket identity matters, and
+    the grouping is identical because the shift is a bijection on
+    0..6).  Scale shape: daily agg → tiny (key × 7) baseline joined
+    back broadcast — zero windows."""
+    return seasonal_residual_daily(_daily(spark, sf_dir).persist())
+
+
+def seasonal_residual_daily(d):
+    """Weekday-baseline residuals over a (event_type, day, cents)
+    daily table — see q_win_seasonal_residual."""
+    w = (
+        d.select(
+            "event_type",
+            (F.dayofweek("day") - 1).cast("int").alias("dow"),
+            "cents",
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum("cents").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return (
+        d.select(
+            "event_type",
+            "day",
+            (F.dayofweek("day") - 1).cast("int").alias("dow"),
+            "cents",
+        )
+        .join(w, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            (
+                F.col("cents") * 1000000
+                - F.expr("s * 1000000 DIV n")
+            )
+            .cast("long")
+            .alias("residual_micro"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3326,4 +3401,5 @@ _register_new_this_round(
     "agg_gini_volume",
     "ext_text_hapax",
     "ext_epoch_shuffle",
+    "win_seasonal_residual",
 )
