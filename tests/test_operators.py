@@ -2987,3 +2987,32 @@ class TestSeasonalResidual:
         res = seasonal_residual_daily(d).collect()
         assert len(res) == 14
         assert all(r.residual_micro == 0 for r in res)
+
+
+class TestCountMinSketch:
+    def test_one_sided_guarantee_and_hand_case(self, spark, sf_dir):
+        """CMS never undercounts: est >= true for every probe, both
+        on the corpus and on a hand frame where collisions are
+        forced (w=1 -> every estimate equals the total token count)."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            cms_estimate_topk,
+        )
+
+        for r in entry.queries()["ext_sketch_cms"](spark, sf_dir).collect():
+            assert r.cms_est >= r.true_freq
+        docs = spark.createDataFrame(
+            [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+        )
+        # w=1: single bucket per row -> every est == 6 (total tokens)
+        got = {r.tok: (r.true_freq, r.cms_est)
+               for r in cms_estimate_topk(docs, "text", d=2, w=1, k=3)
+               .collect()}
+        assert got == {"a": (3, 6), "b": (2, 6), "c": (1, 6)}
+        # wide sketch: no collisions among 3 tokens is overwhelmingly
+        # likely at w=256; estimates then equal true counts
+        wide = {r.tok: (r.true_freq, r.cms_est)
+                for r in cms_estimate_topk(docs, "text", d=3, w=256, k=3)
+                .collect()}
+        for tok, (t, e) in wide.items():
+            assert e >= t

@@ -308,6 +308,8 @@ EXCHANGE_BUDGET = {
     "win_seasonal_residual": 4,  # persisted daily agg + weekday
                                  # baseline rollup + broadcast-back
                                  # join + sort
+    "ext_sketch_cms": 5,         # token count + top-k + 768-cell
+                                 # sketch agg + probe join + sort
 }
 
 

@@ -3350,6 +3350,109 @@ def seasonal_residual_daily(d):
     )
 
 
+# =====================================================================
+# AX. Count-Min Sketch (deterministic, exact-oracle sketch table)
+# =====================================================================
+
+
+@register(
+    "ext_sketch_cms",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOK_SQL}) AS tok FROM documents),
+    f AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+    top AS (
+      SELECT tok, cnt FROM f ORDER BY cnt DESC, tok LIMIT 10),
+    occ AS (
+      SELECT r.r,
+             CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                                     || ':' || t.tok), 1, 15) AS BIGINT)
+               % 256 AS bucket
+      FROM t, (SELECT unnest(range(0, 3)) AS r) r),
+    cms AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM occ GROUP BY r, bucket),
+    probe AS (
+      SELECT top.tok, top.cnt, rr.r,
+             CAST('0x' || substr(md5('cms' || CAST(rr.r AS VARCHAR)
+                                     || ':' || top.tok), 1, 15) AS BIGINT)
+               % 256 AS bucket
+      FROM top, (SELECT unnest(range(0, 3)) AS r) rr),
+    est AS (
+      SELECT p.tok, p.cnt, min(c.c) AS cms_est
+      FROM probe p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+      GROUP BY p.tok, p.cnt)
+    SELECT tok, cnt AS true_freq, CAST(cms_est AS BIGINT) AS cms_est
+    FROM est ORDER BY true_freq DESC, tok
+    """,
+)
+def q_ext_sketch_cms(spark, sf_dir):
+    """Count-Min Sketch, the 100 TB answer to "how often does X
+    occur" without a full-vocabulary shuffle: d=3 salted-md5 hash
+    rows × w=256 counters, each cell a map-side-combinable SUM — the
+    sketch is MERGEABLE (cell-wise addition across partitions/days/
+    corpora), which is the whole point at scale.  Because the hashes
+    are deterministic, the sketch table and the estimates are
+    bit-identical on any engine — so unlike probabilistic-seed
+    sketches this one is FULLY oracle-paired, and the one-sided
+    guarantee est ≥ true is pinned by test.  Published: the top-10
+    true-frequent tokens with true count vs min-over-rows estimate.
+    Scale shape: occurrences × 3 fan-out collapses into 768 cells;
+    the probe side is 10 rows joined against those cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_estimate_topk(docs, "text", d=3, w=256, k=10)
+
+
+def _cms_bucket(tok_col, r_col, w):
+    """Salted-md5 CMS bucket — identical derivation on both engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cms"),
+                        F.col(r_col).cast("string"),
+                        F.lit(":"),
+                        F.col(tok_col),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def cms_estimate_topk(docs, col, d=3, w=256, k=10):
+    """Count-Min estimates for the top-``k`` true-frequent tokens —
+    see q_ext_sketch_cms."""
+    t = docs.select(F.explode(_tok(col)).alias("tok"))
+    f = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = f.orderBy(F.col("cnt").desc(), "tok").limit(k)
+    occ = t.select(
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    ).select("r", _cms_bucket("tok", "r", w).alias("bucket"))
+    cms = occ.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    probe = top.select(
+        "tok",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("r"),
+    ).select("tok", "cnt", "r", _cms_bucket("tok", "r", w).alias("bucket"))
+    return (
+        probe.join(cms, ["r", "bucket"])
+        .groupBy("tok", F.col("cnt").alias("true_freq"))
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .orderBy(F.col("true_freq").desc(), "tok")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3402,4 +3505,5 @@ _register_new_this_round(
     "ext_text_hapax",
     "ext_epoch_shuffle",
     "win_seasonal_residual",
+    "ext_sketch_cms",
 )
