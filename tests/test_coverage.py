@@ -122,7 +122,7 @@ ORACLE_IDS = {
     "agg_jackknife", "agg_covariance_pairs", "ext_sample_bootstrap",
     "agg_skyline_2d", "ext_text_charstats", "win_longest_streak",
     "agg_gini_volume", "ext_text_hapax", "ext_epoch_shuffle",
-    "win_seasonal_residual", "ext_sketch_cms",
+    "win_seasonal_residual", "ext_sketch_cms", "ext_sketch_distinct",
 }
 
 ROWS_ONLY_IDS = {

@@ -3016,3 +3016,37 @@ class TestCountMinSketch:
                 .collect()}
         for tok, (t, e) in wide.items():
             assert e >= t
+
+
+class TestDistinctSketch:
+    def test_components_laws(self, spark, sf_dir):
+        """lc_used <= min(true_distinct, buckets); kmv_k = min(16, V);
+        the KMV estimate (k-1)*2^60/h_k lands within a loose factor of
+        the truth when k == 16; hand case with 3 tokens pins the
+        degenerate k > V branch (kth hash = max of all three)."""
+        import math
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            distinct_sketch_components,
+        )
+
+        r = entry.queries()["ext_sketch_distinct"](spark, sf_dir).collect()[0]
+        assert r.lc_used <= min(r.true_distinct, r.lc_buckets)
+        assert r.kmv_k == min(16, r.true_distinct)
+        if r.kmv_k == 16:
+            est = (r.kmv_k - 1) * (1 << 60) / r.kmv_kth_hash
+            assert r.true_distinct / 8 <= est <= r.true_distinct * 8
+        # linear-counting estimate recovers the truth when V << w
+        if r.true_distinct < r.lc_buckets // 2:
+            lc_est = -r.lc_buckets * math.log(
+                (r.lc_buckets - r.lc_used) / r.lc_buckets
+            )
+            assert abs(lc_est - r.true_distinct) <= max(
+                5, 0.3 * r.true_distinct
+            )
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "y z")], "doc_id long, text string"
+        )
+        hand = distinct_sketch_components(docs, "text").collect()[0]
+        assert (hand.true_distinct, hand.lc_used, hand.kmv_k) == (3, 3, 3)

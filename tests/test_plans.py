@@ -310,6 +310,9 @@ EXCHANGE_BUDGET = {
                                  # join + sort
     "ext_sketch_cms": 5,         # token count + top-k + 768-cell
                                  # sketch agg + probe join + sort
+    "ext_sketch_distinct": 5,    # distinct-token pass + bucket
+                                 # distinct + 16-row TakeOrdered +
+                                 # single-row cross joins
 }
 
 

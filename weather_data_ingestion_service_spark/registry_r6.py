@@ -3453,6 +3453,96 @@ def cms_estimate_topk(docs, col, d=3, w=256, k=10):
     )
 
 
+# =====================================================================
+# AY. Distinct-count sketch components (Linear Counting + KMV)
+# =====================================================================
+
+
+@register(
+    "ext_sketch_distinct",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOK_SQL}) AS tok FROM documents),
+    h AS (
+      SELECT DISTINCT tok,
+             CAST('0x' || substr(md5('dc:' || tok), 1, 15) AS BIGINT) AS hk
+      FROM t),
+    lc AS (
+      SELECT CAST(count(DISTINCT hk % 1024) AS BIGINT) AS lc_used
+      FROM h),
+    kmv AS (
+      SELECT CAST(count(*) AS BIGINT) AS kmv_k,
+             CAST(max(hk) AS BIGINT) AS kmv_kth_hash
+      FROM (SELECT hk FROM h ORDER BY hk LIMIT 16)),
+    tv AS (SELECT CAST(count(*) AS BIGINT) AS true_distinct FROM h)
+    SELECT tv.true_distinct, lc.lc_used,
+           CAST(1024 AS BIGINT) AS lc_buckets,
+           kmv.kmv_k, kmv.kmv_kth_hash
+    FROM tv, lc, kmv
+    """,
+)
+def q_ext_sketch_distinct(spark, sf_dir):
+    """Distinct-count SKETCH COMPONENTS, published exactly so the
+    estimates are one driver formula away — the engine's deterministic
+    alternative to the seed-dependent rows-only HLL pair
+    (agg_approx_distinct / agg_hll_merge): (a) LINEAR COUNTING — used
+    buckets of md5 mod 1024 (estimate −w·ln(empty/w); the bitmap
+    merges by OR); (b) KMV / bottom-k — the k=16 minimum hash values'
+    maximum (estimate (k−1)·2⁶⁰/h_k; merges by keeping the k smallest
+    of the union).  Both components are exact integers from
+    deterministic hashing, so unlike HLL this sketch row is
+    bit-identical cross-engine and FULLY oracle-paired, with the true
+    distinct count published beside it for error accounting.  Scale
+    shape: distinct-token pass → a 1024-cell count and a 16-row
+    TakeOrdered — no vocabulary-sized state on any single node."""
+    docs = load_table(spark, sf_dir, "documents")
+    return distinct_sketch_components(docs, "text")
+
+
+def distinct_sketch_components(docs, col, w=1024, k=16):
+    """Linear-counting + KMV components — see q_ext_sketch_distinct."""
+    h = (
+        docs.select(F.explode(_tok(col)).alias("tok"))
+        .distinct()
+        .select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dc:"), F.col("tok")).cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hk")
+        )
+    )
+    lc = h.select((F.col("hk") % w).alias("b")).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("lc_used")
+    )
+    kmv = (
+        h.orderBy("hk")
+        .limit(k)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kmv_k"),
+            F.max("hk").cast("long").alias("kmv_kth_hash"),
+        )
+    )
+    tv = h.agg(F.count(F.lit(1)).cast("long").alias("true_distinct"))
+    return (
+        tv.crossJoin(lc)
+        .crossJoin(kmv)
+        .select(
+            "true_distinct",
+            "lc_used",
+            F.lit(w).cast("long").alias("lc_buckets"),
+            "kmv_k",
+            "kmv_kth_hash",
+        )
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3506,4 +3596,5 @@ _register_new_this_round(
     "ext_epoch_shuffle",
     "win_seasonal_residual",
     "ext_sketch_cms",
+    "ext_sketch_distinct",
 )
