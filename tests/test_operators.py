@@ -3050,3 +3050,18 @@ class TestDistinctSketch:
         )
         hand = distinct_sketch_components(docs, "text").collect()[0]
         assert (hand.true_distinct, hand.lc_used, hand.kmv_k) == (3, 3, 3)
+
+
+class TestStreamSketchCMS:
+    def test_guarantee_and_totals(self, spark, sf_dir):
+        """est >= true per event type, and the sketch's total mass
+        equals the event count (cells are sums of occurrences)."""
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.io import load_table
+
+        rows = entry.queries()["stream_sketch_cms"](spark, sf_dir).collect()
+        assert rows
+        n_events = load_table(spark, sf_dir, "events").count()
+        for r in rows:
+            assert r.cms_est >= r.true_freq
+        assert sum(r.true_freq for r in rows) == n_events

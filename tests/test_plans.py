@@ -313,6 +313,8 @@ EXCHANGE_BUDGET = {
     "ext_sketch_distinct": 5,    # distinct-token pass + bucket
                                  # distinct + 16-row TakeOrdered +
                                  # single-row cross joins
+    # stream_sketch_cms: streaming plan — runs a real foreachBatch
+    # query, no batch exchange budget applies
 }
 
 

@@ -3404,14 +3404,14 @@ def q_ext_sketch_cms(spark, sf_dir):
     return cms_estimate_topk(docs, "text", d=3, w=256, k=10)
 
 
-def _cms_bucket(tok_col, r_col, w):
+def _cms_bucket(tok_col, r_col, w, salt="cms"):
     """Salted-md5 CMS bucket — identical derivation on both engines."""
     return (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.lit("cms"),
+                        F.lit(salt),
                         F.col(r_col).cast("string"),
                         F.lit(":"),
                         F.col(tok_col),
@@ -3543,6 +3543,108 @@ def distinct_sketch_components(docs, col, w=1024, k=16):
     )
 
 
+# =====================================================================
+# AZ. Streaming Count-Min maintenance (mergeability, executed)
+# =====================================================================
+
+
+@register(
+    "stream_sketch_cms",
+    """
+    WITH v AS (SELECT event_type FROM events),
+    occ AS (
+      SELECT r.r, v.event_type,
+             CAST('0x' || substr(md5('scms' || CAST(r.r AS VARCHAR)
+                                     || ':' || v.event_type), 1, 15)
+                  AS BIGINT) % 64 AS bucket
+      FROM v, (SELECT unnest(range(0, 3)) AS r) r),
+    cms AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM occ GROUP BY r, bucket),
+    f AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY event_type),
+    probe AS (
+      SELECT f.event_type, f.cnt, rr.r,
+             CAST('0x' || substr(md5('scms' || CAST(rr.r AS VARCHAR)
+                                     || ':' || f.event_type), 1, 15)
+                  AS BIGINT) % 64 AS bucket
+      FROM f, (SELECT unnest(range(0, 3)) AS r) rr)
+    SELECT p.event_type, p.cnt AS true_freq,
+           CAST(min(c.c) AS BIGINT) AS cms_est
+    FROM probe p JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.event_type, p.cnt ORDER BY p.event_type
+    """,
+)
+def q_stream_sketch_cms(spark, sf_dir):
+    """STREAMING Count-Min maintenance — the sketch family's
+    mergeability claim EXECUTED, not asserted: each micro-batch
+    writes its own (r, bucket) partial counts via ``foreachBatch``,
+    and the closure sums cells across batches — because CMS cells
+    are plain sums, per-batch-sketch ⊕ equals the one-shot sketch for
+    ANY batching, so the DuckDB oracle (batch CMS over all events) is
+    exact regardless of micro-batch boundaries (the
+    stream_asof_enrich posture).  Probes every event type and
+    publishes true count vs min-over-rows estimate (est ≥ true, the
+    CMS guarantee).  d=3 × w=64 over the event-type stream; at scale
+    this is the always-on frequency monitor that never holds
+    vocabulary-sized state."""
+    import shutil
+
+    from .registry import _clean_stale_scratch, _session_tag
+    from .streaming.jobs import streaming_events_source
+
+    _clean_stale_scratch("/tmp/wds_scms_*")
+    out = f"/tmp/wds_scms_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def add_batch(batch_df, epoch_id):
+        occ = batch_df.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+        ).select(
+            "r", _cms_bucket("event_type", "r", 64, salt="scms").alias("bucket")
+        )
+        (
+            occ.groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/epoch={int(epoch_id)}")
+        )
+
+    src = streaming_events_source(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(add_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cms = (
+        spark.read.parquet(out)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    probe = f.select(
+        "event_type",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+    ).select(
+        "event_type", "cnt", "r",
+        _cms_bucket("event_type", "r", 64, salt="scms").alias("bucket"),
+    )
+    return (
+        probe.join(cms, ["r", "bucket"])
+        .groupBy("event_type", F.col("cnt").alias("true_freq"))
+        .agg(F.min("c").cast("long").alias("cms_est"))
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3597,4 +3699,5 @@ _register_new_this_round(
     "win_seasonal_residual",
     "ext_sketch_cms",
     "ext_sketch_distinct",
+    "stream_sketch_cms",
 )
