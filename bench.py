@@ -120,6 +120,12 @@ HEADLINE = [
     # corpus and the gap-islands streak pass over raw events
     "ext_text_charstats",
     "win_longest_streak",
+    # round-6 fourth batch: the deterministic sketch family — batch
+    # Count-Min, the Linear-Counting/KMV distinct components, and the
+    # streaming foreachBatch Count-Min maintenance run
+    "ext_sketch_cms",
+    "ext_sketch_distinct",
+    "stream_sketch_cms",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing
