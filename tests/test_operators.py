@@ -2911,9 +2911,6 @@ class TestEpochShuffle:
         run-to-run identical."""
         import __spark_entry__ as entry
         from weather_data_ingestion_service_spark.io import load_table
-        from weather_data_ingestion_service_spark.registry_r6 import (
-            epoch_shuffle,
-        )
 
         q = entry.queries()["ext_epoch_shuffle"]
         rows = [(r.epoch, r.shard, r.pos, r.doc_id)
@@ -2963,7 +2960,6 @@ class TestSeasonalResidual:
         import datetime as dt
 
         import __spark_entry__ as entry
-        from pyspark.sql import functions as F
 
         rows = entry.queries()["win_seasonal_residual"](
             spark, sf_dir).collect()

@@ -3430,7 +3430,9 @@ def _cms_bucket(tok_col, r_col, w, salt="cms"):
 def cms_estimate_topk(docs, col, d=3, w=256, k=10):
     """Count-Min estimates for the top-``k`` true-frequent tokens —
     see q_ext_sketch_cms."""
-    t = docs.select(F.explode(_tok(col)).alias("tok"))
+    # persisted: the true-count and sketch branches share it — one
+    # tokenize pass (the registry_r5 tok_tbl precedent)
+    t = docs.select(F.explode(_tok(col)).alias("tok")).persist()
     f = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     top = f.orderBy(F.col("cnt").desc(), "tok").limit(k)
     occ = t.select(
