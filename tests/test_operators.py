@@ -3061,3 +3061,34 @@ class TestStreamSketchCMS:
         for r in rows:
             assert r.cms_est >= r.true_freq
         assert sum(r.true_freq for r in rows) == n_events
+
+
+class TestSeasonalMK:
+    def test_hand_case_and_cycle_robustness(self, spark, sf_dir):
+        """A pure weekly cycle (same value every Monday, etc.) has
+        S' = 0 while plain MK would see spurious pairs; a per-weekday
+        increasing series has every same-season pair concordant."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            seasonal_mk_daily,
+        )
+
+        base = dt.date(2024, 1, 1)  # a Monday
+        cyc = [("cyc", base + dt.timedelta(days=i), 10 + (i % 7))
+               for i in range(28)]
+        inc = [("inc", base + dt.timedelta(days=i), i)
+               for i in range(28)]
+        d = spark.createDataFrame(
+            cyc + inc, "event_type string, day date, cents long"
+        )
+        got = {r.event_type: (r.n_seasons, r.n_pairs, r.s_seasonal)
+               for r in seasonal_mk_daily(d).collect()}
+        # 28 days = 4 of each weekday -> C(4,2)*7 = 42 pairs
+        assert got["cyc"] == (7, 42, 0)   # flat within every stratum
+        assert got["inc"] == (7, 42, 42)  # all concordant
+        for r in entry.queries()["agg_trend_seasonal_mk"](
+                spark, sf_dir).collect():
+            assert abs(r.s_seasonal) <= r.n_pairs
+            assert 1 <= r.n_seasons <= 7

@@ -315,6 +315,9 @@ EXCHANGE_BUDGET = {
                                  # single-row cross joins
     # stream_sketch_cms: streaming plan — runs a real foreachBatch
     # query, no batch exchange budget applies
+    "agg_trend_seasonal_mk": 4,  # persisted daily agg + recent-days
+                                 # window + same-season pair join +
+                                 # final agg/sort
 }
 
 

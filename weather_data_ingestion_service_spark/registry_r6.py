@@ -3647,6 +3647,106 @@ def q_stream_sketch_cms(spark, sf_dir):
     )
 
 
+# =====================================================================
+# BA. Seasonal Mann-Kendall (Hirsch-Slack weekday-stratified trend)
+# =====================================================================
+
+
+@register(
+    "agg_trend_seasonal_mk",
+    f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    dc AS (
+      SELECT event_type, day, cents FROM (
+        SELECT d.*, row_number() OVER (
+          PARTITION BY event_type ORDER BY day DESC) AS rnr
+        FROM d)
+      WHERE rnr <= {_KT_MAX_DAYS}),
+    p AS (
+      SELECT a.event_type,
+             CAST(dayofweek(a.day) AS INT) AS season,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM dc a JOIN dc b
+        ON a.event_type = b.event_type AND a.day < b.day
+       AND CAST(dayofweek(a.day) AS INT) = CAST(dayofweek(b.day) AS INT))
+    SELECT event_type,
+           CAST(count(DISTINCT season) AS BIGINT) AS n_seasons,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sgn) AS BIGINT) AS s_seasonal
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_trend_seasonal_mk(spark, sf_dir):
+    """SEASONAL Mann-Kendall (Hirsch & Slack 1984) — the standard
+    environmental/weather trend test agg_trend_mk's plain S
+    over-rejects on: pairs are restricted to the SAME season (weekday
+    stratum here), so a strong weekly cycle can't masquerade as a
+    monotonic trend — S' = Σ over seasons of the same-season
+    pairwise sign(x_j − x_i), exact integer sign sums, with the pair count and
+    stratum count published for the variance formula.  Each engine
+    buckets weekdays with its own dayofweek (the labels differ by the
+    known Sunday shift; only SAME-season pairing matters and the
+    shift is a bijection, so the pair sets are identical).  The
+    quadratic kernel inherits the recent-days cap AND the weekday
+    stratification cuts pairs ~7× vs plain MK.  Completes the trend
+    family: direction (MK), magnitude (Theil-Sen), seasonality-robust
+    direction (this)."""
+    from .registry import _cents
+    from .registry_r5 import _recent_days
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(_cents("value")).cast("long").alias("cents"))
+        .persist()  # both pair sides reuse it: one raw-events scan
+    )
+    return seasonal_mk_daily(_recent_days(d))
+
+
+def seasonal_mk_daily(d):
+    """Weekday-stratified Mann-Kendall sign sums over a (event_type,
+    day, cents) daily table — see q_agg_trend_seasonal_mk."""
+    a = d.select(
+        "event_type",
+        F.col("day").alias("day_a"),
+        (F.dayofweek("day") - 1).cast("int").alias("season"),
+        F.col("cents").alias("c_a"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day").alias("day_b"),
+        (F.dayofweek("day") - 1).cast("int").alias("season"),
+        F.col("cents").alias("c_b"),
+    )
+    p = (
+        a.join(b, ["event_type", "season"])
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            "season",
+            F.when(F.col("c_b") > F.col("c_a"), 1)
+            .when(F.col("c_b") < F.col("c_a"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.countDistinct("season").cast("long").alias("n_seasons"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("sgn").cast("long").alias("s_seasonal"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3702,4 +3802,5 @@ _register_new_this_round(
     "ext_sketch_cms",
     "ext_sketch_distinct",
     "stream_sketch_cms",
+    "agg_trend_seasonal_mk",
 )
