@@ -123,7 +123,7 @@ ORACLE_IDS = {
     "agg_skyline_2d", "ext_text_charstats", "win_longest_streak",
     "agg_gini_volume", "ext_text_hapax", "ext_epoch_shuffle",
     "win_seasonal_residual", "ext_sketch_cms", "ext_sketch_distinct",
-    "stream_sketch_cms", "agg_trend_seasonal_mk",
+    "stream_sketch_cms", "agg_trend_seasonal_mk", "agg_spell_lengths",
 }
 
 ROWS_ONLY_IDS = {

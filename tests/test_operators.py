@@ -3092,3 +3092,36 @@ class TestSeasonalMK:
                 spark, sf_dir).collect():
             assert abs(r.s_seasonal) <= r.n_pairs
             assert 1 <= r.n_seasons <= 7
+
+
+class TestSpellLengths:
+    def test_hand_computed_runs_even_n(self, spark, sf_dir):
+        """cents (1,9,9,2) over 4 days: median = rank (4+1) DIV 2 = 2
+        under (cents, day) -> 2; above-flags (0,1,1,0) -> above side
+        1 spell of 2, below side 2 spells of max 1.  Even n exercises
+        the DIV selection (a float division would drop the key)."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            spell_lengths_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("k", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([1, 9, 9, 2])],
+            "event_type string, day date, cents long",
+        )
+        got = {(r.event_type, r.above):
+               (r.n_spells, r.max_spell, r.total_days)
+               for r in spell_lengths_daily(d).collect()}
+        assert got[("k", 1)] == (1, 2, 2)
+        assert got[("k", 0)] == (2, 1, 2)
+        # registry invariants: per key the two sides partition the days
+        rows = entry.queries()["agg_spell_lengths"](spark, sf_dir).collect()
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r.event_type, 0)
+            per_key[r.event_type] += r.total_days
+            assert r.max_spell <= r.total_days
+        assert len(set(per_key.values())) == 1  # same day count per key

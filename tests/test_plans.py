@@ -318,6 +318,9 @@ EXCHANGE_BUDGET = {
     "agg_trend_seasonal_mk": 4,  # persisted daily agg + recent-days
                                  # window + same-season pair join +
                                  # final agg/sort
+    "agg_spell_lengths": 5,      # daily agg + median rank window +
+                                 # join-back + islands windows +
+                                 # run rollup/sort
 }
 
 

@@ -3747,6 +3747,99 @@ def seasonal_mk_daily(d):
     )
 
 
+# =====================================================================
+# BB. Spell statistics (threshold-crossing run lengths)
+# =====================================================================
+
+
+@register(
+    "agg_spell_lengths",
+    f"""
+    WITH {_DAILY_SQL},
+    m AS (
+      SELECT event_type, cents AS med FROM (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, day) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM d)
+      WHERE rk = (n + 1) // 2),
+    fl AS (
+      SELECT d.event_type, d.day,
+             CASE WHEN d.cents > m.med THEN 1 ELSE 0 END AS above
+      FROM d JOIN m ON d.event_type = m.event_type),
+    r AS (
+      SELECT event_type, above,
+             row_number() OVER (PARTITION BY event_type ORDER BY day)
+             - row_number() OVER (PARTITION BY event_type, above
+                                  ORDER BY day) AS grp
+      FROM fl),
+    runs AS (
+      SELECT event_type, above, CAST(count(*) AS BIGINT) AS run_len
+      FROM r GROUP BY event_type, above, grp)
+    SELECT event_type, CAST(above AS BIGINT) AS above,
+           CAST(count(*) AS BIGINT) AS n_spells,
+           CAST(max(run_len) AS BIGINT) AS max_spell,
+           CAST(sum(run_len) AS BIGINT) AS total_days
+    FROM runs GROUP BY event_type, above ORDER BY event_type, above
+    """,
+)
+def q_agg_spell_lengths(spark, sf_dir):
+    """SPELL statistics — the wet/dry-spell question climate series
+    are analyzed with: maximal runs of consecutive observations above
+    vs not-above the key's EXACT median (rank-selected at (n+1) DIV 2
+    under the (cents, day) total order, never interpolated — the
+    CLAUDE.md selection rule), with spell count, longest spell, and
+    total days per side.  Runs are gap-islands in the OBSERVED
+    day-ordered sequence (double row_number difference).  Longest-dry-
+    spell is the drought index; run-count asymmetry is a persistence
+    (autocorrelation-sign) signal the pointwise stats can't see.
+    Scale shape: per-key rank window for the median + ONE key-hash
+    exchange reused by both islands windows and the run rollup."""
+    return spell_lengths_daily(_daily(spark, sf_dir))
+
+
+def spell_lengths_daily(d):
+    """Above/below-median run statistics over a (event_type, day,
+    cents) daily table — see q_agg_spell_lengths."""
+    wr = Window.partitionBy("event_type").orderBy("cents", "day")
+    wn = Window.partitionBy("event_type")
+    m = (
+        d.select(
+            "event_type",
+            "cents",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("cents").alias("med"))
+    )
+    fl = d.join(m, "event_type").select(
+        "event_type",
+        "day",
+        F.when(F.col("cents") > F.col("med"), 1).otherwise(0).alias("above"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wf = Window.partitionBy("event_type", "above").orderBy("day")
+    r = fl.select(
+        "event_type",
+        "above",
+        (F.row_number().over(wd) - F.row_number().over(wf)).alias("grp"),
+    )
+    runs = r.groupBy("event_type", "above", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type", F.col("above").cast("long").alias("above"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spells"),
+            F.max("run_len").cast("long").alias("max_spell"),
+            F.sum("run_len").cast("long").alias("total_days"),
+        )
+        .orderBy("event_type", "above")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3803,4 +3896,5 @@ _register_new_this_round(
     "ext_sketch_distinct",
     "stream_sketch_cms",
     "agg_trend_seasonal_mk",
+    "agg_spell_lengths",
 )
