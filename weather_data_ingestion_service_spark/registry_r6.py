@@ -3652,19 +3652,14 @@ def q_stream_sketch_cms(spark, sf_dir):
 # =====================================================================
 
 
+from .registry_r5 import _RECENT_DAYS_SQL as _RD_SQL  # noqa: E402
+
+
 @register(
     "agg_trend_seasonal_mk",
     f"""
-    WITH d AS (
-      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2),
-    dc AS (
-      SELECT event_type, day, cents FROM (
-        SELECT d.*, row_number() OVER (
-          PARTITION BY event_type ORDER BY day DESC) AS rnr
-        FROM d)
-      WHERE rnr <= {_KT_MAX_DAYS}),
+    WITH {_DAILY_SQL},
+    {_RD_SQL},
     p AS (
       SELECT a.event_type,
              CAST(dayofweek(a.day) AS INT) AS season,
@@ -3695,18 +3690,10 @@ def q_agg_trend_seasonal_mk(spark, sf_dir):
     stratification cuts pairs ~7× vs plain MK.  Completes the trend
     family: direction (MK), magnitude (Theil-Sen), seasonality-robust
     direction (this)."""
-    from .registry import _cents
     from .registry_r5 import _recent_days
 
-    ev = load_table(spark, sf_dir, "events")
-    d = (
-        ev.groupBy(
-            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-        )
-        .agg(F.sum(_cents("value")).cast("long").alias("cents"))
-        .persist()  # both pair sides reuse it: one raw-events scan
-    )
-    return seasonal_mk_daily(_recent_days(d))
+    # persisted: both pair sides reuse it — one raw-events scan
+    return seasonal_mk_daily(_recent_days(_daily(spark, sf_dir).persist()))
 
 
 def seasonal_mk_daily(d):
