@@ -3125,3 +3125,36 @@ class TestSpellLengths:
             per_key[r.event_type] += r.total_days
             assert r.max_spell <= r.total_days
         assert len(set(per_key.values())) == 1  # same day count per key
+
+
+class TestReverseGeocode:
+    def test_nearest_and_tie_break(self, spark, sf_dir):
+        """A point exactly at an anchor has distance 0 to it; a point
+        equidistant between two anchors snaps to the LOWER id; the
+        registry run resolves every customer to a valid anchor."""
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.fixtures import LATS
+        from weather_data_ingestion_service_spark.operators.spatial import (
+            nearest_anchor_sql,
+        )
+
+        anchors = [(0, 0, 0), (1, 1000, 0)]
+        dist, aid = nearest_anchor_sql("px", "py", anchors)
+        pts = spark.createDataFrame(
+            [(1, 0, 0), (2, 500, 0), (3, 900, 10)], "k long, px long, py long"
+        )
+        got = {
+            r.k: (r.d, r.a)
+            for r in pts.select("k", F.expr(dist).alias("__nd"))
+            .join(pts, "k")
+            .select("k", F.col("__nd").alias("d"), F.expr(aid).alias("a"))
+            .collect()
+        }
+        assert got[1] == (0, 0)    # exactly at anchor 0
+        assert got[2] == (500, 0)  # equidistant -> lowest id wins
+        assert got[3] == (100, 1)
+        rows = entry.queries()["join_geocode_reverse"](
+            spark, sf_dir).collect()
+        assert rows and all(0 <= r.nearest_id < len(LATS) for r in rows)
+        assert all(r.linf_micro >= 0 for r in rows)

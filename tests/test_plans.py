@@ -321,6 +321,8 @@ EXCHANGE_BUDGET = {
     "agg_spell_lengths": 5,      # daily agg + median rank window +
                                  # join-back + islands windows +
                                  # run rollup/sort
+    "join_geocode_reverse": 1,   # broadcast-as-literal nearest-anchor
+                                 # projection; only the final sort
 }
 
 

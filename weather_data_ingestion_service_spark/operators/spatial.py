@@ -99,3 +99,36 @@ def tag_points_in_polygons(
         .withColumn("poly_id", F.col("_hit.poly_id"))
         .drop("_hit")
     )
+
+
+def nearest_anchor_sql(
+    px: str, py: str, anchors: Sequence[Tuple[int, int, int]]
+) -> Tuple[str, str]:
+    """Reverse geocoding as ONE pair of SQL expressions valid in both
+    Spark SQL and DuckDB: ``(dist_expr, id_expr)`` giving the L∞
+    (Chebyshev) micro-degree distance to the nearest anchor and that
+    anchor's id.
+
+    ``anchors`` is ``[(anchor_id, x_micro, y_micro), ...]``.  The
+    distance to each anchor is a literal greatest/abs term; the
+    minimum is one ``least(...)``; the winning id is a CASE chain in
+    ascending anchor-id order, so DISTANCE TIES BREAK BY LOWEST ID —
+    deterministic on any engine.  Like ``polygon_inside_sql`` this is
+    broadcast-as-literal: resolving 100 TB of points against a
+    bounded anchor dim is a single narrow codegen'd map stage with no
+    join, no exchange, no UDF.  Exact: |coords| ≤ 1.8e8 micro-degrees
+    keeps every abs/greatest in int64.
+    """
+    anchors = sorted(anchors)
+    dists = [
+        f"greatest(abs({px} - CAST({x} AS BIGINT)),"
+        f" abs({py} - CAST({y} AS BIGINT)))"
+        for _, x, y in anchors
+    ]
+    dist_expr = "least(" + ", ".join(dists) + ")"
+    cases = " ".join(
+        f"WHEN {d} = __nd THEN CAST({aid} AS BIGINT)"
+        for (aid, _, _), d in zip(anchors, dists)
+    )
+    id_expr = f"CASE {cases} END"
+    return dist_expr, id_expr

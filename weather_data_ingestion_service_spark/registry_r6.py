@@ -3827,6 +3827,66 @@ def spell_lengths_daily(d):
     )
 
 
+# =====================================================================
+# BC. Reverse geocoding (L∞-nearest anchor, broadcast-as-literal)
+# =====================================================================
+
+
+def _revgeo_parts():
+    from .fixtures import LATS, LONS
+    from .operators.spatial import nearest_anchor_sql
+
+    anchors = [
+        (i, int(round(LONS[i] * 1_000_000)), int(round(LATS[i] * 1_000_000)))
+        for i in range(len(LATS))
+    ]
+    return nearest_anchor_sql("px", "py", anchors)
+
+
+def _revgeo_oracle_sql() -> str:
+    dist, aid = _revgeo_parts()
+    return (
+        "WITH p AS (SELECT c_custkey,"
+        f" CAST({_PX_SQL} AS BIGINT) AS px,"
+        f" CAST({_PY_SQL} AS BIGINT) AS py FROM customer),\n"
+        f"n AS (SELECT c_custkey, px, py, {dist} AS __nd FROM p)\n"
+        "SELECT c_custkey, CAST(__nd AS BIGINT) AS linf_micro,"
+        f" {aid} AS nearest_id FROM n ORDER BY c_custkey"
+    )
+
+
+@register("join_geocode_reverse", _revgeo_oracle_sql())
+def q_join_geocode_reverse(spark, sf_dir):
+    """REVERSE geocoding — the missing direction of the geocode
+    family (forward exact, forward fuzzy, now coords → place): each
+    synthetic point snaps to the nearest fixture anchor under the L∞
+    (Chebyshev) micro-degree metric, ties broken by lowest anchor id
+    — all EXACT int64 (abs/greatest/least; no haversine floats, whose
+    libm trig would be the one thing two engines may disagree on).
+    The anchor dim is compiled into the projection as literal terms
+    (the point-in-polygon broadcast-as-literal posture, shared SQL
+    text verbatim with the oracle): resolving 100 TB of points is one
+    narrow codegen'd map stage — no join, no exchange, no UDF.
+    Reference parity: the reference snaps coordinates to the nearest
+    grid point server-side (server.py geocode snap); this is that
+    snap as a native operator."""
+    dist, aid = _revgeo_parts()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_PX_SQL).cast("long").alias("px"),
+        F.expr(_PY_SQL).cast("long").alias("py"),
+    )
+    return (
+        cust.select("c_custkey", "px", "py", F.expr(dist).alias("__nd"))
+        .select(
+            "c_custkey",
+            F.col("__nd").cast("long").alias("linf_micro"),
+            F.expr(aid).alias("nearest_id"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3884,4 +3944,5 @@ _register_new_this_round(
     "stream_sketch_cms",
     "agg_trend_seasonal_mk",
     "agg_spell_lengths",
+    "join_geocode_reverse",
 )
