@@ -1201,3 +1201,77 @@ class TestRound6BatchLaws:
             day = t + 2  # delta t sits on day index t+1 (1-based +1)
             want[day] = 500000 if g + l == 0 else g * 1000000 // (g + l)
         assert got == want
+
+
+class TestRound6LateLaws:
+    """Brute-force laws for the last round-6 kernels."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        cents=st.lists(st.integers(0, 30), min_size=8, max_size=21),
+    )
+    def test_seasonal_mk_matches_bruteforce(self, spark, cents):
+        """seasonal_mk_daily equals the O(n^2) same-weekday pair
+        classification in Python."""
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            seasonal_mk_daily,
+        )
+
+        base = dt.date(2024, 1, 1)
+        days = [base + dt.timedelta(days=i) for i in range(len(cents))]
+        d = spark.createDataFrame(
+            [("k", dy, c) for dy, c in zip(days, cents)],
+            "event_type string, day date, cents long",
+        )
+        r = seasonal_mk_daily(d).collect()[0]
+        s = n_pairs = 0
+        seasons = set()
+        for i in range(len(cents)):
+            for j in range(i + 1, len(cents)):
+                if days[i].weekday() != days[j].weekday():
+                    continue
+                n_pairs += 1
+                s += (cents[j] > cents[i]) - (cents[j] < cents[i])
+        for dy in days:
+            seasons.add(dy.weekday())
+        # n_seasons counts only strata that produced >= 1 pair
+        strata_with_pairs = {
+            days[i].weekday()
+            for i in range(len(cents))
+            for j in range(i + 1, len(cents))
+            if days[i].weekday() == days[j].weekday()
+        }
+        assert (r.n_seasons, r.n_pairs, r.s_seasonal) == (
+            len(strata_with_pairs), n_pairs, s,
+        )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        cents=st.lists(st.integers(0, 9), min_size=1, max_size=15),
+    )
+    def test_spell_lengths_match_python_runs(self, spark, cents):
+        """spell_lengths_daily equals a direct Python computation:
+        median by rank selection, then run-length encoding of the
+        above-flags."""
+        from itertools import groupby
+
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            spell_lengths_daily,
+        )
+
+        base = dt.date(2024, 1, 1)
+        d = spark.createDataFrame(
+            [("k", base + dt.timedelta(days=i), c)
+             for i, c in enumerate(cents)],
+            "event_type string, day date, cents long",
+        )
+        got = {r.above: (r.n_spells, r.max_spell, r.total_days)
+               for r in spell_lengths_daily(d).collect()}
+        med = sorted(cents)[(len(cents) + 1) // 2 - 1]
+        flags = [1 if c > med else 0 for c in cents]
+        want = {}
+        for side in (0, 1):
+            runs = [len(list(g)) for f, g in groupby(flags) if f == side]
+            if runs:
+                want[side] = (len(runs), max(runs), sum(runs))
+        assert got == want
