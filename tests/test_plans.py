@@ -323,6 +323,8 @@ EXCHANGE_BUDGET = {
                                  # run rollup/sort
     "join_geocode_reverse": 1,   # broadcast-as-literal nearest-anchor
                                  # projection; only the final sort
+    "f_geohash": 1,              # staged bit-arithmetic projection;
+                                 # only the final sort
 }
 
 

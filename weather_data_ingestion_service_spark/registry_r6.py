@@ -3887,6 +3887,86 @@ def q_join_geocode_reverse(spark, sf_dir):
     )
 
 
+# =====================================================================
+# BD. Geohash encoding (base-32 spatial key, shared-text SQL)
+# =====================================================================
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash5_parts(lon: str, lat: str):
+    """5-character geohash as three STAGED SQL expressions shared
+    verbatim by both engines: ``(bx, by)`` bucket terms over lon/lat,
+    the 25-bit interleave ``z`` over columns named __bx/__by, and the
+    base-32 concat ``chars`` over a column named __z (13 lon bits +
+    12 lat bits, lon first, per the geohash spec) — pure integer bit
+    arithmetic, no UDF, no subquery."""
+    bx = f"least(CAST(floor(({lon} + 180.0) / 360.0 * 8192.0) AS BIGINT), 8191)"
+    by = f"least(CAST(floor(({lat} + 90.0) / 180.0 * 4096.0) AS BIGINT), 4095)"
+    terms = []
+    for j in range(13):  # lon bits at even positions from the MSB
+        terms.append(f"(((__bx >> {12 - j}) & 1) << {24 - 2 * j})")
+    for j in range(12):  # lat bits at odd positions
+        terms.append(f"(((__by >> {11 - j}) & 1) << {23 - 2 * j})")
+    z = "(" + " + ".join(terms) + ")"
+    chars = " || ".join(
+        f"substr('{_GH_ALPHABET}', CAST(((__z >> {20 - 5 * i}) & 31)"
+        " AS INT) + 1, 1)"
+        for i in range(5)
+    )
+    return bx, by, z, chars
+
+
+_GH_BX, _GH_BY, _GH_Z, _GH_CHARS = _geohash5_parts('lon', 'lat')
+
+
+@register(
+    "f_geohash",
+    f"""
+    WITH t AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 500 AS DOUBLE) - 200.0 AS lon,
+             c_acctbal / 60.0 AS lat
+      FROM customer
+      WHERE c_acctbal / 60.0 BETWEEN -90 AND 90
+        AND CAST(c_custkey % 500 AS DOUBLE) - 200.0 BETWEEN -180 AND 180),
+    b AS (SELECT c_custkey, {_GH_BX} AS __bx, {_GH_BY} AS __by FROM t),
+    z AS (SELECT c_custkey, {_GH_Z} AS __z FROM b)
+    SELECT c_custkey, {_GH_CHARS} AS gh5
+    FROM z ORDER BY c_custkey
+    """,
+)
+def q_f_geohash(spark, sf_dir):
+    """GEOHASH-5 encoding — the interoperable string form of the
+    Morton key (f_morton_z gives the int64 clustering key; external
+    systems, tile caches and REST APIs speak geohash): 13 lon + 12
+    lat bits interleaved lon-first per the geohash spec, emitted
+    through the standard base-32 alphabet — a ~4.9 km × 4.9 km cell,
+    the usual spatial-join bucketing granularity.  The bit expression
+    is ONE shared SQL text on both engines (the point-in-polygon
+    posture); floor/least clamp the +180/+90 edge into the last cell.
+    Scale shape: pure codegen'd projection, zero exchanges before the
+    sort."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 500).cast("double") - 200.0).alias("lon"),
+        (F.col("c_acctbal") / 60.0).alias("lat"),
+    )
+    return (
+        cust.filter(
+            F.col("lat").between(-90, 90) & F.col("lon").between(-180, 180)
+        )
+        .select(
+            "c_custkey",
+            F.expr(_GH_BX).alias("__bx"),
+            F.expr(_GH_BY).alias("__by"),
+        )
+        .select("c_custkey", F.expr(_GH_Z).alias("__z"))
+        .select("c_custkey", F.expr(_GH_CHARS).alias("gh5"))
+        .orderBy("c_custkey")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -3945,4 +4025,5 @@ _register_new_this_round(
     "agg_trend_seasonal_mk",
     "agg_spell_lengths",
     "join_geocode_reverse",
+    "f_geohash",
 )
