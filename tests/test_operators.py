@@ -3146,8 +3146,9 @@ class TestReverseGeocode:
         )
         got = {
             r.k: (r.d, r.a)
-            for r in pts.select("k", F.expr(dist).alias("__nd"))
-            .join(pts, "k")
+            for r in pts.select(
+                "k", "px", "py", F.expr(dist).alias("__nd")
+            )
             .select("k", F.col("__nd").alias("d"), F.expr(aid).alias("a"))
             .collect()
         }
@@ -3207,7 +3208,6 @@ class TestGeohash:
         rows = entry.queries()["f_geohash"](spark, sf_dir).collect()
         assert rows
         for r in rows[:50]:
-            lon = (r.c_custkey % 500) - 200.0
             # lat reconstruction needs acctbal; check alphabet/shape only
             assert len(r.gh5) == 5
             assert all(c in "0123456789bcdefghjkmnpqrstuvwxyz"

@@ -1225,15 +1225,12 @@ class TestRound6LateLaws:
         )
         r = seasonal_mk_daily(d).collect()[0]
         s = n_pairs = 0
-        seasons = set()
         for i in range(len(cents)):
             for j in range(i + 1, len(cents)):
                 if days[i].weekday() != days[j].weekday():
                     continue
                 n_pairs += 1
                 s += (cents[j] > cents[i]) - (cents[j] < cents[i])
-        for dy in days:
-            seasons.add(dy.weekday())
         # n_seasons counts only strata that produced >= 1 pair
         strata_with_pairs = {
             days[i].weekday()

@@ -118,14 +118,25 @@ def nearest_anchor_sql(
     bounded anchor dim is a single narrow codegen'd map stage with no
     join, no exchange, no UDF.  Exact: |coords| ≤ 1.8e8 micro-degrees
     keeps every abs/greatest in int64.
+
+    CONTRACT: ``id_expr`` references a column literally named ``__nd``
+    — the caller must alias ``dist_expr`` as ``__nd`` in an enclosing
+    projection before evaluating ``id_expr`` (same staged-column
+    pattern as ``_geohash5_parts``'s ``__bx/__by/__z``).
     """
+    if not anchors:
+        raise ValueError("nearest_anchor_sql needs at least one anchor")
     anchors = sorted(anchors)
     dists = [
         f"greatest(abs({px} - CAST({x} AS BIGINT)),"
         f" abs({py} - CAST({y} AS BIGINT)))"
         for _, x, y in anchors
     ]
-    dist_expr = "least(" + ", ".join(dists) + ")"
+    # Spark's least() requires >= 2 args (DuckDB accepts 1) — a lone
+    # anchor's distance IS the minimum
+    dist_expr = (
+        dists[0] if len(dists) == 1 else "least(" + ", ".join(dists) + ")"
+    )
     cases = " ".join(
         f"WHEN {d} = __nd THEN CAST({aid} AS BIGINT)"
         for (aid, _, _), d in zip(anchors, dists)

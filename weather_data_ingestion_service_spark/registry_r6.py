@@ -3893,6 +3893,12 @@ def q_join_geocode_reverse(spark, sf_dir):
 
 _GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+#: synthetic degree lon/lat from the customer row (the f_morton_z /
+#: f_geo_tile scheme); f_geohash derives BOTH its oracle text and its
+#: DataFrame side from these strings so the family cannot diverge
+_SYN_LON_SQL = "CAST(c_custkey % 500 AS DOUBLE) - 200.0"
+_SYN_LAT_SQL = "c_acctbal / 60.0"
+
 
 def _geohash5_parts(lon: str, lat: str):
     """5-character geohash as three STAGED SQL expressions shared
@@ -3925,11 +3931,11 @@ _GH_BX, _GH_BY, _GH_Z, _GH_CHARS = _geohash5_parts('lon', 'lat')
     f"""
     WITH t AS (
       SELECT c_custkey,
-             CAST(c_custkey % 500 AS DOUBLE) - 200.0 AS lon,
-             c_acctbal / 60.0 AS lat
+             {_SYN_LON_SQL} AS lon,
+             {_SYN_LAT_SQL} AS lat
       FROM customer
-      WHERE c_acctbal / 60.0 BETWEEN -90 AND 90
-        AND CAST(c_custkey % 500 AS DOUBLE) - 200.0 BETWEEN -180 AND 180),
+      WHERE {_SYN_LAT_SQL} BETWEEN -90 AND 90
+        AND {_SYN_LON_SQL} BETWEEN -180 AND 180),
     b AS (SELECT c_custkey, {_GH_BX} AS __bx, {_GH_BY} AS __by FROM t),
     z AS (SELECT c_custkey, {_GH_Z} AS __z FROM b)
     SELECT c_custkey, {_GH_CHARS} AS gh5
@@ -3949,8 +3955,8 @@ def q_f_geohash(spark, sf_dir):
     sort."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
-        ((F.col("c_custkey") % 500).cast("double") - 200.0).alias("lon"),
-        (F.col("c_acctbal") / 60.0).alias("lat"),
+        F.expr(_SYN_LON_SQL).alias("lon"),
+        F.expr(_SYN_LAT_SQL).alias("lat"),
     )
     return (
         cust.filter(
