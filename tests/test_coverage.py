@@ -124,7 +124,7 @@ ORACLE_IDS = {
     "agg_gini_volume", "ext_text_hapax", "ext_epoch_shuffle",
     "win_seasonal_residual", "ext_sketch_cms", "ext_sketch_distinct",
     "stream_sketch_cms", "agg_trend_seasonal_mk", "agg_spell_lengths",
-    "join_geocode_reverse", "f_geohash",
+    "join_geocode_reverse", "f_geohash", "win_sequence_count",
 }
 
 ROWS_ONLY_IDS = {

@@ -3212,3 +3212,67 @@ class TestGeohash:
             assert len(r.gh5) == 5
             assert all(c in "0123456789bcdefghjkmnpqrstuvwxyz"
                        for c in r.gh5)
+
+
+class TestSequenceCount:
+    def test_hand_greedy_matching(self, spark, sf_dir):
+        """Sequences: BAB -> 1 match (A pairs the later B), ABB -> 1,
+        AABB -> 2, BB -> 0; brute-force greedy agrees on the registry
+        output for 20 users."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            sequence_pair_counts,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        seqs = {"u1": "BAB", "u2": "ABB", "u3": "AABB", "u4": "BB"}
+        rows = []
+        eid = 0
+        for u, s in seqs.items():
+            for i, t in enumerate(s):
+                rows.append((u, t, base + dt.timedelta(minutes=i), eid))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts timestamp,"
+            " event_id long",
+        )
+        got = {r.user_id: (r.n_a, r.n_b, r.n_matched)
+               for r in sequence_pair_counts(ev).collect()}
+        assert got == {"u1": (1, 2, 1), "u2": (1, 2, 1),
+                       "u3": (2, 2, 2), "u4": (0, 2, 0)}
+
+        def greedy(seq):
+            open_a = matched = 0
+            for t in seq:
+                if t == "A":
+                    open_a += 1
+                elif t == "B" and open_a:
+                    open_a -= 1
+                    matched += 1
+            return matched
+
+        for u, s in seqs.items():
+            assert got[u][2] == greedy(s)
+        # registry invariants: matched <= min(n_a, n_b)
+        ev_full = load_table(spark, sf_dir, "events")
+        types = sorted(
+            r.event_type
+            for r in ev_full.select("event_type").distinct().collect()
+        )
+        out = entry.queries()["win_sequence_count"](spark, sf_dir).collect()
+        for r in out:
+            assert 0 <= r.n_matched <= min(r.n_a, r.n_b)
+        # per-user totals of A and B match the raw counts
+        a, b = types[0], types[1]
+        raw = {
+            (r.user_id, r.event_type): r.c
+            for r in ev_full.filter(F.col("event_type").isin(a, b))
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        for r in out:
+            assert r.n_a == raw.get((r.user_id, a), 0)
+            assert r.n_b == raw.get((r.user_id, b), 0)

@@ -325,6 +325,9 @@ EXCHANGE_BUDGET = {
                                  # projection; only the final sort
     "f_geohash": 1,              # staged bit-arithmetic projection;
                                  # only the final sort
+    "win_sequence_count": 6,     # two 1-row type-dim aggs broadcast
+                                 # onto the scan + one user window +
+                                 # rollup/sort
 }
 
 

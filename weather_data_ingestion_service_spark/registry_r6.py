@@ -3973,6 +3973,110 @@ def q_f_geohash(spark, sf_dir):
     )
 
 
+# =====================================================================
+# BE. Sequence-pair counting (CEP A-then-B matches, closed form)
+# =====================================================================
+
+
+@register(
+    "win_sequence_count",
+    """
+    WITH ab AS (
+      SELECT min(event_type) AS a,
+             min(CASE WHEN event_type > (SELECT min(event_type)
+                                         FROM events)
+                      THEN event_type END) AS b
+      FROM events),
+    e AS (
+      SELECT ev.user_id, ev.ts, ev.event_id,
+             CASE WHEN ev.event_type = ab.a THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN ev.event_type = ab.b THEN 1 ELSE 0 END AS is_b
+      FROM events ev, ab
+      WHERE ev.event_type IN (ab.a, ab.b)),
+    c AS (
+      SELECT user_id,
+             sum(is_b) OVER w - sum(is_a) OVER w AS excess,
+             is_a, is_b
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           CAST(sum(is_a) AS BIGINT) AS n_a,
+           CAST(sum(is_b) AS BIGINT) AS n_b,
+           CAST(sum(is_b) - greatest(max(excess), 0) AS BIGINT)
+             AS n_matched
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_win_sequence_count(spark, sf_dir):
+    """CEP sequence-pair counting (the ClickHouse ``sequenceCount``
+    shape): per user, the number of NON-CROSSING "A then B" matches
+    between the two lexicographically-first event types, each B
+    consuming the earliest unmatched preceding A — funnels count a
+    user once; this counts REPEATED conversions.  The greedy match
+    has a closed form that needs no sequential fold:
+    matched = n_b − max(0, max over prefixes of (cumB − cumA)) —
+    every prefix where Bs outnumber As wastes exactly that excess —
+    so ONE cumulative window + one aggregate computes it, exact
+    integers, deterministic (ts, event_id) order.  Scale shape: the
+    type filter prunes the scan, one user-hash exchange feeds the
+    window and the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_pair_counts(ev)
+
+
+def sequence_pair_counts(ev):
+    """Non-crossing A-then-B match counts per user for the two
+    lexicographically-first event types — see q_win_sequence_count."""
+    a_row = ev.agg(F.min("event_type").alias("a"))
+    # second-smallest type: min of types strictly above the min
+    b_row = (
+        ev.join(F.broadcast(a_row), ev["event_type"] > a_row["a"])
+        .agg(F.min("event_type").alias("b"))
+    )
+    dim = F.broadcast(a_row.crossJoin(b_row))
+    e = (
+        ev.join(dim)
+        .filter(
+            (F.col("event_type") == F.col("a"))
+            | (F.col("event_type") == F.col("b"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == F.col("a"), 1).otherwise(0)
+            .alias("is_a"),
+            F.when(F.col("event_type") == F.col("b"), 1).otherwise(0)
+            .alias("is_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = e.select(
+        "user_id",
+        "is_a",
+        "is_b",
+        (F.sum("is_b").over(w) - F.sum("is_a").over(w)).alias("excess"),
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("is_a").cast("long").alias("n_a"),
+            F.sum("is_b").cast("long").alias("n_b"),
+            (
+                F.sum("is_b")
+                - F.greatest(F.max("excess"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -4032,4 +4136,5 @@ _register_new_this_round(
     "agg_spell_lengths",
     "join_geocode_reverse",
     "f_geohash",
+    "win_sequence_count",
 )
