@@ -3276,3 +3276,33 @@ class TestSequenceCount:
         for r in out:
             assert r.n_a == raw.get((r.user_id, a), 0)
             assert r.n_b == raw.get((r.user_id, b), 0)
+
+
+class TestHurstComponents:
+    def test_hand_computed_range(self, spark, sf_dir):
+        """cents (4, 0, 2): S=6, n=3, mean=2; Z·n at t=1..3:
+        3*4-1*6=6, 3*4-2*6=0, 3*6-3*6=0 -> max 6, min 0 ->
+        range_xn = 6.  A constant series has range_xn = 0."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            hurst_components_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("k", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([4, 0, 2])]
+            + [("flat", dt.date(2024, 1, 1 + i), 5) for i in range(4)],
+            "event_type string, day date, cents long",
+        )
+        got = {r.event_type: (r.n_days, r.s, int(r.sum_sq), int(r.range_xn))
+               for r in hurst_components_daily(d).collect()}
+        assert got["k"] == (3, 6, 20, 6)
+        assert got["flat"] == (4, 20, 100, 0)
+        # registry invariants: R >= 0 and sigma > 0 implies R/S finite
+        for r in entry.queries()["agg_hurst_components"](
+                spark, sf_dir).collect():
+            assert int(r.range_xn) >= 0
+            # n*sum_sq - s^2 = n^2 * variance >= 0
+            assert r.n_days * int(r.sum_sq) - r.s * r.s >= 0

@@ -328,6 +328,9 @@ EXCHANGE_BUDGET = {
     "win_sequence_count": 6,     # two 1-row type-dim aggs broadcast
                                  # onto the scan + one user window +
                                  # rollup/sort
+    "agg_hurst_components": 4,   # persisted daily agg + totals
+                                 # broadcast-back + cumulative window
+                                 # + rollup/sort
 }
 
 

@@ -4077,6 +4077,98 @@ def sequence_pair_counts(ev):
     )
 
 
+# =====================================================================
+# BF. Rescaled-range (R/S) components (Hurst long-memory diagnostics)
+# =====================================================================
+
+
+@register(
+    "agg_hurst_components",
+    f"""
+    WITH {_DAILY_SQL},
+    k AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0))
+               AS sum_sq
+      FROM d GROUP BY event_type),
+    c AS (
+      SELECT d.event_type, k.n, k.s, k.sum_sq,
+             CAST(k.n AS HUGEINT)
+               * sum(d.cents) OVER (PARTITION BY d.event_type
+                   ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+             - CAST(row_number() OVER (PARTITION BY d.event_type
+                   ORDER BY d.day) AS HUGEINT) * k.s AS zdev
+      FROM d JOIN k ON d.event_type = k.event_type)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(max(s) AS BIGINT) AS s,
+           CAST(max(sum_sq) AS DECIMAL(38,0)) AS sum_sq,
+           CAST(greatest(max(zdev), 0) - least(min(zdev), 0)
+                AS DECIMAL(38,0)) AS range_xn
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_agg_hurst_components(spark, sf_dir):
+    """Rescaled-range (R/S) COMPONENTS — Hurst's long-memory
+    diagnostic (persistent series: R/S ~ n^H with H > 0.5; the
+    statistic Mandelbrot built fractal analysis on): the cumulative
+    deviation Z_t = Σ(xᵢ − x̄) is rational, so it is held as the
+    EXACT integer n·P_t − t·S (scale n), the published range_xn =
+    n·(max Z − min Z) with the zero start included via the
+    greatest/least clamp, and R/S = range_xn/(n·σ) with σ from the
+    exact power sums — every division deferred to the driver (the
+    agg_autocorr moments posture).  Complements agg_autocorr (lag-1)
+    with the ALL-lags long-range-dependence view.  Scale shape: one
+    per-key totals aggregate broadcast back + one per-key cumulative
+    window over the tiny daily table."""
+    return hurst_components_daily(_daily(spark, sf_dir).persist())
+
+
+def hurst_components_daily(d):
+    """Exact R/S components over a (event_type, day, cents) daily
+    table — see q_agg_hurst_components."""
+    k = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy("event_type").orderBy("day")
+    c = d.join(k, "event_type").select(
+        "event_type",
+        "n",
+        "s",
+        "sum_sq",
+        (
+            F.col("n").cast("decimal(38,0)") * F.sum("cents").over(wcum)
+            - F.row_number().over(wrn).cast("decimal(38,0)") * F.col("s")
+        ).alias("zdev"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("s").cast("long").alias("s"),
+            F.max("sum_sq").cast("decimal(38,0)").alias("sum_sq"),
+            (
+                F.greatest(F.max("zdev"), zero)
+                - F.least(F.min("zdev"), zero)
+            )
+            .cast("decimal(38,0)")
+            .alias("range_xn"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -4137,4 +4229,5 @@ _register_new_this_round(
     "join_geocode_reverse",
     "f_geohash",
     "win_sequence_count",
+    "agg_hurst_components",
 )
