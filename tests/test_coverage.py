@@ -125,7 +125,7 @@ ORACLE_IDS = {
     "win_seasonal_residual", "ext_sketch_cms", "ext_sketch_distinct",
     "stream_sketch_cms", "agg_trend_seasonal_mk", "agg_spell_lengths",
     "join_geocode_reverse", "f_geohash", "win_sequence_count",
-    "agg_hurst_components",
+    "agg_hurst_components", "agg_variogram",
 }
 
 ROWS_ONLY_IDS = {

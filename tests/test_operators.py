@@ -3306,3 +3306,33 @@ class TestHurstComponents:
             assert int(r.range_xn) >= 0
             # n*sum_sq - s^2 = n^2 * variance >= 0
             assert r.n_days * int(r.sum_sq) - r.s * r.s >= 0
+
+
+class TestVariogram:
+    def test_hand_computed_lags(self, spark, sf_dir):
+        """cents (1, 4, 2): lag-1 diffs (3, -2) -> n=2, sum 13;
+        lag-2 diff (1) -> n=1, sum 1; lag>=3 absent."""
+        import datetime as dt
+
+        import __spark_entry__ as entry
+        from weather_data_ingestion_service_spark.registry_r6 import (
+            variogram_daily,
+        )
+
+        d = spark.createDataFrame(
+            [("k", dt.date(2024, 1, 1 + i), c)
+             for i, c in enumerate([1, 4, 2])],
+            "event_type string, day date, cents long",
+        )
+        got = {r.lag_k: (r.n_pairs, int(r.sum_sq_diff))
+               for r in variogram_daily(d).collect()}
+        assert got == {1: (2, 13), 2: (1, 1)}
+        # registry invariants: n_pairs(k) = n_days - k for every key
+        rows = entry.queries()["agg_variogram"](spark, sf_dir).collect()
+        per_key = {}
+        for r in rows:
+            per_key.setdefault(r.event_type, {})[r.lag_k] = r.n_pairs
+            assert int(r.sum_sq_diff) >= 0
+        for key, lags in per_key.items():
+            n = lags[1] + 1
+            assert lags == {k: n - k for k in range(1, 8)}

@@ -331,6 +331,8 @@ EXCHANGE_BUDGET = {
     "agg_hurst_components": 4,   # persisted daily agg + totals
                                  # broadcast-back + cumulative window
                                  # + rollup/sort
+    "agg_variogram": 3,          # daily agg + ONE per-key lag window
+                                 # serving all 7 lags + rollup/sort
 }
 
 

@@ -4169,6 +4169,122 @@ def hurst_components_daily(d):
     )
 
 
+# =====================================================================
+# BG. Experimental variogram (geostatistics lag structure, exact)
+# =====================================================================
+
+
+@register(
+    "agg_variogram",
+    f"""
+    WITH {_DAILY_SQL},
+    a1 AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS lag_k,
+             cents - lag(cents, 1) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    a2 AS (
+      SELECT event_type, CAST(2 AS BIGINT) AS lag_k,
+             cents - lag(cents, 2) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    a3 AS (
+      SELECT event_type, CAST(3 AS BIGINT) AS lag_k,
+             cents - lag(cents, 3) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    a4 AS (
+      SELECT event_type, CAST(4 AS BIGINT) AS lag_k,
+             cents - lag(cents, 4) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    a5 AS (
+      SELECT event_type, CAST(5 AS BIGINT) AS lag_k,
+             cents - lag(cents, 5) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    a6 AS (
+      SELECT event_type, CAST(6 AS BIGINT) AS lag_k,
+             cents - lag(cents, 6) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    a7 AS (
+      SELECT event_type, CAST(7 AS BIGINT) AS lag_k,
+             cents - lag(cents, 7) OVER (PARTITION BY event_type
+               ORDER BY day) AS dk
+      FROM d),
+    u AS (
+    SELECT * FROM a1 WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT * FROM a2 WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT * FROM a3 WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT * FROM a4 WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT * FROM a5 WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT * FROM a6 WHERE dk IS NOT NULL
+    UNION ALL
+    SELECT * FROM a7 WHERE dk IS NOT NULL)
+    SELECT event_type, lag_k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(dk AS HUGEINT) * dk) AS DECIMAL(38,0))
+             AS sum_sq_diff
+    FROM u GROUP BY event_type, lag_k ORDER BY event_type, lag_k
+    """,
+)
+def q_agg_variogram(spark, sf_dir):
+    """EXPERIMENTAL VARIOGRAM over the daily series — the lag
+    structure function geostatistics/kriging is built on (and the
+    classical weather-station tool): for row-lags k = 1..7,
+    semivariance gamma(k) = sum((x_{t+k} - x_t)^2) / (2*n_k), with the
+    exact integer squared-difference sum published in DECIMAL(38,0)
+    and both divisions left to the driver.  A flat gamma(k) in k means
+    white noise; gamma rising to a sill reveals the correlation range
+    — the view autocorr (one lag) and Hurst (all lags pooled) sit
+    between.  Row-lags, not calendar-lags, so gaps do not create
+    phantom pairs (consistent with win_* lag semantics).  Scale shape:
+    ONE per-key window exchange serves all seven lag columns; the
+    lag fan-out is an in-partition explode."""
+    return variogram_daily(_daily(spark, sf_dir))
+
+
+def variogram_daily(d, max_lag=7):
+    """Exact semivariance components for row-lags 1..max_lag — see
+    q_agg_variogram."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    # window expressions can't sit inside a Generate: materialize the
+    # lag diffs in a plain projection first, THEN fan out
+    lagged = d.select(
+        "event_type",
+        *[
+            (F.col("cents") - F.lag("cents", k).over(w)).alias(f"__d{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    structs = [
+        F.struct(
+            F.lit(k).cast("long").alias("lag_k"),
+            F.col(f"__d{k}").alias("dk"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return (
+        lagged.select("event_type", F.explode(F.array(*structs)).alias("x"))
+        .select("event_type", "x.lag_k", "x.dk")
+        .filter(F.col("dk").isNotNull())
+        .groupBy("event_type", "lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dk").cast("decimal(38,0)") * F.col("dk"))
+            .cast("decimal(38,0)")
+            .alias("sum_sq_diff"),
+        )
+        .orderBy("event_type", "lag_k")
+    )
+
+
 _register_new_this_round(
     "ext_eval_kappa",
     "agg_survival_km",
@@ -4230,4 +4346,5 @@ _register_new_this_round(
     "f_geohash",
     "win_sequence_count",
     "agg_hurst_components",
+    "agg_variogram",
 )
