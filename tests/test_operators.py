@@ -3334,5 +3334,10 @@ class TestVariogram:
             per_key.setdefault(r.event_type, {})[r.lag_k] = r.n_pairs
             assert int(r.sum_sq_diff) >= 0
         for key, lags in per_key.items():
-            n = lags[1] + 1
-            assert lags == {k: n - k for k in range(1, 8)}
+            # a key with n daily rows legitimately emits only lags
+            # 1..min(7, n-1) — don't assume 8+ days per key
+            kmin = min(lags)
+            n = lags[kmin] + kmin
+            assert lags == {
+                k: n - k for k in range(1, 8) if n - k >= 1
+            }

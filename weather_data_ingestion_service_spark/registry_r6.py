@@ -4027,10 +4027,14 @@ def q_win_sequence_count(spark, sf_dir):
 def sequence_pair_counts(ev):
     """Non-crossing A-then-B match counts per user for the two
     lexicographically-first event types — see q_win_sequence_count."""
-    a_row = ev.agg(F.min("event_type").alias("a"))
+    # ONE pass derives the (tiny) type dim; the two one-row aggs then
+    # run over it, not over raw events — the main pipeline below is
+    # the only other full scan
+    types = ev.select("event_type").distinct()
+    a_row = types.agg(F.min("event_type").alias("a"))
     # second-smallest type: min of types strictly above the min
     b_row = (
-        ev.join(F.broadcast(a_row), ev["event_type"] > a_row["a"])
+        types.join(F.broadcast(a_row), types["event_type"] > a_row["a"])
         .agg(F.min("event_type").alias("b"))
     )
     dim = F.broadcast(a_row.crossJoin(b_row))
