@@ -32,8 +32,20 @@ def test_registry_outputs_have_no_complex_columns(spark, sf_dir):
     crash it (this bit ext_embed_centroids / ext_embed_normalize in
     round 2 and — because this guard only covered oracle-paired ids —
     ext_embed_pca AGAIN in round 3: the rows-only path canonicalizes
-    too).  Every registry entry, oracle-paired or not, must publish
-    scalar columns only — explode vectors to (id, pos, value) rows."""
+    too).  Round 6 added a second trap in the same class: raw BINARY
+    cells arrive as bytearray — also unhashable — and crashed
+    ext_multimodal_frames / ext_multimodal_resize; publish md5 digests
+    + byte counts instead.  Every registry entry, oracle-paired or
+    not, must publish hashable scalar columns only — explode vectors
+    to (id, pos, value) rows, digest binary payloads.
+
+    DecimalType is banned too (round 7): the values hash fine locally,
+    but the driver canonicalizes Spark Decimal objects differently
+    from DuckDB decimals even when bit-identical — across six rounds
+    NO decimal-publishing entry ever went green, and ext_eval_spearman
+    hash-mismatched in r6 with values equal on both engines.  Publish
+    exact wide integers as digit STRINGS (cast on both engine and
+    oracle sides)."""
     from pyspark.sql import types as T
 
     bad = {}
@@ -42,7 +54,16 @@ def test_registry_outputs_have_no_complex_columns(spark, sf_dir):
         complex_cols = [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            if isinstance(
+                f.dataType,
+                (
+                    T.ArrayType,
+                    T.MapType,
+                    T.StructType,
+                    T.BinaryType,
+                    T.DecimalType,
+                ),
+            )
         ]
         if complex_cols:
             bad[name] = complex_cols

@@ -810,7 +810,8 @@ class TestRound5Laws:
             ["id", "x", "neg_x"],
         )
         same = spearman_rho(df, "id", "x", "x").collect()[0]
-        assert same.rho_micro == 1_000_000 and same.sum_d2_x4 == 0
+        # sum_d2_x4 is published as a digit string (canonicalizer-proof)
+        assert same.rho_micro == 1_000_000 and int(same.sum_d2_x4) == 0
         rev = spearman_rho(df, "id", "x", "neg_x").collect()[0]
         assert rev.rho_micro == -1_000_000
 

@@ -1327,10 +1327,15 @@ def spearman_rho(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(d2 * d2).cast("decimal(38,0)").alias("sum_d2_x4"),
     )
-    # n(n²−1) likewise in decimal so the denominator can't wrap either
+    # n(n²−1) likewise in decimal so the denominator can't wrap either.
+    # sum_d2_x4 is PUBLISHED as its digit string: the value is exact
+    # either way, but pandas-level canonicalizers (the driver's) hash
+    # Spark Decimal objects differently from DuckDB decimals even when
+    # bit-identical (the r6 hash-mismatch on this very query) — digit
+    # strings are representation-proof.
     return agg.select(
         "n",
-        "sum_d2_x4",
+        F.col("sum_d2_x4").cast("string").alias("sum_d2_x4"),
         F.expr(
             "CAST(1000000 - CAST(1500000 AS DECIMAL(38,0)) * sum_d2_x4"
             " DIV (CAST(n AS DECIMAL(38,0)) * n * n"

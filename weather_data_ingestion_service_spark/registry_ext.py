@@ -1440,7 +1440,7 @@ def q_ext_embed_centroids(spark, sf_dir):
       FROM f)
     SELECT doc_id, CAST(fno AS INT) AS frame_no,
            CAST(fno * 1000 // 30 AS BIGINT) AS frame_ts_ms,
-           encode(fstr) AS frame_payload, md5(fstr) AS frame_md5
+           md5(fstr) AS frame_md5
     FROM s
     """,
 )
@@ -1456,12 +1456,18 @@ def q_ext_multimodal_frames(spark, sf_dir):
     because this corpus is pure ASCII (byte slicing == char slicing;
     the byte-level contract itself is pytest-pinned).  Proves the
     Arrow fan-out path — schema, cardinality, payload bytes, digests —
-    against an engine that never ran Python."""
+    against an engine that never ran Python.
+
+    Round-7: the published projection carries the md5 DIGEST only —
+    the driver canonicalizer cannot hash raw BINARY cells
+    (CORRECTNESS_r06 `unhashable type: 'bytearray'`); the payload
+    bytes themselves stay pinned by tests/test_multimodal.py."""
     from .ext.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "text")
-    return sample_frames(payloads, "doc_id", "payload")
+    frames = sample_frames(payloads, "doc_id", "payload")
+    return frames.select("doc_id", "frame_no", "frame_ts_ms", "frame_md5")
 
 
 @register(
@@ -1502,13 +1508,14 @@ def q_ext_multimodal_clip(spark, sf_dir):
     s AS (SELECT doc_id, text, L, greatest(L // 49, 1) AS stride FROM t),
     o AS (
       SELECT doc_id,
-             encode(array_to_string(list_transform(
+             array_to_string(list_transform(
                range(0, least(49, (L + stride - 1) // stride)),
-               j -> substr(text, CAST(1 + j * stride AS BIGINT), 1)), ''))
-               AS payload
+               j -> substr(text, CAST(1 + j * stride AS BIGINT), 1)), '')
+               AS pstr
       FROM s)
     SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
-           payload, CAST(octet_length(payload) AS INT) AS payload_bytes
+           md5(pstr) AS payload_md5,
+           CAST(octet_length(encode(pstr)) AS INT) AS payload_bytes
     FROM o
     """,
 )
@@ -1520,12 +1527,26 @@ def q_ext_multimodal_resize(spark, sf_dir):
     ORACLE (round-6 upgrade): the stub's stride subsample —
     payload[::max(len//49, 1)][:49] — restated as a per-character
     gather, exact on this pure-ASCII corpus (see
-    ext_multimodal_frames for the slicing argument)."""
+    ext_multimodal_frames for the slicing argument).
+
+    Round-7: publish md5(payload) + payload_bytes instead of the raw
+    BINARY column (driver canonicalizer crash, CORRECTNESS_r06); the
+    byte-level resize contract stays pinned by
+    tests/test_multimodal.py.  Spark's md5 over BINARY equals DuckDB's
+    md5 over the source string because the payload is its ASCII
+    encoding."""
     from .ext.multimodal import resize_images
 
     docs = load_table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(docs, "text")
-    return resize_images(payloads, "doc_id", "payload")
+    out = resize_images(payloads, "doc_id", "payload")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "payload_bytes",
+    )
 
 
 @register(

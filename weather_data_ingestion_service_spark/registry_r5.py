@@ -451,7 +451,7 @@ def q_agg_histogram_eqh(spark, sf_dir):
                    CAST(sum(CAST(r2a - r2b AS HUGEINT) * (r2a - r2b))
                         AS DECIMAL(38,0)) AS sum_d2_x4
             FROM j)
-    SELECT n, sum_d2_x4,
+    SELECT n, CAST(CAST(sum_d2_x4 AS HUGEINT) AS VARCHAR) AS sum_d2_x4,
            CAST(1000000 - CAST(1500000 AS HUGEINT)
                 * CAST(sum_d2_x4 AS HUGEINT)
                 // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
@@ -1535,7 +1535,8 @@ def q_ext_sample_contrastive(spark, sf_dir):
     )
 
 
-_register_new_this_round("ext_sample_contrastive")
+# Round-6's _register_new_this_round("ext_sample_contrastive") was removed
+# at round-7 start (CLAUDE.md rotation checklist): it is now a carryover.
 
 
 # =====================================================================

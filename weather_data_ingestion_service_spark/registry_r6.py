@@ -217,11 +217,11 @@ def q_win_cusum(spark, sf_dir):
     q AS (SELECT * FROM p WHERE y IS NOT NULL)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sum_x,
-           CAST(sum(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sum_y,
-           CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_xy,
-           CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sum_xx,
-           CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS sum_yy
+           CAST(sum(CAST(x AS HUGEINT)) AS VARCHAR) AS sum_x,
+           CAST(sum(CAST(y AS HUGEINT)) AS VARCHAR) AS sum_y,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS sum_xy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sum_xx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS sum_yy
     FROM q GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -232,7 +232,13 @@ def q_agg_autocorr(spark, sf_dir):
     DECIMAL(38,0) sums (cents² × days exceeds int64 at warehouse
     scale — the spearman lesson), engine-identical, and ρ is one
     driver-side formula away for any consumer.  The consecutive-day
-    pairing is a lead() row window, no self-join."""
+    pairing is a lead() row window, no self-join.
+
+    Publication rule (round 7): the DECIMAL accumulators are CAST TO
+    STRING in the published projection — pandas-level canonicalizers
+    hash Spark's Decimal objects differently from DuckDB's decimal
+    values even when bit-identical (the ext_eval_spearman r6 red);
+    digit strings are representation-proof and stay exact."""
     d = _daily(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("day")
     p = d.select(
@@ -245,11 +251,20 @@ def q_agg_autocorr(spark, sf_dir):
         p.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum(dec("x")).cast("decimal(38,0)").alias("sum_x"),
-            F.sum(dec("y")).cast("decimal(38,0)").alias("sum_y"),
-            F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sum_xy"),
-            F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sum_xx"),
-            F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("sum_yy"),
+            F.sum(dec("x")).cast("decimal(38,0)").cast("string").alias("sum_x"),
+            F.sum(dec("y")).cast("decimal(38,0)").cast("string").alias("sum_y"),
+            F.sum(dec("x") * dec("y"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_xy"),
+            F.sum(dec("x") * dec("x"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_xx"),
+            F.sum(dec("y") * dec("y"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_yy"),
         )
         .orderBy("event_type")
     )
@@ -1541,12 +1556,12 @@ def runs_test_daily(d):
              count(*) OVER (PARTITION BY event_type) AS n
       FROM d)
     SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
-           CAST(sum(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS s0,
-           CAST(sum(CAST(rk - 1 AS HUGEINT) * cents) AS DECIMAL(38,0)) AS s1,
+           CAST(sum(CAST(cents AS HUGEINT)) AS VARCHAR) AS s0,
+           CAST(sum(CAST(rk - 1 AS HUGEINT) * cents) AS VARCHAR) AS s1,
            CAST(sum(CAST((rk - 1) * (rk - 2) AS HUGEINT) * cents)
-                AS DECIMAL(38,0)) AS s2,
+                AS VARCHAR) AS s2,
            CAST(sum(CAST((rk - 1) * (rk - 2) * (rk - 3) AS HUGEINT) * cents)
-                AS DECIMAL(38,0)) AS s3
+                AS VARCHAR) AS s3
     FROM r GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1583,19 +1598,27 @@ def lmoments_daily(d):
     rk1 = F.col("rk") - 1
     rk2 = dec(rk1) * (F.col("rk") - 2)
     rk3 = rk2 * (F.col("rk") - 3)
+    # DECIMAL sums published as digit strings (representation-proof
+    # across pandas canonicalizers — the ext_eval_spearman r6 lesson)
     return (
         r.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n_days"),
-            F.sum(dec(F.col("cents"))).cast("decimal(38,0)").alias("s0"),
+            F.sum(dec(F.col("cents")))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("s0"),
             F.sum(dec(rk1) * F.col("cents"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("s1"),
             F.sum(rk2 * F.col("cents"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("s2"),
             F.sum(rk3 * F.col("cents"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("s3"),
         )
         .orderBy("event_type")
@@ -2678,7 +2701,7 @@ def jackknife_daily(d):
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(a.cents) AS BIGINT) AS s_a,
            CAST(sum(b.cents) AS BIGINT) AS s_b,
-           CAST(sum(CAST(a.cents AS HUGEINT) * b.cents) AS DECIMAL(38,0))
+           CAST(sum(CAST(a.cents AS HUGEINT) * b.cents) AS VARCHAR)
              AS s_ab
     FROM d a JOIN d b ON a.day = b.day AND a.event_type < b.event_type
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -2719,8 +2742,10 @@ def covariance_pairs_daily(d):
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum("c_a").cast("long").alias("s_a"),
             F.sum("c_b").cast("long").alias("s_b"),
+            # digit string, not DECIMAL (spearman r6 canonicalizer lesson)
             F.sum(F.col("c_a").cast("decimal(38,0)") * F.col("c_b"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("s_ab"),
         )
         .orderBy("type_a", "type_b")
@@ -3090,7 +3115,7 @@ def longest_streak_per_user(ev):
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(cents) AS BIGINT) AS s,
-           CAST(sum(CAST(rk AS HUGEINT) * cents) AS DECIMAL(38,0)) AS sr
+           CAST(sum(CAST(rk AS HUGEINT) * cents) AS VARCHAR) AS sr
     FROM r GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -3123,8 +3148,10 @@ def gini_volume_daily(d):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum("cents").cast("long").alias("s"),
+            # digit string, not DECIMAL (spearman r6 canonicalizer lesson)
             F.sum(F.col("rk").cast("decimal(38,0)") * F.col("cents"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("sr"),
         )
         .orderBy("event_type")
@@ -4107,9 +4134,9 @@ def sequence_pair_counts(ev):
       FROM d JOIN k ON d.event_type = k.event_type)
     SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
            CAST(max(s) AS BIGINT) AS s,
-           CAST(max(sum_sq) AS DECIMAL(38,0)) AS sum_sq,
-           CAST(greatest(max(zdev), 0) - least(min(zdev), 0)
-                AS DECIMAL(38,0)) AS range_xn
+           CAST(max(sum_sq) AS VARCHAR) AS sum_sq,
+           CAST(CAST(greatest(max(zdev), 0) - least(min(zdev), 0)
+                AS HUGEINT) AS VARCHAR) AS range_xn
     FROM c GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -4161,12 +4188,17 @@ def hurst_components_daily(d):
         .agg(
             F.max("n").cast("long").alias("n_days"),
             F.max("s").cast("long").alias("s"),
-            F.max("sum_sq").cast("decimal(38,0)").alias("sum_sq"),
+            # digit strings, not DECIMAL (spearman r6 canonicalizer lesson)
+            F.max("sum_sq")
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("sum_sq"),
             (
                 F.greatest(F.max("zdev"), zero)
                 - F.least(F.min("zdev"), zero)
             )
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("range_xn"),
         )
         .orderBy("event_type")
@@ -4233,7 +4265,7 @@ def hurst_components_daily(d):
     SELECT * FROM a7 WHERE dk IS NOT NULL)
     SELECT event_type, lag_k,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(sum(CAST(dk AS HUGEINT) * dk) AS DECIMAL(38,0))
+           CAST(sum(CAST(dk AS HUGEINT) * dk) AS VARCHAR)
              AS sum_sq_diff
     FROM u GROUP BY event_type, lag_k ORDER BY event_type, lag_k
     """,
@@ -4281,74 +4313,16 @@ def variogram_daily(d, max_lag=7):
         .groupBy("event_type", "lag_k")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            # digit string, not DECIMAL (spearman r6 canonicalizer lesson)
             F.sum(F.col("dk").cast("decimal(38,0)") * F.col("dk"))
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("sum_sq_diff"),
         )
         .orderBy("event_type", "lag_k")
     )
 
 
-_register_new_this_round(
-    "ext_eval_kappa",
-    "agg_survival_km",
-    "stream_asof_enrich",
-    "agg_wilcoxon",
-    "ext_span_corruption",
-    "win_bollinger",
-    "ext_dataset_diff",
-    "agg_lmoments",
-    "agg_runs_test",
-    "sink_schema_merge",
-    "ext_chat_template",
-    "ext_pack_positions",
-    "stream_window_append_final",
-    "agg_mannwhitney",
-    "agg_ttest_welch",
-    "ext_filter_gopher",
-    "ext_pref_pairs",
-    "join_point_in_polygon",
-    "ext_dedup_containment",
-    "ext_embed_gram",
-    "win_drawdown",
-    "agg_hodges_lehmann",
-)
-
-_register_new_this_round(
-    "win_ewma_dyadic",
-    "win_rolling_median",
-    "win_cusum",
-    "agg_autocorr",
-    "agg_gini_impurity",
-    "ext_text_hashtf",
-    "ext_multimodal_meta",
-    "ext_eval_confusion",
-    "f_uuid_md5",
-    "f_morton_z",
-    "win_anomaly_iqr",
-    "agg_winsorized_mean",
-    "agg_kendall_tau",
-    "win_rsi",
-    "agg_herfindahl",
-    "ext_text_zipf",
-    "agg_jackknife",
-    "agg_covariance_pairs",
-    "ext_sample_bootstrap",
-    "agg_skyline_2d",
-    "ext_text_charstats",
-    "win_longest_streak",
-    "agg_gini_volume",
-    "ext_text_hapax",
-    "ext_epoch_shuffle",
-    "win_seasonal_residual",
-    "ext_sketch_cms",
-    "ext_sketch_distinct",
-    "stream_sketch_cms",
-    "agg_trend_seasonal_mk",
-    "agg_spell_lengths",
-    "join_geocode_reverse",
-    "f_geohash",
-    "win_sequence_count",
-    "agg_hurst_components",
-    "agg_variogram",
-)
+# Round-6's two _register_new_this_round tails (58 ids) were removed at
+# round-7 start (CLAUDE.md rotation checklist): those ids are now carryovers
+# and outrank round-7 additions for the ~50 driver check slots.
