@@ -126,6 +126,13 @@ HEADLINE = [
     "ext_sketch_cms",
     "ext_sketch_distinct",
     "stream_sketch_cms",
+    # round-7 additions (consolidation round): the corpus-pass gram
+    # novelty sweep, the banded Hamming pair search, the M4 reduction
+    # over raw events, and the JSONL rescue round-trip
+    "ext_text_ngram_novelty",
+    "ext_embed_hamming",
+    "win_downsample_m4",
+    "src_jsonl_scan",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing
@@ -140,6 +147,10 @@ ISOLATED = [
     "ext_knn_graph",
     "ext_graph_pagerank",
     "ext_pipeline_e2e",
+    # r6 judge: win_scd2 wobbled 0.41->0.69 s in-suite with untouched
+    # code; the isolated sample makes suite noise separable by
+    # construction next round
+    "win_scd2",
 ]
 
 

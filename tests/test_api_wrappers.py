@@ -33,6 +33,38 @@ class TestGetForecast:
         df = get_forecast(spark, place="Prague, CZ", past_days=3, weather=weather)
         assert df.count() == (3 + 7) * 24  # server.py:236-249
 
+    def test_forecast_days_none_with_past_days(self, spark, weather):
+        """server.py:236-249: with only past_days set, the reference
+        omits forecast_days from the upstream request; the upstream's
+        own 7-day default then applies, so the caller still observes a
+        7-day forward window (plus the 3-day back window)."""
+        df = get_forecast(
+            spark,
+            place="Prague, CZ",
+            past_days=3,
+            forecast_days=None,
+            weather=weather,
+        )
+        assert df.count() == (3 + 7) * 24
+
+    def test_horizon_param_construction_branch(self):
+        """The request-construction branch of server.py:236-249, pinned
+        as a pure function: (effective_days, param_present)."""
+        from weather_data_ingestion_service_spark.api.wrappers import (
+            resolve_horizon_params,
+        )
+
+        # caller-specified forecast horizon: clamped, param present
+        assert resolve_horizon_params(3, 0) == (3, True)
+        assert resolve_horizon_params(99, 0) == (16, True)
+        assert resolve_horizon_params(5, 2) == (5, True)
+        # only past_days: param OMITTED (upstream default applies)
+        assert resolve_horizon_params(None, 3) == (7, False)
+        assert resolve_horizon_params(0, 3) == (7, False)
+        # neither horizon: explicit 7-day default injection
+        assert resolve_horizon_params(None, 0) == (7, True)
+        assert resolve_horizon_params(0, None) == (7, True)
+
     def test_variable_subset_projection(self, spark, weather):
         df = get_forecast(
             spark,

@@ -126,12 +126,18 @@ ORACLE_IDS = {
     "stream_sketch_cms", "agg_trend_seasonal_mk", "agg_spell_lengths",
     "join_geocode_reverse", "f_geohash", "win_sequence_count",
     "agg_hurst_components", "agg_variogram",
+    # round 7: wx wrappers upgraded to oracle-paired via the
+    # engine-portable md5 weather twin
+    "wx_forecast_hourly", "wx_history_daily",
+    # round 7 additions (consolidation round — deliberately few)
+    "src_jsonl_scan", "win_downsample_m4", "ext_embed_hamming",
+    "ext_text_ngram_novelty", "win_hampel_mad", "agg_crosscorr_lagged",
+    "f_codec_base64", "src_partition_pruning",
 }
 
 ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near",
     "ext_simsearch_lsh",
-    "wx_forecast_hourly", "wx_history_daily",
     "ext_simsearch_ivf",
     "ext_embed_pca",
     "ext_simsearch_pq",

@@ -689,3 +689,27 @@ def test_point_in_polygon_zero_exchange_pruned_scan(spark, sf_dir):
     assert count_exchanges(df) == 0
     plan = formatted_plan(df)
     assert "ReadSchema: struct<c_custkey:bigint>" in plan, plan[-1500:]
+
+
+def test_day_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """src_partition_pruning: the day=... filter must resolve at
+    PLANNING time — the scan's PartitionFilters carry the day bounds
+    and the data filters stay empty (nothing row-level left to test).
+    At 100 TB this is 3 directories read instead of a year."""
+    df = QS["src_partition_pruning"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan, plan[-1500:]
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "day" in pf.group(1), plan[-1500:]
+
+
+def test_embed_hamming_band_join_no_cartesian(spark, sf_dir):
+    """ext_embed_hamming: candidate pairs come from the band-keyed
+    equi-join — never a cartesian/nested-loop product over all code
+    pairs."""
+    df = QS["ext_embed_hamming"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

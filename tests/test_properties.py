@@ -1273,3 +1273,94 @@ class TestRound6LateLaws:
             if runs:
                 want[side] = (len(runs), max(runs), sum(runs))
         assert got == want
+
+
+class TestRound7Laws:
+    @settings(max_examples=6, deadline=None)
+    @given(cents=st.lists(st.integers(0, 1000), min_size=9, max_size=20))
+    def test_hampel_matches_python(self, spark, cents):
+        """hampel_daily equals a direct Python computation: rank-5
+        selection for both the window median and the MAD, flag at
+        |x − med| > 3·MAD."""
+        from weather_data_ingestion_service_spark.registry_r7 import (
+            hampel_daily,
+        )
+
+        base = dt.date(2024, 1, 1)
+        d = spark.createDataFrame(
+            [("k", base + dt.timedelta(days=i), c)
+             for i, c in enumerate(cents)],
+            "event_type string, day date, cents long",
+        )
+        got = [(r.cents, r.med, r.mad, r.outlier)
+               for r in hampel_daily(d).collect()]
+        want = []
+        for i in range(8, len(cents)):
+            win = cents[i - 8: i + 1]
+            med = sorted(win)[4]
+            mad = sorted(abs(v - med) for v in win)[4]
+            want.append(
+                (cents[i], med, mad, int(abs(cents[i] - med) > 3 * mad))
+            )
+        assert got == want
+
+    def test_m4_duplicate_ts_tiebreak_and_extremes(self, spark):
+        """m4_downsample: first/last follow the (ts, event_id) total
+        order even when every row shares one timestamp; min/max equal
+        the true extremes."""
+        from weather_data_ingestion_service_spark.registry_r7 import (
+            m4_downsample,
+        )
+
+        ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = [("k", 0, c, ts, i)
+                for i, c in enumerate([50, 10, 99, 30])]
+        base = spark.createDataFrame(
+            rows,
+            "event_type string, bucket long, cents long, "
+            "ts timestamp, event_id long",
+        )
+        r = m4_downsample(base).collect()[0]
+        assert (r.n, r.v_min, r.v_max, r.v_first, r.v_last) == (
+            4, 10, 99, 50, 30,
+        )
+
+    def test_ngram_novelty_planted_corpus(self, spark):
+        """A verbatim re-occurrence of an earlier doc has novelty 0;
+        a disjoint doc has novelty 1; short docs emit a zero row."""
+        from weather_data_ingestion_service_spark.registry_r7 import (
+            ngram_novelty,
+        )
+
+        first = "a b c d e f g"
+        docs = spark.createDataFrame(
+            [(1, first), (2, first), (3, "p q r s t u"), (4, "x y")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_micro)
+               for r in ngram_novelty(docs).collect()}
+        assert got[1] == (3, 3, 1_000_000)
+        assert got[2] == (3, 0, 0)
+        assert got[3] == (2, 2, 1_000_000)
+        assert got[4] == (0, 0, 0)
+
+    def test_embed_hamming_code_construction(self, spark):
+        """Two vectors with equal top-8 sign bits pair up with the
+        exact bit-count distance over the other 56; a vector in a
+        different band never pairs."""
+        from weather_data_ingestion_service_spark.registry_r7 import (
+            embed_hamming_pairs,
+        )
+
+        # dims 0..55 → rest bits, 56..63 → band bits
+        v_a = [1.0] * 64                    # rest = 2^56-1, band = 255
+        v_b = [1.0] * 50 + [-1.0] * 6 + [1.0] * 8   # 6 rest bits differ
+        v_c = [1.0] * 56 + [-1.0] * 8       # band 0 — never pairs
+        emb = spark.createDataFrame(
+            [(1, v_a), (2, v_b), (3, v_c)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = embed_hamming_pairs(emb, max_dist=56).collect()
+        assert [(r.vec_id_a, r.vec_id_b, r.hamming) for r in rows] == [
+            (1, 2, 6)
+        ]

@@ -208,6 +208,38 @@ class TestLiveFetch:
             fetch_json("u", {}, retry=retry, transport=bad)
         assert calls["n"] == 1  # server answered -> no retries
 
+    def test_forecast_request_omits_unset_horizon_params(self):
+        """Wire-level parity with server.py:236-249: forecast_days
+        appears in the request iff the caller set it (clamped at 16)
+        or neither horizon was given (default injection); past_days
+        passes through only when positive."""
+        from weather_data_ingestion_service_spark.sources.live import (
+            fetch_forecast_document,
+        )
+
+        seen = {}
+
+        def capture(url, params):
+            seen.update(params)
+            return 200, "{}"
+
+        def req(**kw):
+            seen.clear()
+            fetch_forecast_document(50.0, 14.0, ["temperature_2m"], transport=capture, **kw)
+            return dict(seen)
+
+        # default call: explicit 7-day injection, no past_days
+        p = req()
+        assert p["forecast_days"] == 7 and "past_days" not in p
+        # caller-specified, clamped at the API limit
+        assert req(forecast_days=99)["forecast_days"] == 16
+        # only past_days: forecast_days OMITTED from the request
+        p = req(forecast_days=None, past_days=2)
+        assert "forecast_days" not in p and p["past_days"] == 2
+        # both specified: both present, no clamp below the limit
+        p = req(forecast_days=5, past_days=2)
+        assert p["forecast_days"] == 5 and p["past_days"] == 2
+
     def test_live_reader_partitions_and_decode(self):
         """One partition per coordinate; rows decode through the same
         document decoder as the offline source."""

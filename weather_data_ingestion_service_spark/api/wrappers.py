@@ -27,6 +27,38 @@ from ..schemas import DEFAULT_HOURLY_VARS
 from .. import fixtures
 
 
+DEFAULT_FORECAST_DAYS = 7
+
+
+def resolve_horizon_params(
+    forecast_days: int | None, past_days: int | None
+) -> tuple[int, bool]:
+    """Reproduce the reference's forecast-horizon request construction
+    (server.py:236-249) exactly.
+
+    The reference injects the 7-day default only when *neither*
+    horizon is caller-specified; a caller passing ``past_days=3,
+    forecast_days=None`` sends an upstream request with NO
+    ``forecast_days`` param at all.  Returns ``(effective_days,
+    param_present)``:
+
+    - ``param_present`` is whether ``forecast_days`` appears in the
+      upstream request — the wire-level parity surface, pinned by
+      tests/test_api_wrappers.py.
+    - ``effective_days`` is the forward window the caller observes.
+      When the param is omitted, the upstream (Open-Meteo) applies its
+      own documented server-side default of 7 forecast days, so the
+      fixture-backed engine uses ``DEFAULT_FORECAST_DAYS`` there too —
+      matching what a reference user actually receives, not a
+      zero-length forward window.
+    """
+    if forecast_days is not None and forecast_days > 0:
+        return min(int(forecast_days), 16), True  # server.py:239 API limit
+    if past_days is not None and past_days > 0:
+        return DEFAULT_FORECAST_DAYS, False  # param omitted upstream
+    return DEFAULT_FORECAST_DAYS, True  # server.py:249 default injection
+
+
 class ForecastRequestError(ValueError):
     """Engine analog of the reference's error envelope
     (server.py:192, 197, 280): invalid request semantics detected
@@ -188,7 +220,7 @@ def get_forecast_blocks(
     latitude: float | None = None,
     longitude: float | None = None,
     granularity: int = 60,
-    forecast_days: int = 7,
+    forecast_days: int | None = 7,
     past_days: int = 0,
     variables: str | list[str] | None = None,
     daily_variables: str | list[str] | None = None,
@@ -214,6 +246,10 @@ def get_forecast_blocks(
     """
     if granularity not in (15, 60) and granularity < 1440:
         raise ForecastRequestError(f"unsupported granularity: {granularity}")
+    # server.py:236-249 horizon-default branch: 7-day default injected
+    # only when NEITHER horizon was caller-specified; otherwise the
+    # upstream default applies (see resolve_horizon_params).
+    forecast_days, _ = resolve_horizon_params(forecast_days, past_days)
     loc_id, _, _ = _resolve_location(spark, place, latitude, longitude, geo)
     # default 15-min path reads the TRUE quarter-hour source (the
     # reference's minutely_15 block is real 15-min model output,
@@ -265,7 +301,7 @@ def get_forecast(
     latitude: float | None = None,
     longitude: float | None = None,
     granularity: int = 60,
-    forecast_days: int = 7,
+    forecast_days: int | None = 7,
     past_days: int = 0,
     variables: str | list[str] | None = None,
     daily_variables: str | list[str] | None = None,

@@ -1407,6 +1407,7 @@ def _load_extensions() -> None:
     from . import registry_r4b  # noqa: F401
     from . import registry_r5  # noqa: F401
     from . import registry_r6  # noqa: F401
+    from . import registry_r7  # noqa: F401
 
 
 #: SURVEY.md §2-mandated ids beyond the ``ext_*`` prefix — served ahead

@@ -667,32 +667,181 @@ def q_stream_window_tumbling(spark, sf_dir):
 
 
 # =====================================================================
-# API wrappers + astronomy over the weather fixture (engine-generated;
-# not in the oracle's view set → rows-only, covered by golden tests)
+# API wrappers + astronomy over the weather fixture.  Round 7: the
+# forecast/history wrappers are verified against DuckDB through an
+# ENGINE-PORTABLE weather twin — the default fixture's xxhash64 noise
+# has no DuckDB restatement, so the registry entries inject a twin
+# built from md5-derived INTEGER-VALUED doubles (exact on both
+# engines, order-independent under sum) generated from one shared SQL
+# template.  The real fixture (sin cycles, xxhash noise) stays pinned
+# by the golden wrapper tests; these entries verify the WRAPPER
+# semantics — location resolve, horizon/date windows, projection,
+# daily aggregate + mode tie-break (server.py:142-369).
 # =====================================================================
 
+_WX_TWIN_DAYS = 21
+_WX_TWIN_LOCS = 5
 
-@register("wx_forecast_hourly")
+
+def wx_twin_sql(engine: str) -> str:
+    """One deterministic hourly-weather construction, emitted for
+    either engine.  Noise = first 13 hex digits of
+    md5('<tag>:<loc>:<hour>') as an integer (the repo's portable-hash
+    convention, registry_r6 ext_text_hashtf); every measure is an
+    integer-valued DOUBLE so daily sums/avgs are exact and
+    order-independent cross-engine."""
+    n = _WX_TWIN_DAYS * 24 * _WX_TWIN_LOCS
+    if engine == "spark":
+        rng = f"SELECT id AS n FROM range(0, {n})"
+        intdiv, s = "DIV", "STRING"
+
+        def H(tag):
+            return (
+                f"CAST(conv(substr(md5(CAST('{tag}:' || CAST(lid AS STRING)"
+                " || ':' || CAST(h AS STRING) AS BINARY)), 1, 13), 16, 10)"
+                " AS BIGINT)"
+            )
+
+        ts = "timestampadd(HOUR, h, TIMESTAMP '2024-01-01 00:00:00')"
+    else:
+        rng = f"SELECT range AS n FROM range(0, {n})"
+        intdiv, s = "//", "VARCHAR"
+
+        def H(tag):
+            return (
+                f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
+                " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
+            )
+
+        ts = "TIMESTAMP '2024-01-01 00:00:00' + h * INTERVAL 1 HOUR"
+    return f"""
+    SELECT CAST(lid AS BIGINT) AS location_id, {ts} AS ts,
+           CAST({H('t')} % 1000 - 500 AS DOUBLE) AS temperature_2m,
+           CAST({H('rh')} % 101 AS DOUBLE) AS relative_humidity_2m,
+           CAST({H('t')} % 1000 - 503 AS DOUBLE) AS dew_point_2m,
+           CAST({H('t')} % 1000 - 501 AS DOUBLE) AS apparent_temperature,
+           CASE WHEN {H('pg')} % 1000 >= 800
+                THEN CAST({H('pa')} % 40 + 1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS precipitation,
+           CASE WHEN {H('pg')} % 1000 >= 800 AND {H('t')} % 1000 >= 500
+                THEN CAST({H('pa')} % 40 + 1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS rain,
+           CASE WHEN {H('pg')} % 1000 >= 800 AND {H('t')} % 1000 < 500
+                THEN CAST({H('pa')} % 40 + 1 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS snowfall,
+           CASE WHEN {H('pg')} % 1000 >= 800 AND {H('t')} % 1000 < 500
+                THEN CAST(({H('pa')} % 40 + 1) * 2 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS snow_depth,
+           CAST(CASE WHEN {H('pg')} % 1000 >= 800 AND {H('pa')} % 40 + 1 > 20
+                     THEN 63
+                     WHEN {H('pg')} % 1000 >= 800 THEN 61
+                     WHEN {H('rh')} % 101 > 85 THEN 3
+                     WHEN h % 5 = 0 THEN 1 ELSE 0 END AS INT)
+             AS weather_code,
+           CAST(1000 + {H('pm')} % 25 AS DOUBLE) AS pressure_msl,
+           CAST({H('cc')} % 101 AS DOUBLE) AS cloud_cover,
+           CAST({H('sr')} % 500 AS DOUBLE) AS shortwave_radiation,
+           CAST({H('dr')} % 350 AS DOUBLE) AS direct_radiation,
+           CAST({H('df')} % 150 AS DOUBLE) AS diffuse_radiation,
+           CASE WHEN h % 97 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST({H('uv')} % 9 AS DOUBLE) END AS uv_index
+    FROM (SELECT n % {_WX_TWIN_LOCS} AS lid,
+                 n {intdiv} {_WX_TWIN_LOCS} AS h
+          FROM ({rng}))
+    """
+
+
+_WX_HOURLY_COLS = """temperature_2m, relative_humidity_2m, dew_point_2m,
+       apparent_temperature, precipitation, rain, snowfall, snow_depth,
+       weather_code, pressure_msl, cloud_cover, shortwave_radiation,
+       direct_radiation, diffuse_radiation, uv_index"""
+
+
+@register(
+    "wx_forecast_hourly",
+    f"""
+    WITH wx AS ({wx_twin_sql("duckdb")})
+    SELECT location_id, ts, {_WX_HOURLY_COLS}
+    FROM wx
+    WHERE location_id = 0  -- Prague, CZ
+      AND ts >= TIMESTAMP '2024-01-12 00:00:00'  -- now - 3 past days
+      AND ts <  TIMESTAMP '2024-01-22 00:00:00'  -- now + 7 forecast days
+    """,
+)
 def q_wx_forecast_hourly(spark, sf_dir):
     """get_forecast: default hourly projection, 3 past + 7 forecast
-    days around the pinned fixture 'now' (reference server.py:142-280)."""
+    days around the pinned fixture 'now' (reference server.py:142-280),
+    run over the engine-portable weather twin so DuckDB can restate the
+    whole request — geocode('Prague, CZ') → location 0, the relative
+    horizon window, and the 15-variable default projection."""
     from .api import get_forecast
 
-    return get_forecast(spark, place="Prague, CZ", past_days=3, forecast_days=7)
+    twin = spark.sql(wx_twin_sql("spark"))
+    return get_forecast(
+        spark, place="Prague, CZ", past_days=3, forecast_days=7, weather=twin
+    )
 
 
-@register("wx_history_daily")
+@register(
+    "wx_history_daily",
+    f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    b AS (
+      SELECT * FROM wx
+      WHERE location_id = 1  -- Berlin, DE
+        AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-13 00:00:00'  -- end_date inclusive
+    ),
+    d AS (
+      SELECT location_id, date_trunc('day', ts) AS day,
+             max(temperature_2m) AS temperature_2m_max,
+             min(temperature_2m) AS temperature_2m_min,
+             max(apparent_temperature) AS apparent_temperature_max,
+             min(apparent_temperature) AS apparent_temperature_min,
+             CAST(sum(CASE WHEN direct_radiation > 120 THEN 3600 ELSE 0 END)
+                  AS DOUBLE) AS sunshine_duration,
+             sum(precipitation) AS precipitation_sum,
+             sum(rain) AS rain_sum,
+             sum(snowfall) AS snowfall_sum,
+             CAST(sum(CASE WHEN precipitation > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS precipitation_hours,
+             max(uv_index) AS uv_index_max
+      FROM b GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT location_id, day, weather_code FROM (
+        SELECT location_id, date_trunc('day', ts) AS day, weather_code,
+               row_number() OVER (
+                 PARTITION BY location_id, date_trunc('day', ts)
+                 ORDER BY count(*) DESC, weather_code ASC) AS rn
+        FROM b GROUP BY location_id, date_trunc('day', ts), weather_code
+      ) WHERE rn = 1
+    )
+    SELECT d.location_id, CAST(d.day AS TIMESTAMP) AS day,
+           d.temperature_2m_max, d.temperature_2m_min,
+           d.apparent_temperature_max, d.apparent_temperature_min,
+           d.sunshine_duration, d.precipitation_sum, d.rain_sum,
+           d.snowfall_sum, d.precipitation_hours, d.uv_index_max,
+           m.weather_code
+    FROM d JOIN m ON d.location_id = m.location_id AND d.day = m.day
+    """,
+)
 def q_wx_history_daily(spark, sf_dir):
     """get_history: required date range, daily aggregates
-    (reference server.py:284-369)."""
+    (reference server.py:284-369), over the engine-portable twin —
+    the oracle restates the full daily product: max/min, the WMO
+    120 W/m² sunshine rule, precipitation hours, and the
+    deterministic count-desc/value-asc weather_code mode tie-break."""
     from .api import get_history
 
+    twin = spark.sql(wx_twin_sql("spark"))
     return get_history(
         spark,
         start_date="2024-01-03",
         end_date="2024-01-12",
         place="Berlin, DE",
         granularity=1440,
+        weather=twin,
     )
 
 

@@ -2233,14 +2233,29 @@ def q_ext_eval_dedup(spark, sf_dir):
     from .registry_ext import _near_dup_corpus
 
     corpus = _near_dup_corpus(spark, sf_dir)
-    exact = ngram_jaccard_pairs(
-        corpus, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b")
-    approx = minhash_lsh_pairs(corpus, "doc_id", "text").select("id_a", "id_b")
-    both = exact.join(approx, ["id_a", "id_b"], "left_semi")
-    n_exact = exact.count()
-    n_approx = approx.count()
-    n_both = both.count()
+    # Persist both pair tables: three downstream actions (two counts +
+    # the semi-join count) would otherwise recompute the shingle-join
+    # lineage from scratch each time — harmless at sf0.01, a triple
+    # full-corpus pass at 100 TB.  Unpersist before returning (cache
+    # manager substitutes cached fragments into unrelated plans).
+    exact = (
+        ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    approx = (
+        minhash_lsh_pairs(corpus, "doc_id", "text")
+        .select("id_a", "id_b")
+        .persist()
+    )
+    try:
+        both = exact.join(approx, ["id_a", "id_b"], "left_semi")
+        n_exact = exact.count()
+        n_approx = approx.count()
+        n_both = both.count()
+    finally:
+        exact.unpersist()
+        approx.unpersist()
     rows = [
         (
             int(n_exact),

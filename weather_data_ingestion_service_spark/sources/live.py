@@ -102,19 +102,29 @@ def fetch_forecast_document(
     latitude: float,
     longitude: float,
     hourly_vars: list[str],
-    forecast_days: int = 7,
+    forecast_days: int | None = 7,
+    past_days: int = 0,
     transport: Transport | None = None,
 ) -> dict:
     """One forecast request in the reference's wire shape
-    (struct-of-arrays ``hourly`` block)."""
-    return fetch_json(
-        FORECAST_API_BASE,
-        {
-            "latitude": latitude,
-            "longitude": longitude,
-            "hourly": ",".join(hourly_vars),
-            "forecast_days": forecast_days,
-            "timezone": "auto",
-        },
-        transport=transport,
-    )
+    (struct-of-arrays ``hourly`` block).
+
+    Horizon params follow server.py:236-249 exactly: ``forecast_days``
+    appears in the request only when the caller set it (clamped at 16)
+    or when neither horizon was specified (7-day default injection);
+    with only ``past_days`` set, the param is omitted and the
+    upstream's own default applies."""
+    params = {
+        "latitude": latitude,
+        "longitude": longitude,
+        "hourly": ",".join(hourly_vars),
+        "timezone": "auto",
+    }
+    from ..api.wrappers import resolve_horizon_params
+
+    effective, present = resolve_horizon_params(forecast_days, past_days)
+    if present:
+        params["forecast_days"] = effective
+    if past_days and past_days > 0:
+        params["past_days"] = past_days  # server.py:243-246
+    return fetch_json(FORECAST_API_BASE, params, transport=transport)
