@@ -775,7 +775,13 @@ def q_wx_forecast_hourly(spark, sf_dir):
     whole request — geocode('Prague, CZ') → location 0, the relative
     horizon window, and the 15-variable default projection."""
     from .api import get_forecast
+    from .session import configure
 
+    # the twin is generated by spark.sql, not load_table — pin the
+    # session timezone the same way the loaders do, or a hostile
+    # non-UTC session shifts every generated timestamp (verify skill's
+    # hostile-tz probe caught exactly this)
+    configure(spark)
     twin = spark.sql(wx_twin_sql("spark"))
     return get_forecast(
         spark, place="Prague, CZ", past_days=3, forecast_days=7, weather=twin
@@ -833,7 +839,9 @@ def q_wx_history_daily(spark, sf_dir):
     120 W/m² sunshine rule, precipitation hours, and the
     deterministic count-desc/value-asc weather_code mode tie-break."""
     from .api import get_history
+    from .session import configure
 
+    configure(spark)  # same hostile-tz pin as wx_forecast_hourly
     twin = spark.sql(wx_twin_sql("spark"))
     return get_history(
         spark,
