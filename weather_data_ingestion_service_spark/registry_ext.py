@@ -1618,7 +1618,7 @@ def q_ext_multimodal_frames(spark, sf_dir):
     Round-7: the published projection carries the md5 DIGEST only —
     the driver canonicalizer cannot hash raw BINARY cells
     (CORRECTNESS_r06 `unhashable type: 'bytearray'`); the payload
-    bytes themselves stay pinned by tests/test_multimodal.py."""
+    bytes themselves stay pinned by tests/test_operators.py."""
     from .ext.multimodal import sample_frames
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1689,7 +1689,7 @@ def q_ext_multimodal_resize(spark, sf_dir):
     Round-7: publish md5(payload) + payload_bytes instead of the raw
     BINARY column (driver canonicalizer crash, CORRECTNESS_r06); the
     byte-level resize contract stays pinned by
-    tests/test_multimodal.py.  Spark's md5 over BINARY equals DuckDB's
+    tests/test_operators.py.  Spark's md5 over BINARY equals DuckDB's
     md5 over the source string because the payload is its ASCII
     encoding."""
     from .ext.multimodal import resize_images

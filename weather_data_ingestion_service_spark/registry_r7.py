@@ -20,20 +20,9 @@ from pyspark.sql import Window, functions as F
 from .io import load_table
 from .registry import _cents, _register_new_this_round, register
 
-#: daily cents per event type — same shared shape as registry_r6
-_DAILY_SQL = """
-    d AS (
-      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2)
-"""
-
-
-def _daily(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+# the shared daily-cents rollup (one definition — registry_r6 owns it;
+# a second copy would silently drift on the money-rounding rule)
+from .registry_r6 import _DAILY_SQL, _daily
 
 
 # =====================================================================
