@@ -325,6 +325,22 @@ class TestStdioServe:
         assert len(hourly["temperature_2m"]) == len(hourly["time"])
         assert set(hourly) == {"time", "temperature_2m", "precipitation"}
 
+    def test_null_forecast_days_with_past_days(self, spark):
+        """JSON null forecast_days + past_days reaches the
+        server.py:236-249 branch through the envelope: the param is
+        omitted upstream, the upstream 7-day default applies, so the
+        response carries (past + 7) days of hours."""
+        from weather_data_ingestion_service_spark.api.serve import handle_request
+
+        resp = handle_request(
+            spark,
+            {"tool": "get_forecast",
+             "params": {"place": "Prague, CZ", "past_days": 1,
+                        "forecast_days": None}},
+        )
+        assert resp["status"] == "success"
+        assert len(resp["data"]["hourly"]["time"]) == (1 + 7) * 24
+
     def test_daily_block_key(self, spark):
         from weather_data_ingestion_service_spark.api.serve import handle_request
 
