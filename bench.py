@@ -132,6 +132,7 @@ HEADLINE = [
     "ext_text_ngram_novelty",
     "ext_embed_hamming",
     "win_downsample_m4",
+    "stream_downsample_m4",
     "src_jsonl_scan",
 ]
 

@@ -130,7 +130,8 @@ ORACLE_IDS = {
     # engine-portable md5 weather twin
     "wx_forecast_hourly", "wx_history_daily",
     # round 7 additions (consolidation round — deliberately few)
-    "src_jsonl_scan", "win_downsample_m4", "ext_embed_hamming",
+    "src_jsonl_scan", "win_downsample_m4", "stream_downsample_m4",
+    "ext_embed_hamming",
     "ext_text_ngram_novelty", "win_hampel_mad", "agg_crosscorr_lagged",
     "f_codec_base64", "src_partition_pruning",
 }

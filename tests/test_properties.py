@@ -1364,3 +1364,43 @@ class TestRound7Laws:
         assert [(r.vec_id_a, r.vec_id_b, r.hamming) for r in rows] == [
             (1, 2, 6)
         ]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        vals=st.lists(st.integers(0, 100), min_size=3, max_size=24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_m4_merge_is_batching_invariant(self, spark, vals, seed):
+        """stream_downsample_m4's claim, exercised with REAL multi-way
+        splits: merging per-batch M4 partials equals the one-shot M4
+        for any 3-way partition of the rows."""
+        import random
+
+        from weather_data_ingestion_service_spark.registry_r7 import (
+            m4_merge,
+            m4_partial,
+        )
+
+        rows = [
+            ("k", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i),
+             i, float(v))
+            for i, v in enumerate(vals)
+        ]
+        schema = ("event_type string, ts timestamp, event_id long, "
+                  "value double")
+        rng = random.Random(seed)
+        parts = [[], [], []]
+        for r in rows:
+            parts[rng.randrange(3)].append(r)
+        partials = [
+            m4_partial(spark.createDataFrame(p, schema))
+            for p in parts if p
+        ]
+        merged = partials[0]
+        for nxt in partials[1:]:
+            merged = merged.unionByName(nxt)
+        got = [tuple(r) for r in m4_merge(merged).collect()]
+        want = [tuple(r) for r in
+                m4_merge(m4_partial(
+                    spark.createDataFrame(rows, schema))).collect()]
+        assert got == want

@@ -127,9 +127,10 @@ def q_src_jsonl_scan(spark, sf_dir):
 # =====================================================================
 
 
-@register(
-    "win_downsample_m4",
-    f"""
+#: the M4 oracle — shared VERBATIM by the batch entry and the
+#: streaming-maintenance entry: per-bucket (n, min, max, first, last)
+#: merge exactly for any batching, so stream == batch == oracle.
+_M4_ORACLE_SQL = """
     WITH e AS (
       SELECT event_type, epoch_us(ts) // 14400000000 AS bucket,
              CAST(round(value * 100) AS BIGINT) AS cents,
@@ -147,8 +148,10 @@ def q_src_jsonl_scan(spark, sf_dir):
            CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS v_first,
            CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS v_last
     FROM e GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
+"""
+
+
+@register("win_downsample_m4", _M4_ORACLE_SQL)
 def q_win_downsample_m4(spark, sf_dir):
     """M4 downsampling (Jugel et al., VLDB 2014): per series and
     fixed time bucket keep min, max, first, last — the four points
@@ -202,6 +205,98 @@ def m4_downsample(base):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+
+
+@register("stream_downsample_m4", _M4_ORACLE_SQL)
+def q_stream_downsample_m4(spark, sf_dir):
+    """STREAMING M4 maintenance — the downsampler's mergeability
+    EXECUTED: each micro-batch writes per-(series, bucket) partials
+    (n, min, max, and first/last tagged with their (ts_us, event_id)
+    order keys) via ``foreachBatch``; the closure merges partials with
+    sum/min/max and order-key-min/max — all four components are
+    associative+commutative, so per-batch ⊕ equals the one-shot M4
+    for ANY batching and the batch oracle is exact regardless of
+    micro-batch boundaries (the stream_sketch_cms posture).  This is
+    the always-on "live chart" maintenance job: state is O(buckets),
+    never O(events)."""
+    import shutil
+
+    from .registry import _clean_stale_scratch, _session_tag
+    from .streaming.jobs import streaming_events_source
+
+    _clean_stale_scratch("/tmp/wds_sm4_*")
+    out = f"/tmp/wds_sm4_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def add_batch(batch_df, epoch_id):
+        m4_partial(batch_df).write.mode("overwrite").parquet(
+            f"{out}/epoch={int(epoch_id)}"
+        )
+
+    src = streaming_events_source(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(add_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return m4_merge(spark.read.parquet(out))
+
+
+def m4_partial(batch_df):
+    """Per-batch M4 partial over raw event rows: (n, min, max) plus
+    first/last tagged with their (ts_us, event_id) order keys."""
+    base = batch_df.select(
+        "event_type",
+        F.expr("unix_micros(ts) DIV 14400000000").alias("bucket"),
+        _cents("value").alias("cents"),
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+    )
+    return (
+        base.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").cast("long").alias("v_min"),
+            F.max("cents").cast("long").alias("v_max"),
+            F.min(F.struct("tsu", "event_id", "cents")).alias("f"),
+            F.max(F.struct("tsu", "event_id", "cents")).alias("l"),
+        )
+        .select(
+            "event_type", "bucket", "n", "v_min", "v_max",
+            F.col("f.tsu").alias("f_tsu"),
+            F.col("f.event_id").alias("f_id"),
+            F.col("f.cents").alias("f_val"),
+            F.col("l.tsu").alias("l_tsu"),
+            F.col("l.event_id").alias("l_id"),
+            F.col("l.cents").alias("l_val"),
+        )
+    )
+
+
+def m4_merge(partials):
+    """Merge M4 partials from any batching: sum/min/max plus
+    order-key min/max for first/last — associative and commutative,
+    so the merge result is batching-invariant."""
+    merged = partials.groupBy("event_type", "bucket").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.min("v_min").cast("long").alias("v_min"),
+        F.max("v_max").cast("long").alias("v_max"),
+        F.min(F.struct("f_tsu", "f_id", "f_val")).alias("f"),
+        F.max(F.struct("l_tsu", "l_id", "l_val")).alias("l"),
+    )
+    return merged.select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "v_min",
+        "v_max",
+        F.col("f.f_val").cast("long").alias("v_first"),
+        F.col("l.l_val").cast("long").alias("v_last"),
+    ).orderBy("event_type", "bucket")
 
 
 # =====================================================================
@@ -627,6 +722,7 @@ def q_src_partition_pruning(spark, sf_dir):
 _register_new_this_round(
     "src_jsonl_scan",
     "win_downsample_m4",
+    "stream_downsample_m4",
     "ext_embed_hamming",
     "ext_text_ngram_novelty",
     "win_hampel_mad",
