@@ -211,7 +211,10 @@ def main() -> None:
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(2):
+        # 3 samples: with the suite preceding these, a min-of-2 still
+        # caught residual heap-pressure outliers (ext_knn_graph 4.5 s
+        # vs a fresh-session steady 3.0 s in r7)
+        for _ in range(3):
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
