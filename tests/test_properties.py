@@ -1364,6 +1364,11 @@ class TestRound7Laws:
         assert [(r.vec_id_a, r.vec_id_b, r.hamming) for r in rows] == [
             (1, 2, 6)
         ]
+        # widening the band moves 6 of the differing rest bits INTO a
+        # 16-bit band (dims 48..63): a and b now land in different
+        # buckets and never pair; a and c still differ in the band
+        wide = embed_hamming_pairs(emb, max_dist=56, band_bits=16).collect()
+        assert wide == []
 
     @settings(max_examples=5, deadline=None)
     @given(

@@ -340,10 +340,21 @@ def q_ext_embed_hamming(spark, sf_dir):
     return embed_hamming_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
-def embed_hamming_pairs(emb, max_dist: int = 20):
+def embed_hamming_pairs(emb, max_dist: int = 20, band_bits: int = 8):
     """Sign-binarized 64-bit codes over a (vec_id, embedding) frame;
-    near-pairs within the top-8-bit band at Hamming ≤ max_dist over
-    the remaining 56 bits."""
+    near-pairs within the top-``band_bits``-bit band at Hamming ≤
+    max_dist over the remaining bits.
+
+    ``band_bits`` is the recall/cost dial: expected candidate pairs
+    per band grow with (corpus / 2^band_bits)², so the band MUST widen
+    as the corpus grows (measured at sf0.1 synthetic blow-up, 8-bit
+    band: 20k vectors 1.5 s, 200k vectors 15.6 s — the in-band
+    quadratic regime appearing on schedule; 12-bit band returns the
+    200k corpus to ~linear).  8 bits keeps the sf-scale oracle twin
+    cheap and non-vacuous."""
+    if not 2 <= band_bits <= 32:
+        raise ValueError(f"band_bits out of range: {band_bits}")
+    split = 64 - band_bits
     bits = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select(
@@ -351,10 +362,13 @@ def embed_hamming_pairs(emb, max_dist: int = 20):
     )
     codes = bits.groupBy("vec_id").agg(
         F.sum(
-            F.expr("CASE WHEN i >= 56 THEN shiftleft(b, i - 56) ELSE 0L END")
+            F.expr(
+                f"CASE WHEN i >= {split} THEN shiftleft(b, i - {split})"
+                " ELSE 0L END"
+            )
         ).alias("band"),
         F.sum(
-            F.expr("CASE WHEN i < 56 THEN shiftleft(b, i) ELSE 0L END")
+            F.expr(f"CASE WHEN i < {split} THEN shiftleft(b, i) ELSE 0L END")
         ).alias("rest"),
     )
     a = codes.alias("a")
