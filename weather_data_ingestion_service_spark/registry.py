@@ -1552,7 +1552,11 @@ def _rotated(entries: dict) -> dict:
 
     def cls(name: str) -> int:
         if name in done:
-            return 4
+            # VERDICT r7 #3: within already-verified entries, re-serve
+            # oracle-paired greens ahead of permanently rows-only ids —
+            # a rows-only re-check can never upgrade to a hash match,
+            # so those slots are better spent re-confirming hash greens.
+            return 4 if name in _ORACLE else 5
         if name in _EXT_MANDATED_IDS:
             return 0
         if name in _CORE_PRIORITY_IDS:

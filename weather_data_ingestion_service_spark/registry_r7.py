@@ -1,7 +1,7 @@
 """Round-7 registry additions.
 
 Round 7 is a consolidation round (VERDICT r6): the additions are
-deliberately few — eight operators filling genuine gaps (JSONL source
+deliberately few — nine registry ids filling genuine gaps (JSONL source
 resilience, M4 downsampling, binary-code Hamming near-pairs, n-gram
 novelty curves, Hampel robust outliers, lagged cross-correlation,
 codec scalar functions, scan-side partition pruning) — so the driver's
@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .io import load_table
-from .registry import _cents, _register_new_this_round, register
+from .registry import _cents, register
 
 # the shared daily-cents rollup (one definition — registry_r6 owns it;
 # a second copy would silently drift on the money-rounding rule)
@@ -535,7 +535,10 @@ def q_win_hampel_mad(spark, sf_dir):
 
 def hampel_daily(d):
     """Rolling 9-row Hampel components over a (event_type, day, cents)
-    frame; exact rank-5 selection for both the median and the MAD."""
+    frame; exact rank-5 selection for both the median and the MAD.
+    One window evaluation (VERDICT r7 #6): the MAD is a rank statistic
+    of the multiset {|v − med|}, so the sorted window serves both —
+    collecting a second unsorted copy would double the window state."""
     w = Window.partitionBy("event_type").orderBy("day")
     wf = w.rowsBetween(-8, 0)
     l = d.select(
@@ -543,7 +546,6 @@ def hampel_daily(d):
         "day",
         "cents",
         F.sort_array(F.collect_list("cents").over(wf)).alias("swin"),
-        F.collect_list("cents").over(wf).alias("win"),
         F.row_number().over(w).alias("rn"),
     ).filter(F.col("rn") >= 9)
     m = l.select(
@@ -551,7 +553,7 @@ def hampel_daily(d):
         "day",
         "cents",
         F.element_at("swin", 5).alias("med"),
-        "win",
+        "swin",
     )
     h = m.select(
         "event_type",
@@ -560,7 +562,7 @@ def hampel_daily(d):
         "med",
         F.element_at(
             F.sort_array(
-                F.transform("win", lambda v: F.abs(v - F.col("med")))
+                F.transform("swin", lambda v: F.abs(v - F.col("med")))
             ),
             5,
         ).alias("mad"),
@@ -733,14 +735,6 @@ def q_src_partition_pruning(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "src_jsonl_scan",
-    "win_downsample_m4",
-    "stream_downsample_m4",
-    "ext_embed_hamming",
-    "ext_text_ngram_novelty",
-    "win_hampel_mad",
-    "agg_crosscorr_lagged",
-    "f_codec_base64",
-    "src_partition_pruning",
-)
+# round-7 _register_new_this_round tail removed at round-8 start
+# (rotation checklist, CLAUDE.md): the nine round-7 ids are now
+# carryovers and rank ahead of round-8 additions automatically.
