@@ -134,11 +134,13 @@ ORACLE_IDS = {
     "ext_embed_hamming",
     "ext_text_ngram_novelty", "win_hampel_mad", "agg_crosscorr_lagged",
     "f_codec_base64", "src_partition_pruning",
+    # round 8: rows-only → oracle upgrades via md5-Rademacher SRP
+    # (VERDICT r7 #4)
+    "ext_simsearch_lsh", "ext_knn_graph",
 }
 
 ROWS_ONLY_IDS = {
     "agg_approx_distinct", "ext_dedup_near",
-    "ext_simsearch_lsh",
     "ext_simsearch_ivf",
     "ext_embed_pca",
     "ext_simsearch_pq",
@@ -146,7 +148,6 @@ ROWS_ONLY_IDS = {
     "ext_multimodal_resize_png", "agg_hll_merge",
     "ext_text_compression", "ext_tokenizer_bpe",
     "ext_tokenizer_apply",
-    "ext_knn_graph",
     "ext_eval_dedup",
 }
 

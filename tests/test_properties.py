@@ -281,6 +281,43 @@ class TestAnnRecall:
         hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
         assert hits / queries.count() >= 0.9
 
+    def test_lsh_md5_scheme_finds_planted_neighbors(self, spark, sf_dir):
+        """The md5-Rademacher scheme (the oracle-restatable one behind
+        ext_simsearch_lsh / ext_knn_graph since r8) must keep the same
+        planted-neighbor recall as the uniform float planes —
+        Rademacher projections satisfy the same JL bounds."""
+        from weather_data_ingestion_service_spark.ext.simsearch import lsh_topk
+
+        corpus, queries = self._planted(spark, sf_dir)
+        top1 = lsh_topk(
+            corpus, queries, k=1, n_planes=8, n_tables=8,
+            scheme="md5-rademacher",
+        ).collect()
+        hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
+        assert hits / queries.count() >= 0.9
+
+    def test_adaptive_plane_formula_matches_oracle_sql(self):
+        """ext_knn_graph's INTEGER adaptive plane count must equal the
+        oracle's greatest(3, length(bin(n // 64)) - 1) for every corpus
+        size — the float-log2 version could diverge at powers of two."""
+        import duckdb
+
+        for n in (0, 1, 63, 64, 127, 128, 129, 500, 2000, 4095, 4096,
+                  8191, 8192, 100000, (1 << 20) - 1, 1 << 20):
+            py = max(3, (n >> 6).bit_length() - 1)
+            sql = duckdb.sql(
+                f"SELECT greatest(3, length(bin({n} // 64)) - 1)"
+            ).fetchone()[0]
+            assert py == sql, (n, py, sql)
+
+    def test_srp_bad_scheme_raises(self, spark, sf_dir):
+        from weather_data_ingestion_service_spark.ext.simsearch import srp_buckets
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="scheme"):
+            srp_buckets(emb, scheme="gaussian").collect()
+
     def test_ivf_finds_planted_neighbors(self, spark, sf_dir):
         from weather_data_ingestion_service_spark.ext.simsearch import ivf_topk
 

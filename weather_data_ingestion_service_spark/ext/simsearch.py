@@ -134,6 +134,7 @@ def srp_buckets(
     dim: int = 64,
     seed: int = 42,
     n_tables: int = 1,
+    scheme: str = "uniform",
 ) -> DataFrame:
     """Sign-random-projection LSH buckets per vector (cosine-LSH),
     multi-table: one row per (vector, table) with the table's bucket —
@@ -149,22 +150,61 @@ def srp_buckets(
     expression-level ``aggregate``/``zip_with`` evaluates L·p·dim
     lambda steps per row, the matmul does the same work in BLAS.
     Deterministic: the plane matrix is seeded and baked into the UDF.
+
+    ``scheme``:
+      * ``"uniform"`` — seeded uniform(-1, 1) float planes (default;
+        the float dot-sign is deterministic within Spark but NOT
+        restatable cross-engine — summation order changes rounding).
+      * ``"md5-rademacher"`` — ±1 planes keyed by
+        ``md5(f"{table}:{plane}:{dim}")`` over integer-quantized
+        components ``floor(x * 1e6)``: every step is exact integer
+        (or IEEE-exact: float→double widening, one double multiply,
+        floor), so the bucket assignment is restatable bit-for-bit in
+        DuckDB SQL — the md5-restatement trick that upgraded
+        ``ext_dedup_simhash`` (r6) / ``ext_embed_hamming`` (r7) from
+        rows-only to oracle-paired.  Rademacher projections satisfy
+        the same Johnson–Lindenstrauss bounds as Gaussian ones
+        (Achlioptas 2003), so recall behavior is equivalent.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.RandomState(seed)
-    planes = rng.uniform(-1.0, 1.0, size=(n_tables * n_planes, dim))
     weights = (1 << np.arange(n_planes, dtype=np.int64))
+    if scheme == "md5-rademacher":
+        import hashlib
+
+        planes = np.array(
+            [
+                [
+                    1
+                    if hashlib.md5(f"{t}:{j}:{d}".encode()).hexdigest()[0] < "8"
+                    else -1
+                    for d in range(dim)
+                ]
+                for t in range(n_tables)
+                for j in range(n_planes)
+            ],
+            dtype=np.int64,
+        )
+    elif scheme == "uniform":
+        rng = np.random.RandomState(seed)
+        planes = rng.uniform(-1.0, 1.0, size=(n_tables * n_planes, dim))
+    else:
+        raise ValueError(f"unknown SRP scheme: {scheme!r}")
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def all_buckets(vecs):
         # (no type hints: under `from __future__ import annotations`
         # they stringify and break pandas_udf signature inference)
         mat = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        signs = (mat @ planes.T) > 0  # (batch, L*p)
+        if scheme == "md5-rademacher":
+            # exact int64 projections; >= 0 matches the SQL restatement
+            xi = np.floor(mat * 1000000.0).astype(np.int64)
+            signs = (xi @ planes.T) >= 0  # (batch, L*p)
+        else:
+            signs = (mat @ planes.T) > 0  # (batch, L*p)
         signs = signs.reshape(len(mat), n_tables, n_planes)
         buckets = (signs * weights).sum(axis=2)  # (batch, L)
         return pd.Series(list(buckets))
@@ -195,6 +235,7 @@ def lsh_topk(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 8,
+    scheme: str = "uniform",
 ) -> DataFrame:
     """Approximate cosine top-k: SRP-bucket corpus and queries in
     ``n_tables`` independent tables, union candidates that share any
@@ -207,13 +248,13 @@ def lsh_topk(
     exact ``cosine_topk`` there.
     """
     cb = srp_buckets(
-        corpus, id_col, vec_col, n_planes, dim, n_tables=n_tables
+        corpus, id_col, vec_col, n_planes, dim, n_tables=n_tables, scheme=scheme
     ).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"), "table", "bucket",
     )
     qb = srp_buckets(
-        queries, id_col, vec_col, n_planes, dim, n_tables=n_tables
+        queries, id_col, vec_col, n_planes, dim, n_tables=n_tables, scheme=scheme
     ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"), "table", "bucket",
@@ -1121,6 +1162,7 @@ def knn_graph(
     n_tables: int = 2,
     dim: int = 64,
     seed: int = 42,
+    scheme: str = "uniform",
 ) -> DataFrame:
     """Approximate k-NN GRAPH over the corpus (every vector gets its k
     nearest neighbors) — the backbone of embedding-based clustering,
@@ -1151,6 +1193,7 @@ def knn_graph(
         dim=dim,
         seed=seed,
         n_tables=n_tables,
+        scheme=scheme,
     ).select(F.col(id_col).alias("a"), "table", "bucket")
     pairs = (
         b.alias("x")

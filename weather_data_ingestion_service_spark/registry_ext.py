@@ -178,6 +178,44 @@ _COSINE_SQL = """
        * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
 """
 
+
+def _md5_srp_bucket_sql(n_tables, n_planes_expr, source="embeddings", plane_cap=None):
+    """CTE chain restating ``srp_buckets(scheme='md5-rademacher')``
+    bit-for-bit in DuckDB SQL: integer-quantize components
+    (float→double widening, one double multiply, floor — each step
+    IEEE-exact and engine-independent), ±1 plane weights keyed by
+    ``md5(f"{{t}}:{{j}}:{{d}}")`` hex-digit parity, exact int64
+    projection sums, sign-bit bucket codes.  ``n_planes_expr`` may be
+    a literal or a scalar SQL expression (the adaptive-plane knn
+    entry computes it from count(*)); DuckDB ``range()`` takes only
+    constants, so a non-constant expression needs ``plane_cap`` — the
+    range runs to the cap and a WHERE prunes to the live planes.
+    Yields CTE ``bk(vec_id, tbl, bucket)``; embed after a leading
+    WITH."""
+    cap = n_planes_expr if plane_cap is None else plane_cap
+    return f"""
+    xi AS (
+      SELECT vec_id, i - 1 AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+      FROM {source}, unnest(range(1, len(embedding) + 1)) AS r(i)),
+    pl AS (
+      SELECT t, j, d,
+             CASE WHEN substr(md5(t || ':' || j || ':' || d), 1, 1) < '8'
+                  THEN 1 ELSE -1 END AS s
+      FROM range(0, {n_tables}) rt(t),
+           range(0, {cap}) rj(j),
+           range(0, 64) rd(d)
+      WHERE j < ({n_planes_expr})),
+    proj AS (
+      SELECT xi.vec_id, pl.t, pl.j, sum(pl.s * xi.x) AS v
+      FROM xi JOIN pl ON xi.d = pl.d
+      GROUP BY 1, 2, 3),
+    bk AS (
+      SELECT vec_id, t AS tbl,
+             sum(CASE WHEN v >= 0 THEN 1 << j ELSE 0 END) AS bucket
+      FROM proj GROUP BY vec_id, t)
+"""
+
 #: shared ranking CTEs for the retrieval entries (RRF fusion, hard
 #: negatives, recall@k): ``ra`` = exact-cosine ranking, ``rb`` =
 #: int8-quantized-cosine ranking, for query vectors vec_id < 5.
@@ -377,14 +415,57 @@ def q_ext_simsearch_topk(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 3))
 
 
-@register("ext_simsearch_lsh")  # SRP-LSH approximate — rows-only
+@register(
+    "ext_simsearch_lsh",
+    f"""
+    WITH {_md5_srp_bucket_sql(8, 8)},
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS match_id
+      FROM bk qb JOIN bk cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 5 AND qb.vec_id <> cb.vec_id),
+    scored AS (
+      SELECT c.query_id, c.match_id,
+             {_COSINE_SQL.format(a="qe.embedding", b="ce.embedding")} AS cosine
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ce ON ce.vec_id = c.match_id),
+    r AS (
+      SELECT query_id, match_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, match_id) AS rank
+      FROM scored)
+    SELECT query_id, match_id, round(cosine, 3) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
 def q_ext_simsearch_lsh(spark, sf_dir):
     """Approximate top-3 via sign-random-projection bucketing (8
-    planes) — the exponential candidate-set cut for 100 TB corpora."""
+    planes × 8 tables) — the exponential candidate-set cut for 100 TB
+    corpora.
+
+    ORACLE (round-8 upgrade, VERDICT r7 #4): md5-Rademacher planes
+    over integer-quantized components make the bucket assignment
+    restatable bit-for-bit in SQL (see
+    ``srp_buckets(scheme='md5-rademacher')``), so the whole
+    approximate pipeline — buckets, candidate union, exact cosine
+    re-rank under the (cosine DESC, match_id) total order — is
+    deterministic on BOTH engines and hash-comparable, the same
+    md5-restatement trick as ext_dedup_simhash (r6) and
+    ext_embed_hamming (r7)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=3, n_planes=8
+    out = lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=3,
+        n_planes=8,
+        scheme="md5-rademacher",
     )
+    # no final orderBy: the driver compare canonicalizes row order,
+    # and a global sort would add a range-exchange shuffle for nothing
+    return out.withColumn("cosine", F.round("cosine", 3))
 
 
 # =====================================================================

