@@ -134,6 +134,13 @@ HEADLINE = [
     "win_downsample_m4",
     "stream_downsample_m4",
     "src_jsonl_scan",
+    # round-8 additions (consolidation): the real session-window
+    # stream, the md5 MinHash+LSH oracle twin, the hash-sampled
+    # IVF-flat, and the Hamming-graph triangle census
+    "stream_session_exec",
+    "ext_dedup_minhash_md5",
+    "ext_simsearch_ivf_md5",
+    "ext_graph_triangles",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

@@ -155,6 +155,11 @@ EXCHANGE_BUDGET = {
     "ext_eval_calibration": 2,   # bin agg + order
     "ext_multimodal_phash": 2,   # payload join + hash-group window
     "ext_knn_graph": 2,          # bucket self-join + top-k window
+    "ext_dedup_minhash_md5": 2,  # gram-keyed sig agg + band self-join
+    "ext_simsearch_ivf_md5": 5,  # codebook take + max_by assign agg
+                                 # + probe/rerank windows
+    "ext_graph_triangles": 10,   # code agg + 3× edge subplan (physically
+                                 # deduped via ReusedExchange) + census agg
     "agg_multi_distinct": 3,     # Expand + two-phase distinct agg
     "agg_grouping_id": 1,        # Expand, single shuffle
     "win_time_range_sum": 1,

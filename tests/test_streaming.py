@@ -449,6 +449,43 @@ def test_dedup_within_watermark_collapses_restamped_duplicates(spark, staged_dir
     assert out.select("event_id").distinct().count() == 100
 
 
+def test_session_window_stream_emits_closed_sessions_once(spark, sf_dir):
+    """The native session_window append-mode run (stream_session_exec,
+    r8) must emit exactly the gap-islands sessions whose end (last
+    event + gap) the final watermark has passed — each exactly once,
+    no open trailing sessions."""
+    from weather_data_ingestion_service_spark.io import load_table
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        run_stream_to_memory,
+        streamed_session_windows,
+        streaming_events_source,
+    )
+
+    src = streaming_events_source(spark, sf_dir)
+    got = run_stream_to_memory(streamed_session_windows(src), "append")
+    rows = got.collect()
+    assert rows, "no sessions emitted"
+    # exactly-once: (user, start) unique
+    keys = [(r.user_id, r.session_start) for r in rows]
+    assert len(keys) == len(set(keys))
+    # closure: every emitted session ends >= 4 days before max event ts
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = mx - datetime.timedelta(days=4)
+    assert all(r.session_end <= horizon for r in rows)
+    # every emitted session matches its batch-twin row exactly
+    from weather_data_ingestion_service_spark.registry import queries
+
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in queries()["stream_window_session"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert batch.get((r.user_id, r.session_start)) == r.n_events
+
+
 def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
     """sessions_stateful over two in-order micro-batches must emit
     exactly the CLOSED prefix of the batch twin's sessions — including

@@ -310,6 +310,133 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_micro: int = 400_000,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, fully md5-derived — the
+    ORACLE-RESTATABLE twin of ``minhash_lsh_pairs`` (which rides on
+    xxhash64, a function DuckDB lacks).
+
+    Per-seed universal hash = first 13 hex digits of
+    ``md5(f"{seed}:{gram}")`` as int64 (the repo's portable-hash
+    convention); grams are DISTINCT word ``n``-grams (set semantics);
+    a band key is the literal comma-joined 4-tuple of consecutive
+    minima (no second-level hash — the tuple itself is the exact
+    bucket id, restating trivially in SQL); the estimate is published
+    in integer micro-units (``n_equal * 1e6 DIV num_hashes``), never a
+    float ratio.  Same shuffle shape as the fast path: one gram-keyed
+    aggregation + one band-bucket self-join, both on compact keys.
+    Docs shorter than ``n`` tokens yield no gram and never pair —
+    mirrored by the oracle's empty ``range``.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                "tok",
+                *[F.lead("tok", k).over(w) for k in range(1, n)],
+            ).alias("gram"),
+            F.lead("tok", n - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .dropDuplicates([id_col, "gram"])
+    )
+
+    def _h(seed):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{seed}:"), F.col("gram")).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sig = (
+        grams.groupBy(id_col)
+        .agg(*[F.min(_h(s)).alias(f"m{s}") for s in range(num_hashes)])
+        .withColumn(
+            "sig", F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
+        )
+        .select(id_col, "sig")
+        .persist()
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast(
+                            "string"
+                        )
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b_ = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+    )
+    n_equal = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    out = (
+        cand.withColumn("n_equal", n_equal.cast("int"))
+        .withColumn(
+            "jaccard_est_micro",
+            F.expr(f"CAST(n_equal AS BIGINT) * 1000000 DIV {num_hashes}"),
+        )
+        .filter(F.col("jaccard_est_micro") >= threshold_micro)
+        .select("id_a", "id_b", "n_equal", "jaccard_est_micro")
+    )
+    return out
+
+
 #: driver-CC ceiling: collect the near-dup pair list to the driver and
 #: run union-find while it stays under 2M (id_a, id_b) rows ≈ 32 MB of
 #: longs — the "touched by a duplicate" edge set is normally a sliver

@@ -281,6 +281,95 @@ def lsh_topk(
     )
 
 
+def ivf_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k with a HASH-SAMPLED coarse quantizer
+    — the oracle-restatable sibling of ``ivf_topk`` (whose KMeans fit
+    has no cross-engine restatement).
+
+    The quantizer is the ``n_clusters`` corpus vectors ranked first
+    under ``(md5(str(id)), id)`` — deterministic random sampling, the
+    standard KMeans *init* step used directly as the codebook (FAISS
+    ships the same degenerate mode; recall comes from ``nprobe``).
+    Every step downstream is the exact IVF shape: one full-corpus
+    assignment pass against the broadcast codebook, queries probe
+    ``nprobe`` centroids, exact cosine re-rank inside the probed
+    inverted lists under the (cos DESC, id) total order.  The cosine
+    expression is kept IDENTICAL on assignment and re-rank (no
+    norm-hoisting shortcut) so the oracle can reproduce every
+    comparison bit-for-bit.  At 100 TB: codebook broadcast, corpus
+    written bucketed by ``cluster``, per-query work ~nprobe/n_clusters
+    of the corpus."""
+    from pyspark.sql import Window
+
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_clusters)
+        .drop("h")
+    )
+
+    def _cos(a, b):
+        return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+
+    # assignment = argmax over the broadcast codebook as a max_by HASH
+    # aggregate (map-side partials combine before any exchange), not a
+    # per-vector window sort — at 100 TB this is the difference between
+    # one partial-combining pass and a full-corpus sort-within-key.
+    # Key (cos_c, -cid) == the oracle's (cos DESC, cid ASC) total order.
+    assign = (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos("cvec", "ce"))
+        .groupBy("match_id")
+        .agg(
+            F.max_by("cid", F.struct("cos_c", (-F.col("cid")).alias("nc"))).alias(
+                "cid"
+            ),
+            F.max_by(
+                "cvec", F.struct("cos_c", (-F.col("cid")).alias("nc"))
+            ).alias("cvec"),
+        )
+        .select("match_id", "cvec", "cid")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos("qvec", "ce"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        probes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    cand = probes.join(assign, "cid").filter(
+        F.col("query_id") != F.col("match_id")
+    )
+    scored = cand.withColumn("cosine", _cos("qvec", "cvec"))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

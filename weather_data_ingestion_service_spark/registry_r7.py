@@ -340,7 +340,7 @@ def q_ext_embed_hamming(spark, sf_dir):
     return embed_hamming_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
-def embed_hamming_pairs(emb, max_dist: int = 20, band_bits: int = 8):
+def embed_hamming_pairs(emb, max_dist: int = 20, band_bits: int = 8, ordered: bool = True):
     """Sign-binarized 64-bit codes over a (vec_id, embedding) frame;
     near-pairs within the top-``band_bits``-bit band at Hamming ≤
     max_dist over the remaining bits.
@@ -383,9 +383,10 @@ def embed_hamming_pairs(emb, max_dist: int = 20, band_bits: int = 8):
         F.col("a.band").cast("long").alias("band"),
         F.expr("CAST(bit_count(a.rest ^ b.rest) AS INT)").alias("hamming"),
     )
-    return pairs.filter(F.col("hamming") <= max_dist).orderBy(
-        "vec_id_a", "vec_id_b"
-    )
+    out = pairs.filter(F.col("hamming") <= max_dist)
+    # ordered=False for graph consumers (ext_graph_triangles): a sort
+    # feeding a join is pure wasted exchange
+    return out.orderBy("vec_id_a", "vec_id_b") if ordered else out
 
 
 # =====================================================================
@@ -584,10 +585,23 @@ def hampel_daily(d):
 # =====================================================================
 
 
+#: lead-lag screen pair-space cap: the type-pair fan-out is quadratic
+#: in the number of series, so the screen runs over the TOP-K types by
+#: day count (deterministic: count DESC, name ASC) — K² pairs ≈ 5k at
+#: the default, constant regardless of how many long-tail types a
+#: 100 TB corpus accumulates.  The fixture's 5 types all pass, so the
+#: guard is exercised structurally without changing test output.
+_CROSSCORR_MAX_TYPES = 50
+
+
 @register(
     "agg_crosscorr_lagged",
     f"""
     WITH {_DAILY_SQL},
+    topt AS (
+      SELECT event_type FROM (
+        SELECT event_type, count(*) AS n FROM d GROUP BY 1
+        ORDER BY n DESC, event_type LIMIT {_CROSSCORR_MAX_TYPES})),
     k AS (SELECT unnest(range(0, 4)) AS lag_k)
     SELECT a.event_type AS type_a, b.event_type AS type_b,
            CAST(k.lag_k AS INT) AS lag_k,
@@ -598,6 +612,8 @@ def hampel_daily(d):
     FROM k, d a JOIN d b
       ON a.event_type < b.event_type
      AND b.day = a.day + CAST(k.lag_k AS INT)
+    WHERE a.event_type IN (SELECT event_type FROM topt)
+      AND b.event_type IN (SELECT event_type FROM topt)
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
@@ -608,9 +624,26 @@ def q_agg_crosscorr_lagged(spark, sf_dir):
     integer moment components (n, Σx, Σy, Σxy as a digit string — the
     DECIMAL publication rule); ρ(k) is one driver-side formula away.
     One shuffle on day for the self-join; the lag fan-out is a 4-row
-    broadcast, not a recompute."""
-    d = _daily(spark, sf_dir)
-    lags = F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("lag_k")
+    broadcast, not a recompute.  The pair space is capped to the top
+    ``_CROSSCORR_MAX_TYPES`` types by day count (VERDICT r7 #7: the
+    all-type-pairs join is quadratic in series count — fine at 5
+    types, a blow-up at 5000), deterministically restated in the
+    oracle."""
+    return crosscorr_lagged(_daily(spark, sf_dir))
+
+
+def crosscorr_lagged(d, max_types: int = _CROSSCORR_MAX_TYPES, n_lags: int = 4):
+    """Lead-lag moment components over a (event_type, day, cents)
+    daily frame, pair space capped to the top ``max_types`` series."""
+    topt = (
+        d.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(max_types)
+        .select("event_type")
+    )
+    d = d.join(F.broadcast(topt), "event_type")
+    lags = F.explode(F.array(*[F.lit(k) for k in range(n_lags)])).alias("lag_k")
     a = d.alias("a").select(
         F.col("a.event_type").alias("type_a"),
         F.col("a.day").alias("day_a"),

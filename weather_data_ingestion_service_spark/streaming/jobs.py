@@ -87,6 +87,30 @@ def streamed_daily_aggregate(
     )
 
 
+def streamed_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = LATE_HORIZON,
+) -> DataFrame:
+    """Per-user session windows on a stream (``session_window`` — the
+    merging-window stateful operator): a session closes when no event
+    arrives for ``gap``, and append mode emits it exactly once, after
+    the watermark passes its end (last event + gap).  State is one
+    open session per active user, bounded by the watermark horizon —
+    the 100 TB posture: state size tracks ACTIVE users, not history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def keep_latest_upsert(
     events: DataFrame,
     keys: list[str],
