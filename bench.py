@@ -138,8 +138,10 @@ HEADLINE = [
     # stream, the md5 MinHash+LSH oracle twin, the hash-sampled
     # IVF-flat, and the Hamming-graph triangle census
     "stream_session_exec",
+    "stream_sliding_exec",
     "ext_dedup_minhash_md5",
     "ext_simsearch_ivf_md5",
+    "ext_simsearch_pq_md5",
     "ext_graph_triangles",
 ]
 

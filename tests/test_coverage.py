@@ -137,9 +137,9 @@ ORACLE_IDS = {
     # round 8: rows-only → oracle upgrades via md5-Rademacher SRP
     # (VERDICT r7 #4)
     "ext_simsearch_lsh", "ext_knn_graph",
-    # round 8 additions (consolidation: streaming execution + md5 twins)
-    "stream_session_exec", "ext_dedup_minhash_md5",
-    "ext_simsearch_ivf_md5", "ext_graph_triangles",
+    # round 8 additions (consolidation: streaming executions + md5 twins)
+    "stream_session_exec", "stream_sliding_exec", "ext_dedup_minhash_md5",
+    "ext_simsearch_ivf_md5", "ext_simsearch_pq_md5", "ext_graph_triangles",
 }
 
 ROWS_ONLY_IDS = {

@@ -156,6 +156,7 @@ EXCHANGE_BUDGET = {
     "ext_multimodal_phash": 2,   # payload join + hash-group window
     "ext_knn_graph": 2,          # bucket self-join + top-k window
     "ext_dedup_minhash_md5": 2,  # gram-keyed sig agg + band self-join
+    "ext_simsearch_pq_md5": 2,   # min_by encode agg + top-k window
     "ext_simsearch_ivf_md5": 5,  # codebook take + max_by assign agg
                                  # + probe/rerank windows
     "ext_graph_triangles": 10,   # code agg + 3× edge subplan (physically

@@ -370,6 +370,108 @@ def ivf_topk_md5(
     )
 
 
+def pq_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    n_cent: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization top-k with a HASH-SAMPLED codebook — the
+    oracle-restatable sibling of ``pq_topk`` (whose per-subspace
+    KMeans has no cross-engine restatement).
+
+    The 64-dim space splits into ``m`` subspaces of dim/m dims; every
+    subspace shares ONE codebook: the sub-vectors of the ``n_cent``
+    corpus vectors ranked first under (md5(str(id)), id).  Encoding
+    picks, per (vector, subspace), the centroid minimizing exact
+    squared L2 under the (l2, cid) total order — a ``min_by`` HASH
+    aggregate per subspace (map-side partials, one corpus pass, no
+    window sort).  ADC scoring reconstructs approx_dot(q, x) as the
+    FIXED-ORDER chain d_0 + d_1 + … + d_{m−1} of per-subspace dots
+    against the selected centroid slices — never a float SUM over
+    grouped rows, whose accumulation order neither engine guarantees.
+    Codes are m small ints per vector (the 8×4-bit = 4-byte
+    compression that lets 100 TB of vectors live in RAM); at scale
+    the ADC scan reads codes only, queries broadcast their m distance
+    tables."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_cent)
+        .drop("h")
+    )
+
+    def _l2(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("cvec", s * sub + 1, sub),
+                F.slice("ce", s * sub + 1, sub),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    enc = (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(cent))
+        .groupBy("match_id")
+        .agg(
+            *[
+                F.min_by(
+                    F.slice("ce", s * sub + 1, sub),
+                    F.struct(_l2(s).alias("l2"), F.col("cid").alias("cid")),
+                ).alias(f"cv{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+
+    def _d(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qvec", s * sub + 1, sub),
+                F.col(f"cv{s}"),
+                lambda x, c: x.cast("double") * c.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    adc = _d(0)
+    for s in range(1, m):
+        adc = adc + _d(s)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("adc", adc)
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adc", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

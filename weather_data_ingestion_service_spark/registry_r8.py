@@ -78,6 +78,36 @@ def q_stream_session_exec(spark, sf_dir):
     return run_stream_to_memory(streamed_session_windows(src), "append")
 
 
+def _sliding_twin_sql():
+    # share the batch twin's oracle VERBATIM (the M4 pattern): complete
+    # mode over all available input must equal the batch aggregate, so
+    # any drift between the two entries is a bug, not a tolerance
+    from .registry import _ORACLE
+
+    return _ORACLE["stream_window_sliding"]
+
+
+@register("stream_sliding_exec", _sliding_twin_sql())
+def q_stream_sliding_exec(spark, sf_dir):
+    """A REAL Structured Streaming sliding-window run (1 h duration,
+    15 min slide — every event lands in 4 open windows): file-source
+    stream → watermarked sliding aggregate → complete mode →
+    availableNow → memory.  With session (r8) and tumbling/append
+    (r2/r6) this makes every streaming-window family member verified
+    by an actual ``writeStream`` execution, sharing the batch twin's
+    oracle verbatim."""
+    from .streaming.jobs import (
+        run_stream_to_memory,
+        streamed_sliding_aggregate,
+        streaming_events_source,
+    )
+
+    src = streaming_events_source(spark, sf_dir)
+    return run_stream_to_memory(
+        streamed_sliding_aggregate(src), "complete"
+    )
+
+
 # =====================================================================
 # B. MinHash+LSH near-dup pairs, md5-derived → oracle-paired
 # =====================================================================
@@ -229,6 +259,88 @@ def q_ext_simsearch_ivf_md5(spark, sf_dir):
 
 
 # =====================================================================
+# C2. Product quantization with a hash-sampled codebook → oracle-paired
+# =====================================================================
+
+
+def _pq_md5_oracle(m=8, sub=8, n_cent=16, k=3):
+    def _lo(s):
+        return s * sub + 1
+
+    def _hi(s):
+        return s * sub + sub
+
+    l2 = """list_sum(list_transform(
+               list_zip(e.embedding[({lo}):({hi})], c.ce[({lo}):({hi})]),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"""
+    pivots = ",\n             ".join(
+        f"any_value(CASE WHEN s = {s} THEN cv END) AS cv{s}" for s in range(m)
+    )
+    dots = " + ".join(
+        f"list_dot_product(CAST(q.embedding[({_lo(s)}):({_hi(s)})] AS DOUBLE[]),"
+        f" CAST(x.cv{s} AS DOUBLE[]))"
+        for s in range(m)
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent}),
+    best AS (
+      SELECT match_id, s, cv FROM (
+        SELECT e.vec_id AS match_id, rs.s,
+               c.ce[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})] AS cv,
+               row_number() OVER (PARTITION BY e.vec_id, rs.s
+                 ORDER BY {l2.format(lo=f"rs.s * {sub} + 1", hi=f"rs.s * {sub} + {sub}")} ASC,
+                          c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s))
+      WHERE rn = 1),
+    codes AS (
+      SELECT match_id,
+             {pivots}
+      FROM best GROUP BY match_id),
+    scored AS (
+      SELECT q.vec_id AS query_id, x.match_id,
+             {dots} AS adc
+      FROM embeddings q CROSS JOIN codes x
+      WHERE q.vec_id < 5 AND q.vec_id <> x.match_id),
+    r AS (
+      SELECT query_id, match_id, adc,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc DESC, match_id) AS rank
+      FROM scored)
+    SELECT query_id, match_id, round(adc, 3) AS adc, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_pq_md5", _pq_md5_oracle())
+def q_ext_simsearch_pq_md5(spark, sf_dir):
+    """Product-quantization top-3 with a hash-sampled codebook (16
+    md5-ranked vectors, 8 subspaces × 8 dims) — the ORACLE-PAIRED twin
+    of ``ext_simsearch_pq``, completing the md5-restatement program
+    across the ANN stack (LSH r8, kNN r8, IVF r8, Hamming r7, PQ
+    here); the per-subspace KMeans entry stays as the quality path.
+    Encoding is a min_by hash aggregate per subspace under the
+    (l2, cid) total order; ADC is a FIXED-ORDER chain of subspace
+    dots (a grouped float SUM would have engine-dependent
+    accumulation order)."""
+    from .ext.simsearch import pq_topk_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_topk_md5(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=3,
+        m=8,
+        n_cent=16,
+    )
+    return out.withColumn("adc", F.round("adc", 3))
+
+
+# =====================================================================
 # D. Triangle counting over the deterministic Hamming near-pair graph
 # =====================================================================
 
@@ -303,7 +415,9 @@ def q_ext_graph_triangles(spark, sf_dir):
 
 _register_new_this_round(
     "stream_session_exec",
+    "stream_sliding_exec",
     "ext_dedup_minhash_md5",
     "ext_simsearch_ivf_md5",
+    "ext_simsearch_pq_md5",
     "ext_graph_triangles",
 )

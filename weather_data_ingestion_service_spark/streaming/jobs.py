@@ -87,6 +87,29 @@ def streamed_daily_aggregate(
     )
 
 
+def streamed_sliding_aggregate(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = LATE_HORIZON,
+) -> DataFrame:
+    """Sliding-window aggregate on a stream (every event lands in
+    duration/slide overlapping windows); complete output mode makes
+    the result equal the batch sliding aggregate, so the two share one
+    oracle verbatim.  State is O(open windows), bounded by the
+    watermark horizon × overlap factor."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide)["start"].alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "value_sum"
+            ),
+        )
+    )
+
+
 def streamed_session_windows(
     events: DataFrame,
     gap: str = "30 minutes",
