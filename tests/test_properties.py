@@ -336,6 +336,50 @@ class TestAnnRecall:
         hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
         assert hits / queries.count() >= 0.9
 
+    def test_ivf_md5_finds_planted_neighbors(self, spark, sf_dir):
+        """The hash-sampled-codebook IVF (oracle twin, r8) must keep
+        planted-neighbor recall: a perturbed copy lands in the same
+        coarse cell as its original for nprobe-probed queries."""
+        from weather_data_ingestion_service_spark.ext.simsearch import ivf_topk_md5
+
+        corpus, queries = self._planted(spark, sf_dir)
+        top1 = ivf_topk_md5(corpus, queries, k=1, n_clusters=8, nprobe=2).collect()
+        hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
+        assert hits / queries.count() >= 0.9
+
+    def test_pq_md5_finds_planted_neighbors(self, spark, sf_dir):
+        """The hash-sampled-codebook PQ (oracle twin, r8): ADC against
+        quantized codes must still rank the near-identical planted
+        copy first for ≥90% of queries."""
+        from weather_data_ingestion_service_spark.ext.simsearch import pq_topk_md5
+
+        corpus, queries = self._planted(spark, sf_dir)
+        top1 = pq_topk_md5(corpus, queries, k=1, m=8, n_cent=16).collect()
+        hits = sum(1 for r in top1 if r.match_id == r.query_id - 100000)
+        assert hits / queries.count() >= 0.9
+
+    def test_minhash_md5_recovers_planted_near_dups(self, spark, sf_dir):
+        """ext_dedup_minhash_md5's banded candidates must recover most
+        planted 80%-prefix truncations (true Jaccard ≈ 0.8 ≫ the 0.4
+        estimate threshold) — the recall property the oracle cannot
+        check (it restates the same bands)."""
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            minhash_lsh_pairs_md5,
+        )
+        from weather_data_ingestion_service_spark.registry_ext import (
+            _near_dup_corpus,
+        )
+
+        corpus = _near_dup_corpus(spark, sf_dir)
+        pairs = minhash_lsh_pairs_md5(corpus, "doc_id", "text").collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        planted = [
+            r.doc_id
+            for r in corpus.filter(F.col("doc_id") >= 1000000).collect()
+        ]
+        hits = sum(1 for d in planted if (d - 1000000, d) in got)
+        assert hits / len(planted) >= 0.6, (hits, len(planted))
+
     def test_pq_result_is_partitioning_independent(self, spark, sf_dir):
         """Per-batch partial top-k under the (adc_d2, match_id) total
         order must merge to the same global result for any
