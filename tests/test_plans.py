@@ -389,6 +389,14 @@ def test_nearest_gridpoint_partial_aggregates(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_md5_ann_codebooks_broadcast(spark, sf_dir):
+    """The IVF/PQ md5 twins' codebooks (16 vectors) must reach the
+    corpus-side scan as broadcasts — a shuffled codebook join would be
+    the wrong plan at any scale."""
+    for name in ("ext_simsearch_ivf_md5", "ext_simsearch_pq_md5"):
+        assert has_broadcast_join(QS[name](spark, sf_dir)), name
+
+
 def test_interleave_broadcasts_source_dim(spark, sf_dir):
     df = QS["ext_sample_interleave"](spark, sf_dir)
     assert has_broadcast_join(df)
