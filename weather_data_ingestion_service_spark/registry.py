@@ -1523,6 +1523,22 @@ def _driver_verified_ids() -> frozenset[str]:
 #: refill with the ids registered this round.
 _THIS_ROUND_NEW_IDS: set = set()
 
+#: ids whose IMPLEMENTATION changed after a round already recorded
+#: them green — a green row certifies the code that earned it, not
+#: later edits (the ext_sample_negatives collision lesson).  Members
+#: are served ahead of untouched greens so the driver re-certifies
+#: them; REMOVE an id once a later CORRECTNESS_r*.json shows it green
+#: again (the set is consulted only for ids the verified-ids scan
+#: already considers done, so a stale member costs one window slot,
+#: never correctness).  Fill this next to the edit that invalidates
+#: the green row, like `_register_new_this_round` at registration.
+_CHANGED_SINCE_GREEN_IDS: set = set()
+
+
+def _register_changed_since_green(*names: str) -> None:
+    """Record green ids whose implementation was edited this round."""
+    _CHANGED_SINCE_GREEN_IDS.update(names)
+
 
 def _register_new_this_round(*names: str) -> None:
     """Record ids first registered this round for rotation priority."""
@@ -1553,6 +1569,11 @@ def _rotated(entries: dict) -> dict:
 
     def cls(name: str) -> int:
         if name in done:
+            # greens edited since their certifying row re-serve FIRST
+            # among done ids (r5 #6 hygiene rule, now a mechanism:
+            # _register_changed_since_green next to the edit).
+            if name in _CHANGED_SINCE_GREEN_IDS:
+                return 3.5
             # VERDICT r7 #3: within already-verified entries, re-serve
             # oracle-paired greens ahead of permanently rows-only ids —
             # a rows-only re-check can never upgrade to a hash match,
