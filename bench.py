@@ -139,6 +139,7 @@ HEADLINE = [
     # IVF-flat, and the Hamming-graph triangle census
     "stream_session_exec",
     "stream_sliding_exec",
+    "stream_dedup_minhash",
     "ext_dedup_minhash_md5",
     "ext_simsearch_ivf_md5",
     "ext_simsearch_pq_md5",

@@ -486,6 +486,74 @@ def test_session_window_stream_emits_closed_sessions_once(spark, sf_dir):
         assert batch.get((r.user_id, r.session_start)) == r.n_events
 
 
+def test_minhash_ingest_multibatch_equals_batch_pairs(spark, sf_dir):
+    """stream_dedup_minhash's exactly-once/batching-invariance claim,
+    exercised across REAL micro-batch boundaries: documents staged as
+    three files arriving one per trigger must emit exactly the batch
+    pairs op's result — each pair once, in the batch where its last
+    member arrives."""
+    import os
+    import shutil
+
+    from weather_data_ingestion_service_spark.ext.dedup import (
+        minhash_lsh_pairs_md5,
+    )
+    from weather_data_ingestion_service_spark.io import load_table
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        minhash_ingest_batch,
+    )
+
+    root = os.path.join(TMP, "minhash_staged")
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir, state_dir, pairs_dir = (
+        os.path.join(root, d) for d in ("src", "sigs", "pairs")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == k).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        for k in range(3)
+    ]
+    os.makedirs(src_dir)
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        sub = os.path.join(root, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(sub)
+        src = next(f for f in os.listdir(sub) if f.endswith(".parquet"))
+        dst = os.path.join(src_dir, f"docs_{i}.parquet")
+        shutil.copy(os.path.join(sub, src), dst)
+        os.utime(dst, (now + i, now + i))
+
+    empty = spark.createDataFrame(
+        [], "id_a long, id_b long, n_equal int, jaccard_est_micro long"
+    )
+    empty.write.mode("overwrite").parquet(pairs_dir)
+    q = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+        .writeStream.foreachBatch(
+            minhash_ingest_batch(spark, state_dir, pairs_dir)
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(pairs_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_md5(docs, "doc_id", "text").collect()
+    )
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_stateful_sessionizer_matches_batch_closed_sessions(spark, sf_dir):
     """sessions_stateful over two in-order micro-batches must emit
     exactly the CLOSED prefix of the batch twin's sessions — including

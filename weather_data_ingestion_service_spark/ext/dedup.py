@@ -335,9 +335,33 @@ def minhash_lsh_pairs_md5(
     Docs shorter than ``n`` tokens yield no gram and never pair —
     mirrored by the oracle's empty ``range``.
     """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
+    sig = md5_minhash_signatures(df, id_col, text_col, n, num_hashes).persist()
+    banded = md5_minhash_bands(sig, id_col, num_hashes, bands)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b_ = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return md5_minhash_estimate(
+        cand, sig, id_col, num_hashes, threshold_micro
+    )
+
+
+def md5_minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) MinHash signatures with md5-derived universal hashes
+    over DISTINCT word n-grams — the oracle-restatable signature
+    builder shared by the batch pairs op and the streaming
+    incremental-dedup job (signatures are per-document, so they can be
+    computed once at ingest and stored as state)."""
     tok = df.select(
         F.col(id_col),
         F.posexplode(
@@ -374,15 +398,25 @@ def minhash_lsh_pairs_md5(
             10,
         ).cast("long")
 
-    sig = (
+    return (
         grams.groupBy(id_col)
         .agg(*[F.min(_h(s)).alias(f"m{s}") for s in range(num_hashes)])
         .withColumn(
             "sig", F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
         )
         .select(id_col, "sig")
-        .persist()
     )
+
+
+def md5_minhash_bands(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, key) LSH band rows: key = the literal comma-joined
+    tuple of consecutive minima (the exact bucket id — no second-level
+    hash to restate)."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
     band_structs = F.array(
         *[
             F.struct(
@@ -400,24 +434,27 @@ def minhash_lsh_pairs_md5(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    b_ = banded.select(F.col(id_col).alias("id_b"), "band", "key")
-    cand = (
-        a.join(b_, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .join(
-            sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
-            "id_a",
-        )
-        .join(
-            sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
-            "id_b",
-        )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def md5_minhash_estimate(
+    cand: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    threshold_micro: int = 400_000,
+) -> DataFrame:
+    """Join signatures back onto (id_a, id_b) candidates and keep
+    pairs whose estimated Jaccard (integer micro-units) clears the
+    threshold."""
+    cand = cand.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
     n_equal = F.size(
         F.filter(
@@ -425,7 +462,7 @@ def minhash_lsh_pairs_md5(
             lambda v: v == 1,
         )
     )
-    out = (
+    return (
         cand.withColumn("n_equal", n_equal.cast("int"))
         .withColumn(
             "jaccard_est_micro",
@@ -434,7 +471,6 @@ def minhash_lsh_pairs_md5(
         .filter(F.col("jaccard_est_micro") >= threshold_micro)
         .select("id_a", "id_b", "n_equal", "jaccard_est_micro")
     )
-    return out
 
 
 #: driver-CC ceiling: collect the near-dup pair list to the driver and

@@ -82,6 +82,7 @@ def _sliding_twin_sql():
     # share the batch twin's oracle VERBATIM (the M4 pattern): complete
     # mode over all available input must equal the batch aggregate, so
     # any drift between the two entries is a bug, not a tolerance
+    from . import registry_ext  # noqa: F401 — registers the twin on direct import
     from .registry import _ORACLE
 
     return _ORACLE["stream_window_sliding"]
@@ -113,11 +114,13 @@ def q_stream_sliding_exec(spark, sf_dir):
 # =====================================================================
 
 
-def _minhash_md5_oracle():
-    from .registry_ext import _NEAR_DUP_CORPUS_SQL
+def _minhash_md5_oracle(corpus_sql: str | None = None):
+    if corpus_sql is None:
+        from .registry_ext import _NEAR_DUP_CORPUS_SQL
 
+        corpus_sql = _NEAR_DUP_CORPUS_SQL
     return f"""
-    WITH {_NEAR_DUP_CORPUS_SQL},
+    WITH {corpus_sql},
     tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -183,6 +186,48 @@ def q_ext_dedup_minhash_md5(spark, sf_dir):
         bands=4,
         threshold_micro=400_000,
     )
+
+
+@register(
+    "stream_dedup_minhash",
+    _minhash_md5_oracle("corpus AS (SELECT doc_id, text FROM documents)"),
+)
+def q_stream_dedup_minhash(spark, sf_dir):
+    """STREAMING incremental MinHash near-dup maintenance — the
+    always-on ingest-time dedup a training-data pipeline runs so
+    near-duplicates are caught when a document ARRIVES, not in a
+    nightly corpus rescan: documents stream → foreachBatch
+    (signature new docs once, band-join against stored signatures,
+    append surviving pairs + new state).  Emission is exactly-once by
+    construction (a pair lands in the batch where its last member
+    arrives) and batching-invariant, so the DuckDB oracle — the batch
+    MinHash pairs op over all documents — is exact for ANY micro-batch
+    boundaries (the stream_sketch_cms posture).  Per-batch cost is
+    |new| signatures + one banded join; state is 16 int64s/doc."""
+    import shutil
+
+    from .registry import _clean_stale_scratch, _session_tag
+    from .streaming.jobs import minhash_ingest_batch, streaming_documents_source
+
+    _clean_stale_scratch("/tmp/wds_smh_*")
+    root = f"/tmp/wds_smh_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir, pairs_dir = f"{root}/sigs", f"{root}/pairs"
+    # seed the pairs sink so the read-back never sees a missing path
+    # (a batch with zero surviving pairs appends nothing)
+    empty = spark.createDataFrame(
+        [], "id_a long, id_b long, n_equal int, jaccard_est_micro long"
+    )
+    empty.write.mode("overwrite").parquet(pairs_dir)
+    q = (
+        streaming_documents_source(spark, sf_dir)
+        .writeStream.foreachBatch(minhash_ingest_batch(spark, state_dir, pairs_dir))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)
 
 
 # =====================================================================
@@ -416,6 +461,7 @@ def q_ext_graph_triangles(spark, sf_dir):
 _register_new_this_round(
     "stream_session_exec",
     "stream_sliding_exec",
+    "stream_dedup_minhash",
     "ext_dedup_minhash_md5",
     "ext_simsearch_ivf_md5",
     "ext_simsearch_pq_md5",

@@ -87,6 +87,95 @@ def streamed_daily_aggregate(
     )
 
 
+#: documents table schema for the file-source stream (plain types —
+#: no NANOS normalization needed, unlike events)
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def streaming_documents_source(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the documents table — the ingest feed
+    for the streaming curation/dedup jobs."""
+    reader = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(sf_dir)
+
+
+def minhash_ingest_batch(spark, state_dir: str, pairs_dir: str):
+    """foreachBatch handler factory for STREAMING incremental MinHash
+    near-dup maintenance: per micro-batch, signature the new documents
+    once, band-join them against (state ∪ new), and append the
+    surviving pairs — a pair is emitted exactly once, in the batch
+    where its LAST-arriving member lands (both-new pairs dedup within
+    the batch; old×old pairs can never re-join because the probe side
+    is new docs only).  Union over batches therefore equals the batch
+    pairs op for ANY batching — the oracle-exactness argument — while
+    per-batch work is |new| signatures + one band join against stored
+    state, never a corpus rescan.  State is (doc_id, sig): 16 int64s
+    per document."""
+    from ..ext.dedup import (
+        md5_minhash_bands,
+        md5_minhash_estimate,
+        md5_minhash_signatures,
+    )
+
+    def handle(batch_df, epoch_id):
+        import os
+
+        new_sig = md5_minhash_signatures(
+            batch_df.select("doc_id", "text"), "doc_id", "text"
+        ).persist()
+        all_sig = None
+        try:
+            have_state = os.path.isdir(state_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(state_dir)
+            )
+            all_sig = (
+                spark.read.parquet(state_dir).unionByName(new_sig)
+                if have_state
+                else new_sig
+            ).persist()
+            nb = md5_minhash_bands(new_sig, "doc_id").select(
+                F.col("doc_id").alias("id_n"), "band", "key"
+            )
+            ab = md5_minhash_bands(all_sig, "doc_id").select(
+                F.col("doc_id").alias("id_o"), "band", "key"
+            )
+            cand = (
+                nb.join(ab, ["band", "key"])
+                .filter(F.col("id_n") != F.col("id_o"))
+                .select(
+                    F.least("id_n", "id_o").alias("id_a"),
+                    F.greatest("id_n", "id_o").alias("id_b"),
+                )
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            md5_minhash_estimate(cand, all_sig, "doc_id").write.mode(
+                "append"
+            ).parquet(pairs_dir)
+            new_sig.write.mode("append").parquet(state_dir)
+        finally:
+            new_sig.unpersist()
+            if all_sig is not None:
+                all_sig.unpersist()
+
+    return handle
+
+
 def streamed_sliding_aggregate(
     events: DataFrame,
     duration: str = "1 hour",
