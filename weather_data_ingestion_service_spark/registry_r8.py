@@ -1,14 +1,16 @@
 """Round-8 registry additions.
 
-Round 8 continues the consolidation posture (VERDICT r7 #8): few,
-depth-focused additions — a REAL session-window streaming execution
-(the last streaming-window family member verified only via a batch
-twin), and md5-restatable oracle twins for the remaining approximate
-ANN/near-dup families (MinHash+LSH, IVF) plus triangle counting over
-the deterministic Hamming pair graph.  The big-ticket round-8 work —
-oracle upgrades of ``ext_simsearch_lsh`` / ``ext_knn_graph`` — lives
-in their original registration sites (registry_ext.py,
-registry_r4b.py).
+Round 8 continues the consolidation posture (VERDICT r7 #8): seven
+depth-focused additions — REAL session-window and sliding-window
+streaming executions (completing the streaming-window family with
+actual ``writeStream`` runs), streaming incremental MinHash near-dup
+maintenance (ingest-time dedup with exactly-once pair emission), and
+md5-restatable oracle twins finishing the approximate stack
+(MinHash+LSH, IVF-flat, PQ/ADC) plus triangle counting over the
+deterministic Hamming pair graph.  The other big-ticket round-8 work —
+oracle upgrades of ``ext_simsearch_lsh`` / ``ext_knn_graph`` via
+md5-Rademacher SRP — lives in their original registration sites
+(registry_ext.py, registry_r4b.py).
 
 Cross-engine compare rules are documented at the top of registry.py —
 exact integer arithmetic, no float folds, deterministic tie-breaks,
@@ -17,7 +19,7 @@ scalar output columns only.
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from .io import load_table
 from .registry import _register_new_this_round, register
