@@ -1451,6 +1451,56 @@ class TestRound7Laws:
         wide = embed_hamming_pairs(emb, max_dist=56, band_bits=16).collect()
         assert wide == []
 
+    @settings(max_examples=3, deadline=None)
+    @given(seed=st.integers(0, 2**31 - 1))
+    def test_minhash_ingest_is_batching_invariant(self, spark, sf_dir, seed):
+        """stream_dedup_minhash's exactly-once claim as a LAW: for a
+        RANDOM 3-way document partition, driving the foreachBatch
+        handler batch-by-batch emits exactly the batch pairs op's
+        result (each pair once, in its last member's batch)."""
+        import random
+        import shutil
+        import uuid
+
+        from weather_data_ingestion_service_spark.ext.dedup import (
+            minhash_lsh_pairs_md5,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+        from weather_data_ingestion_service_spark.streaming.jobs import (
+            minhash_ingest_batch,
+        )
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .limit(200)
+        )
+        rng = random.Random(seed)
+        ids = [r.doc_id for r in docs.select("doc_id").collect()]
+        assign = {d: rng.randrange(3) for d in ids}
+        root = f"/root/repo/.tmp/mh_inv_{uuid.uuid4().hex[:8]}"
+        state_dir, pairs_dir = f"{root}/sigs", f"{root}/pairs"
+        spark.createDataFrame(
+            [], "id_a long, id_b long, n_equal int, jaccard_est_micro long"
+        ).write.mode("overwrite").parquet(pairs_dir)
+        handle = minhash_ingest_batch(spark, state_dir, pairs_dir)
+        docs = docs.persist()
+        try:
+            for b in range(3):
+                members = [d for d, k in assign.items() if k == b]
+                handle(docs.filter(F.col("doc_id").isin(members)), b)
+            got = sorted(
+                tuple(r) for r in spark.read.parquet(pairs_dir).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in minhash_lsh_pairs_md5(docs, "doc_id", "text").collect()
+            )
+            assert got == want
+        finally:
+            docs.unpersist()
+            shutil.rmtree(root, ignore_errors=True)
+
     @settings(max_examples=5, deadline=None)
     @given(
         vals=st.lists(st.integers(0, 100), min_size=3, max_size=24),
