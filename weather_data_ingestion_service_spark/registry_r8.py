@@ -388,6 +388,77 @@ def q_ext_simsearch_pq_md5(spark, sf_dir):
 
 
 # =====================================================================
+# C3. Forecast-skill components vs naive baselines (reference domain)
+# =====================================================================
+
+
+def _forecast_skill_oracle():
+    from .registry_r6 import _DAILY_SQL
+
+    return f"""
+    WITH {_DAILY_SQL},
+    k AS (SELECT unnest([1, 7]) AS lag_k)
+    SELECT t.event_type,
+           CAST(k.lag_k AS INT) AS lag_k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(abs(t.cents - p.cents)) AS BIGINT) AS abs_err_sum,
+           CAST(sum(t.cents - p.cents) AS BIGINT) AS err_sum,
+           CAST(sum(abs(t.cents)) AS BIGINT) AS abs_actual_sum
+    FROM k, d t JOIN d p
+      ON p.event_type = t.event_type
+     AND p.day = t.day - CAST(k.lag_k AS INT)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register("agg_forecast_skill", _forecast_skill_oracle())
+def q_agg_forecast_skill(spark, sf_dir):
+    """Forecast-skill components of the two classic naive baselines
+    over the daily series — persistence (lag 1 day) and seasonal-naive
+    (lag 7 days): n, Σ|err|, Σerr (bias) and Σ|actual| per event type,
+    all exact integer cents, so MAE / bias / WAPE and the skill ratio
+    MAE_model / MAE_naive are one driver-side division away.  This is
+    the evaluation harness the REFERENCE's domain lives on (a forecast
+    API is only as good as its edge over persistence — the standard
+    verification baseline in operational meteorology).  Lag alignment
+    is an exact date join (never lag()-over-rows, which silently
+    misaligns across gap days); the 2-row lag fan-out feeds one
+    day-keyed equi-join, the crosscorr shuffle shape."""
+    from .registry_r6 import _daily
+
+    d = _daily(spark, sf_dir)
+    lags = F.explode(F.array(F.lit(1), F.lit(7))).alias("lag_k")
+    t = d.select(
+        F.col("event_type").alias("et_t"),
+        F.col("day").alias("day_t"),
+        F.col("cents").alias("c_t"),
+        lags,
+    )
+    p = d.select(
+        F.col("event_type").alias("et_p"),
+        F.col("day").alias("day_p"),
+        F.col("cents").alias("c_p"),
+    )
+    j = t.join(
+        p,
+        (F.col("et_t") == F.col("et_p"))
+        & (F.col("day_p") == F.expr("date_add(day_t, -lag_k)")),
+    ).select(F.col("et_t").alias("event_type"), "lag_k", "c_t", "c_p")
+    return (
+        j.groupBy("event_type", F.col("lag_k").cast("int").alias("lag_k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.abs(F.col("c_t") - F.col("c_p")))
+            .cast("long")
+            .alias("abs_err_sum"),
+            F.sum(F.col("c_t") - F.col("c_p")).cast("long").alias("err_sum"),
+            F.sum(F.abs("c_t")).cast("long").alias("abs_actual_sum"),
+        )
+        .orderBy("event_type", "lag_k")
+    )
+
+
+# =====================================================================
 # D. Triangle counting over the deterministic Hamming near-pair graph
 # =====================================================================
 
@@ -468,4 +539,5 @@ _register_new_this_round(
     "ext_simsearch_ivf_md5",
     "ext_simsearch_pq_md5",
     "ext_graph_triangles",
+    "agg_forecast_skill",
 )
