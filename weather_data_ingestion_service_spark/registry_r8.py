@@ -232,6 +232,122 @@ def q_stream_dedup_minhash(spark, sf_dir):
     return spark.read.parquet(pairs_dir)
 
 
+def _eval_dedup_md5_oracle():
+    from .registry_ext import _NEAR_DUP_CORPUS_SQL
+
+    return f"""
+    WITH {_NEAR_DUP_CORPUS_SQL},
+    tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM corpus),
+    -- exact side: word-3-gram Jaccard >= 0.5 (ext_dedup_ngram's
+    -- construction: short docs keep ONE truncated shingle)
+    xidx AS (SELECT doc_id AS id, w,
+                    unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS i
+             FROM tok),
+    xsh AS (SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM xidx),
+    xcnt AS (SELECT id, count(*) AS n_sh FROM xsh GROUP BY id),
+    xpairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM xsh a JOIN xsh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2),
+    exact AS (
+      SELECT id_a, id_b FROM xpairs
+      JOIN xcnt ca ON xpairs.id_a = ca.id
+      JOIN xcnt cb ON xpairs.id_b = cb.id
+      WHERE inter / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+    -- approx side: the ext_dedup_minhash_md5 pipeline (short docs
+    -- yield no gram and never pair)
+    mg AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+      FROM tok, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS r(i)),
+    mh AS (
+      SELECT doc_id, s,
+             min(CAST('0x' || substr(md5(s || ':' || gram), 1, 13)
+                      AS BIGINT)) AS m
+      FROM mg, range(0, 16) rs(s)
+      GROUP BY doc_id, s),
+    msig AS (SELECT doc_id, list(m ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    mband AS (
+      SELECT doc_id, b,
+             array_to_string(sig[(b * 4 + 1):(b * 4 + 4)], ',') AS key
+      FROM msig, range(0, 4) rb(b)),
+    mcand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM mband a JOIN mband b ON a.b = b.b AND a.key = b.key
+      WHERE a.doc_id < b.doc_id),
+    approx AS (
+      SELECT c.id_a, c.id_b
+      FROM mcand c
+      JOIN msig sa ON sa.doc_id = c.id_a
+      JOIN msig sb ON sb.doc_id = c.id_b
+      WHERE CAST(length(list_filter(range(1, 17),
+                                    i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+            * 1000000 // 16 >= 400000),
+    hits AS (SELECT id_a, id_b FROM exact INTERSECT SELECT id_a, id_b FROM approx)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // greatest((SELECT count(*) FROM approx), 1) AS BIGINT)
+             AS precision_micro,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+             AS recall_micro
+    """
+
+
+@register("ext_eval_dedup_md5", _eval_dedup_md5_oracle())
+def q_ext_eval_dedup_md5(spark, sf_dir):
+    """Precision/recall of the md5 MinHash+LSH pairs against the EXACT
+    word-3-gram Jaccard pairs (threshold 0.5 exact vs 0.4 estimated) —
+    the QA gate a pipeline runs before trusting its sub-quadratic
+    dedup path, now HASH-VERIFIED end-to-end: unlike rows-only
+    ``ext_eval_dedup`` (xxhash MinHash), both sides of this comparison
+    restate in SQL, so the oracle checks the evaluator itself, not
+    just that it ran.  Counts and P/R in integer micro-units."""
+    from .ext.dedup import minhash_lsh_pairs_md5, ngram_jaccard_pairs
+    from .registry_ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    exact = (
+        ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    approx = (
+        minhash_lsh_pairs_md5(corpus, "doc_id", "text")
+        .select("id_a", "id_b")
+        .persist()
+    )
+    try:
+        both = exact.join(approx, ["id_a", "id_b"], "left_semi")
+        n_exact = exact.count()
+        n_approx = approx.count()
+        n_both = both.count()
+    finally:
+        exact.unpersist()
+        approx.unpersist()
+    rows = [
+        (
+            int(n_exact),
+            int(n_approx),
+            int(n_both),
+            int(n_both * 1_000_000 // max(n_approx, 1)),
+            int(n_both * 1_000_000 // max(n_exact, 1)),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_exact long, n_approx long, n_both long, "
+        "precision_micro long, recall_micro long",
+    )
+
+
 # =====================================================================
 # C. IVF-flat ANN with a hash-sampled coarse quantizer → oracle-paired
 # =====================================================================
@@ -540,4 +656,5 @@ _register_new_this_round(
     "ext_simsearch_pq_md5",
     "ext_graph_triangles",
     "agg_forecast_skill",
+    "ext_eval_dedup_md5",
 )
