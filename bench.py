@@ -144,6 +144,7 @@ HEADLINE = [
     "ext_simsearch_ivf_md5",
     "ext_simsearch_pq_md5",
     "ext_graph_triangles",
+    "ext_eval_dedup_md5",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

@@ -1540,3 +1540,34 @@ class TestRound7Laws:
                 m4_merge(m4_partial(
                     spark.createDataFrame(rows, schema))).collect()]
         assert got == want
+
+
+class TestRound8Laws:
+    def test_forecast_skill_date_join_skips_gap_days(self, spark):
+        """agg_forecast_skill's lag alignment is an exact DATE join:
+        a missing day contributes no (t, t−k) pair — lag()-over-rows
+        would silently pair across the gap.  Series: days 1,2,4 (day 3
+        missing) → lag-1 pairs are (2←1) and nothing else (4's
+        predecessor day 3 is absent); lag-7 yields none."""
+        import datetime as dt
+
+        from weather_data_ingestion_service_spark.registry import _cents
+        from weather_data_ingestion_service_spark.registry_r8 import (
+            forecast_skill,
+        )
+
+        rows = [
+            ("a", dt.datetime(2024, 1, d, 12), float(v))
+            for d, v in [(1, 10.0), (2, 13.0), (4, 99.0)]
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        d = df.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+        got = [tuple(r) for r in forecast_skill(d).collect()]
+        # only (day2 ← day1) pairs at lag 1: n=1, |err|=300, err=+300,
+        # |actual|=1300; day4's predecessor (day3) is missing; lag 7
+        # yields no pairs at all (the group simply doesn't appear)
+        assert got == [("a", 1, 1, 300, 300, 1300)]

@@ -542,8 +542,14 @@ def q_agg_forecast_skill(spark, sf_dir):
     day-keyed equi-join, the crosscorr shuffle shape."""
     from .registry_r6 import _daily
 
-    d = _daily(spark, sf_dir)
-    lags = F.explode(F.array(F.lit(1), F.lit(7))).alias("lag_k")
+    return forecast_skill(_daily(spark, sf_dir))
+
+
+def forecast_skill(d, lag_days=(1, 7)):
+    """Naive-baseline error components over a (event_type, day, cents)
+    daily frame; lag alignment by exact date join (gap days pair with
+    nothing — pytest-pinned)."""
+    lags = F.explode(F.array(*[F.lit(k) for k in lag_days])).alias("lag_k")
     t = d.select(
         F.col("event_type").alias("et_t"),
         F.col("day").alias("day_t"),
