@@ -1490,7 +1490,10 @@ class TestRound7Laws:
                 members = [d for d, k in assign.items() if k == b]
                 handle(docs.filter(F.col("doc_id").isin(members)), b)
             got = sorted(
-                tuple(r) for r in spark.read.parquet(pairs_dir).collect()
+                tuple(r)
+                for r in spark.read.parquet(pairs_dir)
+                .select("id_a", "id_b", "n_equal", "jaccard_est_micro")
+                .collect()
             )
             want = sorted(
                 tuple(r)

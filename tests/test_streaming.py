@@ -543,13 +543,58 @@ def test_minhash_ingest_multibatch_equals_batch_pairs(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    cols = ["id_a", "id_b", "n_equal", "jaccard_est_micro"]
     got = sorted(
-        tuple(r) for r in spark.read.parquet(pairs_dir).collect()
+        tuple(r) for r in spark.read.parquet(pairs_dir).select(*cols).collect()
     )
     want = sorted(
         tuple(r)
         for r in minhash_lsh_pairs_md5(docs, "doc_id", "text").collect()
     )
+    assert got == want
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minhash_ingest_replayed_epoch_is_idempotent(spark, sf_dir):
+    """foreachBatch is at-least-once: replaying a crashed epoch must
+    NOT double-emit pairs or double-count state.  Drive the handler
+    directly: epoch 0, epoch 0 again (the replay), epoch 1 — the
+    result must equal the clean 2-epoch run AND the batch pairs op."""
+    import os
+    import shutil
+
+    from weather_data_ingestion_service_spark.ext.dedup import (
+        minhash_lsh_pairs_md5,
+    )
+    from weather_data_ingestion_service_spark.io import load_table
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        minhash_ingest_batch,
+    )
+
+    root = os.path.join(TMP, "minhash_replay")
+    shutil.rmtree(root, ignore_errors=True)
+    state_dir, pairs_dir = os.path.join(root, "sigs"), os.path.join(root, "pairs")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(200)
+        .persist()
+    )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    handle = minhash_ingest_batch(spark, state_dir, pairs_dir)
+    handle(b0, 0)
+    handle(b0, 0)  # the replay — must rewrite, not append
+    handle(b1, 1)
+    cols = ["id_a", "id_b", "n_equal", "jaccard_est_micro"]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(pairs_dir).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_md5(docs, "doc_id", "text").collect()
+    )
+    docs.unpersist()
     assert got == want
     shutil.rmtree(root, ignore_errors=True)
 

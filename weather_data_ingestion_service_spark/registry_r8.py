@@ -215,12 +215,13 @@ def q_stream_dedup_minhash(spark, sf_dir):
     root = f"/tmp/wds_smh_{_session_tag(spark, sf_dir)}"
     shutil.rmtree(root, ignore_errors=True)
     state_dir, pairs_dir = f"{root}/sigs", f"{root}/pairs"
-    # seed the pairs sink so the read-back never sees a missing path
-    # (a batch with zero surviving pairs appends nothing)
+    # seed the pairs sink (as the epoch=-1 partition, matching the
+    # handler's replay-idempotent per-epoch layout) so the read-back
+    # never sees a missing path even if every batch yields zero pairs
     empty = spark.createDataFrame(
         [], "id_a long, id_b long, n_equal int, jaccard_est_micro long"
     )
-    empty.write.mode("overwrite").parquet(pairs_dir)
+    empty.write.mode("overwrite").parquet(f"{pairs_dir}/epoch=-1")
     q = (
         streaming_documents_source(spark, sf_dir)
         .writeStream.foreachBatch(minhash_ingest_batch(spark, state_dir, pairs_dir))
@@ -229,7 +230,9 @@ def q_stream_dedup_minhash(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pairs_dir)
+    return spark.read.parquet(pairs_dir).select(
+        "id_a", "id_b", "n_equal", "jaccard_est_micro"
+    )
 
 
 def _eval_dedup_md5_oracle():

@@ -126,28 +126,44 @@ def minhash_ingest_batch(spark, state_dir: str, pairs_dir: str):
     pairs op for ANY batching — the oracle-exactness argument — while
     per-batch work is |new| signatures + one band join against stored
     state, never a corpus rescan.  State is (doc_id, sig): 16 int64s
-    per document."""
+    per document.
+
+    REPLAY-IDEMPOTENT: foreachBatch is at-least-once — after a crash
+    the failed epoch re-runs — so both sinks write per-epoch
+    ``epoch=N`` partitions in OVERWRITE mode (the stream_sketch_cms /
+    curation-sink pattern): a replayed epoch rewrites its own
+    partition instead of double-appending pairs and state.  Prior
+    state for epoch N reads only partitions with epoch < N, which
+    also keeps the "state excludes the current batch" invariant exact
+    under replay."""
     from ..ext.dedup import (
         md5_minhash_bands,
         md5_minhash_estimate,
         md5_minhash_signatures,
     )
 
-    def handle(batch_df, epoch_id):
+    def _prior_state(epoch_id):
+        import glob
         import os
 
+        parts = [
+            p
+            for p in glob.glob(os.path.join(state_dir, "epoch=*"))
+            if int(p.rsplit("=", 1)[1]) < int(epoch_id)
+        ]
+        if not parts:
+            return None
+        return spark.read.parquet(*parts).select("doc_id", "sig")
+
+    def handle(batch_df, epoch_id):
         new_sig = md5_minhash_signatures(
             batch_df.select("doc_id", "text"), "doc_id", "text"
         ).persist()
         all_sig = None
         try:
-            have_state = os.path.isdir(state_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(state_dir)
-            )
+            state = _prior_state(epoch_id)
             all_sig = (
-                spark.read.parquet(state_dir).unionByName(new_sig)
-                if have_state
-                else new_sig
+                state.unionByName(new_sig) if state is not None else new_sig
             ).persist()
             nb = md5_minhash_bands(new_sig, "doc_id").select(
                 F.col("doc_id").alias("id_n"), "band", "key"
@@ -165,9 +181,11 @@ def minhash_ingest_batch(spark, state_dir: str, pairs_dir: str):
                 .dropDuplicates(["id_a", "id_b"])
             )
             md5_minhash_estimate(cand, all_sig, "doc_id").write.mode(
-                "append"
-            ).parquet(pairs_dir)
-            new_sig.write.mode("append").parquet(state_dir)
+                "overwrite"
+            ).parquet(f"{pairs_dir}/epoch={int(epoch_id)}")
+            new_sig.write.mode("overwrite").parquet(
+                f"{state_dir}/epoch={int(epoch_id)}"
+            )
         finally:
             new_sig.unpersist()
             if all_sig is not None:
