@@ -486,6 +486,47 @@ def test_session_window_stream_emits_closed_sessions_once(spark, sf_dir):
         assert batch.get((r.user_id, r.session_start)) == r.n_events
 
 
+def test_session_window_closure_boundary_is_inclusive(spark):
+    """The stream_session_exec oracle closes sessions with
+    ``session_end <= max(ts) − 4d`` — NON-strict.  Pin the engine side
+    of that boundary: a session whose end equals the final watermark
+    exactly IS emitted (fixture data rarely lands on the boundary, so
+    without this pin a Spark upgrade flipping to strict `<` would
+    surface as an unexplained driver hash mismatch)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_to_memory,
+        streamed_session_windows,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    mx = t0 + dt.timedelta(minutes=30, days=4)  # watermark == t0 + 30min
+    rows = [
+        (1, int(t0.timestamp() * 1e6), 1, "a", 1.0, "{}"),
+        (2, int(mx.timestamp() * 1e6), 2, "a", 1.0, "{}"),
+    ]
+    path = os.path.join(TMP, "sess_boundary")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(path)
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    got = run_stream_to_memory(streamed_session_windows(src), "append").collect()
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 1)]
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_minhash_ingest_multibatch_equals_batch_pairs(spark, sf_dir):
     """stream_dedup_minhash's exactly-once/batching-invariance claim,
     exercised across REAL micro-batch boundaries: documents staged as
