@@ -141,6 +141,7 @@ ORACLE_IDS = {
     "stream_session_exec", "stream_sliding_exec", "ext_dedup_minhash_md5",
     "ext_simsearch_ivf_md5", "ext_simsearch_pq_md5", "ext_graph_triangles",
     "stream_dedup_minhash", "agg_forecast_skill", "ext_eval_dedup_md5",
+    "obs_dataset_manifest",
 }
 
 ROWS_ONLY_IDS = {

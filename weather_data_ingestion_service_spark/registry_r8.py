@@ -506,6 +506,65 @@ def q_ext_simsearch_pq_md5(spark, sf_dir):
     return out.withColumn("adc", F.round("adc", 3))
 
 
+@register(
+    "obs_dataset_manifest",
+    """
+    WITH h AS (
+      SELECT doc_id % 8 AS shard, n_chars,
+             CAST('0x' || substr(md5(doc_id || ':' || text), 1, 13)
+                  AS BIGINT) AS rh
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(sum(CAST(rh AS HUGEINT)) AS VARCHAR) AS content_checksum
+    FROM h GROUP BY shard ORDER BY shard
+    """,
+)
+def q_obs_dataset_manifest(spark, sf_dir):
+    """Dataset integrity manifest — the artifact a training pipeline
+    publishes NEXT TO each shard so any later copy (cross-region
+    transfer, format migration, engine swap) can be verified without
+    row-by-row diffing: per shard, row count, byte-ish volume, and an
+    ORDER-INDEPENDENT content checksum (sum of per-row md5-derived
+    int64s — commutative, so partitioning/shuffle order cannot change
+    it, and published as a digit STRING because the sum exceeds int64
+    at scale — the crosscorr Σxy DECIMAL rule).  One hash aggregate,
+    map-side combining; verifying a 100 TB copy costs one scan on each
+    side and compares 8 numbers."""
+    docs = load_table(spark, sf_dir, "documents")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            (F.col("doc_id") % 8).cast("long").alias("shard"),
+            F.col("n_chars"),
+            rh.alias("rh"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_sum"),
+            F.sum(F.col("rh").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 # =====================================================================
 # C3. Forecast-skill components vs naive baselines (reference domain)
 # =====================================================================
@@ -666,4 +725,5 @@ _register_new_this_round(
     "ext_graph_triangles",
     "agg_forecast_skill",
     "ext_eval_dedup_md5",
+    "obs_dataset_manifest",
 )
