@@ -157,6 +157,8 @@ EXCHANGE_BUDGET = {
     "ext_knn_graph": 2,          # bucket self-join + top-k window
     "ext_dedup_minhash_md5": 2,  # gram-keyed sig agg + band self-join
     "ext_simsearch_pq_md5": 2,   # min_by encode agg + top-k window
+    "obs_dataset_manifest": 2,   # one shard hash-agg + order
+    "agg_forecast_skill": 4,     # daily agg + lag date join + final agg
     "ext_simsearch_ivf_md5": 5,  # codebook take + max_by assign agg
                                  # + probe/rerank windows
     "ext_graph_triangles": 10,   # code agg + 3× edge subplan (physically
