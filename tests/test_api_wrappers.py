@@ -283,6 +283,160 @@ class TestGeocode:
             geocode(spark, "atlantis, ocean")
 
 
+class TestLiveGeocode:
+    """Live Nominatim path (reference server.py:96-119) through an
+    injected transport — the sandbox is offline, so every test fakes
+    the wire and asserts the reference's semantics."""
+
+    @staticmethod
+    def _transport_returning(hits, calls=None):
+        import json
+
+        def transport(url, params):
+            if calls is not None:
+                calls.append((url, dict(params)))
+            return 200, json.dumps(hits)
+
+        return transport
+
+    def test_success_returns_top_hit(self):
+        from weather_data_ingestion_service_spark.sources.live import (
+            GEOCODE_API_BASE,
+            geocode_place,
+        )
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            RateLimiter,
+        )
+
+        calls = []
+        lat, lon = geocode_place(
+            "Prague, Czechia",
+            transport=self._transport_returning(
+                [{"lat": "50.0874654", "lon": "14.4212535",
+                  "display_name": "Praha, Česko"}],
+                calls,
+            ),
+            limiter=RateLimiter(min_delay=0.0),
+        )
+        assert (lat, lon) == (50.0874654, 14.4212535)
+        url, params = calls[0]
+        assert url == GEOCODE_API_BASE
+        # geopy's exactly_one=True requests a single hit
+        assert params["q"] == "Prague, Czechia" and params["limit"] == 1
+
+    def test_ambiguous_takes_first(self):
+        """>1 hit resolves to the top-ranked match — the
+        ``exactly_one=True`` coercion (server.py:110)."""
+        from weather_data_ingestion_service_spark.sources.live import (
+            geocode_place,
+        )
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            RateLimiter,
+        )
+
+        lat, lon = geocode_place(
+            "Springfield",
+            transport=self._transport_returning(
+                [{"lat": "39.8", "lon": "-89.6"},
+                 {"lat": "42.1", "lon": "-72.6"}]
+            ),
+            limiter=RateLimiter(min_delay=0.0),
+        )
+        assert (lat, lon) == (39.8, -89.6)
+
+    def test_miss_raises_not_found(self):
+        from weather_data_ingestion_service_spark.sources.live import (
+            geocode_place,
+        )
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            RateLimiter,
+        )
+
+        with pytest.raises(ValueError, match="'Atlantis' not found"):
+            geocode_place(
+                "Atlantis",
+                transport=self._transport_returning([]),
+                limiter=RateLimiter(min_delay=0.0),
+            )
+
+    def test_http_failure_coerced_to_valueerror(self):
+        """Any transport failure coerces to the reference's blanket
+        ``Failed to geocode`` ValueError (server.py:116-119) — HTTP
+        status errors included (fail-fast, no retry)."""
+        from weather_data_ingestion_service_spark.sources.live import (
+            geocode_place,
+        )
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            RateLimiter,
+        )
+
+        with pytest.raises(ValueError, match="Failed to geocode 'Oslo'"):
+            geocode_place(
+                "Oslo",
+                transport=lambda url, params: (403, "blocked"),
+                limiter=RateLimiter(min_delay=0.0),
+            )
+
+    def test_rate_limit_spacing(self):
+        """Back-to-back live geocodes space ≥ 1.1 s apart
+        (server.py:108: AsyncRateLimiter(min_delay_seconds=1.1))."""
+        from weather_data_ingestion_service_spark.sources.live import (
+            geocode_place,
+        )
+        from weather_data_ingestion_service_spark.sources.resilience import (
+            RateLimiter,
+        )
+
+        t = [0.0]
+        slept = []
+
+        def clock():
+            return t[0]
+
+        def sleep(s):
+            slept.append(s)
+            t[0] += s
+
+        limiter = RateLimiter(min_delay=1.1, clock=clock, sleep=sleep)
+        transport = self._transport_returning([{"lat": "1", "lon": "2"}])
+        geocode_place("A", transport=transport, limiter=limiter)
+        t[0] += 0.4  # only 0.4 s elapsed since the first call
+        geocode_place("B", transport=transport, limiter=limiter)
+        assert slept and abs(slept[-1] - 0.7) < 1e-9
+
+    def test_wrapper_dim_first_live_second(self, spark):
+        """api.wrappers.geocode tries the static dimension first (no
+        transport call for a known place), then live Nominatim for an
+        unknown one, snapping to the nearest catalog location."""
+        calls = []
+        transport = self._transport_returning(
+            [{"lat": "50.0", "lon": "14.4"}], calls
+        )
+        loc_id, lat, lon = geocode(spark, "Paris, FR", transport=transport)
+        assert loc_id == 2 and not calls  # dim hit — wire never touched
+        loc_id, lat, lon = geocode(
+            spark, "Kutná Hora, Czechia", transport=transport
+        )
+        assert calls and (lat, lon) == (50.0, 14.4)
+        assert loc_id == 0  # nearest catalog location is Praha
+
+    def test_wrapper_live_miss_same_envelope(self, spark):
+        """A live miss raises the same ForecastRequestError envelope
+        as an offline miss (errors are values at the tool boundary)."""
+        with pytest.raises(ForecastRequestError, match="not found"):
+            geocode(
+                spark, "Atlantis, Ocean",
+                transport=self._transport_returning([]),
+            )
+
+    def test_wrapper_offline_unchanged(self, spark, monkeypatch):
+        """Without WDS_LIVE_FETCH and without an injected transport the
+        behavior is exactly the pre-live one: dim miss → error."""
+        monkeypatch.delenv("WDS_LIVE_FETCH", raising=False)
+        with pytest.raises(ForecastRequestError, match="Could not find"):
+            geocode(spark, "Kutná Hora, Czechia")
+
+
 class TestHistoryForecastUnion:
     def test_revision_supersedes_original(self, spark):
         """Weather-level union-with-preference: re-fetched rows (later

@@ -527,6 +527,52 @@ def test_session_window_closure_boundary_is_inclusive(spark):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def test_session_window_closure_truncates_watermark_to_ms(spark):
+    """Spark computes the watermark from max event time floored to
+    MILLISECONDS (EventTimeStatsAccum stores µs // 1000), so with a
+    sub-ms max ts the effective horizon is floor_ms(mx) − 4d, not
+    mx − 4d.  A session ending inside the sub-ms gap
+    (floor_ms(mx)−4d, mx−4d] must NOT be emitted — the
+    stream_session_exec oracle restates the same ms floor.  Fixture
+    events carry sub-ms micros, so this boundary is load-bearing."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_to_memory,
+        streamed_session_windows,
+    )
+
+    w = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)  # ms-aligned
+    mx = w + dt.timedelta(days=4, microseconds=700)  # sub-ms max ts
+    us = lambda t: int(t.timestamp() * 1e6)  # noqa: E731
+    rows = [
+        # end == floor_ms(mx) − 4d exactly → emitted (inclusive)
+        (1, us(w - dt.timedelta(minutes=30)), 1, "a", 1.0, "{}"),
+        # end == w + 500µs: <= mx − 4d but > ms-floored watermark → open
+        (2, us(w - dt.timedelta(minutes=30)) + 500, 2, "a", 1.0, "{}"),
+        (3, us(mx), 3, "a", 1.0, "{}"),
+    ]
+    path = os.path.join(TMP, "sess_boundary_subms")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .load(path)
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    got = run_stream_to_memory(streamed_session_windows(src), "append").collect()
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 1)]
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def test_minhash_ingest_multibatch_equals_batch_pairs(spark, sf_dir):
     """stream_dedup_minhash's exactly-once/batching-invariance claim,
     exercised across REAL micro-batch boundaries: documents staged as

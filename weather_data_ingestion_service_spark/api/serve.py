@@ -1,7 +1,26 @@
-"""Stdio JSON serving boundary — the engine's analog of the
-reference's MCP stdio server (reference server.py:24, 375-394).
+"""Stdio serving boundary speaking MCP JSON-RPC 2.0 — the engine's
+counterpart of the reference's FastMCP stdio server (reference
+server.py:24, 375-394; README.md:117-135 documents the manual
+MCP-client verification recipe this loop satisfies).
 
-Line-delimited JSON requests → envelope responses:
+An MCP client connects over newline-delimited JSON-RPC 2.0:
+
+    {"jsonrpc": "2.0", "id": 1, "method": "initialize", ...}
+    → capabilities + serverInfo handshake
+    {"jsonrpc": "2.0", "id": 2, "method": "tools/list"}
+    → get_forecast / get_history with input schemas
+    {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+     "params": {"name": "get_forecast",
+                "arguments": {"place": "Prague, CZ"}}}
+    → {"result": {"content": [{"type": "text", "text": <envelope>}],
+                  "isError": false}}
+
+with notifications consumed silently, unknown methods answered with
+JSON-RPC error objects (-32601), and tool-level failures in-band as
+``isError`` content per the MCP spec (see ``handle_rpc``).
+
+The legacy line-delimited envelope framing is ALSO accepted on the
+same socket (messages without a ``jsonrpc`` key):
 
     {"tool": "get_forecast", "params": {"place": "Prague, CZ"}}
     → {"status": "success", "data": {"location_id": ..., "hourly":

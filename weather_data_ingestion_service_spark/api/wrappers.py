@@ -99,18 +99,31 @@ def http_error_message(err: Exception, tool: str = "forecast") -> str:
     return f"Failed to retrieve {tool}: {err}"
 
 
-def geocode(spark: SparkSession, place: str, geo: DataFrame | None = None):
-    """place → (location_id, lat, lon) via the broadcast geo dimension.
+def geocode(
+    spark: SparkSession,
+    place: str,
+    geo: DataFrame | None = None,
+    transport=None,
+):
+    """place → (location_id, lat, lon) via the broadcast geo dimension,
+    falling back to LIVE Nominatim when enabled.
 
     Resolution order mirrors the reference's free-text tolerance
     (Nominatim resolves "Paris, France", "paris" and "PARIS FRANCE"
     alike, server.py:96-119): exact match first, then the
     alias-expanded dimension on the normalized key (case /
     punctuation / spacing-insensitive), then the normalized key
-    against the dimension's own names.  A miss still raises, matching
-    ``exactly_one=True`` → ``ValueError`` (server.py:110-114).
+    against the dimension's own names.  When the dimension misses AND
+    live fetch is available (``WDS_LIVE_FETCH=1`` or an injected
+    ``transport``), the free-text string goes to Nominatim with the
+    reference's 1.1 s throttle and ``exactly_one`` semantics
+    (server.py:96-119), and the result snaps to the nearest catalog
+    location for warehouse lookups.  A miss still raises, matching
+    ``exactly_one=True`` → ``ValueError`` (server.py:110-114) — same
+    error envelope either way.
     """
     from ..operators.joins import normalize_place_key
+    from ..sources import live
 
     default_dim = geo is None
     geo = geo if geo is not None else fixtures.geo_dim(spark)
@@ -127,9 +140,34 @@ def geocode(spark: SparkSession, place: str, geo: DataFrame | None = None):
             normalize_place_key(F.col("place")) == normalize_place_key(F.lit(place))
         ).limit(2).collect()
     if not rows:
+        if transport is not None or live.live_fetch_enabled():
+            try:
+                lat, lon = live.geocode_place(place, transport=transport)
+            except ValueError as exc:
+                raise ForecastRequestError(str(exc)) from exc
+            _validate_coord(lat, lon)
+            return _nearest_location_id(geo, lat, lon), lat, lon
         raise ForecastRequestError(f"Could not find coordinates for {place!r}")
     r = rows[0]
     return r.location_id, r.latitude, r.longitude
+
+
+def _nearest_location_id(geo: DataFrame, lat: float, lon: float) -> int:
+    """Snap an arbitrary coordinate to the nearest catalog location
+    (the API's grid-point snap, WetIng.pdf p.1-2) — nearest by squared
+    degree distance, deterministic tie-break on location_id."""
+    cand = (
+        geo.withColumn(
+            "d2",
+            (F.col("latitude") - lat) ** 2 + (F.col("longitude") - lon) ** 2,
+        )
+        .orderBy("d2", "location_id")
+        .limit(1)
+        .collect()
+    )
+    if not cand:
+        raise ForecastRequestError("empty geo dimension")
+    return cand[0].location_id
 
 
 def _validate_coord(lat: float, lon: float) -> None:
@@ -146,15 +184,7 @@ def _resolve_location(spark, place, latitude, longitude, geo):
     elif latitude is not None and longitude is not None:
         geo = geo if geo is not None else fixtures.geo_dim(spark)
         lat, lon = float(latitude), float(longitude)
-        # snap to nearest fixture location (the API's grid-point snap,
-        # WetIng.pdf p.1-2) — nearest by squared degree distance
-        cand = geo.withColumn(
-            "d2",
-            (F.col("latitude") - lat) ** 2 + (F.col("longitude") - lon) ** 2,
-        ).orderBy("d2").limit(1).collect()
-        if not cand:
-            raise ForecastRequestError("empty geo dimension")
-        loc_id = cand[0].location_id
+        loc_id = _nearest_location_id(geo, lat, lon)
     else:
         raise ForecastRequestError(
             "Either 'place' or both 'latitude' and 'longitude' must be provided"

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_new_this_round, register
+from .registry import _register_changed_since_green, register
+
+# Round-9 ADVICE fixes touched the stream_session_exec oracle (tie-break
+# on (ts, event_id) in the cumsum; ms-truncated watermark closure per
+# Spark's EventTimeStatsAccum µs→ms floor) — re-certify it.
+_register_changed_since_green("stream_session_exec")
 
 
 # =====================================================================
@@ -35,17 +40,17 @@ from .registry import _register_new_this_round, register
     """
     WITH m AS (SELECT max(ts) AS mx FROM events),
     l AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
       FROM events
     ), g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM l
     ), s AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM g
     ), sess AS (
@@ -56,7 +61,8 @@ from .registry import _register_new_this_round, register
     )
     SELECT user_id, session_start, session_end, n_events
     FROM sess CROSS JOIN m
-    WHERE epoch_us(session_end) <= epoch_us(mx) - 345600000000
+    WHERE epoch_us(session_end)
+          <= (epoch_us(mx) // 1000) * 1000 - 345600000000
     """,
 )
 def q_stream_session_exec(spark, sf_dir):
@@ -715,15 +721,5 @@ def q_ext_graph_triangles(spark, sf_dir):
     )
 
 
-_register_new_this_round(
-    "stream_session_exec",
-    "stream_sliding_exec",
-    "stream_dedup_minhash",
-    "ext_dedup_minhash_md5",
-    "ext_simsearch_ivf_md5",
-    "ext_simsearch_pq_md5",
-    "ext_graph_triangles",
-    "agg_forecast_skill",
-    "ext_eval_dedup_md5",
-    "obs_dataset_manifest",
-)
+# Round-8 _register_new_this_round tail (10 ids) removed at round-9 start
+# per the CLAUDE.md rotation checklist; its members are now carryovers.

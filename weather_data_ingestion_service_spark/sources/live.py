@@ -37,6 +37,13 @@ from .resilience import HttpStatusError, RateLimiter, RetryPolicy, TransientFetc
 #: public API bases (reference server.py:27-28)
 FORECAST_API_BASE = "https://api.open-meteo.com/v1/forecast"
 ARCHIVE_API_BASE = "https://archive-api.open-meteo.com/v1/archive"
+#: Nominatim search endpoint — the reference geocodes free text via
+#: geopy's Nominatim client (server.py:96-119); this is the same public
+#: HTTP API that client wraps.
+GEOCODE_API_BASE = "https://nominatim.openstreetmap.org/search"
+#: Nominatim's usage policy requires an identifying User-Agent (the
+#: reference sends ``openmeteo_mcp_tool``, server.py:105)
+GEOCODE_USER_AGENT = "wds-spark-engine/1.0"
 
 Transport = Callable[[str, dict], tuple[int, str]]
 
@@ -48,10 +55,15 @@ def live_fetch_enabled() -> bool:
 
 def _urllib_transport(url: str, params: dict) -> tuple[int, str]:
     """Default transport: stdlib urllib GET, 30 s timeout (the
-    reference's client timeout, server.py:30)."""
+    reference's client timeout, server.py:30).  Always sends an
+    identifying User-Agent — Nominatim's usage policy rejects the
+    urllib default."""
     full = url + "?" + urllib.parse.urlencode(params) if params else url
+    req = urllib.request.Request(  # noqa: S310
+        full, headers={"User-Agent": GEOCODE_USER_AGENT}
+    )
     try:
-        with urllib.request.urlopen(full, timeout=30.0) as resp:  # noqa: S310
+        with urllib.request.urlopen(req, timeout=30.0) as resp:  # noqa: S310
             return resp.status, resp.read().decode("utf-8")
     except urllib.error.HTTPError as exc:  # remote answered with 4xx/5xx
         return exc.code, exc.read().decode("utf-8", errors="replace")
@@ -128,3 +140,55 @@ def fetch_forecast_document(
     if past_days and past_days > 0:
         params["past_days"] = past_days  # server.py:243-246
     return fetch_json(FORECAST_API_BASE, params, transport=transport)
+
+
+#: one shared throttle for ALL live geocode calls in the process —
+#: the reference wraps its geocoder in
+#: ``AsyncRateLimiter(min_delay_seconds=1.1)`` (server.py:108); a
+#: per-call limiter would defeat the spacing, so the default lives at
+#: module scope and tests inject their own.
+_GEOCODE_LIMITER = RateLimiter(min_delay=1.1)
+
+
+def geocode_place(
+    place: str,
+    transport: Transport | None = None,
+    limiter: RateLimiter | None = None,
+    retry: RetryPolicy | None = None,
+) -> tuple[float, float]:
+    """Free-text place → ``(latitude, longitude)`` via live Nominatim
+    (reference server.py:96-119).
+
+    Reference semantics reproduced exactly:
+
+    - ``exactly_one=True``: request ``limit=1`` (what geopy sends for
+      exactly-one) and take the FIRST hit if the remote returns more
+      anyway — ambiguity resolves to the top-ranked match;
+    - an empty hit list raises ``ValueError("Location '<x>' not
+      found.")`` (server.py:112-114);
+    - any transport/HTTP failure is coerced to
+      ``ValueError("Failed to geocode '<x>': ...")`` — the reference's
+      blanket except at server.py:116-119;
+    - ≥ 1.1 s spacing between calls via the shared module limiter
+      (server.py:108).
+
+    When no transport is injected, requires ``WDS_LIVE_FETCH=1`` (the
+    sandbox is offline); callers fall back to the static geo dimension
+    before reaching here.
+    """
+    limiter = _GEOCODE_LIMITER if limiter is None else limiter
+    params = {"q": place, "format": "jsonv2", "limit": 1}
+    try:
+        hits = fetch_json(
+            GEOCODE_API_BASE, params,
+            retry=retry, limiter=limiter, transport=transport,
+        )
+    except Exception as exc:
+        raise ValueError(f"Failed to geocode '{place}': {exc}") from exc
+    if not hits:
+        raise ValueError(f"Location '{place}' not found.")
+    top = hits[0]
+    try:
+        return float(top["lat"]), float(top["lon"])
+    except (KeyError, TypeError, ValueError) as exc:
+        raise ValueError(f"Failed to geocode '{place}': {exc}") from exc
