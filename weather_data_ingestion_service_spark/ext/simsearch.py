@@ -472,6 +472,133 @@ def pq_topk_md5(
     )
 
 
+def ivfpq_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ: probe ``nprobe`` inverted lists, then ADC-score ONLY
+    the codes inside the probed lists — the composition of
+    ``ivf_topk_md5`` (coarse quantizer + inverted lists) and
+    ``pq_topk_md5`` (product-quantized codes + asymmetric distance),
+    and the actual 100 TB ANN architecture: PQ-flat's ADC pass is
+    linear in the corpus by design, IVF-PQ cuts it to
+    ~nprobe/n_clusters of the corpus while codes keep the vectors
+    RAM-resident (m small ints per vector).
+
+    One hash-sampled codebook (the ``n_clusters`` corpus vectors
+    ranked first under ``(md5(str(id)), id)``) serves as BOTH the
+    coarse quantizer and the shared per-subspace codebook, so a
+    single broadcast cross join + one ``groupBy(id)`` hash aggregate
+    produces coarse assignment (``max_by`` under the (cos, −cid)
+    total order) and all ``m`` PQ code slices (``min_by`` per
+    subspace under the (l2, cid) total order) in ONE corpus pass —
+    map-side partials, no window sort, no second scan.  Codes encode
+    the RAW vector (PQ-flat within lists; residual encoding is the
+    recall refinement, not a different plan shape).  ADC is the
+    fixed-order chain of per-subspace dots (never a grouped float
+    SUM, whose accumulation order neither engine guarantees), so a
+    DuckDB oracle reproduces every comparison bit-for-bit.  At scale:
+    codebook broadcast, corpus written bucketed by ``cluster``,
+    per-query ADC work ∝ nprobe/n_clusters · |corpus| on 4-byte
+    codes."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_clusters)
+        .drop("h")
+    )
+
+    def _cos(a, b):
+        return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+
+    def _l2(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("cvec", s * sub + 1, sub),
+                F.slice("ce", s * sub + 1, sub),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # ONE corpus pass: coarse assignment + all m PQ code slices
+    enc = (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos("cvec", "ce"))
+        .groupBy("match_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct("cos_c", (-F.col("cid")).alias("nc"))
+            ).alias("cid"),
+            *[
+                F.min_by(
+                    F.slice("ce", s * sub + 1, sub),
+                    F.struct(_l2(s).alias("l2"), F.col("cid").alias("cid")),
+                ).alias(f"cv{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos("qvec", "ce"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        probes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+
+    def _d(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qvec", s * sub + 1, sub),
+                F.col(f"cv{s}"),
+                lambda x, c: x.cast("double") * c.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    adc = _d(0)
+    for s in range(1, m):
+        adc = adc + _d(s)
+    scored = (
+        probes.join(enc, "cid")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("adc", adc)
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adc", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
