@@ -28,6 +28,9 @@ from .registry import _register_changed_since_green, register
 # on (ts, event_id) in the cumsum; ms-truncated watermark closure per
 # Spark's EventTimeStatsAccum µs→ms floor) — re-certify it.
 _register_changed_since_green("stream_session_exec")
+# Round-9 upgraded ext_graph_triangles to the degree-oriented wedge
+# join (VERDICT r8 #5) — re-certify it.
+_register_changed_since_green("ext_graph_triangles")
 
 
 # =====================================================================
@@ -671,11 +674,23 @@ def forecast_skill(d, lag_days=(1, 7)):
         ON a.band = b.band AND a.vec_id < b.vec_id
       WHERE bit_count(xor(CAST(a.rest AS BIGINT), CAST(b.rest AS BIGINT)))
             <= 28),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+      GROUP BY v),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS x,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS y
+      FROM edges e
+      JOIN deg da ON da.v = e.a
+      JOIN deg db ON db.v = e.b),
     tri AS (
-      SELECT e1.a AS a, e1.b AS b, e2.b AS c
-      FROM edges e1
-      JOIN edges e2 ON e1.b = e2.a
-      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM o e1
+      JOIN o e2 ON e1.y = e2.x
+      JOIN o e3 ON e3.x = e1.x AND e3.y = e2.y),
     v AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
     SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
     FROM v GROUP BY vec_id ORDER BY vec_id
@@ -686,38 +701,66 @@ def q_ext_graph_triangles(spark, sf_dir):
     (edges = ext_embed_hamming's banded pairs, a DETERMINISTIC edge
     set both engines rebuild bit-for-bit) — the local clustering
     signal that separates dense duplicate cliques from chance
-    near-pairs in an embedding-dedup graph.  Enumeration is the
-    standard oriented edge-edge join on a < b < c (each triangle
-    found exactly once, no permutation blow-up); at 100 TB the
-    orientation would be by DEGREE rather than id (node-iterator++)
-    so high-degree hubs don't own every wedge, and the wedge join
-    shuffles on the shared vertex only.  Oracle restates codes,
-    edges, and the same join.  max_dist=28 (vs the hamming entry's
-    20) because the triangle census needs a connected-enough graph to
-    be non-vacuous at test SF — 56–67 triangles vs 0 at 20 (measured);
-    the dial works exactly like band_bits, recall vs candidate cost."""
+    near-pairs in an embedding-dedup graph.  Enumeration is
+    DEGREE-ORIENTED (node-iterator++ / compact-forward, the r8
+    docstring's named 100 TB upgrade, landed r9): every edge points
+    from its lower-(degree, id) endpoint to the higher, so each
+    triangle is found exactly once as e1(x→y), e2(y→z), e3(x→z), and
+    the wedge join's fan-out per vertex is its OUT-degree, bounded by
+    O(√m) under degree ranking — a hub of degree h owns 0 wedges
+    instead of h²/2 (BASELINE.md skewed-graph probe).  The per-node
+    counts are orientation-invariant, so the oracle restating the
+    same orientation checks the wedge join itself.  max_dist=28 (vs
+    the hamming entry's 20) because the census needs a
+    connected-enough graph to be non-vacuous at test SF — 56–67
+    triangles vs 0 at 20 (measured); the dial works exactly like
+    band_bits, recall vs candidate cost."""
     from .registry_r7 import embed_hamming_pairs
 
-    edges = embed_hamming_pairs(
+    pairs = embed_hamming_pairs(
         load_table(spark, sf_dir, "embeddings"), max_dist=28, ordered=False
     ).select(F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b"))
+    edges = degree_oriented_edges(pairs)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, F.col("e1.y") == F.col("e2.x"))
         .join(
             e3,
-            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            (F.col("e3.x") == F.col("e1.x")) & (F.col("e3.y") == F.col("e2.y")),
         )
         .select(
-            F.col("e1.a").alias("a"),
-            F.col("e1.b").alias("b"),
-            F.col("e2.b").alias("c"),
+            F.col("e1.x").alias("a"),
+            F.col("e1.y").alias("b"),
+            F.col("e2.y").alias("c"),
         )
     )
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def degree_oriented_edges(pairs):
+    """Orient an undirected (a, b) pair table from the lower-(degree,
+    id) endpoint to the higher — the hub-balancing step of the
+    node-iterator++ triangle census.  The degree table is one hash
+    aggregate over the exploded endpoints (|V| rows, broadcast onto
+    the edge table twice); orientation itself is a projection."""
+    deg = (
+        pairs.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("v").alias("b"), F.col("d").alias("db")))
+    e = pairs.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
     )
 
 
