@@ -685,6 +685,71 @@ def decode_audio_features(
     )
 
 
+#: output schema of the exact-integer audio statistics extractor
+AUDIO_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("ssq", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_exact_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "audio",
+) -> DataFrame:
+    """``decode_audio_features`` with the RMS replaced by its exact
+    integer numerator Σx² (``ssq``) — every output column is an exact
+    integer, so a synthesized corpus restates relationally (the
+    float RMS is ``sqrt(ssq / n)`` one driver-side division away).
+    Same Arrow-batched parse; PCM16 only."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_EXACT_SCHEMA}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                with wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"doc {i}: only PCM16 WAV supported "
+                            f"(sampwidth={w.getsampwidth()})"
+                        )
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    frames = w.readframes(w.getnframes())
+                x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                ns = len(x) // max(nch, 1)
+                ch0 = x[::nch] if nch > 1 else x
+                out["doc_id"].append(int(i))
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(ns)
+                out["duration_ms"].append(ns * 1000 // sr)
+                out["peak"].append(int(np.abs(x).max()) if len(x) else 0)
+                out["ssq"].append(int((x * x).sum()))
+                out["zero_crossings"].append(
+                    int(((ch0[:-1] < 0) != (ch0[1:] < 0)).sum())
+                    if len(ch0) > 1
+                    else 0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, AUDIO_EXACT_SCHEMA
+    )
+
+
 def synth_png_payload(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -119,6 +119,186 @@ def q_ext_simsearch_ivfpq(spark, sf_dir):
     return out.withColumn("adc", F.round("adc", 3))
 
 
+# =====================================================================
+# A2. GK sketch error contract, hash-verified (VERDICT r8 #7)
+# =====================================================================
+
+
+@register(
+    "agg_quantile_bounds",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+      FROM v),
+    g AS (SELECT event_type, max(rn) AS n FROM s GROUP BY event_type),
+    r AS (
+      SELECT event_type, n,
+             (n + 1) // 2 AS r50,
+             (9 * n + 9) // 10 AS r90,
+             (n + 999) // 1000 + 2 AS slack
+      FROM g),
+    b AS (
+      SELECT event_type, n,
+             greatest(r50 - slack, 1) AS lo50_r,
+             least(r50 + slack, n) AS hi50_r,
+             greatest(r90 - slack, 1) AS lo90_r,
+             least(r90 + slack, n) AS hi90_r
+      FROM r)
+    SELECT b.event_type, CAST(b.n AS BIGINT) AS n,
+           CAST(round(l50.value * 100) AS BIGINT) AS p50_lo_cents,
+           CAST(round(h50.value * 100) AS BIGINT) AS p50_hi_cents,
+           CAST(round(l90.value * 100) AS BIGINT) AS p90_lo_cents,
+           CAST(round(h90.value * 100) AS BIGINT) AS p90_hi_cents,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM b
+    JOIN s l50 ON l50.event_type = b.event_type AND l50.rn = b.lo50_r
+    JOIN s h50 ON h50.event_type = b.event_type AND h50.rn = b.hi50_r
+    JOIN s l90 ON l90.event_type = b.event_type AND l90.rn = b.lo90_r
+    JOIN s h90 ON h90.event_type = b.event_type AND h90.rn = b.hi90_r
+    ORDER BY b.event_type
+    """,
+)
+def q_agg_quantile_bounds(spark, sf_dir):
+    """The GK sketch's ERROR CONTRACT, hash-verified (VERDICT r8 #7,
+    the ext_eval_dedup_md5 posture): per group, select the EXACT
+    values at ranks target ± (⌈εn⌉ + 2) under the (value) total order
+    (ε = 1/accuracy = 0.001; rank selection per the repo rule — row
+    at an integer rank, never interpolate, NULLs filtered first),
+    publish those bounds as cents, and publish the VERDICT
+    ``percentile_approx result ∈ [lower, upper]`` as a boolean the
+    oracle asserts TRUE.  The sketch value itself stays unpublished
+    (it is implementation-dependent); what the driver hash-checks is
+    that Spark's GK implementation honors its rank-error guarantee on
+    this data — if a Spark upgrade ever broke it, the boolean flips
+    and the row mismatches.  The rows-only ``agg_approx_quantile``
+    stays as the raw sketch surface."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    ranked = ev.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    pa = F.percentile_approx("value", [0.5, 0.9], 1000)
+    stats = ranked.groupBy("event_type").agg(
+        F.max("rn").alias("n"),
+        F.element_at(pa, 1).alias("gk50"),
+        F.element_at(pa, 2).alias("gk90"),
+    )
+    b = stats.select(
+        "event_type",
+        "n",
+        "gk50",
+        "gk90",
+        F.expr("(n + 1) DIV 2").alias("r50"),
+        F.expr("(9 * n + 9) DIV 10").alias("r90"),
+        F.expr("(n + 999) DIV 1000 + 2").alias("slack"),
+    ).select(
+        "event_type",
+        "n",
+        "gk50",
+        "gk90",
+        F.greatest(F.col("r50") - F.col("slack"), F.lit(1)).alias("lo50_r"),
+        F.least(F.col("r50") + F.col("slack"), F.col("n")).alias("hi50_r"),
+        F.greatest(F.col("r90") - F.col("slack"), F.lit(1)).alias("lo90_r"),
+        F.least(F.col("r90") + F.col("slack"), F.col("n")).alias("hi90_r"),
+    )
+    vals = ranked.select("event_type", "rn", "value")
+
+    def pick(rank_col, alias):
+        return F.broadcast(
+            b.select("event_type", F.col(rank_col).alias("rn"))
+        ).join(vals, ["event_type", "rn"]).select(
+            "event_type", F.col("value").alias(alias)
+        )
+
+    out = (
+        b.join(pick("lo50_r", "lo50"), "event_type")
+        .join(pick("hi50_r", "hi50"), "event_type")
+        .join(pick("lo90_r", "lo90"), "event_type")
+        .join(pick("hi90_r", "hi90"), "event_type")
+    )
+    from .registry import _cents
+
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _cents("lo50").alias("p50_lo_cents"),
+        _cents("hi50").alias("p50_hi_cents"),
+        _cents("lo90").alias("p90_lo_cents"),
+        _cents("hi90").alias("p90_hi_cents"),
+        ((F.col("lo50") <= F.col("gk50")) & (F.col("gk50") <= F.col("hi50")))
+        .alias("p50_ok"),
+        ((F.col("lo90") <= F.col("gk90")) & (F.col("gk90") <= F.col("hi90")))
+        .alias("p90_ok"),
+    )
+
+
+# =====================================================================
+# B. WAV audio features, oracle-paired from synthesis params
+#    (VERDICT r8 #6)
+# =====================================================================
+
+
+@register(
+    "ext_multimodal_audio_exact",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             200 + (doc_id % 32) * 20 AS freq,
+             (1 + doc_id % 7) / 8.0 * 32767.0 AS amp
+      FROM documents WHERE doc_id < 48),
+    s AS (
+      SELECT doc_id, t,
+             CAST(round(amp * sin(2 * pi() * freq * t / 8000.0)) AS BIGINT)
+               AS v
+      FROM p, range(0, 1600) r(t)),
+    nxt AS (
+      SELECT doc_id, v,
+             lead(v) OVER (PARTITION BY doc_id ORDER BY t) AS nv
+      FROM s)
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(1600 AS BIGINT) AS n_samples,
+           CAST(200 AS BIGINT) AS duration_ms,
+           CAST(max(abs(v)) AS INT) AS peak,
+           CAST(sum(v * v) AS BIGINT) AS ssq,
+           CAST(count(*) FILTER (WHERE nv IS NOT NULL
+                                   AND (v < 0) <> (nv < 0)) AS BIGINT)
+             AS zero_crossings
+    FROM nxt GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_ext_multimodal_audio_exact(spark, sf_dir):
+    """The REAL WAV pipeline (synthesize PCM16 RIFF containers →
+    Arrow-batched stdlib ``wave`` decode), published as EXACT INTEGER
+    statistics so a DuckDB oracle restates them analytically from the
+    synthesis parameters (VERDICT r8 #6, the frames/resize md5-twin
+    program): sample[t] = round(amp·sin(2π·f·t/8000)) with
+    f = 200 + (id%32)·20 and amp = (1 + id%7)/8·32767, so peak, Σx²
+    (the RMS numerator) and the zero-crossing count are engine-neutral
+    integers.  Cross-engine exactness was probe-verified sample by
+    sample: DuckDB's sin() is bit-identical to CPython's libm call on
+    all 76,800 samples, and the only half-integer samples (±16383.5
+    at amp=16383.5, sin=±1) round identically under Python's
+    half-even and DuckDB's half-away rules because 16384 is even.
+    This upgrades the rows-only ``ext_multimodal_audio`` (same synth,
+    same parse, float RMS) to hash-verified; the binary round-trip
+    byte contract stays pinned by pytest."""
+    from .ext.multimodal import audio_exact_stats, synth_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    wav = synth_wav_payload(docs, "doc_id")
+    return audio_exact_stats(wav, "doc_id")
+
+
 _register_new_this_round(
     "ext_simsearch_ivfpq",
+    "ext_multimodal_audio_exact",
+    "agg_quantile_bounds",
 )
