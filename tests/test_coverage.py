@@ -142,6 +142,10 @@ ORACLE_IDS = {
     "ext_simsearch_ivf_md5", "ext_simsearch_pq_md5", "ext_graph_triangles",
     "stream_dedup_minhash", "agg_forecast_skill", "ext_eval_dedup_md5",
     "obs_dataset_manifest",
+    # round 9 additions (VERDICT r8 punch list: IVF-PQ composition,
+    # audio exact-stats twin, GK error contract, 2-batch stateful exec)
+    "ext_simsearch_ivfpq", "ext_multimodal_audio_exact",
+    "agg_quantile_bounds", "stream_sessionize_exec2",
 }
 
 ROWS_ONLY_IDS = {

@@ -239,6 +239,67 @@ def q_agg_quantile_bounds(spark, sf_dir):
 
 
 # =====================================================================
+# A3. Multi-batch stateful sessionization, driver-certified
+#     (VERDICT r8 #8)
+# =====================================================================
+
+
+def _sessionize_twin_sql():
+    # share stream_sessionize_stateful's batch-twin oracle VERBATIM:
+    # with a time-ordered batch split, the 2-epoch stateful replay must
+    # emit exactly the single-pass closed prefix, so any drift between
+    # the two entries is a bug, not a tolerance
+    from . import registry_r4  # noqa: F401 — registers the twin on direct import
+    from .registry import _ORACLE
+
+    return _ORACLE["stream_sessionize_stateful"]
+
+
+@register("stream_sessionize_exec2", _sessionize_twin_sql())
+def q_stream_sessionize_exec2(spark, sf_dir):
+    """A REAL 2-micro-batch ``applyInPandasWithState`` sessionization
+    run (VERDICT r8 #8 — the one streaming-family member whose
+    MULTI-batch path was pytest-only): events staged as two
+    time-split files arriving one per trigger
+    (``maxFilesPerTrigger=1``), per-user open-session state carried
+    across the epoch boundary, append emitting each CLOSED session
+    exactly once.  Because the split is time-ordered, the emitted set
+    equals the single-pass gap-islands closure — the oracle is
+    ``stream_sessionize_stateful``'s batch twin shared VERBATIM (the
+    stream_sliding_exec pattern) — while the execution now proves the
+    state carry: sessions SPANNING the boundary (open at end of epoch
+    0, extended or closed in epoch 1) come out identical to the batch
+    GROUP BY.  State at 100 TB is one open session per active user."""
+    import os
+    import shutil
+
+    from .registry import _clean_stale_scratch, _session_tag
+    from .streaming.jobs import run_stream_to_memory
+    from .streaming.stateful import sessions_stateful
+
+    _clean_stale_scratch("/tmp/wds_sess2_*")
+    root = f"/tmp/wds_sess2_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    now = 1_700_000_000
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    ):
+        sub = os.path.join(root, f"f{i}")
+        part.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/f*")
+    )
+    out = sessions_stateful(stream, "user_id", "ts", gap_seconds=6 * 3600)
+    return run_stream_to_memory(out, output_mode="append")
+
+
+# =====================================================================
 # B. WAV audio features, oracle-paired from synthesis params
 #    (VERDICT r8 #6)
 # =====================================================================
@@ -301,4 +362,5 @@ _register_new_this_round(
     "ext_simsearch_ivfpq",
     "ext_multimodal_audio_exact",
     "agg_quantile_bounds",
+    "stream_sessionize_exec2",
 )
