@@ -145,6 +145,12 @@ HEADLINE = [
     "ext_simsearch_pq_md5",
     "ext_graph_triangles",
     "ext_eval_dedup_md5",
+    # round-9 additions: the IVF-PQ composition (probed-list ADC), the
+    # GK error-contract bracket (full window sort + sketch per group),
+    # and the 2-micro-batch stateful sessionization replay
+    "ext_simsearch_ivfpq",
+    "agg_quantile_bounds",
+    "stream_sessionize_exec2",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

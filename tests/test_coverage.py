@@ -145,7 +145,8 @@ ORACLE_IDS = {
     # round 9 additions (VERDICT r8 punch list: IVF-PQ composition,
     # audio exact-stats twin, GK error contract, 2-batch stateful exec)
     "ext_simsearch_ivfpq", "ext_multimodal_audio_exact",
-    "agg_quantile_bounds", "stream_sessionize_exec2",
+    "agg_quantile_bounds", "stream_sessionize_exec2", "ext_text_bm25",
+    "stream_quantile_bounds",
 }
 
 ROWS_ONLY_IDS = {

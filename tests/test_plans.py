@@ -161,8 +161,20 @@ EXCHANGE_BUDGET = {
     "agg_forecast_skill": 4,     # daily agg + lag date join + final agg
     "ext_simsearch_ivf_md5": 5,  # codebook take + max_by assign agg
                                  # + probe/rerank windows
-    "ext_graph_triangles": 10,   # code agg + 3× edge subplan (physically
-                                 # deduped via ReusedExchange) + census agg
+    "ext_graph_triangles": 13,   # persisted oriented-edge barrier (pairs
+                                 # + degree agg planned once), 2 wedge
+                                 # SMJs (AQE broadcasts at runtime —
+                                 # edges aren't broadcastable at 100 TB,
+                                 # so the static plan keeps the shuffle)
+                                 # + census agg
+    # round-9 additions
+    "ext_simsearch_ivfpq": 5,    # codebook take + one-pass assign+encode
+                                 # agg + probe window + probed-list join
+    "agg_quantile_bounds": 9,    # per-group rank window + GK agg + 4
+                                 # bound-pick joins (each a broadcast of
+                                 # an O(groups) rank table; the shuffles
+                                 # sit on the shared ranked frame)
+    "ext_text_bm25": 4,          # tf agg + dl agg + pivot agg + rank
     "agg_multi_distinct": 3,     # Expand + two-phase distinct agg
     "agg_grouping_id": 1,        # Expand, single shuffle
     "win_time_range_sum": 1,

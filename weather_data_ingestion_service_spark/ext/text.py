@@ -297,6 +297,110 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_terms: int = 8,
+    skip_head: int = 4,
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document ranking for a corpus-derived query — the
+    retrieval-standard scorer (tf saturation + document-length
+    normalization, the two things TF-IDF lacks) every RAG / dataset
+    retrieval stack runs.
+
+    The query is itself deterministic and corpus-derived: the
+    ``n_terms`` tokens ranked ``skip_head+1 .. skip_head+n_terms``
+    under (df DESC, token ASC) — the Zipf torso, past the stopword-ish
+    head where idf is uninformative.  That term table is O(vocab)
+    reduced to ``n_terms`` rows, so collecting it to the driver is a
+    constant-size control-plane read, after which the per-doc score is
+    one broadcast semi-join + one hash aggregate over the corpus.
+
+    Cross-engine determinism: per-term idf = ln((N − df + 0.5)/
+    (df + 0.5) + 1) is computed DRIVER-SIDE in CPython and injected as
+    double literals — CPython and DuckDB share glibc's ln
+    (probe-verified bit-identical over the full df domain) while the
+    JVM's fdlibm ln may differ in the last ulp; every other operation
+    (saturation quotient, fixed-order term-sum chain) is pinned IEEE
+    arithmetic on identical doubles, and the published score is
+    ``floor(1e6·score)``.  A grouped float SUM over term rows would
+    have engine-dependent accumulation order — the chain is summed in
+    fixed term-rank order like the PQ ADC chain.
+
+    Scale shape: tokenize → per-doc tf + length (map-side combining),
+    query-term tf via broadcast of ``n_terms`` terms, one groupBy(doc)
+    pivot, top-k via the rank window.  Nothing corpus-sized shuffles
+    except the tf aggregate itself.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.count()
+    wq = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (
+        dfreq.withColumn("trank", F.row_number().over(wq))
+        .filter(
+            (F.col("trank") > skip_head)
+            & (F.col("trank") <= skip_head + n_terms)
+        )
+        .collect()
+    )  # O(n_terms) control-plane read — the query, not the corpus
+    qterms = sorted(qterms, key=lambda r: r["trank"])
+    idf = {
+        r["term"]: math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+        for r in qterms
+    }
+    order = [r["term"] for r in qterms]
+
+    # avgdl as the exact double sum(dl)/N — one scalar driver read
+    _avgdl = dl.agg(F.sum("dl")).first()[0] / n_docs
+
+    qtf = tf.filter(F.col("term").isin(order))
+    pivoted = qtf.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(order)
+        ]
+    )
+    scored = pivoted.join(dl, id_col)
+
+    def s(i, t):
+        tfc = F.col(f"tf{i}").cast("double")
+        denom = tfc + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.lit(float(_avgdl)))
+        )
+        return F.lit(idf[t]) * ((tfc * F.lit(k1 + 1.0)) / denom)
+
+    chain = s(0, order[0])
+    for i, t in enumerate(order[1:], start=1):
+        chain = chain + s(i, t)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn(
+            "score_micro", F.floor(F.lit(1e6) * chain).cast("long")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "dl", "score_micro", "rnk")
+    )
+
+
 def token_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document lexical-diversity signal via the Gini–Simpson
     index: ``1 - Σ c_i² / n²`` over the token counts (probability two

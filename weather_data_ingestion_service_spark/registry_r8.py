@@ -720,7 +720,11 @@ def q_ext_graph_triangles(spark, sf_dir):
     pairs = embed_hamming_pairs(
         load_table(spark, sf_dir, "embeddings"), max_dist=28, ordered=False
     ).select(F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b"))
-    edges = degree_oriented_edges(pairs)
+    # persist the oriented edge list: it feeds all three legs of the
+    # wedge join AND the degree aggregate re-reads the pair table —
+    # without the barrier the banded-pair subplan is planned 6× (the
+    # minhash signature-table precedent, ext/dedup.py)
+    edges = degree_oriented_edges(pairs).persist()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.y") == F.col("e2.x"))

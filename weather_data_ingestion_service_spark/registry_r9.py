@@ -176,6 +176,14 @@ def q_agg_quantile_bounds(spark, sf_dir):
     this data — if a Spark upgrade ever broke it, the boolean flips
     and the row mismatches.  The rows-only ``agg_approx_quantile``
     stays as the raw sketch surface."""
+    return _quantile_bounds_frame(spark, sf_dir)
+
+
+def _quantile_bounds_frame(spark, sf_dir, gk_override=None):
+    """Shared body of the GK error-contract entries: exact ranked
+    bounds from the batch table, GK values from ``gk_override``
+    (event_type, gk50, gk90) when given — else from a batch
+    percentile_approx — and the in-bounds verdicts."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -183,12 +191,17 @@ def q_agg_quantile_bounds(spark, sf_dir):
     ranked = ev.select("event_type", "value").withColumn(
         "rn", F.row_number().over(w)
     )
-    pa = F.percentile_approx("value", [0.5, 0.9], 1000)
-    stats = ranked.groupBy("event_type").agg(
-        F.max("rn").alias("n"),
-        F.element_at(pa, 1).alias("gk50"),
-        F.element_at(pa, 2).alias("gk90"),
-    )
+    if gk_override is not None:
+        stats = ranked.groupBy("event_type").agg(
+            F.max("rn").alias("n")
+        ).join(gk_override, "event_type")
+    else:
+        pa = F.percentile_approx("value", [0.5, 0.9], 1000)
+        stats = ranked.groupBy("event_type").agg(
+            F.max("rn").alias("n"),
+            F.element_at(pa, 1).alias("gk50"),
+            F.element_at(pa, 2).alias("gk90"),
+        )
     b = stats.select(
         "event_type",
         "n",
@@ -236,6 +249,62 @@ def q_agg_quantile_bounds(spark, sf_dir):
         ((F.col("lo90") <= F.col("gk90")) & (F.col("gk90") <= F.col("hi90")))
         .alias("p90_ok"),
     )
+
+
+def _quantile_bounds_twin_sql():
+    # share agg_quantile_bounds' oracle VERBATIM: the MERGED sketch
+    # must honor the same rank-error contract as the single-pass one
+    from .registry import _ORACLE
+
+    return _ORACLE["agg_quantile_bounds"]
+
+
+@register("stream_quantile_bounds", _quantile_bounds_twin_sql())
+def q_stream_quantile_bounds(spark, sf_dir):
+    """GK sketch MERGEABILITY, driver-certified: the same error
+    contract as ``agg_quantile_bounds``, but with the percentile
+    sketch built by a REAL 2-micro-batch complete-mode streaming
+    aggregation (time-split files one per trigger), so epoch 1's
+    partial GK state is MERGED with epoch 0's stored state rather
+    than built in one pass.  Merged summaries are a different object
+    than single-pass ones (Spark's QuantileSummaries.merge keeps the
+    max relative error of the inputs), so the sketch VALUES may
+    legitimately differ from the batch entry's — what must hold, and
+    what the shared-verbatim oracle asserts, is the rank bracket.
+    Mergeability is the property that lets 1000 executors sketch 100
+    TB independently and combine."""
+    import os
+    import shutil
+
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_qb2_*")
+    root = f"/tmp/wds_qb2_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    now = 1_700_000_000
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    ):
+        sub = os.path.join(root, f"f{i}")
+        part.select("event_type", "value").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/f*")
+    )
+    pa = F.percentile_approx("value", [0.5, 0.9], 1000)
+    agg = stream.filter(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.element_at(pa, 1).alias("gk50"),
+        F.element_at(pa, 2).alias("gk90"),
+    )
+    from .streaming.jobs import run_stream_to_memory
+
+    gk = run_stream_to_memory(agg, output_mode="complete")
+    return _quantile_bounds_frame(spark, sf_dir, gk_override=gk)
 
 
 # =====================================================================
@@ -297,6 +366,95 @@ def q_stream_sessionize_exec2(spark, sf_dir):
     )
     out = sessions_stateful(stream, "user_id", "ts", gap_seconds=6 * 3600)
     return run_stream_to_memory(out, output_mode="append")
+
+
+# =====================================================================
+# A4. Okapi BM25 retrieval ranking (corpus-derived query)
+# =====================================================================
+
+
+def _bm25_score_sql(i: int) -> str:
+    # MUST mirror ext/text.bm25_topk's per-term expression token for
+    # token: idf · ((tf·2.2) / (tf + 1.2·(0.25 + 0.75·(dl/avgdl))))
+    return (
+        f"iw.idf{i} * ((CAST(p.tf{i} AS DOUBLE) * 2.2) / "
+        f"(CAST(p.tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+        f"(CAST(d.dl AS DOUBLE) / a.avgdl))))"
+    )
+
+
+def _bm25_oracle(n_terms=8, skip_head=4, k=15):
+    pivots = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN q.trank = {skip_head + 1 + i} "
+        f"THEN t.tf END), 0) AS tf{i}"
+        for i in range(n_terms)
+    )
+    idfs = ",\n             ".join(
+        f"any_value(CASE WHEN trank = {skip_head + 1 + i} "
+        f"THEN idf END) AS idf{i}"
+        for i in range(n_terms)
+    )
+    chain = " + ".join(_bm25_score_sql(i) for i in range(n_terms))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    ranked AS (
+      SELECT term, df,
+             row_number() OVER (ORDER BY df DESC, term) AS trank
+      FROM dfreq),
+    q AS (
+      SELECT term, df, trank,
+             ln((nn.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM ranked CROSS JOIN nn
+      WHERE trank > {skip_head} AND trank <= {skip_head + n_terms}),
+    iw AS (SELECT {idfs} FROM q),
+    a AS (SELECT CAST(sum(dl) AS DOUBLE) / any_value(nn.n) AS avgdl
+          FROM dl CROSS JOIN nn),
+    p AS (
+      SELECT t.doc_id,
+             {pivots}
+      FROM tf t JOIN q USING (term) GROUP BY t.doc_id),
+    sc AS (
+      SELECT p.doc_id, d.dl,
+             CAST(floor(1000000.0 * ({chain})) AS BIGINT) AS score_micro
+      FROM p JOIN dl d USING (doc_id) CROSS JOIN iw CROSS JOIN a),
+    r AS (
+      SELECT doc_id, dl, score_micro,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM sc)
+    SELECT doc_id, dl, score_micro, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {k} ORDER BY rnk
+    """
+
+
+@register("ext_text_bm25", _bm25_oracle())
+def q_ext_text_bm25(spark, sf_dir):
+    """Okapi BM25 top-15 documents for a corpus-derived 8-term query
+    (the Zipf-torso tokens ranked 5–12 by document frequency) — the
+    retrieval-standard scorer (tf saturation + length normalization)
+    every RAG / training-data retrieval stack runs; complements
+    ext_text_tfidf the way PQ complements exact cosine.  Cross-engine
+    exactness: per-term idf is computed DRIVER-SIDE in CPython and
+    injected as literals (CPython and DuckDB share glibc ln —
+    probe-verified bit-identical over the df domain — while the JVM's
+    fdlibm may differ in the last ulp); the saturation quotient and
+    the term-sum run as a FIXED-ORDER chain of pinned IEEE ops, and
+    the published score is floor-micro.  One tf aggregate over the
+    corpus, vocabulary-sized df table reduced to 8 rows before the
+    driver reads it."""
+    from .ext.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text")
 
 
 # =====================================================================
@@ -363,4 +521,6 @@ _register_new_this_round(
     "ext_multimodal_audio_exact",
     "agg_quantile_bounds",
     "stream_sessionize_exec2",
+    "ext_text_bm25",
+    "stream_quantile_bounds",
 )
