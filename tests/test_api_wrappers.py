@@ -648,12 +648,13 @@ class TestStdioServe:
              "params": {"name": "get_forecast",
                         "arguments": {"place": "Atlantis"}}},
             {"jsonrpc": "2.0", "id": 5, "method": "bogus/method"},
+            {"jsonrpc": "2.0", "id": 6, "method": "ping"},
         ]
         stdin = io.StringIO("".join(json.dumps(m) + "\n" for m in msgs))
         stdout = io.StringIO()
         serve_stdio(spark, stdin, stdout)
         out = [json.loads(l) for l in stdout.getvalue().strip().split("\n")]
-        assert len(out) == 5  # the notification got no reply
+        assert len(out) == 6  # the notification got no reply
         byid = {r["id"]: r for r in out}
         assert byid[1]["result"]["serverInfo"]["name"] == "weather-engine"
         tools = {t["name"] for t in byid[2]["result"]["tools"]}
@@ -667,6 +668,7 @@ class TestStdioServe:
         assert bad["isError"] is True
         assert "Atlantis" in json.loads(bad["content"][0]["text"])["message"]
         assert byid[5]["error"]["code"] == -32601
+        assert byid[6]["result"] == {}  # MCP ping liveness probe
 
     def test_stdio_loop_round_trip(self, spark):
         import io

@@ -3341,3 +3341,106 @@ class TestVariogram:
             assert lags == {
                 k: n - k for k in range(1, 8) if n - k >= 1
             }
+
+
+class TestRound9Ops:
+    def test_degree_oriented_edges_exactly_once_and_hub_balanced(self, spark):
+        """Every undirected pair appears exactly once in the oriented
+        output, oriented low-(degree, id) → high; a unique-max-degree
+        hub therefore has OUT-degree 0 — the wedge-balance property
+        the triangle census rides."""
+        from weather_data_ingestion_service_spark.registry_r8 import (
+            degree_oriented_edges,
+        )
+
+        # hub 50 connected to 1..6, plus chain 1-2, 2-3 (deg(2)=3)
+        pairs = [(min(a, b), max(a, b)) for a, b in
+                 [(50, i) for i in range(1, 7)] + [(1, 2), (2, 3)]]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = [(r.x, r.y) for r in degree_oriented_edges(df).collect()]
+        assert len(got) == len(pairs)
+        assert sorted((min(x, y), max(x, y)) for x, y in got) == sorted(pairs)
+        deg = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        for x, y in got:
+            assert (deg[x], x) < (deg[y], y)
+        assert not [1 for x, _ in got if x == 50]  # hub owns no wedge
+
+    def test_audio_exact_stats_consistent_with_float_decode(self, spark, sf_dir):
+        """The exact-integer twin and the float decoder must describe
+        the same signal: identical peak/zero-crossings/duration and
+        rms == sqrt(ssq/n) bit-for-bit (numpy computes it the same
+        way)."""
+        import math
+
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            audio_exact_stats,
+            decode_audio_features,
+            synth_wav_payload,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+        wav = synth_wav_payload(docs, "doc_id")
+        exact = {r.doc_id: r for r in audio_exact_stats(wav, "doc_id").collect()}
+        flt = {r.doc_id: r for r in decode_audio_features(wav, "doc_id").collect()}
+        assert set(exact) == set(flt) == set(range(8))
+        for i in exact:
+            e, f = exact[i], flt[i]
+            assert (e.peak, e.zero_crossings, e.duration_ms, e.n_samples) == (
+                f.peak, f.zero_crossings, f.duration_ms, f.n_samples
+            )
+            assert abs(math.sqrt(e.ssq / e.n_samples) - f.rms) < 1e-9
+
+    def test_bm25_matches_hand_computed(self, spark):
+        """BM25 on a 3-doc corpus against the textbook formula
+        computed by hand in Python (same glibc ln)."""
+        import math
+
+        from weather_data_ingestion_service_spark.ext.text import bm25_topk
+
+        corpus = [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple apple apple banana cherry date"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        # df: apple 2, banana 3, cherry 2, date 1 → rank by (df desc,
+        # term asc): banana(1), apple(2), cherry(3), date(4)
+        got = {
+            r.doc_id: (r.dl, r.score_micro)
+            for r in bm25_topk(
+                df, "doc_id", "text", n_terms=2, skip_head=1, k=3
+            ).collect()
+        }
+        # query = ranks 2..3 = [apple, cherry]
+        n, avgdl = 3, (3 + 2 + 6) / 3
+        tf = {0: {"apple": 2, "cherry": 0}, 1: {"apple": 0, "cherry": 1},
+              2: {"apple": 3, "cherry": 1}}
+        dl = {0: 3, 1: 2, 2: 6}
+        idf = {t: math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+               for t, d in (("apple", 2), ("cherry", 2))}
+        for i in (0, 1, 2):
+            s = 0.0
+            for t in ("apple", "cherry"):  # fixed rank order
+                tfv = float(tf[i][t])
+                s = s + idf[t] * (
+                    (tfv * 2.2)
+                    / (tfv + 1.2 * (0.25 + 0.75 * (float(dl[i]) / avgdl)))
+                )
+            assert got[i] == (dl[i], math.floor(1e6 * s))
+
+    def test_quantile_bounds_brackets_hold_engine_side(self, spark, sf_dir):
+        """Every group's GK p50/p90 must sit inside its exact rank
+        bracket and lo <= hi — the contract the driver hash-checks,
+        pinned here without DuckDB in the loop."""
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["agg_quantile_bounds"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.p50_lo_cents <= r.p50_hi_cents
+            assert r.p90_lo_cents <= r.p90_hi_cents
+            assert r.p50_ok and r.p90_ok, r

@@ -206,6 +206,8 @@ def handle_rpc(spark: SparkSession, req: dict) -> dict | None:
         return _rpc_error(req_id, -32600, "missing method")
     if req_id is None:  # notification (e.g. notifications/initialized)
         return None
+    if method == "ping":  # MCP liveness probe: empty result
+        return _rpc_result(req_id, {})
     if method == "initialize":
         return _rpc_result(req_id, {
             "protocolVersion": PROTOCOL_VERSION,

@@ -77,8 +77,10 @@ def fetch_json(
     retry: RetryPolicy | None = None,
     limiter: RateLimiter | None = None,
     transport: Transport | None = None,
-) -> dict:
-    """GET + parse JSON under the reference's resilience envelope.
+) -> dict | list:
+    """GET + parse JSON under the reference's resilience envelope
+    (Open-Meteo bodies are objects; Nominatim search bodies are
+    arrays).
 
     Raises ``HttpStatusError`` (with parsed ``reason`` + raw body) on
     an error status, ``TransientFetchError`` after retries exhaust.
