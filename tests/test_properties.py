@@ -1574,3 +1574,62 @@ class TestRound8Laws:
         # |actual|=1300; day4's predecessor (day3) is missing; lag 7
         # yields no pairs at all (the group simply doesn't appear)
         assert got == [("a", 1, 1, 300, 300, 1300)]
+
+
+class TestTriangleCensusLaw:
+    @settings(max_examples=6, deadline=None)
+    @given(
+        edges=st.sets(
+            st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=3,
+            max_size=30,
+        )
+    )
+    def test_degree_oriented_census_equals_brute_force(self, spark, edges):
+        """Law: the degree-oriented wedge join counts exactly the
+        brute-force per-node triangle census on ANY small graph —
+        orientation changes the join fan-out, never the result."""
+        from itertools import combinations
+
+        from weather_data_ingestion_service_spark.registry_r8 import (
+            degree_oriented_edges,
+        )
+
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        pairs = spark.createDataFrame(sorted(und), "a long, b long")
+        e = degree_oriented_edges(pairs).persist()
+        e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.y") == F.col("e2.x"))
+            .join(
+                e3,
+                (F.col("e3.x") == F.col("e1.x"))
+                & (F.col("e3.y") == F.col("e2.y")),
+            )
+            .select(
+                F.col("e1.x").alias("a"),
+                F.col("e1.y").alias("b"),
+                F.col("e2.y").alias("c"),
+            )
+        )
+        got = {
+            r.vec_id: r.n
+            for r in tri.select(
+                F.explode(F.array("a", "b", "c")).alias("vec_id")
+            )
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        e.unpersist()
+        nodes = {v for p in und for v in p}
+        want: dict[int, int] = {}
+        for x, y, z in combinations(sorted(nodes), 3):
+            if (
+                (x, y) in und and (y, z) in und and (x, z) in und
+            ):
+                for v in (x, y, z):
+                    want[v] = want.get(v, 0) + 1
+        assert got == want

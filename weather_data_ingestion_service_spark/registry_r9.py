@@ -458,6 +458,103 @@ def q_ext_text_bm25(spark, sf_dir):
 
 
 # =====================================================================
+# A5. Manifest-based copy verification (the r8 manifest's consumer)
+# =====================================================================
+
+
+_MANIFEST_SQL = """
+      SELECT doc_id % 8 AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+             sum(CAST(CAST('0x' || substr(md5(doc_id || ':' || text), 1, 13)
+                           AS BIGINT) AS HUGEINT)) AS checksum
+      FROM {src} GROUP BY shard"""
+
+
+@register(
+    "obs_manifest_diff",
+    f"""
+    WITH a AS ({_MANIFEST_SQL.format(src="documents")}),
+    copy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = 13 THEN upper(text) ELSE text END AS text,
+             n_chars
+      FROM documents WHERE doc_id <> 7),
+    b AS ({_MANIFEST_SQL.format(src="copy")})
+    SELECT a.shard,
+           a.n_docs AS n_docs_src, b.n_docs AS n_docs_copy,
+           a.n_docs = b.n_docs AS rows_match,
+           a.chars_sum = b.chars_sum AS chars_match,
+           a.checksum = b.checksum AS content_match
+    FROM a JOIN b USING (shard) ORDER BY a.shard
+    """,
+)
+def q_obs_manifest_diff(spark, sf_dir):
+    """Manifest-based copy verification — the CONSUMER of
+    ``obs_dataset_manifest`` (r8): diff the per-shard manifests of the
+    source corpus and a copy, flagging per shard whether row counts,
+    byte volume, and the order-independent content checksum agree.
+    The 'copy' here carries two planted faults (doc 7 dropped — a lost
+    row; doc 13 text uppercased — silent corruption with UNCHANGED
+    length, which only the content checksum catches: chars_match stays
+    true, content_match flips), so the entry hash-verifies that the
+    checksum detects exactly what it claims to at exactly the shards
+    it should (shards 7%8 and 13%8).  Verifying a 100 TB cross-region
+    copy costs one scan per side and an 8-row join — never a row-level
+    diff."""
+    docs = load_table(spark, sf_dir, "documents")
+    faulty = docs.filter(F.col("doc_id") != 7).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 13, F.upper("text")).otherwise(F.col("text")),
+    )
+
+    def manifest(d, suffix):
+        rh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            d.select(
+                (F.col("doc_id") % 8).cast("long").alias("shard"),
+                F.col("n_chars"),
+                rh.alias("rh"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_docs_{suffix}"),
+                F.sum("n_chars").cast("long").alias(f"chars_{suffix}"),
+                # exact wide sum INTERNALLY (int64 overflows at scale;
+                # the r8 manifest's digit-string rule) — only the
+                # equality boolean is published, so no Decimal column
+                # ever reaches the driver
+                F.sum(F.col("rh").cast("decimal(38,0)")).alias(f"sum_{suffix}"),
+            )
+        )
+
+    a, b = manifest(docs, "src"), manifest(faulty, "copy")
+    return (
+        a.join(b, "shard")
+        .select(
+            "shard",
+            "n_docs_src",
+            "n_docs_copy",
+            (F.col("n_docs_src") == F.col("n_docs_copy")).alias("rows_match"),
+            (F.col("chars_src") == F.col("chars_copy")).alias("chars_match"),
+            (F.col("sum_src") == F.col("sum_copy")).alias("content_match"),
+        )
+    )
+
+
+# =====================================================================
 # B. WAV audio features, oracle-paired from synthesis params
 #    (VERDICT r8 #6)
 # =====================================================================
@@ -523,4 +620,5 @@ _register_new_this_round(
     "stream_sessionize_exec2",
     "ext_text_bm25",
     "stream_quantile_bounds",
+    "obs_manifest_diff",
 )
