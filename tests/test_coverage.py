@@ -146,7 +146,7 @@ ORACLE_IDS = {
     # audio exact-stats twin, GK error contract, 2-batch stateful exec)
     "ext_simsearch_ivfpq", "ext_multimodal_audio_exact",
     "agg_quantile_bounds", "stream_sessionize_exec2", "ext_text_bm25",
-    "stream_quantile_bounds", "obs_manifest_diff",
+    "stream_quantile_bounds", "obs_manifest_diff", "ext_eval_ivfpq_recall",
 }
 
 ROWS_ONLY_IDS = {

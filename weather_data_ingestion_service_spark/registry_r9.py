@@ -26,7 +26,7 @@ from .registry import _register_new_this_round, register
 # =====================================================================
 
 
-def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3):
+def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3, ctes_only=False):
     from .registry_ext import _COSINE_SQL
 
     cos_assign = _COSINE_SQL.format(a="e.embedding", b="c.ce")
@@ -43,8 +43,7 @@ def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3):
         f" AS DOUBLE[]), CAST(x.cv{s} AS DOUBLE[]))"
         for s in range(m)
     )
-    return f"""
-    WITH cent AS (
+    ctes = f"""cent AS (
       SELECT vec_id AS cid, embedding AS ce FROM embeddings
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent}),
     assign AS (
@@ -86,7 +85,11 @@ def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3):
       SELECT query_id, match_id, adc,
              row_number() OVER (PARTITION BY query_id
                ORDER BY adc DESC, match_id) AS rank
-      FROM scored)
+      FROM scored)"""
+    if ctes_only:
+        return ctes
+    return f"""
+    WITH {ctes}
     SELECT query_id, match_id, round(adc, 3) AS adc, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= {k} ORDER BY query_id, rank
     """
@@ -117,6 +120,74 @@ def q_ext_simsearch_ivfpq(spark, sf_dir):
         m=8,
     )
     return out.withColumn("adc", F.round("adc", 3))
+
+
+def _ivfpq_recall_oracle(k=3):
+    from .registry_ext import _COSINE_SQL
+
+    cos = _COSINE_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH {_ivfpq_md5_oracle(ctes_only=True)},
+    appr AS (SELECT query_id, match_id FROM r WHERE rank <= {k}),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      WHERE rank <= {k}),
+    hits AS (SELECT query_id, match_id FROM exact
+             INTERSECT SELECT query_id, match_id FROM appr)
+    SELECT CAST((SELECT count(DISTINCT query_id) FROM exact) AS BIGINT)
+             AS n_queries,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+             AS recall_micro
+    """
+
+
+@register("ext_eval_ivfpq_recall", _ivfpq_recall_oracle())
+def q_ext_eval_ivfpq_recall(spark, sf_dir):
+    """Recall@3 of the IVF-PQ path against exact brute-force cosine —
+    the QA gate a pipeline runs before trusting a probed-quantized
+    index, HASH-VERIFIED end-to-end like ``ext_eval_dedup_md5``: both
+    the approximate side (probed lists + ADC) and the exact side
+    (full cosine top-3) restate in SQL, so the oracle checks the
+    EVALUATOR and the measured recall value itself — if a future edit
+    degrades IVF-PQ recall on this corpus, the hashed recall_micro
+    changes and the driver flags it.  Counts and recall in integer
+    micro-units."""
+    from .ext.simsearch import cosine_topk, ivfpq_topk_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q5 = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q5, "vec_id", "embedding", k=3).select(
+        "query_id", "match_id"
+    ).persist()
+    appr = ivfpq_topk_md5(emb, q5, "vec_id", "embedding", k=3).select(
+        "query_id", "match_id"
+    ).persist()
+    try:
+        n_truth = exact.count()
+        n_q = exact.select("query_id").distinct().count()
+        n_hits = exact.join(appr, ["query_id", "match_id"], "left_semi").count()
+    finally:
+        exact.unpersist()
+        appr.unpersist()
+    rows = [
+        (
+            int(n_q),
+            int(n_truth),
+            int(n_hits),
+            int(n_hits * 1_000_000 // max(n_truth, 1)),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n_queries long, n_truth long, n_hits long, recall_micro long"
+    )
 
 
 # =====================================================================
@@ -621,4 +692,5 @@ _register_new_this_round(
     "ext_text_bm25",
     "stream_quantile_bounds",
     "obs_manifest_diff",
+    "ext_eval_ivfpq_recall",
 )
