@@ -599,6 +599,146 @@ def ivfpq_topk_md5(
     )
 
 
+def ivfpq_residual_topk_md5(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the recall refinement over
+    ``ivfpq_topk_md5`` and what production IVF-PQ indexes default to:
+    PQ codes quantize ``x − coarse_centroid(x)`` instead of ``x``, so
+    the codebook only has to cover the (much tighter) within-cell
+    residual distribution, and the reconstruction is
+    ``x̂ = coarse_centroid + Σ_s code_s``.  ADC scoring becomes
+    ``dot(q, coarse) + Σ_s dot(q_s, code_s)`` — one extra fixed-order
+    term, same probed-list scan shape.
+
+    Two corpus passes instead of one (the residual depends on the
+    coarse choice, so encoding cannot fold into the assignment
+    aggregate): pass 1 assigns ``(cid, coarse_ce)`` via ``max_by``;
+    pass 2 ``min_by``-encodes the residual slices against the same
+    broadcast codebook.  All comparisons stay on pinned IEEE doubles
+    under (metric, cid) total orders, so the DuckDB oracle restates
+    them exactly."""
+    from pyspark.sql import Window
+
+    sub = dim // m
+    cent = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_clusters)
+        .drop("h")
+    )
+
+    def _cos(a, b):
+        return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+
+    # pass 1: coarse assignment keeps the chosen centroid VECTOR
+    assign = (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos("cvec", "ce"))
+        .groupBy("match_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct("cos_c", (-F.col("cid")).alias("nc"))
+            ).alias("acid"),
+            F.max_by(
+                "ce", F.struct("cos_c", (-F.col("cid")).alias("nc"))
+            ).alias("coarse"),
+            F.max_by(
+                "cvec", F.struct("cos_c", (-F.col("cid")).alias("nc"))
+            ).alias("cvec"),
+        )
+    )
+
+    # pass 2: residual slices min_by-encoded against the same codebook
+    # (assign's own cluster id rides as "acid" — "cid" below is the
+    # codebook's)
+    def _res_l2(s):
+        res = F.zip_with(
+            F.slice("cvec", s * sub + 1, sub),
+            F.slice("coarse", s * sub + 1, sub),
+            lambda x, c: x.cast("double") - c.cast("double"),
+        )
+        return F.aggregate(
+            F.zip_with(
+                res,
+                F.slice("ce", s * sub + 1, sub),
+                lambda r, c: (r - c.cast("double")) * (r - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    enc = (
+        assign.crossJoin(F.broadcast(cent))
+        .groupBy("match_id")
+        .agg(
+            F.first("acid").alias("cid"),
+            F.first("coarse").alias("coarse"),
+            *[
+                F.min_by(
+                    F.slice("ce", s * sub + 1, sub),
+                    F.struct(_res_l2(s).alias("l2"), F.col("cid").alias("cid")),
+                ).alias(f"cv{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _cos("qvec", "ce"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    probes = (
+        probes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+
+    def _d(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qvec", s * sub + 1, sub),
+                F.col(f"cv{s}"),
+                lambda x, c: x.cast("double") * c.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    adc = _dot(F.col("qvec"), F.col("coarse"))
+    for s in range(m):
+        adc = adc + _d(s)
+    scored = (
+        probes.join(enc, "cid")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("adc", adc)
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adc", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -122,6 +122,109 @@ def q_ext_simsearch_ivfpq(spark, sf_dir):
     return out.withColumn("adc", F.round("adc", 3))
 
 
+def _ivfpq_residual_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3):
+    from .registry_ext import _COSINE_SQL
+
+    cos_assign = _COSINE_SQL.format(a="e.embedding", b="c.ce")
+    cos_probe = _COSINE_SQL.format(a="q.embedding", b="c.ce")
+    res_l2 = """list_sum(list_transform(
+               list_zip(e.embedding[({lo}):({hi})], a.coarse[({lo}):({hi})],
+                        c.ce[({lo}):({hi})]),
+               p -> ((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     - CAST(p[3] AS DOUBLE))
+                    * ((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                       - CAST(p[3] AS DOUBLE))))"""
+    pivots = ",\n             ".join(
+        f"any_value(CASE WHEN s = {s} THEN cv END) AS cv{s}" for s in range(m)
+    )
+    dots = " + ".join(
+        f"list_dot_product(CAST(q.embedding[({s * sub + 1}):({s * sub + sub})]"
+        f" AS DOUBLE[]), CAST(x.cv{s} AS DOUBLE[]))"
+        for s in range(m)
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent}),
+    assign AS (
+      SELECT match_id, cid FROM (
+        SELECT e.vec_id AS match_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_assign} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    aco AS (
+      SELECT a.match_id, a.cid, c.ce AS coarse
+      FROM assign a JOIN cent c USING (cid)),
+    best AS (
+      SELECT match_id, s, cv FROM (
+        SELECT e.vec_id AS match_id, rs.s,
+               c.ce[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})] AS cv,
+               row_number() OVER (PARTITION BY e.vec_id, rs.s
+                 ORDER BY {res_l2.format(lo=f"rs.s * {sub} + 1",
+                                         hi=f"rs.s * {sub} + {sub}")} ASC,
+                          c.cid ASC) AS rn
+        FROM embeddings e
+        JOIN aco a ON a.match_id = e.vec_id
+        CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s))
+      WHERE rn = 1),
+    codes AS (
+      SELECT match_id,
+             {pivots}
+      FROM best GROUP BY match_id),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_probe} DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+      WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.match_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(a.coarse AS DOUBLE[])) + {dots} AS adc
+      FROM probes p
+      JOIN aco a USING (cid)
+      JOIN codes x ON x.match_id = a.match_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE p.query_id <> a.match_id),
+    r AS (
+      SELECT query_id, match_id, adc,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc DESC, match_id) AS rank
+      FROM scored)
+    SELECT query_id, match_id, round(adc, 3) AS adc, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_ivfpq_residual", _ivfpq_residual_oracle())
+def q_ext_simsearch_ivfpq_residual(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (what production IVF-PQ indexes
+    default to): PQ codes quantize x − coarse_centroid(x), so the
+    shared codebook only has to cover the tight within-cell residual
+    distribution, and ADC gains one fixed-order term
+    dot(q, coarse) + Σ_s dot(q_s, code_s).  Same probed-list scan
+    shape and total orders as ``ext_simsearch_ivfpq``; one extra
+    corpus pass for the residual encode (it depends on the coarse
+    choice).  Recall delta vs raw-vector codes is measured in
+    BASELINE.md via the hash-verified recall gate."""
+    from .ext.simsearch import ivfpq_residual_topk_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivfpq_residual_topk_md5(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=3,
+        n_clusters=16,
+        nprobe=4,
+        m=8,
+    )
+    return out.withColumn("adc", F.round("adc", 3))
+
+
 def _ivfpq_recall_oracle(k=3):
     from .registry_ext import _COSINE_SQL
 
@@ -693,4 +796,5 @@ _register_new_this_round(
     "stream_quantile_bounds",
     "obs_manifest_diff",
     "ext_eval_ivfpq_recall",
+    "ext_simsearch_ivfpq_residual",
 )
