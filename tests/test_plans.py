@@ -161,12 +161,14 @@ EXCHANGE_BUDGET = {
     "agg_forecast_skill": 4,     # daily agg + lag date join + final agg
     "ext_simsearch_ivf_md5": 5,  # codebook take + max_by assign agg
                                  # + probe/rerank windows
-    "ext_graph_triangles": 13,   # persisted oriented-edge barrier (pairs
-                                 # + degree agg planned once), 2 wedge
-                                 # SMJs (AQE broadcasts at runtime —
-                                 # edges aren't broadcastable at 100 TB,
-                                 # so the static plan keeps the shuffle)
-                                 # + census agg
+    "ext_graph_triangles": 29,   # degree-oriented: the edge subplan
+                                 # (pairs + deg agg) prints 6× in the
+                                 # static plan (3 wedge legs × {pairs,
+                                 # deg}) but EVERY repeat is physically
+                                 # a ReusedExchange — measured min-of-3
+                                 # 0.75 s vs 1.09 s with a persist
+                                 # barrier, so the reuse path wins
+                                 # + 2 wedge SMJs + census agg
     # round-9 additions
     "ext_simsearch_ivfpq": 5,    # codebook take + one-pass assign+encode
                                  # agg + probe window + probed-list join

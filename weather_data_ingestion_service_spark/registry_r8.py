@@ -720,11 +720,13 @@ def q_ext_graph_triangles(spark, sf_dir):
     pairs = embed_hamming_pairs(
         load_table(spark, sf_dir, "embeddings"), max_dist=28, ordered=False
     ).select(F.col("vec_id_a").alias("a"), F.col("vec_id_b").alias("b"))
-    # persist the oriented edge list: it feeds all three legs of the
-    # wedge join AND the degree aggregate re-reads the pair table —
-    # without the barrier the banded-pair subplan is planned 6× (the
-    # minhash signature-table precedent, ext/dedup.py)
-    edges = degree_oriented_edges(pairs).persist()
+    # the oriented edge list feeds all three wedge legs AND the degree
+    # aggregate re-reads the pair table, so the STATIC plan prints the
+    # banded-pair subplan 6× — but every repeat is physically a
+    # ReusedExchange, and measured min-of-3 at sf0.1 shows the reuse
+    # path (0.75 s) beats a persist barrier (1.09 s: cache
+    # materialization costs more than it saves here)
+    edges = degree_oriented_edges(pairs)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.y") == F.col("e2.x"))
