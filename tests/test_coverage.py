@@ -147,7 +147,7 @@ ORACLE_IDS = {
     "ext_simsearch_ivfpq", "ext_multimodal_audio_exact",
     "agg_quantile_bounds", "stream_sessionize_exec2", "ext_text_bm25",
     "stream_quantile_bounds", "obs_manifest_diff", "ext_eval_ivfpq_recall",
-    "ext_simsearch_ivfpq_residual",
+    "ext_simsearch_ivfpq_residual", "stream_sessionize_buffered",
 }
 
 ROWS_ONLY_IDS = {

@@ -919,3 +919,72 @@ class TestTransformWithState:
                 spark.conf.unset(
                     "spark.sql.streaming.stateStore.providerClass"
                 )
+
+
+def test_buffered_sessionizer_merges_out_of_order_across_batches(spark):
+    """The caveat sessions_stateful documents, closed: a late-but-
+    within-watermark event arriving in a LATER micro-batch must MERGE
+    into the session it belongs to (batch truth: one 3-event session),
+    not start a spurious one.  The eager sessionizer emits two wrong
+    sessions on this staging; the buffered one emits exactly the
+    batch gap-islands closed before the final watermark."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from weather_data_ingestion_service_spark.streaming.jobs import (
+        run_stream_to_memory,
+    )
+    from weather_data_ingestion_service_spark.streaming.stateful import (
+        sessions_buffered,
+        sessions_stateful,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e6)  # noqa: E731
+    batches = [
+        [(1, 7, us(0)), (2, 7, us(40))],          # islands: [0], [40]… so far
+        [(3, 7, us(20)), (4, 99, us(600))],       # 20 MERGES them; 600 drives wm
+    ]
+    path = os.path.join(TMP, "sess_buffered_ooo")
+    shutil.rmtree(path, ignore_errors=True)
+    now = 1_700_000_000
+    for i, rows in enumerate(batches):
+        sub = os.path.join(path, f"f{i}")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long"
+        ).selectExpr(
+            "event_id", "user_id", "timestamp_micros(ts_us) AS ts"
+        ).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+    def stream():
+        return (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path + "/f*")
+        )
+
+    buffered = run_stream_to_memory(
+        sessions_buffered(stream(), "user_id", "ts",
+                          gap_seconds=1800, watermark="2 hours"),
+        "append",
+    ).collect()
+    # exactly ONE session for user 7: events 0/20/40 min merged (the
+    # late 20-min event bridged the 40-min gap); user 99's tail open
+    assert [(r.key, r.n_events) for r in buffered] == [(7, 3)]
+    assert buffered[0].session_start == t0.replace(tzinfo=None)
+    assert buffered[0].session_end == (
+        t0 + dt.timedelta(minutes=40)
+    ).replace(tzinfo=None)
+
+    eager = run_stream_to_memory(
+        sessions_stateful(stream(), "user_id", "ts",
+                          gap_seconds=1800, watermark="2 hours"),
+        "append",
+    ).collect()
+    # the eager variant provably mis-sessionizes this arrival order —
+    # if this ever starts passing, fold the caveat docs accordingly
+    assert sorted((r.key, r.n_events) for r in eager) != [(7, 3)]
+    shutil.rmtree(path, ignore_errors=True)

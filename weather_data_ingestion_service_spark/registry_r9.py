@@ -729,6 +729,89 @@ def q_obs_manifest_diff(spark, sf_dir):
 
 
 # =====================================================================
+# A6. Watermark-buffered sessionization (the eager variant's caveat,
+#     closed)
+# =====================================================================
+
+
+@register(
+    "stream_sessionize_buffered",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    l AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN pts IS NULL OR ts > pts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM l
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id AS key, min(ts) AS session_start,
+             max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT key, session_start, session_end, n_events
+    FROM sess CROSS JOIN m
+    WHERE epoch_us(session_end) + 1800000000
+          < (epoch_us(mx) // 1000) * 1000 - 345600000000
+    """,
+)
+def q_stream_sessionize_buffered(spark, sf_dir):
+    """WATERMARK-BUFFERED stateful sessionization over a REAL 2-batch
+    run — the exact variant that closes ``sessions_stateful``'s
+    documented caveat (an out-of-order event in a later micro-batch
+    started a spurious session; here sessions emit only once the
+    watermark proves no merging event can arrive).  Events buffer in
+    ``applyInPandasWithState`` state with ``EventTimeTimeout``; the
+    emitted set is the gap-islands sessionization closed STRICTLY
+    before the FINAL watermark — availableNow runs an extra no-data
+    batch after the last file precisely so expired state flushes, so
+    the horizon is floor_ms(global max ts) − 4 d (the Spark µs→ms
+    floor, ADVICE r8; measured: the batch-0-only horizon undercounts
+    8277 → 3477).  The oracle restates it with the gap break spelled
+    ``ts > pts + 30min`` to match the buffered islanding (an event
+    exactly at last+gap still merges).  The out-of-order merge itself
+    is pinned by pytest with a hand-built late batch."""
+    import os
+    import shutil
+
+    from .registry import _clean_stale_scratch, _session_tag
+    from .streaming.jobs import run_stream_to_memory
+    from .streaming.stateful import sessions_buffered
+
+    _clean_stale_scratch("/tmp/wds_sessbuf_*")
+    root = f"/tmp/wds_sessbuf_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    now = 1_700_000_000
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    ):
+        sub = os.path.join(root, f"f{i}")
+        part.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/f*")
+    )
+    out = sessions_buffered(
+        stream, "user_id", "ts", gap_seconds=1800, watermark="4 days"
+    )
+    return run_stream_to_memory(out, output_mode="append")
+
+
+# =====================================================================
 # B. WAV audio features, oracle-paired from synthesis params
 #    (VERDICT r8 #6)
 # =====================================================================
@@ -797,4 +880,5 @@ _register_new_this_round(
     "obs_manifest_diff",
     "ext_eval_ivfpq_recall",
     "ext_simsearch_ivfpq_residual",
+    "stream_sessionize_buffered",
 )

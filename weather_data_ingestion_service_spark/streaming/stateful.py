@@ -267,6 +267,113 @@ def sessions_stateful(
     )
 
 
+#: state of the watermark-buffered sessionizer: every buffered event
+#: timestamp (µs) still inside an OPEN (un-emittable) session
+_BUFFER_STATE_SCHEMA = T.StructType(
+    [T.StructField("ts_us", T.ArrayType(T.LongType()))]
+)
+
+
+def sessions_buffered(
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "4 days",
+) -> DataFrame:
+    """Watermark-buffered gap sessionization — the EXACT variant of
+    ``sessions_stateful``, closing its documented caveat: the eager
+    sessionizer closes a session the moment a later event exceeds the
+    gap, so an out-of-order event arriving in a LATER micro-batch
+    (within the watermark) starts a spurious fresh session instead of
+    merging.  This operator buffers raw event timestamps in state and
+    only emits a session once the WATERMARK passes its close time
+    (last event + gap) — beyond that point Spark's watermark filter
+    guarantees no event that could extend or merge into it can ever
+    arrive, so emitted sessions are exactly the batch gap-islands
+    regardless of arrival order.  The price is state: buffered events
+    of OPEN sessions per key (bounded by the watermark horizon ×
+    event rate), vs one open-session triple for the eager variant —
+    the classic latency/exactness/state triangle, all three corners
+    now implemented (``session_window`` append, eager stateful,
+    buffered stateful).
+
+    Emission boundary (pytest-pinned): a session emits when
+    ``watermark_ms > last_ms + gap`` STRICTLY — both for keys with
+    fresh input (``getCurrentWatermarkMs``) and for silent keys via
+    ``EventTimeTimeout`` set at the earliest open close-time (Spark
+    fires timeouts when the watermark advances beyond the set
+    timestamp).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf: list[int] = []
+        if state.exists:
+            (stored,) = state.get
+            buf = list(stored)
+        if not state.hasTimedOut:
+            for p in pdfs:
+                if not p.empty:
+                    buf.extend(int(v.value // 1000) for v in p["ts"])
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # islands over the buffer; emit every island whose close time
+        # the watermark has strictly passed, keep the rest buffered
+        closed: list[tuple[int, int, int]] = []
+        kept: list[int] = []
+        island: list[int] = []
+        for t in buf:
+            if island and t - island[-1] > gap_us:
+                if island[-1] + gap_us < wm_us:
+                    closed.append((island[0], island[-1], len(island)))
+                else:
+                    kept.extend(island)
+                island = [t]
+            else:
+                island.append(t)
+        if island:
+            if island[-1] + gap_us < wm_us:
+                closed.append((island[0], island[-1], len(island)))
+            else:
+                kept.extend(island)
+        if kept:
+            state.update((kept,))
+            # wake up when the earliest open session becomes emittable
+            first_close_ms = (kept[0] + gap_us) // 1000
+            state.setTimeoutTimestamp(max(first_close_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    src = events.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts")
+    ).withWatermark("ts", watermark)
+    return src.groupBy("key").applyInPandasWithState(
+        session_fn,
+        SESSION_OUTPUT_SCHEMA,
+        _BUFFER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def _half_up_cents(values: "pd.Series") -> int:
     """Exact-parity cents fold: sum of ROUND_HALF_UP(value*100) as int.
 
