@@ -147,10 +147,12 @@ HEADLINE = [
     "ext_eval_dedup_md5",
     # round-9 additions: the IVF-PQ composition (probed-list ADC), the
     # GK error-contract bracket (full window sort + sketch per group),
-    # and the 2-micro-batch stateful sessionization replay
+    # the 2-micro-batch stateful sessionization replay, and the
+    # watermark-buffered exact sessionizer (event-buffering state)
     "ext_simsearch_ivfpq",
     "agg_quantile_bounds",
     "stream_sessionize_exec2",
+    "stream_sessionize_buffered",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

@@ -1,13 +1,19 @@
 """Round-9 registry additions.
 
-Round 9 closes the VERDICT r8 punch list: the IVF-PQ composition
-(probe inverted lists, then ADC only inside probed lists — the actual
-100 TB ANN architecture whose two halves r8 verified separately), an
+Round 9 closes the VERDICT r8 punch list and extends it: the IVF-PQ
+composition (probe inverted lists, then ADC only inside probed lists
+— the actual 100 TB ANN architecture whose two halves r8 verified
+separately) plus its residual-encoded variant and a hash-verified
+recall gate; a hash-verified GK-sketch error contract (exact
+rank-selected bracket around percentile_approx), both single-pass and
+MERGED across micro-batch epochs; Okapi BM25 retrieval ranking
+(driver-side glibc idf literals, fixed-order term chain); an
 md5-restated oracle for the WAV audio features (synthesized payloads
-have exactly-known integer features), a hash-verified GK-sketch error
-contract (exact rank-selected percentile ∈ [sketch lower, upper]),
-and a REAL 2-micro-batch ``applyInPandasWithState`` sessionization
-run restated as a batch-twin closure.
+have exactly-known integer features); manifest-based copy
+verification with planted faults; and the streaming sessionization
+family completed — a REAL 2-micro-batch eager replay AND the
+watermark-buffered EXACT sessionizer (EventTimeTimeout) that closes
+the eager variant's out-of-order caveat.
 
 Cross-engine compare rules are documented at the top of registry.py —
 exact integer arithmetic, no float folds, deterministic tie-breaks,
