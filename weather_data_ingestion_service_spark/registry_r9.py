@@ -818,6 +818,125 @@ def q_stream_sessionize_buffered(spark, sf_dir):
 
 
 # =====================================================================
+# A7. NOAA feels-like temperature (heat index / wind chill)
+# =====================================================================
+
+_FL_N = 5 * 21 * 24  # locations × days × hours, the wx-twin shape
+
+
+def _fl_oracle():
+    def H(tag):
+        return (
+            f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
+            " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
+        )
+
+    hi = (
+        "-42.379 + 2.04901523*t + 10.14333127*rh - 0.22475541*t*rh"
+        " - 0.00683783*t*t - 0.05481717*rh*rh + 0.00122874*t*t*rh"
+        " + 0.00085282*t*rh*rh - 0.00000199*t*t*rh*rh"
+    )
+    wc = "35.74 + 0.6215*t - 35.75*powv + 0.4275*t*powv"
+    return f"""
+    WITH g AS (
+      SELECT range % 5 AS lid, range // 5 AS h FROM range(0, {_FL_N})),
+    v AS (
+      SELECT lid, h,
+             CAST(40 + {H('fl_t')} % 80 AS DOUBLE) AS t,
+             CAST({H('fl_rh')} % 101 AS DOUBLE) AS rh,
+             CAST({H('fl_v')} % 60 AS DOUBLE) AS v
+      FROM g),
+    p AS (SELECT *, pow(v, 0.16) AS powv FROM v),
+    f AS (
+      SELECT lid, h, t, rh, v,
+             CASE WHEN t >= 80 THEN {hi}
+                  WHEN t <= 50 AND v > 3 THEN {wc}
+                  ELSE t END AS feels
+      FROM p)
+    SELECT CAST(lid AS BIGINT) AS location_id, CAST(h AS BIGINT) AS h,
+           CAST(t AS BIGINT) AS t_f, CAST(rh AS BIGINT) AS rh_pct,
+           CAST(v AS BIGINT) AS wind_mph,
+           CAST(floor(1000000.0 * feels) AS BIGINT) AS feels_micro
+    FROM f
+    """
+
+
+@register("f_feels_like", _fl_oracle())
+def q_f_feels_like(spark, sf_dir):
+    """NOAA feels-like temperature — the native computation of the
+    reference's ``apparent_temperature`` daily/hourly variable
+    (server.py:126, 132: requested from the API, never computed):
+    Rothfusz heat index for T ≥ 80 °F, wind chill for T ≤ 50 °F and
+    wind > 3 mph, air temperature between.  Inputs are md5-derived
+    integer-valued doubles on the wx-twin grid (5 locations × 21
+    days × 24 h) so both engines build identical operands.
+    Cross-engine exactness: the polynomials are fixed-order pinned
+    IEEE +/−/× (probe-verified identical over the full T×RH domain);
+    the one libm call, V^0.16, is avoided JVM-side entirely — V is an
+    integer in [0, 60), so Spark reads it from a 60-entry
+    driver-computed literal table (CPython/glibc pow, probe-matched
+    to DuckDB's, the bm25 idf pattern) — and the published score is
+    floor-micro."""
+    def mk(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{tag}:"), F.col("lid").cast("string"),
+                        F.lit(":"), F.col("h").cast("string"),
+                    ).cast("binary")
+                ), 1, 13,
+            ), 16, 10,
+        ).cast("long")
+
+    g = spark.range(0, _FL_N).select(
+        (F.col("id") % 5).alias("lid"),
+        F.expr("id DIV 5").alias("h"),  # never `/` — always float in Spark
+    )
+    v = g.select(
+        "lid",
+        "h",
+        (F.lit(40) + mk("fl_t") % 80).cast("double").alias("t"),
+        (mk("fl_rh") % 101).cast("double").alias("rh"),
+        (mk("fl_v") % 60).cast("double").alias("v"),
+    )
+    # V^0.16 from a driver-computed literal table — keeps JVM libm out
+    pow_table = F.array(*[F.lit(float(i) ** 0.16) for i in range(60)])
+    p = v.withColumn("powv", F.element_at(pow_table, F.col("v").cast("int") + 1))
+    t, rh, pv = F.col("t"), F.col("rh"), F.col("powv")
+    hi = (
+        F.lit(-42.379)
+        + F.lit(2.04901523) * t
+        + F.lit(10.14333127) * rh
+        - F.lit(0.22475541) * t * rh
+        - F.lit(0.00683783) * t * t
+        - F.lit(0.05481717) * rh * rh
+        + F.lit(0.00122874) * t * t * rh
+        + F.lit(0.00085282) * t * rh * rh
+        - F.lit(0.00000199) * t * t * rh * rh
+    )
+    wc = (
+        F.lit(35.74)
+        + F.lit(0.6215) * t
+        - F.lit(35.75) * pv
+        + F.lit(0.4275) * t * pv
+    )
+    feels = (
+        F.when(t >= 80, hi)
+        .when((t <= 50) & (F.col("v") > 3), wc)
+        .otherwise(t)
+    )
+    return p.select(
+        F.col("lid").cast("long").alias("location_id"),
+        F.col("h").cast("long").alias("h"),
+        F.col("t").cast("long").alias("t_f"),
+        F.col("rh").cast("long").alias("rh_pct"),
+        F.col("v").cast("long").alias("wind_mph"),
+        F.floor(F.lit(1e6) * feels).cast("long").alias("feels_micro"),
+    )
+
+
+# =====================================================================
 # B. WAV audio features, oracle-paired from synthesis params
 #    (VERDICT r8 #6)
 # =====================================================================
@@ -887,4 +1006,5 @@ _register_new_this_round(
     "ext_eval_ivfpq_recall",
     "ext_simsearch_ivfpq_residual",
     "stream_sessionize_buffered",
+    "f_feels_like",
 )
