@@ -936,6 +936,85 @@ def q_f_feels_like(spark, sf_dir):
     )
 
 
+def _dew_oracle():
+    def H(tag):
+        return (
+            f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
+            " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
+        )
+
+    gamma = "lnrh + 17.625*t/(243.04 + t)"
+    return f"""
+    WITH g AS (
+      SELECT range % 5 AS lid, range // 5 AS h FROM range(0, {_FL_N})),
+    v AS (
+      SELECT lid, h,
+             CAST({H('dp_t')} % 61 - 20 AS DOUBLE) AS t,
+             CAST(1 + {H('dp_rh')} % 100 AS DOUBLE) AS rh
+      FROM g),
+    p AS (SELECT *, ln(rh/100.0) AS lnrh FROM v),
+    f AS (
+      SELECT lid, h, t, rh,
+             (243.04*({gamma}))/(17.625 - ({gamma})) AS dew
+      FROM p)
+    SELECT CAST(lid AS BIGINT) AS location_id, CAST(h AS BIGINT) AS h,
+           CAST(t AS BIGINT) AS t_c, CAST(rh AS BIGINT) AS rh_pct,
+           CAST(floor(1000000.0 * dew) AS BIGINT) AS dew_point_micro
+    FROM f
+    """
+
+
+@register("f_dew_point", _dew_oracle())
+def q_f_dew_point(spark, sf_dir):
+    """Magnus dew point — native computation of the reference's
+    ``dew_point_2m`` variable (server.py:126: requested from the API,
+    never computed): Td = 243.04·γ / (17.625 − γ) with
+    γ = ln(RH/100) + 17.625·T/(243.04 + T), over md5-derived integer
+    operands (T ∈ [−20, 40] °C, RH ∈ [1, 100] %) on the wx-twin grid.
+    Same libm posture as f_feels_like: RH is one of 100 integer
+    values, so ln(RH/100) comes from a driver-computed literal table
+    (CPython/glibc, matching DuckDB's ln — the probe-verified bm25
+    finding) and everything else is fixed-order pinned IEEE
+    arithmetic; published floor-micro."""
+
+    def mk(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{tag}:"), F.col("lid").cast("string"),
+                        F.lit(":"), F.col("h").cast("string"),
+                    ).cast("binary")
+                ), 1, 13,
+            ), 16, 10,
+        ).cast("long")
+
+    import math
+
+    g = spark.range(0, _FL_N).select(
+        (F.col("id") % 5).alias("lid"),
+        F.expr("id DIV 5").alias("h"),
+    )
+    v = g.select(
+        "lid",
+        "h",
+        (mk("dp_t") % 61 - 20).cast("double").alias("t"),
+        (F.lit(1) + mk("dp_rh") % 100).cast("double").alias("rh"),
+    )
+    ln_table = F.array(*[F.lit(math.log(r / 100.0)) for r in range(1, 101)])
+    p = v.withColumn("lnrh", F.element_at(ln_table, F.col("rh").cast("int")))
+    t = F.col("t")
+    gamma = F.col("lnrh") + F.lit(17.625) * t / (F.lit(243.04) + t)
+    dew = (F.lit(243.04) * gamma) / (F.lit(17.625) - gamma)
+    return p.select(
+        F.col("lid").cast("long").alias("location_id"),
+        F.col("h").cast("long").alias("h"),
+        F.col("t").cast("long").alias("t_c"),
+        F.col("rh").cast("long").alias("rh_pct"),
+        F.floor(F.lit(1e6) * dew).cast("long").alias("dew_point_micro"),
+    )
+
+
 # =====================================================================
 # B. WAV audio features, oracle-paired from synthesis params
 #    (VERDICT r8 #6)
@@ -1007,4 +1086,5 @@ _register_new_this_round(
     "ext_simsearch_ivfpq_residual",
     "stream_sessionize_buffered",
     "f_feels_like",
+    "f_dew_point",
 )
