@@ -148,7 +148,8 @@ ORACLE_IDS = {
     "agg_quantile_bounds", "stream_sessionize_exec2", "ext_text_bm25",
     "stream_quantile_bounds", "obs_manifest_diff", "ext_eval_ivfpq_recall",
     "ext_simsearch_ivfpq_residual", "stream_sessionize_buffered",
-    "f_feels_like", "f_dew_point",
+    "f_feels_like", "f_dew_point", "agg_degree_days",
+    "f_wind_components",
 }
 
 ROWS_ONLY_IDS = {
