@@ -25,9 +25,17 @@ from .registry import (
     NOW,
     _cents,
     _clean_stale_scratch,
+    _register_changed_since_green,
     _session_tag,
     register,
 )
+
+# Round-9 tightened the stream_sessionize_stateful oracle's lag/cumsum
+# windows with the (ts, event_id) tie-break (the ADVICE-r8
+# stream_session_exec hazard: with duplicate (key, ts) at a break, a
+# tied row could attach to the previous session) — re-certify it.  The
+# shared-verbatim consumer stream_sessionize_exec2 inherits the fix.
+_register_changed_since_green("stream_sessionize_stateful")
 from .registry_ext import (
     _COSINE_SQL,
     _DUP_CORPUS_SQL,
@@ -1618,16 +1626,16 @@ def q_win_resample_interp(spark, sf_dir):
 @register(
     "stream_sessionize_stateful",
     """
-    WITH e AS (SELECT user_id AS key, ts FROM events),
+    WITH e AS (SELECT user_id AS key, ts, event_id FROM events),
     s AS (
-      SELECT key, ts,
+      SELECT key, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
                   THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY key ORDER BY ts)),
+      FROM e WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)),
     g AS (
       SELECT key, ts,
-             sum(brk) OVER (PARTITION BY key ORDER BY ts
+             sum(brk) OVER (PARTITION BY key ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sid
       FROM s),
