@@ -15,7 +15,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _cents, _register_new_this_round, register
+from .registry import (
+    _cents,
+    _register_changed_since_green,
+    _register_new_this_round,
+    register,
+)
+
+# Round-9 tightened the stream_window_session oracle's cumsum with the
+# (ts, event_id) tie-break (the ADVICE-r8 hazard: lag was tie-broken
+# but the cumsum wasn't, so a duplicate (user_id, ts) at a break could
+# attach to the previous session) — re-certify it.
+_register_changed_since_green("stream_window_session")
 from .ext.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -689,17 +700,17 @@ def q_stream_upsert_revision(spark, sf_dir):
     "stream_window_session",
     """
     WITH l AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
       FROM events
     ), g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM l
     ), s AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM g
     )

@@ -13,7 +13,16 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from .io import load_table
-from .registry import _register_new_this_round, register
+from .registry import (
+    _register_changed_since_green,
+    _register_new_this_round,
+    register,
+)
+
+# Round-9 tightened agg_survival_km's session-islanding windows with
+# the (ts, event_id) tie-break (the ADVICE-r8 duplicate-(user, ts)
+# hazard) — re-certify it.
+_register_changed_since_green("agg_survival_km")
 from .registry_r4 import _TOK_SQL, _tok
 
 #: daily cents per event type — the shared series the trend/window
@@ -2098,16 +2107,16 @@ def q_stream_asof_enrich(spark, sf_dir):
 @register(
     "agg_survival_km",
     """
-    WITH e AS (SELECT user_id, ts FROM events),
+    WITH e AS (SELECT user_id, ts, event_id FROM events),
     b AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
                   THEN 1 ELSE 0 END AS brk
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     g AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sid
       FROM b),
