@@ -3392,7 +3392,11 @@ class TestRound9Ops:
             assert (e.peak, e.zero_crossings, e.duration_ms, e.n_samples) == (
                 f.peak, f.zero_crossings, f.duration_ms, f.n_samples
             )
-            assert abs(math.sqrt(e.ssq / e.n_samples) - f.rms) < 1e-9
+            # ssq sums ALL interleaved channel samples; rms divides by
+            # the same count (frames alone would overstate by sqrt(nch))
+            assert abs(
+                math.sqrt(e.ssq / (e.n_samples * e.n_channels)) - f.rms
+            ) < 1e-9
 
     def test_bm25_matches_hand_computed(self, spark):
         """BM25 on a 3-doc corpus against the textbook formula

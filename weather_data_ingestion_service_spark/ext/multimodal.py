@@ -706,10 +706,12 @@ def audio_exact_stats(
     payload_col: str = "audio",
 ) -> DataFrame:
     """``decode_audio_features`` with the RMS replaced by its exact
-    integer numerator Σx² (``ssq``) — every output column is an exact
-    integer, so a synthesized corpus restates relationally (the
-    float RMS is ``sqrt(ssq / n)`` one driver-side division away).
-    Same Arrow-batched parse; PCM16 only."""
+    integer numerator Σx² (``ssq``, summed over ALL interleaved
+    channel samples) — every output column is an exact integer, so a
+    synthesized corpus restates relationally: the float RMS is
+    ``sqrt(ssq / (n_samples · n_channels))`` one driver-side division
+    away (dividing by frames alone overstates multichannel RMS by
+    √nch).  Same Arrow-batched parse; PCM16 only."""
     import io as _io
     import wave
 

@@ -472,6 +472,76 @@ def pq_topk_md5(
     )
 
 
+def _md5_codebook(corpus, id_col, vec_col, n):
+    """The hash-sampled codebook every md5-restatable ANN twin shares:
+    the ``n`` corpus vectors ranked first under ``(md5(str(id)), id)``
+    — deterministic sampling both engines reproduce bit-for-bit."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("ce"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n)
+        .drop("h")
+    )
+
+
+def _codebook_cos(a, b):
+    return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+
+
+def _probe_lists(queries, cent, id_col, vec_col, nprobe):
+    """Queries → their ``nprobe`` nearest coarse lists under the
+    (cos DESC, cid ASC) total order (shared by the IVF-PQ twins so the
+    probe stage cannot drift between them)."""
+    from pyspark.sql import Window
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _codebook_cos("qvec", "ce"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid").asc()
+    )
+    return (
+        probes.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+
+
+def _adc_subspace_dot(s, sub):
+    """One fixed-order ADC term: dot(q slice s, selected code slice)."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice("qvec", s * sub + 1, sub),
+            F.col(f"cv{s}"),
+            lambda x, c: x.cast("double") * c.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _rank_topk(scored, score_col, k):
+    """(score DESC, match_id ASC) top-k — the shared re-rank tail."""
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", score_col, "rank")
+    )
+
+
 def ivfpq_topk_md5(
     corpus: DataFrame,
     queries: DataFrame,
@@ -508,22 +578,8 @@ def ivfpq_topk_md5(
     codebook broadcast, corpus written bucketed by ``cluster``,
     per-query ADC work ∝ nprobe/n_clusters · |corpus| on 4-byte
     codes."""
-    from pyspark.sql import Window
-
     sub = dim // m
-    cent = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("ce"),
-            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
-        )
-        .orderBy("h", "cid")
-        .limit(n_clusters)
-        .drop("h")
-    )
-
-    def _cos(a, b):
-        return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
 
     def _l2(s):
         return F.aggregate(
@@ -541,7 +597,7 @@ def ivfpq_topk_md5(
     enc = (
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
         .crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _cos("cvec", "ce"))
+        .withColumn("cos_c", _codebook_cos("cvec", "ce"))
         .groupBy("match_id")
         .agg(
             F.max_by(
@@ -556,47 +612,16 @@ def ivfpq_topk_md5(
             ],
         )
     )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _cos("qvec", "ce"))
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
-    probes = (
-        probes.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cid")
-    )
-
-    def _d(s):
-        return F.aggregate(
-            F.zip_with(
-                F.slice("qvec", s * sub + 1, sub),
-                F.col(f"cv{s}"),
-                lambda x, c: x.cast("double") * c.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    adc = _d(0)
+    probes = _probe_lists(queries, cent, id_col, vec_col, nprobe)
+    adc = _adc_subspace_dot(0, sub)
     for s in range(1, m):
-        adc = adc + _d(s)
+        adc = adc + _adc_subspace_dot(s, sub)
     scored = (
         probes.join(enc, "cid")
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("adc", adc)
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "adc", "rank")
-    )
+    return _rank_topk(scored, "adc", k)
 
 
 def ivfpq_residual_topk_md5(
@@ -626,28 +651,14 @@ def ivfpq_residual_topk_md5(
     broadcast codebook.  All comparisons stay on pinned IEEE doubles
     under (metric, cid) total orders, so the DuckDB oracle restates
     them exactly."""
-    from pyspark.sql import Window
-
     sub = dim // m
-    cent = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("ce"),
-            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
-        )
-        .orderBy("h", "cid")
-        .limit(n_clusters)
-        .drop("h")
-    )
-
-    def _cos(a, b):
-        return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
 
     # pass 1: coarse assignment keeps the chosen centroid VECTOR
     assign = (
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
         .crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _cos("cvec", "ce"))
+        .withColumn("cos_c", _codebook_cos("cvec", "ce"))
         .groupBy("match_id")
         .agg(
             F.max_by(
@@ -696,47 +707,16 @@ def ivfpq_residual_topk_md5(
             ],
         )
     )
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _cos("qvec", "ce"))
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid").asc()
-    )
-    probes = (
-        probes.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "cid")
-    )
-
-    def _d(s):
-        return F.aggregate(
-            F.zip_with(
-                F.slice("qvec", s * sub + 1, sub),
-                F.col(f"cv{s}"),
-                lambda x, c: x.cast("double") * c.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
+    probes = _probe_lists(queries, cent, id_col, vec_col, nprobe)
     adc = _dot(F.col("qvec"), F.col("coarse"))
     for s in range(m):
-        adc = adc + _d(s)
+        adc = adc + _adc_subspace_dot(s, sub)
     scored = (
         probes.join(enc, "cid")
         .filter(F.col("query_id") != F.col("match_id"))
         .withColumn("adc", adc)
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "adc", "rank")
-    )
+    return _rank_topk(scored, "adc", k)
 
 
 def ivf_topk(

@@ -18,7 +18,6 @@ from .io import load_table
 from .registry import (
     _cents,
     _register_changed_since_green,
-    _register_new_this_round,
     register,
 )
 

@@ -15,7 +15,6 @@ from pyspark.sql import Window, functions as F
 from .io import load_table
 from .registry import (
     _register_changed_since_green,
-    _register_new_this_round,
     register,
 )
 

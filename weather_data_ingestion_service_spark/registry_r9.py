@@ -824,12 +824,32 @@ def q_stream_sessionize_buffered(spark, sf_dir):
 _FL_N = 5 * 21 * 24  # locations × days × hours, the wx-twin shape
 
 
+def _grid_hash(tag: str):
+    """md5-derived int64 on the (lid, h) grid, Spark side — MUST stay
+    bit-identical to ``_grid_hash_sql`` (first 13 hex digits of
+    md5('<tag>:<lid>:<h>'), the repo's portable-hash convention)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{tag}:"), F.col("lid").cast("string"),
+                    F.lit(":"), F.col("h").cast("string"),
+                ).cast("binary")
+            ), 1, 13,
+        ), 16, 10,
+    ).cast("long")
+
+
+def _grid_hash_sql(tag: str) -> str:
+    """DuckDB restatement of ``_grid_hash`` — same bytes, same slice."""
+    return (
+        f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
+        " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
+    )
+
+
 def _fl_oracle():
-    def H(tag):
-        return (
-            f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
-            " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
-        )
+    H = _grid_hash_sql
 
     hi = (
         "-42.379 + 2.04901523*t + 10.14333127*rh - 0.22475541*t*rh"
@@ -877,17 +897,7 @@ def q_f_feels_like(spark, sf_dir):
     driver-computed literal table (CPython/glibc pow, probe-matched
     to DuckDB's, the bm25 idf pattern) — and the published score is
     floor-micro."""
-    def mk(tag):
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{tag}:"), F.col("lid").cast("string"),
-                        F.lit(":"), F.col("h").cast("string"),
-                    ).cast("binary")
-                ), 1, 13,
-            ), 16, 10,
-        ).cast("long")
+    mk = _grid_hash
 
     g = spark.range(0, _FL_N).select(
         (F.col("id") % 5).alias("lid"),
@@ -937,11 +947,7 @@ def q_f_feels_like(spark, sf_dir):
 
 
 def _dew_oracle():
-    def H(tag):
-        return (
-            f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
-            " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
-        )
+    H = _grid_hash_sql
 
     gamma = "lnrh + 17.625*t/(243.04 + t)"
     return f"""
@@ -977,17 +983,7 @@ def q_f_dew_point(spark, sf_dir):
     finding) and everything else is fixed-order pinned IEEE
     arithmetic; published floor-micro."""
 
-    def mk(tag):
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{tag}:"), F.col("lid").cast("string"),
-                        F.lit(":"), F.col("h").cast("string"),
-                    ).cast("binary")
-                ), 1, 13,
-            ), 16, 10,
-        ).cast("long")
+    mk = _grid_hash
 
     import math
 
@@ -1052,20 +1048,7 @@ def q_agg_degree_days(spark, sf_dir):
         (F.col("id") % 5).alias("lid"),
         F.expr("id DIV 5").alias("h"),
     )
-    t = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("dp_t:"), F.col("lid").cast("string"),
-                        F.lit(":"), F.col("h").cast("string"),
-                    ).cast("binary")
-                ), 1, 13,
-            ), 16, 10,
-        ).cast("long")
-        % 61
-        - 20
-    )
+    t = _grid_hash("dp_t") % 61 - 20
     v = g.select("lid", F.expr("h DIV 24").alias("day"), t.alias("t"))
     d = v.groupBy("lid", "day").agg(
         F.max("t").alias("tmax"), F.min("t").alias("tmin")
@@ -1092,11 +1075,7 @@ def q_agg_degree_days(spark, sf_dir):
 
 
 def _wind_oracle():
-    def H(tag):
-        return (
-            f"CAST('0x' || substr(md5('{tag}:' || CAST(lid AS VARCHAR)"
-            " || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT)"
-        )
+    H = _grid_hash_sql
 
     return f"""
     WITH g AS (
@@ -1133,17 +1112,7 @@ def q_f_wind_components(spark, sf_dir):
     pinned IEEE and the published components are floor-micro."""
     import math
 
-    def mk(tag):
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{tag}:"), F.col("lid").cast("string"),
-                        F.lit(":"), F.col("h").cast("string"),
-                    ).cast("binary")
-                ), 1, 13,
-            ), 16, 10,
-        ).cast("long")
+    mk = _grid_hash
 
     g = spark.range(0, _FL_N).select(
         (F.col("id") % 5).alias("lid"),

@@ -326,25 +326,33 @@ def sessions_buffered(
         # the watermark has strictly passed, keep the rest buffered
         closed: list[tuple[int, int, int]] = []
         kept: list[int] = []
+        first_open_close: int | None = None  # close time of 1st open island
         island: list[int] = []
+
+        def settle(isl: list[int]) -> None:
+            nonlocal first_open_close
+            if isl[-1] + gap_us < wm_us:
+                closed.append((isl[0], isl[-1], len(isl)))
+            else:
+                if first_open_close is None:
+                    first_open_close = isl[-1] + gap_us
+                kept.extend(isl)
+
         for t in buf:
             if island and t - island[-1] > gap_us:
-                if island[-1] + gap_us < wm_us:
-                    closed.append((island[0], island[-1], len(island)))
-                else:
-                    kept.extend(island)
+                settle(island)
                 island = [t]
             else:
                 island.append(t)
         if island:
-            if island[-1] + gap_us < wm_us:
-                closed.append((island[0], island[-1], len(island)))
-            else:
-                kept.extend(island)
+            settle(island)
         if kept:
             state.update((kept,))
-            # wake up when the earliest open session becomes emittable
-            first_close_ms = (kept[0] + gap_us) // 1000
+            # wake up when the earliest open session becomes emittable:
+            # its CLOSE time (last event + gap — arming at first event
+            # + gap would fire a spurious full-buffer pass per batch
+            # for every long-running open session)
+            first_close_ms = first_open_close // 1000
             state.setTimeoutTimestamp(max(first_close_ms, wm_us // 1000 + 1))
         else:
             state.remove()
