@@ -1633,3 +1633,96 @@ class TestTriangleCensusLaw:
                 for v in (x, y, z):
                     want[v] = want.get(v, 0) + 1
         assert got == want
+
+
+class TestBufferedSessionizerLaw:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 2),            # user
+                st.integers(0, 4320),         # minute offset within 3 days
+                st.integers(0, 1),            # batch assignment
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_arrival_order_invariance(self, spark, data):
+        """Law: sessions_buffered emits EXACTLY the batch gap-islands
+        regardless of which micro-batch each event arrives in — the
+        watermark delay (4 d) exceeds the 3-day event span, so no
+        arrival order can drop or split anything, and a far-future
+        flush event in the last batch closes every real session.  The
+        eager sessionizer violates this law for out-of-order splits;
+        the buffered one may not."""
+        import datetime as dt
+        import os
+        import shutil
+        from itertools import count
+
+        from weather_data_ingestion_service_spark.streaming.jobs import (
+            run_stream_to_memory,
+        )
+        from weather_data_ingestion_service_spark.streaming.stateful import (
+            sessions_buffered,
+        )
+
+        t0 = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+        eid = count(1)
+        batches = [[], []]
+        for user, minute, b in data:
+            ts = t0 + dt.timedelta(minutes=minute)
+            batches[b].append((next(eid), user, int(ts.timestamp() * 1e6)))
+        # flush: a sentinel user far in the future, final batch only
+        flush = t0 + dt.timedelta(days=40)
+        batches[1].append((next(eid), 999, int(flush.timestamp() * 1e6)))
+
+        path = "/root/repo/.tmp/stream_tests/sess_buffered_law"
+        shutil.rmtree(path, ignore_errors=True)
+        now = 1_700_000_000
+        for i, rows in enumerate(batches):
+            if not rows:
+                rows = [(next(eid), 999, int(flush.timestamp() * 1e6) - i)]
+            sub = os.path.join(path, f"f{i}")
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts_us long"
+            ).selectExpr(
+                "event_id", "user_id", "timestamp_micros(ts_us) AS ts"
+            ).coalesce(1).write.parquet(sub)
+            for f in os.listdir(sub):
+                os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path + "/f*")
+        )
+        got = sorted(
+            (r.key, r.session_start, r.session_end, r.n_events)
+            for r in run_stream_to_memory(
+                sessions_buffered(stream, "user_id", "ts",
+                                  gap_seconds=1800, watermark="4 days"),
+                "append",
+            ).collect()
+            if r.key != 999
+        )
+        # batch truth: gap islands per user over ALL real events
+        per_user: dict[int, list] = {}
+        for user, minute, _ in data:
+            per_user.setdefault(user, []).append(
+                (t0 + dt.timedelta(minutes=minute)).replace(tzinfo=None)
+            )
+        want = []
+        for user, tss in per_user.items():
+            tss.sort()
+            island = [tss[0]]
+            for t in tss[1:]:
+                if (t - island[-1]).total_seconds() > 1800:
+                    want.append((user, island[0], island[-1], len(island)))
+                    island = [t]
+                else:
+                    island.append(t)
+            want.append((user, island[0], island[-1], len(island)))
+        assert got == sorted(want)
+        shutil.rmtree(path, ignore_errors=True)
