@@ -149,7 +149,7 @@ ORACLE_IDS = {
     "stream_quantile_bounds", "obs_manifest_diff", "ext_eval_ivfpq_recall",
     "ext_simsearch_ivfpq_residual", "stream_sessionize_buffered",
     "f_feels_like", "f_dew_point", "agg_degree_days",
-    "f_wind_components",
+    "f_wind_components", "stream_dataset_manifest",
 }
 
 ROWS_ONLY_IDS = {
