@@ -408,8 +408,14 @@ def test_nearest_gridpoint_partial_aggregates(spark, sf_dir):
 def test_md5_ann_codebooks_broadcast(spark, sf_dir):
     """The IVF/PQ md5 twins' codebooks (16 vectors) must reach the
     corpus-side scan as broadcasts — a shuffled codebook join would be
-    the wrong plan at any scale."""
-    for name in ("ext_simsearch_ivf_md5", "ext_simsearch_pq_md5"):
+    the wrong plan at any scale.  The round-9 compositions (IVF-PQ,
+    residual IVF-PQ) inherit the same requirement."""
+    for name in (
+        "ext_simsearch_ivf_md5",
+        "ext_simsearch_pq_md5",
+        "ext_simsearch_ivfpq",
+        "ext_simsearch_ivfpq_residual",
+    ):
         assert has_broadcast_join(QS[name](spark, sf_dir)), name
 
 
