@@ -5,7 +5,7 @@ operator laws (self-similarity, symmetry, score bounds)."""
 import datetime as dt
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from weather_data_ingestion_service_spark import fixtures
@@ -1648,6 +1648,10 @@ class TestBufferedSessionizerLaw:
             max_size=25,
         )
     )
+    # ADVICE-r9 counterexample: every event in batch 1 leaves batch 0
+    # empty; a flush-derived filler there advanced the watermark past
+    # all real events and dropped them as late.
+    @example(data=[(0, 0, 1)])
     def test_arrival_order_invariance(self, spark, data):
         """Law: sessions_buffered emits EXACTLY the batch gap-islands
         regardless of which micro-batch each event arrives in — the
@@ -1681,9 +1685,15 @@ class TestBufferedSessionizerLaw:
         path = "/root/repo/.tmp/stream_tests/sess_buffered_law"
         shutil.rmtree(path, ignore_errors=True)
         now = 1_700_000_000
+        early = t0 - dt.timedelta(days=1)
         for i, rows in enumerate(batches):
             if not rows:
-                rows = [(next(eid), 999, int(flush.timestamp() * 1e6) - i)]
+                # Only batch 0 can be empty (batch 1 always holds the
+                # flush sentinel).  The filler must NOT be flush-derived:
+                # a day-40 filler in batch 0 pushes the watermark to day
+                # 36 and every real event (<= day 3) in batch 1 would be
+                # dropped as late — use a pre-t0 sentinel instead.
+                rows = [(next(eid), 999, int(early.timestamp() * 1e6) - i)]
             sub = os.path.join(path, f"f{i}")
             spark.createDataFrame(
                 rows, "event_id long, user_id long, ts_us long"

@@ -357,6 +357,17 @@ def bm25_topk(
         .collect()
     )  # O(n_terms) control-plane read — the query, not the corpus
     qterms = sorted(qterms, key=lambda r: r["trank"])
+    if len(qterms) < n_terms:
+        # Loud failure beats the two silent modes: an empty `order`
+        # would IndexError below, and a partial one would diverge from
+        # any fixed-width tf0..tf{n_terms-1} oracle (its idf literals
+        # for the missing ranks become NULL while the engine just sums
+        # fewer terms).
+        raise ValueError(
+            f"bm25_topk needs >= skip_head + n_terms = "
+            f"{skip_head + n_terms} distinct terms in the corpus "
+            f"vocabulary; found only {skip_head + len(qterms)} or fewer"
+        )
     idf = {
         r["term"]: math.log((n_docs - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
         for r in qterms

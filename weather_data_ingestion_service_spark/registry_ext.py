@@ -17,22 +17,18 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .registry import (
     _cents,
-    _register_changed_since_green,
     register,
 )
 
-# Round-9 tightened the stream_window_session oracle's cumsum with the
-# (ts, event_id) tie-break (the ADVICE-r8 hazard: lag was tie-broken
-# but the cumsum wasn't, so a duplicate (user_id, ts) at a break could
-# attach to the previous session) — re-certify it.
-_register_changed_since_green("stream_window_session")
+# (round-9's stream_window_session re-cert call removed at round-10
+# start: CORRECTNESS_r09 shows it green again.)
 from .ext.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .ext.simsearch import cosine_topk, embedding_near_dup_pairs, lsh_topk
+from .ext.simsearch import cosine_topk, lsh_topk
 from .ext.text import fingerprints, lang_id, quality_score, token_stats, word_counts
 from .ext.multimodal import attach_binary_payload, decode_image_features
 from .operators.setops import union_prefer

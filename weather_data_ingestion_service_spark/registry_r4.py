@@ -25,17 +25,12 @@ from .registry import (
     NOW,
     _cents,
     _clean_stale_scratch,
-    _register_changed_since_green,
     _session_tag,
     register,
 )
 
-# Round-9 tightened the stream_sessionize_stateful oracle's lag/cumsum
-# windows with the (ts, event_id) tie-break (the ADVICE-r8
-# stream_session_exec hazard: with duplicate (key, ts) at a break, a
-# tied row could attach to the previous session) — re-certify it.  The
-# shared-verbatim consumer stream_sessionize_exec2 inherits the fix.
-_register_changed_since_green("stream_sessionize_stateful")
+# (round-9's stream_sessionize_stateful re-cert call removed at
+# round-10 start: CORRECTNESS_r09 shows it green again.)
 from .registry_ext import (
     _COSINE_SQL,
     _DUP_CORPUS_SQL,

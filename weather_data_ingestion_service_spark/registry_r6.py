@@ -14,14 +14,11 @@ from pyspark.sql import Window, functions as F
 
 from .io import load_table
 from .registry import (
-    _register_changed_since_green,
     register,
 )
 
-# Round-9 tightened agg_survival_km's session-islanding windows with
-# the (ts, event_id) tie-break (the ADVICE-r8 duplicate-(user, ts)
-# hazard) — re-certify it.
-_register_changed_since_green("agg_survival_km")
+# (round-9's agg_survival_km re-cert call removed at round-10 start:
+# CORRECTNESS_r09 shows it green again.)
 from .registry_r4 import _TOK_SQL, _tok
 
 #: daily cents per event type — the shared series the trend/window

@@ -22,15 +22,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_changed_since_green, register
+from .registry import register
 
-# Round-9 ADVICE fixes touched the stream_session_exec oracle (tie-break
-# on (ts, event_id) in the cumsum; ms-truncated watermark closure per
-# Spark's EventTimeStatsAccum µs→ms floor) — re-certify it.
-_register_changed_since_green("stream_session_exec")
-# Round-9 upgraded ext_graph_triangles to the degree-oriented wedge
-# join (VERDICT r8 #5) — re-certify it.
-_register_changed_since_green("ext_graph_triangles")
+# (round-9's stream_session_exec / ext_graph_triangles re-cert calls
+# removed at round-10 start: CORRECTNESS_r09 shows both green again.)
 
 
 # =====================================================================

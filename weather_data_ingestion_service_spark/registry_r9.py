@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_new_this_round, register
+from .registry import _register_changed_since_green, register
+
+# Round-10 ADVICE fix swapped obs_manifest_diff's planted corruption
+# from upper() (JVM/DuckDB Unicode case-mapping hazard) to the
+# engine-neutral translate(' '→'_') — re-certify it.
+_register_changed_since_green("obs_manifest_diff")
 
 # =====================================================================
 # A. IVF-PQ: probed inverted lists + ADC (VERDICT r8 #4)
@@ -657,7 +662,8 @@ _MANIFEST_SQL = """
     WITH a AS ({_MANIFEST_SQL.format(src="documents")}),
     copy AS (
       SELECT doc_id,
-             CASE WHEN doc_id = 13 THEN upper(text) ELSE text END AS text,
+             CASE WHEN doc_id = 13 THEN translate(text, ' ', '_')
+                  ELSE text END AS text,
              n_chars
       FROM documents WHERE doc_id <> 7),
     b AS ({_MANIFEST_SQL.format(src="copy")})
@@ -675,17 +681,23 @@ def q_obs_manifest_diff(spark, sf_dir):
     source corpus and a copy, flagging per shard whether row counts,
     byte volume, and the order-independent content checksum agree.
     The 'copy' here carries two planted faults (doc 7 dropped — a lost
-    row; doc 13 text uppercased — silent corruption with UNCHANGED
-    length, which only the content checksum catches: chars_match stays
-    true, content_match flips), so the entry hash-verifies that the
-    checksum detects exactly what it claims to at exactly the shards
-    it should (shards 7%8 and 13%8).  Verifying a 100 TB cross-region
+    row; doc 13's spaces flipped to underscores — silent corruption
+    with UNCHANGED length, which only the content checksum catches:
+    chars_match stays true, content_match flips), so the entry
+    hash-verifies that the checksum detects exactly what it claims to
+    at exactly the shards it should (shards 7%8 and 13%8).  The
+    corruption transform is ``translate`` over pure-ASCII arguments —
+    per-codepoint and engine-identical — NOT ``upper`` (JVM full
+    Unicode case mapping vs DuckDB simple mapping can disagree on
+    non-ASCII text, e.g. 'ß'→'SS' in Java only; ADVICE r9).  Verifying a 100 TB cross-region
     copy costs one scan per side and an 8-row join — never a row-level
     diff."""
     docs = load_table(spark, sf_dir, "documents")
     faulty = docs.filter(F.col("doc_id") != 7).withColumn(
         "text",
-        F.when(F.col("doc_id") == 13, F.upper("text")).otherwise(F.col("text")),
+        F.when(
+            F.col("doc_id") == 13, F.translate("text", " ", "_")
+        ).otherwise(F.col("text")),
     )
 
     def manifest(d, suffix):
@@ -1282,20 +1294,5 @@ def q_ext_multimodal_audio_exact(spark, sf_dir):
     return audio_exact_stats(wav, "doc_id")
 
 
-_register_new_this_round(
-    "ext_simsearch_ivfpq",
-    "ext_multimodal_audio_exact",
-    "agg_quantile_bounds",
-    "stream_sessionize_exec2",
-    "ext_text_bm25",
-    "stream_quantile_bounds",
-    "obs_manifest_diff",
-    "ext_eval_ivfpq_recall",
-    "ext_simsearch_ivfpq_residual",
-    "stream_sessionize_buffered",
-    "f_feels_like",
-    "f_dew_point",
-    "agg_degree_days",
-    "f_wind_components",
-    "stream_dataset_manifest",
-)
+# Round-9 _register_new_this_round tail (15 ids) removed at round-10 start
+# per the CLAUDE.md rotation checklist — its members are now carryovers.
