@@ -153,6 +153,12 @@ HEADLINE = [
     "agg_quantile_bounds",
     "stream_sessionize_exec2",
     "stream_sessionize_buffered",
+    # round-10 additions: the IVF-PQ index LIFECYCLE — build runs
+    # FIRST (one-time encode + partitioned write), so the query row
+    # right after it shows the amortized per-query serving cost the
+    # inline ext_simsearch_ivfpq row pays in full every time
+    "ext_simsearch_index_build",
+    "ext_simsearch_index_query",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

@@ -150,6 +150,9 @@ ORACLE_IDS = {
     "ext_simsearch_ivfpq_residual", "stream_sessionize_buffered",
     "f_feels_like", "f_dew_point", "agg_degree_days",
     "f_wind_components", "stream_dataset_manifest",
+    # round 10 additions (VERDICT r9 punch list: IVF-PQ index
+    # lifecycle — build once / query many)
+    "ext_simsearch_index_build", "ext_simsearch_index_query",
 }
 
 ROWS_ONLY_IDS = {

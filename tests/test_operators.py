@@ -3448,3 +3448,68 @@ class TestRound9Ops:
             assert r.p50_lo_cents <= r.p50_hi_cents
             assert r.p90_lo_cents <= r.p90_hi_cents
             assert r.p50_ok and r.p90_ok, r
+
+
+class TestRound10Ops:
+    def test_ivfpq_index_query_matches_inline_twin(self, spark, sf_dir):
+        """The lifecycle split (persisted integer codes + literal-map
+        decode) must reproduce the inline IVF-PQ twin's output
+        BIT-FOR-BIT: same codebook, same total orders, same fixed-order
+        ADC chain — any drift means the persisted index answers
+        differently from the plan it claims to amortize."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            ivfpq_build_index,
+            ivfpq_query_index,
+            ivfpq_topk_md5,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q5 = emb.filter(F.col("vec_id") < 5)
+        path = tempfile.mkdtemp(prefix="wds_ivfpq_idx_test_")
+        try:
+            ivfpq_build_index(emb, path)
+            got = sorted(
+                (r.query_id, r.match_id, r.adc, r.rank)
+                for r in ivfpq_query_index(
+                    spark, path, q5, k=3, nprobe=4, m=8
+                ).collect()
+            )
+            want = sorted(
+                (r.query_id, r.match_id, r.adc, r.rank)
+                for r in ivfpq_topk_md5(
+                    emb, q5, k=3, n_clusters=16, nprobe=4, m=8
+                ).collect()
+            )
+            assert got == want
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    def test_ivfpq_codes_are_small_ints_per_vector(self, spark, sf_dir):
+        """The persisted-index form: one row per corpus vector, the
+        coarse id plus m integer codebook ids, every code a member of
+        the 16-entry codebook — the ~4-byte/vector compression claim."""
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            _md5_codebook,
+            ivfpq_encode_codes,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = ivfpq_encode_codes(emb, "vec_id", "embedding")
+        n = emb.count()
+        assert codes.count() == n
+        cids = {
+            r.cid for r in _md5_codebook(emb, "vec_id", "embedding", 16).collect()
+        }
+        bad = codes.filter(
+            ~F.col("cid").isin(list(cids))
+            | ~F.col("c0").isin(list(cids))
+            | ~F.col("c7").isin(list(cids))
+        )
+        assert bad.count() == 0

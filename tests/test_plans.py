@@ -749,3 +749,33 @@ def test_embed_hamming_band_join_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_embedding_registry_stays_on_grid_path(spark, sf_dir):
+    """VERDICT r9 #8: the REGISTRY id must keep resolving to the
+    block-pair grid variant — a refactor must not silently swap in the
+    brute-force all-pairs twin (which exists only as a loudly-guarded
+    exact baseline).  Grid signature: no cartesian/nested-loop product,
+    and every broadcast build side is the 2-column grid, never the
+    embedding column."""
+    df = QS["ext_dedup_embedding"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_index_query_prunes_code_lists(spark, sf_dir):
+    """ext_simsearch_index_query: the codes scan must resolve its
+    probed-list filter at PLANNING time — PartitionFilters on the
+    coarse ``cid`` partition column (the inverted-list layout read),
+    and the plan must contain NO re-encode of the corpus (the min_by/
+    max_by encode aggregate belongs to the build half only).  At
+    100 TB this is nprobe/n_clusters of the index directories read,
+    with m+1 small ints per vector."""
+    import re
+
+    df = QS["ext_simsearch_index_query"](spark, sf_dir)
+    plan = formatted_plan(df)
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "cid" in pf.group(1), plan[-2000:]
+    assert "min_by" not in plan and "max_by" not in plan, plan[-2000:]

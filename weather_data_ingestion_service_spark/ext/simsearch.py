@@ -719,6 +719,172 @@ def ivfpq_residual_topk_md5(
     return _rank_topk(scored, "adc", k)
 
 
+def ivfpq_encode_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """One corpus pass → INTEGER IVF-PQ codes: per vector the coarse
+    list id plus ``m`` per-subspace codebook ids
+    ``(match_id, cid, c0..c{m-1})`` — the persisted-index form of the
+    encoding ``ivfpq_topk_md5`` computes inline (there the aggregate
+    keeps the selected centroid SLICES; here it keeps their ids, which
+    is what an index stores: m small ints per vector, the 8×4-bit ≈
+    4-byte compression that keeps 100 TB of vectors RAM-resident).
+
+    Same hash-sampled codebook, same (cos, −cid) / (l2, cid) total
+    orders, same single broadcast-cross-join + one ``groupBy(id)``
+    hash aggregate (map-side partials, no window sort), so the chosen
+    centroids — and therefore any downstream ADC score — are
+    bit-identical to the inline twin's and restatable by the same
+    DuckDB oracle family."""
+    sub = dim // m
+    cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
+
+    def _l2(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("cvec", s * sub + 1, sub),
+                F.slice("ce", s * sub + 1, sub),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", _codebook_cos("cvec", "ce"))
+        .groupBy("match_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct("cos_c", (-F.col("cid")).alias("nc"))
+            ).alias("cid"),
+            *[
+                F.min_by(
+                    "cid",
+                    F.struct(_l2(s).alias("l2"), F.col("cid").alias("cid")),
+                )
+                .cast("long")
+                .alias(f"c{s}")
+                for s in range(m)
+            ],
+        )
+    )
+
+
+def ivfpq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 8,
+    dim: int = 64,
+) -> None:
+    """BUILD-ONCE half of the IVF-PQ index lifecycle: materialize the
+    codebook (``n_clusters`` rows) and the integer codes table to
+    ``path`` — codes PARTITIONED BY the coarse list id, so a probed
+    query prunes its scan to ``nprobe`` list directories at the
+    parquet layer (the inverted-list file layout, not a full-index
+    scan + filter).  The inline registry twins re-encode the corpus
+    inside every query (encoding-dominated — BASELINE.md round-9 note:
+    ~12.7 s of the 31.8 s IVF run at 128k vectors is the encode);
+    persisting codes amortizes that across every subsequent query,
+    which is the shape a 100 TB user actually runs."""
+    cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
+    cent.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+    codes = ivfpq_encode_codes(corpus, id_col, vec_col, n_clusters, m, dim)
+    codes.write.mode("overwrite").partitionBy("cid").parquet(path + "/codes")
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """QUERY-MANY half of the IVF-PQ index lifecycle: top-k against an
+    index persisted by ``ivfpq_build_index`` — NO corpus scan and no
+    re-encode.  Three control-plane reads plus one pruned codes scan:
+
+    1. the codebook (``n_clusters`` rows) loads and the query side
+       probes its ``nprobe`` nearest lists against its broadcast —
+       identical probe stage to the inline twins;
+    2. the probed list ids (``|Q|·nprobe`` ints) collect to the driver
+       and become a STATIC partition filter on the codes scan, so the
+       parquet source lists only the probed ``cid=`` directories
+       (plan-visible PartitionFilters, ~nprobe/n_clusters of the
+       index); dynamic pruning would also work, but a static IN-list
+       from a tiny control-plane read is strictly simpler;
+    3. codes decode JVM-side through per-subspace literal lookup maps
+       ``cid → centroid slice`` built from the driver-collected
+       codebook (float→double conversion is exact, so the decoded
+       slices — and the fixed-order ADC chain over them — are
+       bit-identical to the inline twin's and to the DuckDB oracle).
+
+    At 100 TB: the codes scan reads m+1 small ints per vector from
+    nprobe/n_clusters of the files; everything corpus-sized stays
+    columnar and pruned."""
+    sub = dim // m
+    cent = spark.read.parquet(path + "/codebook")
+    cb_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    probes = _probe_lists(queries, cent, id_col, vec_col, nprobe)
+    probed = sorted(
+        {r["cid"] for r in probes.select("cid").distinct().collect()}
+    )
+    slice_maps = {
+        s: F.create_map(
+            *[
+                x
+                for r in cb_rows
+                for x in (
+                    F.lit(int(r["cid"])).cast("long"),
+                    F.array(
+                        *[
+                            F.lit(float(v))
+                            for v in r["ce"][s * sub : (s + 1) * sub]
+                        ]
+                    ),
+                )
+            ]
+        )
+        for s in range(m)
+    }
+    codes = (
+        spark.read.parquet(path + "/codes")
+        .filter(F.col("cid").isin([int(c) for c in probed]))
+        .withColumn("cid", F.col("cid").cast("long"))
+    )
+    dec = codes.select(
+        "match_id",
+        "cid",
+        *[
+            F.element_at(slice_maps[s], F.col(f"c{s}")).alias(f"cv{s}")
+            for s in range(m)
+        ],
+    )
+    adc = _adc_subspace_dot(0, sub)
+    for s in range(1, m):
+        adc = adc + _adc_subspace_dot(s, sub)
+    scored = (
+        probes.join(dec, "cid")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("adc", adc)
+    )
+    return _rank_topk(scored, "adc", k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
