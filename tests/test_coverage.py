@@ -151,8 +151,11 @@ ORACLE_IDS = {
     "f_feels_like", "f_dew_point", "agg_degree_days",
     "f_wind_components", "stream_dataset_manifest",
     # round 10 additions (VERDICT r9 punch list: IVF-PQ index
-    # lifecycle — build once / query many)
+    # lifecycle — build once / query many; HLL error contract +
+    # mergeability; the last two native daily weather variables)
     "ext_simsearch_index_build", "ext_simsearch_index_query",
+    "agg_distinct_bounds", "stream_distinct_bounds",
+    "agg_sunshine_duration", "f_daylight_duration",
 }
 
 ROWS_ONLY_IDS = {

@@ -172,7 +172,291 @@ def q_ext_simsearch_index_query(spark, sf_dir):
     return out.withColumn("adc", F.round("adc", 3))
 
 
+# =====================================================================
+# B. HLL error contract, hash-verified (VERDICT r9 #3 — the
+#    agg_quantile_bounds pattern applied to approx_count_distinct)
+# =====================================================================
+
+
+_DISTINCT_BOUNDS_SQL = """
+    WITH d AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT event_type, n_exact,
+             (n_exact * 25 + 99) // 100 AS slack
+      FROM d)
+    SELECT event_type, n_exact,
+           CAST(n_exact - slack AS BIGINT) AS hll_lo,
+           CAST(n_exact + slack AS BIGINT) AS hll_hi,
+           TRUE AS hll_ok
+    FROM b ORDER BY event_type
+    """
+
+
+def _distinct_bounds_frame(spark, sf_dir, hll_override=None):
+    """Shared body of the HLL error-contract entries: exact distinct
+    + integer-exact ±25% bounds from the batch table, the HLL++
+    estimate from ``hll_override`` (event_type, hll) when given — else
+    from a batch ``approx_count_distinct`` — and the in-bounds
+    verdict.  25% = 5·rsd at rsd=0.05: the sketch publishes a
+    STANDARD-DEVIATION contract, not a hard one, so the bracket is a
+    5-sigma envelope — and because Spark's HLL++ is hash-determined
+    (no RNG), the verdict is a fixed fact of this data that the
+    driver re-certifies every round."""
+    ev = load_table(spark, sf_dir, "events")
+    if hll_override is not None:
+        stats = (
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+            .join(hll_override, "event_type")
+        )
+    else:
+        stats = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.05).alias("hll"),
+        )
+    return stats.select(
+        "event_type",
+        "n_exact",
+        (F.col("n_exact") - F.expr("(n_exact * 25 + 99) DIV 100"))
+        .cast("long")
+        .alias("hll_lo"),
+        (F.col("n_exact") + F.expr("(n_exact * 25 + 99) DIV 100"))
+        .cast("long")
+        .alias("hll_hi"),
+        (
+            (F.col("hll") >= F.col("n_exact")
+             - F.expr("(n_exact * 25 + 99) DIV 100"))
+            & (F.col("hll") <= F.col("n_exact")
+               + F.expr("(n_exact * 25 + 99) DIV 100"))
+        ).alias("hll_ok"),
+    )
+
+
+@register("agg_distinct_bounds", _DISTINCT_BOUNDS_SQL)
+def q_agg_distinct_bounds(spark, sf_dir):
+    """The HLL++ sketch's ERROR CONTRACT, hash-verified — the exact
+    pattern that upgraded quantiles in round 9 (``agg_quantile_bounds``)
+    applied to the OLDEST rows-only entry (``agg_approx_distinct``,
+    rows-only since r01): per event type, publish the exact distinct
+    user count plus an integer-exact ±25% (5σ at rsd=0.05) bracket,
+    and publish the verdict ``approx_count_distinct ∈ [lo, hi]`` as a
+    boolean the oracle asserts TRUE.  The estimate itself stays
+    unpublished (implementation-dependent); what the driver
+    hash-checks is that Spark's HLL++ honors its error contract on
+    this data — a Spark upgrade that broke it flips the boolean and
+    the row mismatches.  ``agg_approx_distinct`` stays as the raw
+    sketch surface."""
+    return _distinct_bounds_frame(spark, sf_dir)
+
+
+def _distinct_bounds_twin_sql():
+    # share agg_distinct_bounds' oracle VERBATIM: the MERGED sketch
+    # must honor the same error contract as the single-pass one
+    from .registry import _ORACLE
+
+    return _ORACLE["agg_distinct_bounds"]
+
+
+@register("stream_distinct_bounds", _distinct_bounds_twin_sql())
+def q_stream_distinct_bounds(spark, sf_dir):
+    """HLL++ MERGEABILITY, driver-certified (the
+    ``stream_quantile_bounds`` pattern): the same error contract as
+    ``agg_distinct_bounds``, but with the sketch built by a REAL
+    2-micro-batch complete-mode streaming aggregation (time-split
+    files one per trigger), so epoch 1's partial HLL registers MERGE
+    into epoch 0's stored state rather than building in one pass.
+    Merged registers are max-folded, so the estimate may legitimately
+    differ from the batch entry's — what must hold, and what the
+    shared-verbatim oracle asserts, is the 5σ bracket.  Mergeability
+    is the property that lets 1000 executors sketch 100 TB
+    independently and combine."""
+    import os
+    import shutil
+
+    _clean_stale_scratch("/tmp/wds_db2_*")
+    root = f"/tmp/wds_db2_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    now = 1_700_000_000
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    ):
+        sub = os.path.join(root, f"f{i}")
+        part.select("event_type", "user_id").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/f*")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("hll")
+    )
+    from .streaming.jobs import run_stream_to_memory
+
+    hll = run_stream_to_memory(agg, output_mode="complete")
+    return _distinct_bounds_frame(spark, sf_dir, hll_override=hll)
+
+
+# =====================================================================
+# C. Native sunshine_duration + daylight_duration (VERDICT r9 #4 —
+#    the last two reference daily variables without a DEDICATED
+#    hash-green entry; the r9 weather-native pattern)
+# =====================================================================
+
+
+def _sunshine_oracle():
+    from .registry_r9 import _FL_N, _grid_hash_sql
+
+    H = _grid_hash_sql
+    return f"""
+    WITH g AS (
+      SELECT range % 5 AS lid, range // 5 AS h FROM range(0, {_FL_N})),
+    v AS (
+      SELECT lid, h // 24 AS d, {H('sun_r')} % 1400 AS rad FROM g)
+    SELECT CAST(lid AS BIGINT) AS location_id,
+           CAST(d AS BIGINT) AS day_idx,
+           CAST(sum(CASE WHEN rad > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sunny_hours,
+           CAST(sum(CASE WHEN rad > 120 THEN 3600 ELSE 0 END) AS BIGINT)
+             AS sunshine_s
+    FROM v GROUP BY lid, d ORDER BY lid, d
+    """
+
+
+@register("agg_sunshine_duration", _sunshine_oracle())
+def q_agg_sunshine_duration(spark, sf_dir):
+    """Native ``sunshine_duration`` (reference server.py:133) as a
+    FIRST-CLASS hash-green entry: the WMO convention — an hour counts
+    as sunshine when direct radiation exceeds 120 W/m² — summed to
+    daily seconds, computed by the REAL operator
+    (``operators/aggregates.daily_summary`` with the ``sunshine``
+    family, the same code path ``wx_history_daily`` exercises inside
+    its composite product).  Hourly radiation is an md5-derived
+    integer W/m² on the wx-twin grid (5 locations × 21 days × 24 h),
+    so the threshold comparison and the 3600-per-hour sum are exact
+    integers on both engines.  One hash aggregate to days, map-side
+    combining — the shape that scales."""
+    from .operators.aggregates import daily_summary
+    from .registry_r9 import _FL_N, _grid_hash
+
+    g = spark.range(0, _FL_N).select(
+        (F.col("id") % 5).alias("lid"),
+        F.expr("id DIV 5").alias("h"),
+    )
+    v = g.select(
+        "lid",
+        "h",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, h)"
+        ).alias("ts"),
+        (_grid_hash("sun_r") % 1400).cast("double").alias("direct_radiation"),
+    )
+    daily = daily_summary(
+        v,
+        "ts",
+        ["lid"],
+        {"sunshine_duration": ("direct_radiation", "sunshine")},
+    )
+    return daily.select(
+        F.col("lid").cast("long").alias("location_id"),
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+        (F.col("sunshine_duration") / 3600).cast("long").alias("sunny_hours"),
+        F.col("sunshine_duration").cast("long").alias("sunshine_s"),
+    ).orderBy("location_id", "day_idx")
+
+
+def _daylight_oracle():
+    """Precomputed solar dimension as inline VALUES (the
+    wx_sunrise_sunset oracle pattern): the SAME float64 numpy
+    ``solar_components`` code runs driver-side; published integers are
+    whole SECONDS — coarser than the green entry's micro-hours, so the
+    1-ULP batch-shape wiggle argument holds a fortiori."""
+    import math
+
+    import numpy as np
+
+    from .fixtures import LATS, LONS, PLACES
+    from .functions.astro import solar_components
+
+    rows = []
+    for i, place in enumerate(PLACES):
+        for d in range(7):
+            sr, ss, _dl = solar_components(
+                np.array([LATS[i]]),
+                np.array([LONS[i]]),
+                np.array([float(d + 1)]),
+            )
+            sr_s = math.floor(float(sr[0]) * 3600.0 + 0.5)
+            ss_s = math.floor(float(ss[0]) * 3600.0 + 0.5)
+            dl_s = math.floor((float(ss[0]) - float(sr[0])) * 3600.0 + 0.5)
+            esc = place.replace("'", "''")
+            rows.append(
+                f"('{esc}', DATE '2024-01-{d + 1:02d}', "
+                f"CAST({sr_s} AS BIGINT), CAST({ss_s} AS BIGINT), "
+                f"CAST({dl_s} AS BIGINT))"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(place, day, sunrise_s, sunset_s, daylight_s)"
+    )
+
+
+@register("f_daylight_duration", _daylight_oracle())
+def q_f_daylight_duration(spark, sf_dir):
+    """Native ``daylight_duration`` (reference server.py:133) as a
+    FIRST-CLASS hash-green entry: daylight = sunset − sunrise from the
+    NOAA solar dimension (``functions/astro.solar_events``, the same
+    vectorized pandas UDF behind the green ``wx_sunrise_sunset``),
+    published in EXACT INTEGER SECONDS — sunrise/sunset as
+    seconds-of-day UTC and the duration as their float difference
+    rounded to the second (floor(x·3600 + 0.5), the same
+    integer-minor-units discipline; whole seconds are 1e3 coarser
+    than the micro-hour twin, so numpy's batch-shape ULP wiggle
+    cannot flip them)."""
+    from . import fixtures
+    from .functions.astro import solar_events
+
+    geo = fixtures.geo_dim(spark).filter(F.col("latitude").between(-90, 90))
+    days = spark.range(7).select(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+        ).alias("day")
+    )
+    sol = solar_events(geo.crossJoin(days), "latitude", "longitude", "day")
+    return sol.select(
+        "place",
+        "day",
+        F.floor(F.col("sunrise_utc_hour") * 3600.0 + 0.5)
+        .cast("long")
+        .alias("sunrise_s"),
+        F.floor(F.col("sunset_utc_hour") * 3600.0 + 0.5)
+        .cast("long")
+        .alias("sunset_s"),
+        F.floor(
+            (F.col("sunset_utc_hour") - F.col("sunrise_utc_hour")) * 3600.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("daylight_s"),
+    )
+
+
 _register_new_this_round(
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
+    "agg_distinct_bounds",
+    "stream_distinct_bounds",
+    "agg_sunshine_duration",
+    "f_daylight_duration",
 )
