@@ -159,6 +159,13 @@ HEADLINE = [
     # inline ext_simsearch_ivfpq row pays in full every time
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
+    # round-10 second batch: the streaming HLL merge run, the Gram-pass
+    # power iteration, the real-codec resize round trip, and the
+    # 10-round distributed BPE trainer (job-scheduling heavy)
+    "stream_distinct_bounds",
+    "ext_embed_power_iteration",
+    "ext_multimodal_resize_exact",
+    "ext_tokenizer_bpe_exact",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

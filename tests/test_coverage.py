@@ -156,6 +156,8 @@ ORACLE_IDS = {
     "ext_simsearch_index_build", "ext_simsearch_index_query",
     "agg_distinct_bounds", "stream_distinct_bounds",
     "agg_sunshine_duration", "f_daylight_duration",
+    "ext_embed_power_iteration", "ext_multimodal_resize_exact",
+    "ext_tokenizer_bpe_exact",
 }
 
 ROWS_ONLY_IDS = {

@@ -3513,3 +3513,74 @@ class TestRound10Ops:
             | ~F.col("c7").isin(list(cids))
         )
         assert bad.count() == 0
+
+    def test_power_iteration_hand_matrix(self, spark, sf_dir):
+        """Hand-checkable 2x2-in-64 fixture: S = diag-dominant with a
+        single dominant direction along e0+e1 — after a few rounds the
+        integer vector must align with it (v0 == v1 == unit, rest 0)."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            power_iteration_int,
+        )
+
+        rows = [(0, 0, 2), (0, 1, 2), (1, 1, 2)]  # upper triangle
+        gram = spark.createDataFrame(rows, "i long, j long, s long")
+        got = {r.idx: r.v_unit for r in power_iteration_int(gram).collect()}
+        assert got[0] == 1_000_000 and got[1] == 1_000_000
+        assert all(got[i] == 0 for i in range(2, 64))
+
+    def test_power_iteration_floor_semantics_negative(self, spark, sf_dir):
+        """Negative components must floor (CPython //), not truncate:
+        S = [[0, -1], [-1, 0]]-ish forces sign flips every round; pin
+        the exact integer output against a hand replay."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            power_iteration_int,
+        )
+
+        rows = [(0, 0, 3), (0, 1, -2), (1, 1, 3)]
+        gram = spark.createDataFrame(rows, "i long, j long, s long")
+        got = {r.idx: r.v_unit for r in power_iteration_int(gram).collect()}
+        S = [[0] * 64 for _ in range(64)]
+        S[0][0] = S[1][1] = 3
+        S[0][1] = S[1][0] = -2
+        v = [1_000_000] * 64
+        for _ in range(8):
+            w = [sum(S[i][j] * v[j] for j in range(64)) for i in range(64)]
+            m = max(abs(x) for x in w)
+            v = [(x * 1_000_000) // m for x in w]
+        assert [got[i] for i in range(64)] == v
+
+    def test_hll_bounds_verdict_holds_engine_side(self, spark, sf_dir):
+        """Every group's HLL estimate must sit inside its 5-sigma
+        bracket and lo <= hi — the contract the driver hash-checks,
+        pinned here without DuckDB in the loop."""
+        import __spark_entry__ as entry
+
+        rows = entry.queries()["agg_distinct_bounds"](spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.hll_lo <= r.n_exact <= r.hll_hi
+            assert r.hll_ok, r
+
+    def test_resize_exact_detects_pixel_transposition(self, spark, sf_dir):
+        """The position-weighted checksum is the load-bearing half:
+        swapping two distinct pixel VALUES keeps px_sum but must flip
+        px_wsum (a plain sum would pass the corruption)."""
+        from weather_data_ingestion_service_spark.ext.multimodal import (
+            _encode_png_stdlib,
+            image_resize_exact_stats,
+        )
+
+        px = bytearray(range(48))  # 4x4 RGB, all-distinct values
+        a = _encode_png_stdlib(bytes(px), 4, 4, 3)
+        swapped = bytearray(px)
+        swapped[0], swapped[47] = swapped[47], swapped[0]
+        b = _encode_png_stdlib(bytes(swapped), 4, 4, 3)
+        df = spark.createDataFrame(
+            [(1, bytearray(a)), (2, bytearray(b))], "doc_id long, payload binary"
+        )
+        got = {
+            r.doc_id: (r.px_sum, r.px_wsum)
+            for r in image_resize_exact_stats(df).collect()
+        }
+        assert got[1][0] == got[2][0]
+        assert got[1][1] != got[2][1]

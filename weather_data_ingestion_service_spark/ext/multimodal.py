@@ -752,6 +752,58 @@ def audio_exact_stats(
     )
 
 
+#: output schema of the exact-integer resized-image statistics extractor
+RESIZE_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+    ]
+)
+
+
+def image_resize_exact_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact integer statistics of RESIZED image payloads — the
+    ``audio_exact_stats`` posture for the image resize path: decode
+    each (already resized) PNG through the stdlib codec and publish
+    per image the header dims plus two integer pixel checksums —
+    ``px_sum = Σ value`` and the position-weighted
+    ``px_wsum = Σ (p+1)·value`` over the interleaved byte index ``p``
+    (weighting makes any pixel TRANSPOSITION flip the sum, not just a
+    value change).  For a synthesized source (``synth_png_payload``
+    gradients) the nearest-neighbor resample output is a pure function
+    of the synthesis params, so these integers restate analytically —
+    which hash-verifies the full encode → decode → floor-sampled
+    resample → re-encode → decode round trip, because the published
+    pixels passed through the re-encoded PNG."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in RESIZE_EXACT_SCHEMA}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, nch, pixels = _png_pixels(bytes(payload))
+                out["doc_id"].append(int(i))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_channels"].append(nch)
+                out["px_sum"].append(sum(pixels))
+                out["px_wsum"].append(
+                    sum((p + 1) * v for p, v in enumerate(pixels))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, RESIZE_EXACT_SCHEMA
+    )
+
+
 def synth_png_payload(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -885,6 +885,52 @@ def ivfpq_query_index(
     return _rank_topk(scored, "adc", k)
 
 
+def power_iteration_int(
+    gram: DataFrame,
+    dim: int = 64,
+    n_iter: int = 8,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Dominant eigenvector of the EXACT integer Gram matrix by power
+    iteration with EXACT INTEGER state — the ``pagerank_int`` posture
+    applied to PCA's first component: every round is
+    ``w = S·v`` (integer matvec) followed by L∞ normalization
+    ``v' = floor(w·unit / max|w|)`` in floor semantics, so the result
+    is a PURE FUNCTION of (S, n_iter) — identical across engines,
+    partitionings and batch shapes, which float eigensolvers
+    structurally cannot be (their reductions are order-dependent).
+
+    Scale split: the corpus-linear work is the Gram accumulation
+    (``gram_matrix_quantized`` — one Arrow pass, d²/2 integers per
+    partition shuffled, hash-verified as ``ext_embed_gram``); the
+    eigensolve is O(n_iter·d²) on a d×d matrix — control-plane
+    arithmetic INDEPENDENT of corpus size (64×64 at 100 TB exactly as
+    here), so it runs driver-side on the collected triangle like the
+    codebook/merge-table fits.  CPython's arbitrary-precision ints
+    make the intermediate products exact at any magnitude; the
+    published components are in [−unit, unit].
+
+    Takes the ``(i, j, s)`` upper-triangular frame
+    ``gram_matrix_quantized`` returns; mirrors it to full symmetric
+    before iterating."""
+    tri = gram.collect()  # d(d+1)/2 rows — control-plane, corpus-free
+    S = [[0] * dim for _ in range(dim)]
+    for r in tri:
+        S[r["i"]][r["j"]] = int(r["s"])
+        S[r["j"]][r["i"]] = int(r["s"])
+    v = [unit] * dim
+    for _ in range(n_iter):
+        w = [sum(S[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:  # zero matrix — stay at the start vector
+            break
+        v = [(x * unit) // m for x in w]  # Python // IS floor
+    spark = gram.sparkSession
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "idx long, v_unit long"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -452,6 +452,271 @@ def q_f_daylight_duration(spark, sf_dir):
     )
 
 
+# =====================================================================
+# D. Integer power iteration — the PCA machinery, oracle-paired
+#    (VERDICT r9 #5: the pagerank_int precedent applied to the
+#    dominant eigenvector of the hash-green quantized Gram matrix)
+# =====================================================================
+
+
+def _power_iteration_oracle(dim=64, n_iter=8, unit=1_000_000):
+    # Gram CTEs shared verbatim with ext_embed_gram (registry_r6) —
+    # the quantization formula cannot drift between the two entries.
+    return f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+      FROM embeddings),
+    ql AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5)
+                                   AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qvec
+      FROM q),
+    e AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(qvec, 1) - 1 AS BIGINT) AS i,
+             CAST(unnest(qvec) AS BIGINT) AS x
+      FROM ql),
+    gsym AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2),
+    grow AS (SELECT i, list(s ORDER BY j) AS row FROM gsym GROUP BY i),
+    gmat AS (SELECT list(row ORDER BY i) AS m FROM grow),
+    pi AS (
+      SELECT 0 AS it,
+             list_transform(range(0, {dim}),
+                            x -> CAST({unit} AS HUGEINT)) AS v
+      UNION ALL
+      -- v' = floor(w * unit / max|w|): the explicit-floor spelling
+      -- (a - pmod(a, m)) // m keeps negative numerators on FLOOR
+      -- semantics, matching CPython's // (DuckDB's bare // truncates)
+      SELECT it + 1,
+             list_transform(w, x -> CAST((x * {unit}
+                 - (((x * {unit}) % mx) + mx) % mx) // mx AS HUGEINT)) AS v
+      FROM (
+        SELECT it, w, list_max(list_transform(w, x -> abs(x))) AS mx
+        FROM (
+          SELECT pi.it AS it,
+                 list_transform(g.m,
+                   row -> list_sum(list_transform(list_zip(row, pi.v),
+                                                  p -> p[1] * p[2]))) AS w
+          FROM pi, gmat g
+          WHERE pi.it < {n_iter})))
+    SELECT CAST(r AS BIGINT) AS idx, CAST(v[r + 1] AS BIGINT) AS v_unit
+    FROM pi, range(0, {dim}) t(r) WHERE it = {n_iter} ORDER BY idx
+    """
+
+
+@register("ext_embed_power_iteration", _power_iteration_oracle())
+def q_ext_embed_power_iteration(spark, sf_dir):
+    """Dominant eigenvector (PCA's first component) of the quantized
+    Gram matrix by INTEGER power iteration — upgrades the PCA
+    machinery from rows-only pytest differentials to driver-certified
+    (VERDICT r9 #5): 8 rounds of exact integer matvec + floor L∞
+    normalization over the hash-green ``gram_matrix_quantized``
+    second-moment statistic, a pure function of (S, n_iter) that the
+    oracle replays round-for-round in a WITH RECURSIVE over the SAME
+    Gram CTEs ``ext_embed_gram`` uses.  The corpus-linear stage is the
+    distributed Arrow Gram pass; the eigensolve is O(d²) control-plane
+    — the same 64×64 arithmetic at 100 TB as at sf0.001.  Floor
+    semantics on negative components are spelled explicitly on the
+    DuckDB side ((a − pmod(a, m)) // m) to match CPython's floor //.
+    The float eigensolve quality path (``ext_embed_pca``) stays
+    rows-only by nature."""
+    from .ext.simsearch import gram_matrix_quantized, power_iteration_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_int(
+        gram_matrix_quantized(emb, "vec_id", "embedding")
+    )
+
+
+# =====================================================================
+# E. Exact-integer twin of the real PNG resize path (VERDICT r9 #6 —
+#    the audio_exact_stats analytic-twin program, applied to images)
+# =====================================================================
+
+
+def _resize_exact_oracle(sw=24, sh=16, tw=10, th=6, n_docs=48):
+    # Analytic restatement: the synthesized gradient pixel is a closed
+    # form of (x, y, doc_id) (ext/multimodal.synth_png_payload), and
+    # floor-sampled nearest-neighbor maps (tx, ty) → (sx, sy) with
+    # pure integer arithmetic — so the resized image's pixel checksums
+    # are a pure function of the synthesis params.
+    return f"""
+    WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id < {n_docs}),
+    g AS (
+      SELECT k, ty.r AS ty, tx.r AS tx
+      FROM d, range(0, {th}) ty(r), range(0, {tw}) tx(r)),
+    s AS (
+      SELECT k, ty, tx,
+             least(tx * {sw} // {tw}, {sw - 1}) AS sx,
+             least(ty * {sh} // {th}, {sh - 1}) AS sy
+      FROM g),
+    v AS (
+      SELECT k, (ty * {tw} + tx) * 3 AS p,
+             (sx * 255 // {sw - 1} + k) % 256 AS r,
+             (sy * 255 // {sh - 1} + 2 * k) % 256 AS gr,
+             (sx + sy + 3 * k) % 256 AS b
+      FROM s)
+    SELECT CAST(k AS BIGINT) AS doc_id,
+           CAST({tw} AS BIGINT) AS width,
+           CAST({th} AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_channels,
+           CAST(sum(r + gr + b) AS BIGINT) AS px_sum,
+           CAST(sum((p + 1) * r + (p + 2) * gr + (p + 3) * b) AS BIGINT)
+             AS px_wsum
+    FROM v GROUP BY k ORDER BY doc_id
+    """
+
+
+@register("ext_multimodal_resize_exact", _resize_exact_oracle())
+def q_ext_multimodal_resize_exact(spark, sf_dir):
+    """The REAL image-resize path, hash-verified end to end (VERDICT
+    r9 #6 — finishing the analytic-twin program ``audio_exact_stats``
+    proved): synthesize 24×16 gradient PNGs keyed on doc_id (stdlib
+    encoder), REALLY resize them to 10×6 through the stdlib
+    decode → floor-sampled nearest-neighbor → stdlib re-encode kernel
+    (``resize_images(use_real_codec=True)``), decode the RESIZED
+    payload again, and publish exact integer pixel checksums (plain
+    and position-weighted).  Both resample coordinates and gradient
+    values are closed-form integer arithmetic of (doc_id, x, y), so
+    the oracle restates every output pixel analytically — any codec,
+    filter-reconstruction, or resample drift flips the weighted sum.
+    Kills the rows-only status of the resize path
+    (``ext_multimodal_resize_png`` stays as the raw binary surface;
+    its byte contract remains pytest-pinned).  Per-image Arrow-batched
+    mapInPandas throughout — the 100 TB shape for binary columns."""
+    from .ext.multimodal import (
+        image_resize_exact_stats,
+        resize_images,
+        synth_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+    png = synth_png_payload(docs, "doc_id", width=24, height=16)
+    resized = resize_images(
+        png, "doc_id", "payload", target_w=10, target_h=6,
+        use_real_codec=True,
+    )
+    return image_resize_exact_stats(resized, "doc_id", "payload")
+
+
+# =====================================================================
+# F. BPE merge fold, oracle-paired on a micro-corpus (VERDICT r9 #7 —
+#    the pack_bestfit sequential-fold precedent)
+# =====================================================================
+
+
+def _bpe_exact_oracle(n_docs=8, n_merges=10, min_count=2):
+    """WITH RECURSIVE replay of the greedy BPE merge fold.  Two
+    load-bearing tricks:
+
+    - each symbol is wrapped ``chr(2)‖sym‖chr(3)`` so the merge
+      rewrite is one ``replace()`` — leftmost non-overlapping scan,
+      exactly the engine's while-loop greedy semantics, and wrapped
+      boundaries make consecutive merges independent (a space-joined
+      spelling would share delimiters between adjacent matches and
+      drop every second merge in an ``aaaa`` run);
+    - position rows MUST collapse back to one row per word (GROUP BY)
+      before re-entering the recursion — without it the working table
+      multiplies by word length every round (measured: hang by round
+      3 even on a 31-word vocabulary).
+
+    The per-round argmax is two windows under the engine's exact
+    total order (count DESC, left ASC, right ASC), with single-char
+    words carried as NULL-pair dummy rows ordered last so they
+    survive the round without competing for the argmax."""
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE doc_id < {n_docs}),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM tok, unnest(ws) AS u(w) GROUP BY w),
+    init AS (
+      SELECT w,
+             list_aggregate(list_transform(range(1, length(w) + 1),
+                            i -> chr(2) || w[i] || chr(3)),
+                            'string_agg', '') AS s,
+             freq
+      FROM wf),
+    bpe AS (
+      SELECT 0 AS it, w, s, freq,
+             CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+             CAST(NULL AS BIGINT) AS mc
+      FROM init
+      UNION ALL
+      SELECT it + 1, w,
+             replace(s, chr(2) || bl || chr(3) || chr(2) || br || chr(3),
+                     chr(2) || bl || br || chr(3)),
+             freq, bl, br, bc
+      FROM (
+        SELECT it, w, s, freq,
+               any_value(bl) AS bl, any_value(br) AS br, any_value(bc) AS bc
+        FROM (
+          SELECT it, w, s, freq,
+                 first_value(l) OVER win AS bl,
+                 first_value(r) OVER win AS br,
+                 first_value(cnt) OVER win AS bc
+          FROM (
+            SELECT it, w, s, freq, l, r,
+                   sum(freq) OVER (PARTITION BY l, r) AS cnt
+            FROM (
+              SELECT it, w, s, freq,
+                     syms[CAST(k AS INT)] AS l,
+                     syms[CAST(k AS INT) + 1] AS r
+              FROM (
+                SELECT it, w, s, freq,
+                       list_filter(string_split(substr(s, 2, length(s) - 2),
+                                                chr(3) || chr(2)),
+                                   x -> x <> '') AS syms
+                FROM bpe) b,
+                unnest(range(1, greatest(len(syms) - 1, 1) + 1)) kk(k)
+            )
+          )
+          WINDOW win AS (ORDER BY (l IS NULL), cnt DESC, l ASC, r ASC)
+        )
+        GROUP BY it, w, s, freq
+      )
+      WHERE it < {n_merges} AND bc >= {min_count}
+    )
+    SELECT CAST(it AS INT) AS rank, any_value(ml) AS left,
+           any_value(mr) AS right, any_value(ml || mr) AS merged,
+           CAST(any_value(mc) AS BIGINT) AS pair_count
+    FROM bpe WHERE it >= 1 GROUP BY it ORDER BY rank
+    """
+
+
+@register("ext_tokenizer_bpe_exact", _bpe_exact_oracle())
+def q_ext_tokenizer_bpe_exact(spark, sf_dir):
+    """The REAL distributed BPE trainer, driver-certified (VERDICT r9
+    #7): run ``ext/text.bpe_train`` — per-round weighted pair count,
+    TakeOrdered(1) argmax under (count DESC, left ASC, right ASC),
+    Arrow-batched greedy rewrite — over an 8-document micro-corpus and
+    publish the learned merge table; the oracle replays the whole
+    sequential fold in a WITH RECURSIVE (the ``pack_bestfit``
+    precedent), so merge ORDER, TIE-BREAKS and pair counts must all
+    match bit-for-bit.  The corpus is deliberately micro: the fold is
+    inherently sequential (round t+1's counts depend on round t's
+    rewrite), so what needs certifying is the DECISION SEQUENCE, not
+    scale — the corpus-sized stage (word-frequency dict) is one hash
+    aggregate, already exercised at full size by the rows-only
+    ``ext_tokenizer_bpe``/``_apply`` scale paths, which stay as the
+    raw surfaces."""
+    from .ext.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    return bpe_train(docs, "text", n_merges=10, min_count=2)
+
+
 _register_new_this_round(
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
@@ -459,4 +724,7 @@ _register_new_this_round(
     "stream_distinct_bounds",
     "agg_sunshine_duration",
     "f_daylight_duration",
+    "ext_embed_power_iteration",
+    "ext_multimodal_resize_exact",
+    "ext_tokenizer_bpe_exact",
 )
