@@ -157,7 +157,8 @@ ORACLE_IDS = {
     "agg_distinct_bounds", "stream_distinct_bounds",
     "agg_sunshine_duration", "f_daylight_duration",
     "ext_embed_power_iteration", "ext_multimodal_resize_exact",
-    "ext_tokenizer_bpe_exact",
+    "ext_tokenizer_bpe_exact", "stream_simsearch_index",
+    "ext_tokenizer_bpe_apply_exact",
 }
 
 ROWS_ONLY_IDS = {

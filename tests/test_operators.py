@@ -3584,3 +3584,24 @@ class TestRound10Ops:
         }
         assert got[1][0] == got[2][0]
         assert got[1][1] != got[2][1]
+
+    def test_bpe_train_driver_path_matches_distributed(self, spark, sf_dir):
+        """The size-adaptive switch must be invisible in the result
+        (the dedup_clusters/pagerank_int rule): force the distributed
+        per-round loop with driver_max_words=0 and compare the merge
+        table bit-for-bit against the driver fast path."""
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.ext.text import bpe_train
+        from weather_data_ingestion_service_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 8
+        )
+        fast = [tuple(r) for r in bpe_train(docs, "text", n_merges=6).collect()]
+        dist = [
+            tuple(r)
+            for r in bpe_train(
+                docs, "text", n_merges=6, driver_max_words=0
+            ).collect()
+        ]
+        assert fast == dist and len(fast) == 6

@@ -726,6 +726,7 @@ def ivfpq_encode_codes(
     n_clusters: int = 16,
     m: int = 8,
     dim: int = 64,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """One corpus pass → INTEGER IVF-PQ codes: per vector the coarse
     list id plus ``m`` per-subspace codebook ids
@@ -740,9 +741,15 @@ def ivfpq_encode_codes(
     hash aggregate (map-side partials, no window sort), so the chosen
     centroids — and therefore any downstream ADC score — are
     bit-identical to the inline twin's and restatable by the same
-    DuckDB oracle family."""
+    DuckDB oracle family.
+
+    ``cent`` injects an externally-trained codebook (the streaming
+    ingest path encodes arriving batches against the OFFLINE codebook
+    — the production split: codebooks train once, codes stream); by
+    default the hash-sampled codebook derives from ``corpus``."""
     sub = dim // m
-    cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
+    if cent is None:
+        cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
 
     def _l2(s):
         return F.aggregate(

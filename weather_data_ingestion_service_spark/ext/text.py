@@ -539,6 +539,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 10,
     min_count: int = 2,
+    driver_max_words: int = 20_000,
 ) -> DataFrame:
     """Distributed BPE tokenizer training (the Sennrich/GPT-2 merge
     loop): learn ``n_merges`` merge rules from corpus word
@@ -561,18 +562,77 @@ def bpe_train(
     - Deterministic throughout: ties break lexicographically, so the
       merge sequence is a pure function of the corpus.
 
-    Not SQL-expressible (per-round argmax feeds the next round's
-    tokenization) → rows-only + hand-computed pytest fixture.
+    Size-adaptive (the dedup_clusters/pagerank_int rule): after the
+    corpus-sized word-freq aggregate, a dict at or under
+    ``driver_max_words`` runs the merge loop on the driver over the
+    collected (word, freq) list — pure integer/string arithmetic makes
+    the two paths bit-identical, and per-round Spark jobs cost ~0.8 s
+    scheduling each at local[32], so a 10-merge train on a small dict
+    drops from ~25 jobs to one collect.  Only above the cap does the
+    per-round distributed loop run (at web scale the dict is ~1e7
+    rows; the loop's per-round cost is dict-sized either way, which is
+    why classic BPE trains on a word-frequency dict at all).
+
+    The fold is inherently sequential (round t+1's counts depend on
+    round t's rewrite) — the micro-corpus entry
+    ``ext_tokenizer_bpe_exact`` hash-verifies the full decision
+    sequence against a WITH RECURSIVE replay; the full-corpus path
+    stays rows-only + hand-computed pytest fixture.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    vocab = (
+    wf = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("w", "").alias("syms"), "freq")
+    )
+    # capped probe (the cosine_topk guard shape): never counts more
+    # than cap+1 dict rows to decide the path
+    small = wf.limit(driver_max_words + 1).count() <= driver_max_words
+    if small:
+        word_freq = [(r["w"], int(r["freq"])) for r in wf.collect()]
+        dvocab: dict[str, tuple[list, int]] = {
+            w: (list(w), f) for w, f in word_freq
+        }
+        merges_d: list[tuple[int, str, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            pc: dict[tuple, int] = {}
+            for syms, f in dvocab.values():
+                for pair in zip(syms, syms[1:]):
+                    pc[pair] = pc.get(pair, 0) + f
+            if not pc:
+                break
+            (left, right), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_count:
+                break
+            merged = left + right
+            merges_d.append((rank, left, right, merged, cnt))
+            for w, (syms, f) in dvocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                dvocab[w] = (out, f)
+        return spark.createDataFrame(
+            merges_d,
+            "rank int, left string, right string, merged string, "
+            "pair_count long",
+        )
+
+    vocab = (
+        wf.select(F.split("w", "").alias("syms"), "freq")
         # the merge loop re-reads this table ~3 jobs per round: right-
         # size its partitions to the DICT (distinct words), not the
         # corpus — per-round scheduling overhead otherwise dominates.

@@ -717,6 +717,240 @@ def q_ext_tokenizer_bpe_exact(spark, sf_dir):
     return bpe_train(docs, "text", n_merges=10, min_count=2)
 
 
+# =====================================================================
+# G. Streaming incremental ANN index maintenance — the build half of
+#    the lifecycle kept fresh at ingest time (the stream_dedup_minhash
+#    posture applied to IVF-PQ codes)
+# =====================================================================
+
+
+def _index_manifest_twin_sql():
+    # share ext_simsearch_index_build's oracle VERBATIM: encoding is
+    # per-row against a fixed codebook, so the union of per-batch
+    # encodes over ANY batching must equal the batch build exactly
+    from .registry import _ORACLE
+
+    return _ORACLE["ext_simsearch_index_build"]
+
+
+@register("stream_simsearch_index", _index_manifest_twin_sql())
+def q_stream_simsearch_index(spark, sf_dir):
+    """STREAMING incremental IVF-PQ index maintenance — the missing
+    half of a production index lifecycle: codebooks train OFFLINE
+    (once), but vectors keep ARRIVING, so codes must be appended at
+    ingest time rather than rebuilt in a nightly corpus re-encode.
+    Embeddings stream in 2 micro-batches → foreachBatch encodes each
+    batch against the static broadcast codebook and writes its codes
+    as a replay-idempotent ``epoch=N`` overwrite partition (the
+    stream_dedup_minhash sink pattern); the final store's per-list
+    manifest must equal the batch build BIT-FOR-BIT — encoding is
+    per-row against a fixed codebook, so the union over ANY batching
+    is exactly the batch encode, and the oracle is
+    ``ext_simsearch_index_build``'s SQL verbatim.  Per-batch cost is
+    |new|·n_clusters broadcast work; nothing rescans the corpus."""
+    import os
+    import shutil
+
+    from .ext.simsearch import _md5_codebook, ivfpq_encode_codes
+
+    _clean_stale_scratch("/tmp/wds_sidx_*")
+    root = f"/tmp/wds_sidx_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # offline step: the codebook (would be KMeans in the quality path;
+    # hash-sampled here so the oracle restates it)
+    cent = _md5_codebook(emb, "vec_id", "embedding", 16)
+    cent_rows = cent.collect()  # 16 rows — pin the codebook statically
+    cent_static = spark.createDataFrame(cent_rows, cent.schema)
+
+    # stage the corpus as two arrival files (vec_id halves)
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    now = 1_700_000_000
+    for i, part in enumerate(
+        [emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)]
+    ):
+        sub = os.path.join(root, "in", f"f{i}")
+        part.select("vec_id", "embedding").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+    codes_dir = f"{root}/codes"
+
+    def handle(batch_df, epoch_id):
+        ivfpq_encode_codes(
+            batch_df, "vec_id", "embedding", cent=cent_static
+        ).write.mode("overwrite").parquet(f"{codes_dir}/epoch={int(epoch_id)}")
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/in/f*")
+        .writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(codes_dir)
+    code_sum = F.col("c0")
+    for s in range(1, 8):
+        code_sum = code_sum + F.col(f"c{s}")
+    return (
+        back.withColumn("cid", F.col("cid").cast("long"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_codes"),
+            F.sum("match_id").cast("long").alias("match_sum"),
+            F.sum(code_sum).cast("long").alias("code_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
+# =====================================================================
+# H. BPE APPLY certified: greedy-by-rank encode over the learned table
+# =====================================================================
+
+
+def _bpe_apply_oracle(
+    train_docs=8, eval_lo=8, eval_hi=24, n_merges=10, min_count=2
+):
+    """Two chained recursions: re-derive the merge table (the
+    ext_tokenizer_bpe_exact recursion, verbatim), then apply its rules
+    RANK BY RANK to the eval documents' distinct words — state
+    (rank, word, wrapped-string), each step one wrapped-symbol
+    ``replace`` against the rank+1 rule; the inner join on the rule
+    rank terminates the recursion exactly at the last learned merge.
+    Final per-doc accounting joins the encoded word lengths back
+    through the doc→word occurrence list."""
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE doc_id < {train_docs}),
+    wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM tok, unnest(ws) AS u(w) GROUP BY w),
+    init AS (
+      SELECT w,
+             list_aggregate(list_transform(range(1, length(w) + 1),
+                            i -> chr(2) || w[i] || chr(3)),
+                            'string_agg', '') AS s,
+             freq
+      FROM wf),
+    bpe AS (
+      SELECT 0 AS it, w, s, freq,
+             CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+             CAST(NULL AS BIGINT) AS mc
+      FROM init
+      UNION ALL
+      SELECT it + 1, w,
+             replace(s, chr(2) || bl || chr(3) || chr(2) || br || chr(3),
+                     chr(2) || bl || br || chr(3)),
+             freq, bl, br, bc
+      FROM (
+        SELECT it, w, s, freq,
+               any_value(bl) AS bl, any_value(br) AS br, any_value(bc) AS bc
+        FROM (
+          SELECT it, w, s, freq,
+                 first_value(l) OVER win AS bl,
+                 first_value(r) OVER win AS br,
+                 first_value(cnt) OVER win AS bc
+          FROM (
+            SELECT it, w, s, freq, l, r,
+                   sum(freq) OVER (PARTITION BY l, r) AS cnt
+            FROM (
+              SELECT it, w, s, freq,
+                     syms[CAST(k AS INT)] AS l,
+                     syms[CAST(k AS INT) + 1] AS r
+              FROM (
+                SELECT it, w, s, freq,
+                       list_filter(string_split(substr(s, 2, length(s) - 2),
+                                                chr(3) || chr(2)),
+                                   x -> x <> '') AS syms
+                FROM bpe) b,
+                unnest(range(1, greatest(len(syms) - 1, 1) + 1)) kk(k)
+            )
+          )
+          WINDOW win AS (ORDER BY (l IS NULL), cnt DESC, l ASC, r ASC)
+        )
+        GROUP BY it, w, s, freq
+      )
+      WHERE it < {n_merges} AND bc >= {min_count}
+    ),
+    merges AS (
+      SELECT CAST(it AS INT) AS rank, any_value(ml) AS l, any_value(mr) AS r
+      FROM bpe WHERE it >= 1 GROUP BY it),
+    etok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents WHERE doc_id >= {eval_lo} AND doc_id < {eval_hi}),
+    eocc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_occ
+      FROM etok, unnest(ws) AS u(w) GROUP BY doc_id, w),
+    ewords AS (SELECT DISTINCT w FROM eocc),
+    apply AS (
+      SELECT 0 AS rank, w,
+             list_aggregate(list_transform(range(1, length(w) + 1),
+                            i -> chr(2) || w[i] || chr(3)),
+                            'string_agg', '') AS s
+      FROM ewords
+      UNION ALL
+      SELECT a.rank + 1, a.w,
+             replace(a.s, chr(2) || m.l || chr(3) || chr(2) || m.r || chr(3),
+                     chr(2) || m.l || m.r || chr(3))
+      FROM apply a JOIN merges m ON m.rank = a.rank + 1
+    ),
+    final AS (
+      SELECT w, s FROM apply
+      WHERE rank = (SELECT coalesce(max(rank), 0) FROM merges)),
+    enc AS (
+      SELECT w,
+             CAST(len(list_filter(string_split(substr(s, 2, length(s) - 2),
+                                               chr(3) || chr(2)),
+                                  x -> x <> '')) AS BIGINT) AS n_tok,
+             CAST(length(w) AS BIGINT) AS n_sym
+      FROM final)
+    SELECT d.doc_id,
+           CAST(coalesce(sum(o.n_occ), 0) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(o.n_occ * e.n_sym), 0) AS BIGINT) AS n_symbols,
+           CAST(coalesce(sum(o.n_occ * e.n_tok), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(o.n_occ * e.n_tok), 0) * 1000000
+                // greatest(coalesce(sum(o.n_occ * e.n_sym), 0), 1) AS BIGINT)
+             AS compression_micro
+    FROM (SELECT doc_id FROM etok) d
+    LEFT JOIN eocc o ON o.doc_id = d.doc_id
+    LEFT JOIN enc e ON e.w = o.w
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+
+
+@register("ext_tokenizer_bpe_apply_exact", _bpe_apply_oracle())
+def q_ext_tokenizer_bpe_apply_exact(spark, sf_dir):
+    """BPE APPLICATION certified end to end: train the merge table on
+    the 8-doc micro-corpus (``bpe_train``), then GREEDY-BY-RANK encode
+    a DISJOINT 16-doc eval set (``bpe_encode`` — rules applied in
+    training order, each rewriting all adjacent occurrences
+    left-to-right) and publish per-doc token accounting.  The oracle
+    chains two recursions: the merge-fold replay (shared construction
+    with ``ext_tokenizer_bpe_exact``) feeding a rank-by-rank apply
+    recursion over the eval vocabulary's wrapped symbols — so the
+    train/apply CONTRACT (same tie-breaks, same greedy scan, rank
+    order preserved) is what's hash-checked, not just the trainer.
+    Train/eval disjointness mirrors the deployment reality the entry
+    certifies: tokenizers encode text they were not trained on."""
+    from .ext.text import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs.filter(F.col("doc_id") < 8), "text", n_merges=10, min_count=2
+    )
+    eval_docs = docs.filter((F.col("doc_id") >= 8) & (F.col("doc_id") < 24))
+    return bpe_encode(eval_docs, merges, "doc_id", "text")
+
+
 _register_new_this_round(
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
@@ -727,4 +961,6 @@ _register_new_this_round(
     "ext_embed_power_iteration",
     "ext_multimodal_resize_exact",
     "ext_tokenizer_bpe_exact",
+    "stream_simsearch_index",
+    "ext_tokenizer_bpe_apply_exact",
 )

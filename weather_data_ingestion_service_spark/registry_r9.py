@@ -31,6 +31,10 @@ from .registry import _register_changed_since_green, register
 # from upper() (JVM/DuckDB Unicode case-mapping hazard) to the
 # engine-neutral translate(' '→'_') — re-certify it.
 _register_changed_since_green("obs_manifest_diff")
+# Round-10 ADVICE fix added the small-vocabulary ValueError guard to
+# ext/text.bm25_topk (no green-path behavior change, but it is an edit
+# behind a green id) — re-certify it.
+_register_changed_since_green("ext_text_bm25")
 
 # =====================================================================
 # A. IVF-PQ: probed inverted lists + ADC (VERDICT r8 #4)
