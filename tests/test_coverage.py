@@ -158,7 +158,7 @@ ORACLE_IDS = {
     "agg_sunshine_duration", "f_daylight_duration",
     "ext_embed_power_iteration", "ext_multimodal_resize_exact",
     "ext_tokenizer_bpe_exact", "stream_simsearch_index",
-    "ext_tokenizer_bpe_apply_exact",
+    "ext_tokenizer_bpe_apply_exact", "join_idw_interpolation",
 }
 
 ROWS_ONLY_IDS = {

@@ -951,6 +951,180 @@ def q_ext_tokenizer_bpe_apply_exact(spark, sf_dir):
     return bpe_encode(eval_docs, merges, "doc_id", "text")
 
 
+# =====================================================================
+# I. Inverse-distance-weighted station interpolation — THE spatial
+#    operator a gridded-weather consumer runs (turn 5 stations into a
+#    value at any query point)
+# =====================================================================
+
+
+def _idw_station_values():
+    """Station temperatures (tenths °C) as driver-side md5 literals —
+    the station dim is control-plane, so both engines receive
+    identical VALUES rather than re-deriving them."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"idw:{i}".encode()).hexdigest()[:13], 16) % 401 - 100
+        for i in range(5)
+    ]
+
+
+def _idw_oracle(n_q=200, k=3):
+    from .fixtures import LATS, LONS
+
+    vals = _idw_station_values()
+    st = ", ".join(
+        f"({i}, {int(round(LATS[i] * 1e6))}, {int(round(LONS[i] * 1e6))}, "
+        f"{vals[i]})"
+        for i in range(5)
+    )
+    H = (
+        "CAST('0x' || substr(md5('{tag}:' || CAST(range AS VARCHAR)), 1, 13)"
+        " AS BIGINT)"
+    )
+    picks = []
+    for r in range(1, k + 1):
+        picks.append(f"max(CASE WHEN rn = {r} THEN sid END) AS s{r}")
+        picks.append(f"max(CASE WHEN rn = {r} THEN d2 END) AS dd{r}")
+        picks.append(f"max(CASE WHEN rn = {r} THEN v END) AS v{r}")
+    num = " + ".join(
+        f"CAST(v{r} AS DOUBLE) / CAST(dd{r} AS DOUBLE)" for r in range(1, k + 1)
+    )
+    den = " + ".join(f"1.0 / CAST(dd{r} AS DOUBLE)" for r in range(1, k + 1))
+    return f"""
+    WITH st(sid, slat, slon, v) AS (VALUES {st}),
+    q AS (
+      SELECT range AS qid,
+             35000000 + {H.format(tag='idw_lat')} % 20000001 AS qlat,
+             -5000000 + {H.format(tag='idw_lon')} % 25000001 AS qlon
+      FROM range(0, {n_q})),
+    d AS (
+      SELECT qid, sid, v,
+             greatest((qlat - slat) * (qlat - slat)
+                      + (qlon - slon) * (qlon - slon), 1) AS d2
+      FROM q CROSS JOIN st),
+    r AS (
+      SELECT qid, sid, v, d2,
+             row_number() OVER (PARTITION BY qid ORDER BY d2, sid) AS rn
+      FROM d),
+    p AS (
+      SELECT qid, {", ".join(picks)}
+      FROM r WHERE rn <= {k} GROUP BY qid)
+    SELECT CAST(qid AS BIGINT) AS qid,
+           CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+           CAST(s3 AS BIGINT) AS s3,
+           CAST(dd1 AS BIGINT) AS dd1, CAST(dd2 AS BIGINT) AS dd2,
+           CAST(dd3 AS BIGINT) AS dd3,
+           CAST(floor(1000000.0 * (({num}) / ({den}))) AS BIGINT)
+             AS idw_micro
+    FROM p ORDER BY qid
+    """
+
+
+@register("join_idw_interpolation", _idw_oracle())
+def q_join_idw_interpolation(spark, sf_dir):
+    """Inverse-distance-weighted interpolation from the station
+    dimension to arbitrary query points — THE operator that turns a
+    sparse station network into a gridded product (what the reference's
+    upstream provider does server-side; natively it is a k-nearest
+    join + a weighted mean).  Geometry is exact: coordinates in
+    integer micro-degrees, distance = squared planar separation
+    (documented metric choice — monotone in true distance at this
+    extent, integer-exact, no trig/libm anywhere), k=3 neighbors under
+    the (d², sid) total order.  The IDW mean
+    Σ(vᵢ/dᵢ²)/Σ(1/dᵢ²) is a FIXED-ORDER chain of pinned IEEE ops over
+    exact integers (the ADC-chain discipline — never a grouped float
+    SUM), published floor-micro; d² is floored at 1 so a query point
+    that lands exactly on a station cannot divide by zero.  Scale
+    shape: the station dim broadcasts (at 100 TB it is the ~1e4-row
+    network, still broadcast-sized); per-point work is k-bounded; no
+    corpus shuffle."""
+    from .fixtures import LATS, LONS
+
+    vals = _idw_station_values()
+    st = spark.createDataFrame(
+        [
+            (
+                i,
+                int(round(LATS[i] * 1e6)),
+                int(round(LONS[i] * 1e6)),
+                vals[i],
+            )
+            for i in range(5)
+        ],
+        "sid long, slat long, slon long, v long",
+    )
+
+    def H(tag):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{tag}:"), F.col("qid").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    q = spark.range(0, 200).select(F.col("id").alias("qid"))
+    q = q.select(
+        "qid",
+        (F.lit(35_000_000) + H("idw_lat") % 20_000_001).alias("qlat"),
+        (F.lit(-5_000_000) + H("idw_lon") % 25_000_001).alias("qlon"),
+    )
+    d = q.crossJoin(F.broadcast(st)).select(
+        "qid",
+        "sid",
+        "v",
+        F.greatest(
+            (F.col("qlat") - F.col("slat")) * (F.col("qlat") - F.col("slat"))
+            + (F.col("qlon") - F.col("slon"))
+            * (F.col("qlon") - F.col("slon")),
+            F.lit(1),
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("sid").asc())
+    r = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    p = r.groupBy("qid").agg(
+        *[
+            e
+            for i in (1, 2, 3)
+            for e in (
+                F.max(F.when(F.col("rn") == i, F.col("sid"))).alias(f"s{i}"),
+                F.max(F.when(F.col("rn") == i, F.col("d2"))).alias(f"dd{i}"),
+                F.max(F.when(F.col("rn") == i, F.col("v"))).alias(f"v{i}"),
+            )
+        ]
+    )
+    num = (
+        F.col("v1").cast("double") / F.col("dd1").cast("double")
+        + F.col("v2").cast("double") / F.col("dd2").cast("double")
+        + F.col("v3").cast("double") / F.col("dd3").cast("double")
+    )
+    den = (
+        F.lit(1.0) / F.col("dd1").cast("double")
+        + F.lit(1.0) / F.col("dd2").cast("double")
+        + F.lit(1.0) / F.col("dd3").cast("double")
+    )
+    return p.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        F.col("dd1").cast("long").alias("dd1"),
+        F.col("dd2").cast("long").alias("dd2"),
+        F.col("dd3").cast("long").alias("dd3"),
+        F.floor(F.lit(1e6) * (num / den)).cast("long").alias("idw_micro"),
+    )
+
+
 _register_new_this_round(
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
@@ -963,4 +1137,5 @@ _register_new_this_round(
     "ext_tokenizer_bpe_exact",
     "stream_simsearch_index",
     "ext_tokenizer_bpe_apply_exact",
+    "join_idw_interpolation",
 )
