@@ -3605,3 +3605,44 @@ class TestRound10Ops:
             ).collect()
         ]
         assert fast == dist and len(fast) == 6
+
+    def test_idw_bounded_by_neighbor_values(self, spark, sf_dir):
+        """IDW is a convex combination: every interpolated value must
+        lie within [min, max] of its 3 neighbor station values."""
+        import __spark_entry__ as entry
+
+        vals = {}
+        from weather_data_ingestion_service_spark.registry_r10 import (
+            _idw_station_values,
+        )
+
+        sv = _idw_station_values()
+        rows = entry.queries()["join_idw_interpolation"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 200
+        for r in rows:
+            nb = [sv[r.s1], sv[r.s2], sv[r.s3]]
+            assert min(nb) * 1_000_000 - 1 <= r.idw_micro <= max(nb) * 1_000_000
+            assert r.dd1 <= r.dd2 <= r.dd3
+
+    def test_power_iteration_partitioning_invariant(self, spark, sf_dir):
+        """Exact integer state makes the eigensolve a pure function of
+        the Gram matrix — repartitioning the triangle frame (different
+        collect order) must not move a single component."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            gram_matrix_quantized,
+            power_iteration_int,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        g = gram_matrix_quantized(emb, "vec_id", "embedding").persist()
+        try:
+            a = sorted(map(tuple, power_iteration_int(g).collect()))
+            b = sorted(
+                map(tuple, power_iteration_int(g.repartition(7)).collect())
+            )
+        finally:
+            g.unpersist()
+        assert a == b

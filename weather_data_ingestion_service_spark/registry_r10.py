@@ -1125,6 +1125,88 @@ def q_join_idw_interpolation(spark, sf_dir):
     )
 
 
+# =====================================================================
+# J. Index compaction: ingest layout → serving layout → query
+#    (closing the ops loop: build once + stream appends accumulate
+#    epoch files; a compactor periodically rewrites them into the
+#    pruned serving layout)
+# =====================================================================
+
+
+def _index_query_twin_sql():
+    # the round-9 inline IVF-PQ SQL verbatim (same oracle as
+    # ext_simsearch_index_query): ingest-layout epochs → compaction →
+    # serving must not change a single score
+    from .registry_r9 import _ivfpq_md5_oracle
+
+    return _ivfpq_md5_oracle()
+
+
+@register("ext_simsearch_index_compact", _index_query_twin_sql())
+def q_ext_simsearch_index_compact(spark, sf_dir):
+    """Index COMPACTION, the third lifecycle verb: streaming ingest
+    appends codes as arrival-ordered ``epoch=N`` partitions (the
+    stream_simsearch_index layout — append-cheap, but a query cannot
+    prune lists from it), so a compactor periodically rewrites the
+    epoch store into the cid-partitioned serving layout and republishes
+    the codebook.  This entry runs the WHOLE flow: encode the corpus
+    into 2 epoch partitions (the ingest accumulation) → compact into
+    the canonical index → serve top-3 from the compacted index — and
+    the oracle is the round-9 inline IVF-PQ SQL VERBATIM, so
+    ingest-layout detours and the rewrite cannot change a single
+    score.  At 100 TB compaction is one read + one partitioned write
+    of m+1 small ints per vector, amortized across every query the
+    serving layout accelerates (the probed-list partition pruning
+    ext_simsearch_index_query plan-asserts)."""
+    import os
+    import shutil
+
+    from .ext.simsearch import (
+        _md5_codebook,
+        ivfpq_encode_codes,
+        ivfpq_query_index,
+    )
+
+    _clean_stale_scratch("/tmp/wds_icmp_*")
+    root = f"/tmp/wds_icmp_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _md5_codebook(emb, "vec_id", "embedding", 16)
+    cent_rows = cent.collect()
+    cent_static = spark.createDataFrame(cent_rows, cent.schema)
+
+    # ingest accumulation: two arrival epochs, append-ordered layout
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    ingest = f"{root}/ingest"
+    for i, part in enumerate(
+        [emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)]
+    ):
+        ivfpq_encode_codes(
+            part, "vec_id", "embedding", cent=cent_static
+        ).write.mode("overwrite").parquet(os.path.join(ingest, f"epoch={i}"))
+
+    # compaction: epoch store → cid-partitioned serving layout
+    serving = f"{root}/serving"
+    cent_static.coalesce(1).write.mode("overwrite").parquet(
+        serving + "/codebook"
+    )
+    spark.read.parquet(ingest).drop("epoch").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(serving + "/codes")
+
+    out = ivfpq_query_index(
+        spark,
+        serving,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=4,
+        m=8,
+    )
+    return out.withColumn("adc", F.round("adc", 3))
+
+
 _register_new_this_round(
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
@@ -1138,4 +1220,5 @@ _register_new_this_round(
     "stream_simsearch_index",
     "ext_tokenizer_bpe_apply_exact",
     "join_idw_interpolation",
+    "ext_simsearch_index_compact",
 )
