@@ -159,7 +159,7 @@ ORACLE_IDS = {
     "ext_embed_power_iteration", "ext_multimodal_resize_exact",
     "ext_tokenizer_bpe_exact", "stream_simsearch_index",
     "ext_tokenizer_bpe_apply_exact", "join_idw_interpolation",
-    "ext_simsearch_index_compact",
+    "ext_simsearch_index_compact", "ext_eval_pass_at_k",
 }
 
 ROWS_ONLY_IDS = {

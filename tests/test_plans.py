@@ -764,6 +764,29 @@ def test_dedup_embedding_registry_stays_on_grid_path(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivfpq_encode_broadcasts_codebook_single_exchange(spark, sf_dir):
+    """The build-half encode: the 16-row codebook arrives by broadcast
+    (BuildRight nested-loop over a tiny side is the intended shape),
+    the per-vector code aggregate partial-combines map-side, and the
+    only hash exchange is the final per-vector aggregate — nothing
+    corpus-sized is broadcast and nothing shuffles twice."""
+    import re
+
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        ivfpq_encode_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(ivfpq_encode_codes(emb))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    bexch = re.findall(
+        r"\(\d+\) BroadcastExchange\nInput \[(\d+)\]", plan
+    )
+    assert bexch, plan[-1500:]
+    assert "partial_" in plan  # map-side combine on the code aggregate
+
+
 def test_ivfpq_index_query_prunes_code_lists(spark, sf_dir):
     """ext_simsearch_index_query: the codes scan must resolve its
     probed-list filter at PLANNING time — PartitionFilters on the

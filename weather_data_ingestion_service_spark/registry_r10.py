@@ -1126,6 +1126,73 @@ def q_join_idw_interpolation(spark, sf_dir):
 
 
 # =====================================================================
+# I2. Exact pass@k — the HumanEval/Codex estimator with integer
+#     combinatorics (no float expectation, no sampling)
+# =====================================================================
+
+
+@register(
+    "ext_eval_pass_at_k",
+    """
+    WITH s AS (
+      SELECT user_id % 499 AS task,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY task),
+    f AS (SELECT task, n, c, n - c AS m FROM s WHERE n >= 5)
+    SELECT CAST(task AS BIGINT) AS task, n, c,
+           CAST((((n*(n-1)*(n-2)*(n-3)*(n-4)) // 120)
+                 - CASE WHEN m >= 5
+                        THEN (m*(m-1)*(m-2)*(m-3)*(m-4)) // 120
+                        ELSE 0 END)
+                * 1000000 // ((n*(n-1)*(n-2)*(n-3)*(n-4)) // 120)
+             AS BIGINT) AS pass5_micro
+    FROM f ORDER BY task
+    """,
+)
+def q_ext_eval_pass_at_k(spark, sf_dir):
+    """Exact pass@k (k=5) — the unbiased HumanEval/Codex estimator
+    ``1 − C(n−c, k)/C(n, k)`` per task, with the binomials computed as
+    EXACT INTEGERS: the product of 5 consecutive integers is divisible
+    by 120 exactly, so ``n(n−1)(n−2)(n−3)(n−4) DIV 120`` is C(n,5)
+    with no factorial, no float, and no engine to disagree —
+    ``pass5_micro = (C(n,5) − C(n−c,5)) · 1e6 DIV C(n,5)``.  Tasks are
+    user buckets (% 499 keeps n ≈ corpus/499 so C(n,5)·1e6 stays well
+    inside int64 through sf0.1; at larger n switch to per-row log-space
+    or k=1), samples are the task's events, "correct" = value > 50
+    (a pure comparison, no arithmetic).  Two map-side-combining hash
+    aggregates; nothing beyond one corpus pass."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            (F.col("user_id") % 499).alias("task"),
+            F.when(F.col("value") > 50, 1).otherwise(0).alias("ok"),
+        )
+        .groupBy("task")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+        .filter(F.col("n") >= 5)
+        .withColumn("m", F.col("n") - F.col("c"))
+    )
+    return s.select(
+        F.col("task").cast("long").alias("task"),
+        "n",
+        "c",
+        F.expr(
+            "(((n*(n-1)*(n-2)*(n-3)*(n-4)) DIV 120)"
+            " - (CASE WHEN m >= 5"
+            "      THEN ((m*(m-1)*(m-2)*(m-3)*(m-4)) DIV 120)"
+            "      ELSE 0 END))"
+            " * 1000000 DIV ((n*(n-1)*(n-2)*(n-3)*(n-4)) DIV 120)"
+        )
+        .cast("long")
+        .alias("pass5_micro"),
+    )
+
+
+# =====================================================================
 # J. Index compaction: ingest layout → serving layout → query
 #    (closing the ops loop: build once + stream appends accumulate
 #    epoch files; a compactor periodically rewrites them into the
@@ -1221,4 +1288,5 @@ _register_new_this_round(
     "ext_tokenizer_bpe_apply_exact",
     "join_idw_interpolation",
     "ext_simsearch_index_compact",
+    "ext_eval_pass_at_k",
 )
