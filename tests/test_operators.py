@@ -3646,3 +3646,46 @@ class TestRound10Ops:
         finally:
             g.unpersist()
         assert a == b
+
+    def test_ivfpq_encode_batching_invariant(self, spark, sf_dir):
+        """The streaming-maintenance correctness argument, pinned
+        directly: encoding is per-row against a fixed codebook, so
+        encode(partA) UNION encode(partB) must equal encode(all) for
+        an arbitrary split — the property that makes
+        stream_simsearch_index's shared-verbatim oracle exact for ANY
+        micro-batch boundaries."""
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            _md5_codebook,
+            ivfpq_encode_codes,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = emb.sparkSession.createDataFrame(
+            _md5_codebook(emb, "vec_id", "embedding", 16).collect(),
+            "cid long, ce array<float>",
+        )
+        whole = {
+            tuple(r)
+            for r in ivfpq_encode_codes(
+                emb, "vec_id", "embedding", cent=cent
+            ).collect()
+        }
+        # arbitrary uneven split (md5-keyed, ~1/3 vs ~2/3)
+        key = F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        a = emb.filter(key % 3 == 0)
+        b = emb.filter(key % 3 != 0)
+        parts = set()
+        for p in (a, b):
+            parts |= {
+                tuple(r)
+                for r in ivfpq_encode_codes(
+                    p, "vec_id", "embedding", cent=cent
+                ).collect()
+            }
+        assert parts == whole

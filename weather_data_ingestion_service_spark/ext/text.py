@@ -587,12 +587,17 @@ def bpe_train(
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        # persisted across the path probe AND whichever branch follows:
+        # without it the corpus tokenize+aggregate runs twice (once for
+        # the capped count, once for the collect / the vocab build)
+        .persist()
     )
     # capped probe (the cosine_topk guard shape): never counts more
     # than cap+1 dict rows to decide the path
     small = wf.limit(driver_max_words + 1).count() <= driver_max_words
     if small:
         word_freq = [(r["w"], int(r["freq"])) for r in wf.collect()]
+        wf.unpersist()
         dvocab: dict[str, tuple[list, int]] = {
             w: (list(w), f) for w, f in word_freq
         }
@@ -640,6 +645,8 @@ def bpe_train(
         # 8 partitions remains conservative.)
         .coalesce(8)
     ).persist()
+    vocab.count()  # materialize off wf, then drop the parent cache
+    wf.unpersist()
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
