@@ -166,6 +166,10 @@ HEADLINE = [
     "ext_embed_power_iteration",
     "ext_multimodal_resize_exact",
     "ext_tokenizer_bpe_exact",
+    # round-10 third batch: streaming index ingest (foreachBatch
+    # encode-on-arrival) and the full ingest→compact→serve flow
+    "stream_simsearch_index",
+    "ext_simsearch_index_compact",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

@@ -3689,3 +3689,23 @@ class TestRound10Ops:
                 ).collect()
             }
         assert parts == whole
+
+    def test_kmeans_fixedpoint_paths_identical(self, spark, sf_dir):
+        """The size-adaptive switch must be invisible (the pagerank
+        rule): force the distributed broadcast-centroid loop with
+        driver_max_vectors=0 and compare against the driver loop
+        bit-for-bit."""
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            kmeans_fixedpoint_int,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = sorted(map(tuple, kmeans_fixedpoint_int(emb).collect()))
+        b = sorted(
+            map(
+                tuple,
+                kmeans_fixedpoint_int(emb, driver_max_vectors=0).collect(),
+            )
+        )
+        assert a == b and len(a) == 8 * 64

@@ -892,6 +892,152 @@ def ivfpq_query_index(
     return _rank_topk(scored, "adc", k)
 
 
+def kmeans_fixedpoint_int(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+    scale: int = 256,
+    dim: int = 64,
+    driver_max_vectors: int = 100_000,
+) -> DataFrame:
+    """Lloyd's KMeans with EXACT INTEGER state — the quality-path
+    clustering machinery, made engine-restatable: vectors are the
+    int8-quantized corpus (``quantize_embeddings``, the proven
+    bit-reproducible path) lifted to fixed point (``q·scale``);
+    centroids live on the same integer grid, so ASSIGNMENT is a plain
+    integer L2 argmin under the (distance, cid) total order (a
+    sortable key — no rational cross-multiplication needed) and the
+    UPDATE is the floor fixed-point mean ``floor(Σ q·scale / n)``.
+    The floor always happens in CPython ``//`` (even on the
+    distributed path the per-round collect is k rows of component
+    sums — control-plane), so the negative-sum floor-vs-truncate
+    hazard (Spark DIV truncates toward zero) never enters; the DuckDB
+    replay spells floor explicitly as ``(s − pmod(s, n)) // n``.  An
+    empty cluster keeps its previous centroid.  The result is a PURE FUNCTION of (corpus, k, n_iter) —
+    identical across engines, partitionings and batch shapes, which
+    float KMeans structurally is not (its mean is an order-dependent
+    float sum); the 1/scale centroid resolution is the deliberate,
+    negligible trade (quantized inputs are already on a 1/127 grid).
+
+    Size-adaptive (the pagerank_int / dedup_clusters rule): at or
+    under ``driver_max_vectors`` the loop runs on the driver over the
+    collected quantized vectors — bit-identical by integer
+    determinism — and above it each round is one broadcast-centroid
+    pass + one hash aggregate of 64 map-side-combining sums per
+    cluster (no explode, no window over the corpus).
+
+    Returns ``(cid, dim, c_fix)`` — one row per centroid component on
+    the fixed-point grid (idx-column publication per the repo's
+    scalar-columns rule).
+
+    Magnitudes: |q·scale| ≤ 127·256 = 32512 ⇒ per-dim squared diff ≤
+    4.3e9, distance ≤ 2.8e11; component sums ≤ n·32512 — int64 holds
+    exact state past 10¹⁴ vectors."""
+    q = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.transform("qvec", lambda x: x.cast("long") * scale).alias("q"),
+    )
+    # init: the md5-ranked first k vectors' fixed-point forms (the
+    # _md5_codebook sampling convention)
+    init = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+        )
+        .orderBy("h", "vid")
+        .limit(k)
+    )
+    cent_rows = (
+        init.join(q, "vid")
+        .select("h", "vid", "q")
+        .orderBy("h", "vid")
+        .collect()
+    )
+    cents = [[int(v) for v in r["q"]] for r in cent_rows]  # cid = rank
+    spark = corpus.sparkSession
+
+    q.persist()
+    try:
+        n_vec = q.limit(driver_max_vectors + 1).count()
+        if n_vec <= driver_max_vectors:
+            vecs = [[int(v) for v in r["q"]] for r in q.collect()]
+            for _ in range(n_iter):
+                sums = [[0] * dim for _ in range(k)]
+                cnt = [0] * k
+                for x in vecs:
+                    best, bd = 0, None
+                    for j in range(k):
+                        c = cents[j]
+                        d = sum(
+                            (x[t] - c[t]) * (x[t] - c[t]) for t in range(dim)
+                        )
+                        if bd is None or d < bd:
+                            best, bd = j, d
+                    cnt[best] += 1
+                    s = sums[best]
+                    for t in range(dim):
+                        s[t] += x[t]
+                cents = [
+                    [sums[j][t] // cnt[j] for t in range(dim)]
+                    if cnt[j] > 0
+                    else cents[j]
+                    for j in range(k)
+                ]
+        else:
+            for _ in range(n_iter):
+                cdf = spark.createDataFrame(
+                    [(j, cents[j]) for j in range(k)],
+                    "cid long, cvec array<long>",
+                )
+                d = F.aggregate(
+                    F.zip_with(
+                        "q", "cvec", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                assigned = (
+                    q.crossJoin(F.broadcast(cdf))
+                    .withColumn("d", d)
+                    .groupBy("vid")
+                    .agg(
+                        F.min_by(
+                            "q", F.struct(F.col("d"), F.col("cid"))
+                        ).alias("q"),
+                        F.min_by(
+                            "cid", F.struct(F.col("d"), F.col("cid"))
+                        ).alias("cid"),
+                    )
+                )
+                upd = assigned.groupBy("cid").agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    *[
+                        F.sum(F.element_at("q", t + 1)).alias(f"s{t}")
+                        for t in range(dim)
+                    ],
+                )
+                rows = {r["cid"]: r for r in upd.collect()}
+                new_cents = []
+                for j in range(k):
+                    r = rows.get(j)
+                    if r is None:
+                        new_cents.append(cents[j])
+                    else:
+                        n = int(r["n"])
+                        new_cents.append(
+                            [int(r[f"s{t}"]) // n for t in range(dim)]
+                        )
+                cents = new_cents
+    finally:
+        q.unpersist()
+    return spark.createDataFrame(
+        [(j, t, cents[j][t]) for j in range(k) for t in range(dim)],
+        "cid long, dim long, c_fix long",
+    )
+
+
 def power_iteration_int(
     gram: DataFrame,
     dim: int = 64,

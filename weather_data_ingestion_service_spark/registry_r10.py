@@ -1193,6 +1193,108 @@ def q_ext_eval_pass_at_k(spark, sf_dir):
 
 
 # =====================================================================
+# I3. Fixed-point integer KMeans — the quality-path clustering
+#     machinery, driver-certified (VERDICT r9 "what's missing" #1:
+#     KMeans codebooks were the one ANN stage with no oracle)
+# =====================================================================
+
+
+def _kmeans_exact_oracle(k=8, t=3, dim=64, scale=256):
+    return f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+      FROM embeddings),
+    ql AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5)
+                                   AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qvec
+      FROM q),
+    qv AS (
+      SELECT vec_id,
+             list_transform(qvec, x -> CAST(x AS BIGINT) * {scale}) AS q256
+      FROM ql),
+    r0 AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cid
+      FROM embeddings),
+    cent0 AS (
+      SELECT r0.cid, qv.q256 AS cvec FROM r0 JOIN qv USING (vec_id)
+      WHERE r0.cid < {k}),
+    km AS (
+      SELECT 0 AS it, cid, cvec FROM cent0
+      UNION ALL
+      SELECT it + 1, cid, list(newc ORDER BY dim) AS cvec
+      FROM (
+        SELECT it, cid, dim,
+               CASE WHEN count(val) > 0
+                    -- floor division spelled explicitly: (s - pmod)/n,
+                    -- because component sums go negative and bare //
+                    -- truncates (the CLAUDE.md round-10 rule)
+                    THEN (sum(val)
+                          - ((sum(val) % count(val)) + count(val))
+                            % count(val))
+                         // count(val)
+                    ELSE any_value(cval) END AS newc
+        FROM (
+          SELECT p.it, p.cid, CAST(dd.d AS INT) AS dim,
+                 CASE WHEN p.rn = 1
+                      THEN p.q256[CAST(dd.d AS INT) + 1] END AS val,
+                 p.cvec[CAST(dd.d AS INT) + 1] AS cval
+          FROM (
+            SELECT km.it, km.cid, km.cvec, qv.q256, qv.vec_id,
+                   row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(qv.q256, km.cvec),
+                                             z -> (z[1]-z[2])*(z[1]-z[2]))),
+                     km.cid) AS rn
+            FROM km, qv
+            WHERE km.it < {t}) p,
+            unnest(range(0, {dim})) dd(d)
+        )
+        GROUP BY it, cid, dim
+      )
+      GROUP BY it, cid
+    )
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dd.d AS BIGINT) AS dim,
+           CAST(cvec[CAST(dd.d AS INT) + 1] AS BIGINT) AS c_fix
+    FROM km, range(0, {dim}) dd(d) WHERE it = {t}
+    ORDER BY cid, dim
+    """
+
+
+@register("ext_embed_kmeans_exact", _kmeans_exact_oracle())
+def q_ext_embed_kmeans_exact(spark, sf_dir):
+    """Lloyd's KMeans with EXACT INTEGER state, driver-certified —
+    the last un-oracled ANN stage (VERDICT r9 "what's missing" #1:
+    the md5 twins verify probing/encoding/ADC bit-for-bit, but the
+    codebooks a real user's recall comes from were KMeans, pinned
+    only by pytest recall floors).  Fixed-point Lloyd's closes it:
+    int8-quantized vectors lifted to a ×256 grid, integer L2 argmin
+    under the (distance, cid) total order, floor fixed-point mean
+    updates, empty clusters carry — a pure function of (corpus, k,
+    iters) that the DuckDB oracle replays round-for-round in a WITH
+    RECURSIVE (position rows collapsed per (cluster, dim) each round —
+    the BPE-oracle lesson).  k=8, 3 rounds here; the engine is
+    size-adaptive (driver loop ≤100k vectors, else broadcast-centroid
+    passes with 64 map-side-combining component sums — no explode, no
+    corpus window), and the two paths are pinned bit-identical in
+    pytest.  The float KMeans quality paths (`ext_simsearch_ivf`/`_pq`)
+    remain as-is; this certifies the MACHINERY their codebooks come
+    from."""
+    from .ext.simsearch import kmeans_fixedpoint_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixedpoint_int(emb, "vec_id", "embedding").orderBy(
+        "cid", "dim"
+    )
+
+
+# =====================================================================
 # J. Index compaction: ingest layout → serving layout → query
 #    (closing the ops loop: build once + stream appends accumulate
 #    epoch files; a compactor periodically rewrites them into the
@@ -1289,4 +1391,5 @@ _register_new_this_round(
     "join_idw_interpolation",
     "ext_simsearch_index_compact",
     "ext_eval_pass_at_k",
+    "ext_embed_kmeans_exact",
 )
