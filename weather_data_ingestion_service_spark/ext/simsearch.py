@@ -289,6 +289,7 @@ def ivf_topk_md5(
     k: int = 3,
     n_clusters: int = 16,
     nprobe: int = 4,
+    cent: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k with a HASH-SAMPLED coarse quantizer
     — the oracle-restatable sibling of ``ivf_topk`` (whose KMeans fit
@@ -306,19 +307,24 @@ def ivf_topk_md5(
     norm-hoisting shortcut) so the oracle can reproduce every
     comparison bit-for-bit.  At 100 TB: codebook broadcast, corpus
     written bucketed by ``cluster``, per-query work ~nprobe/n_clusters
-    of the corpus."""
+    of the corpus.
+
+    ``cent`` injects an external coarse quantizer (``cid``, ``ce``
+    rows — e.g. the certified fixed-point KMeans centroids); by
+    default the hash-sampled codebook derives from the corpus."""
     from pyspark.sql import Window
 
-    cent = (
-        corpus.select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("ce"),
-            F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+    if cent is None:
+        cent = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("ce"),
+                F.md5(F.col(id_col).cast("string").cast("binary")).alias("h"),
+            )
+            .orderBy("h", "cid")
+            .limit(n_clusters)
+            .drop("h")
         )
-        .orderBy("h", "cid")
-        .limit(n_clusters)
-        .drop("h")
-    )
 
     def _cos(a, b):
         return _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))

@@ -1199,9 +1199,21 @@ def q_ext_eval_pass_at_k(spark, sf_dir):
 # =====================================================================
 
 
-def _kmeans_exact_oracle(k=8, t=3, dim=64, scale=256):
+def _kmeans_exact_oracle(k=8, t=3, dim=64, scale=256, ctes_only=False):
+    ctes = _kmeans_ctes(k, t, dim, scale)
+    if ctes_only:
+        return ctes
     return f"""
-    WITH RECURSIVE q AS (
+    WITH RECURSIVE {ctes}
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(dd.d AS BIGINT) AS dim,
+           CAST(cvec[CAST(dd.d AS INT) + 1] AS BIGINT) AS c_fix
+    FROM km, range(0, {dim}) dd(d) WHERE it = {t}
+    ORDER BY cid, dim
+    """
+
+
+def _kmeans_ctes(k=8, t=3, dim=64, scale=256):
+    return f"""q AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS mx
@@ -1259,12 +1271,7 @@ def _kmeans_exact_oracle(k=8, t=3, dim=64, scale=256):
         GROUP BY it, cid, dim
       )
       GROUP BY it, cid
-    )
-    SELECT CAST(cid AS BIGINT) AS cid, CAST(dd.d AS BIGINT) AS dim,
-           CAST(cvec[CAST(dd.d AS INT) + 1] AS BIGINT) AS c_fix
-    FROM km, range(0, {dim}) dd(d) WHERE it = {t}
-    ORDER BY cid, dim
-    """
+    )"""
 
 
 @register("ext_embed_kmeans_exact", _kmeans_exact_oracle())
@@ -1292,6 +1299,86 @@ def q_ext_embed_kmeans_exact(spark, sf_dir):
     return kmeans_fixedpoint_int(emb, "vec_id", "embedding").orderBy(
         "cid", "dim"
     )
+
+
+def _ivf_kmeans_oracle(k_clusters=8, t=3, nprobe=3, topk=3):
+    from .registry_ext import _COSINE_SQL
+
+    cos_assign = _COSINE_SQL.format(a="e.embedding", b="c.ce")
+    cos_probe = _COSINE_SQL.format(a="qq.embedding", b="c.ce")
+    cos_rank = _COSINE_SQL.format(a="qe.embedding", b="me.embedding")
+    return f"""
+    WITH RECURSIVE {_kmeans_ctes(k=k_clusters, t=t)},
+    cent AS (
+      SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS ce
+      FROM km WHERE it = {t}),
+    assign AS (
+      SELECT match_id, cid FROM (
+        SELECT e.vec_id AS match_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_assign} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT qq.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY qq.vec_id
+                 ORDER BY {cos_probe} DESC, c.cid) AS rn
+        FROM embeddings qq CROSS JOIN cent c WHERE qq.vec_id < 5)
+      WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, a.match_id, {cos_rank} AS cosine
+      FROM probes p JOIN assign a USING (cid)
+      JOIN embeddings qe ON qe.vec_id = p.query_id
+      JOIN embeddings me ON me.vec_id = a.match_id
+      WHERE p.query_id <> a.match_id),
+    r AS (
+      SELECT query_id, match_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, match_id) AS rank
+      FROM scored)
+    SELECT query_id, match_id, round(cosine, 3) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_ivf_kmeans", _ivf_kmeans_oracle())
+def q_ext_simsearch_ivf_kmeans(spark, sf_dir):
+    """IVF-flat top-3 whose coarse quantizer is the CERTIFIED
+    fixed-point KMeans codebook — the QUALITY-path ANN query,
+    oracle-paired end to end (until now only the deliberately
+    degenerate md5-sampled codebooks were restatable; real recall
+    comes from trained codebooks, and this entry hash-verifies the
+    full trained-codebook flow: 3 Lloyd rounds → centroid broadcast →
+    assignment → nprobe=3 probing → exact cosine re-rank, every
+    comparison reproduced by DuckDB from the composed WITH RECURSIVE
+    replay).  Same IVF machinery as `ext_simsearch_ivf_md5` via the
+    shared `ivf_topk_md5` core with the injected quantizer; the float
+    KMeans path (`ext_simsearch_ivf`) remains the unconstrained
+    quality surface."""
+    from .ext.simsearch import ivf_topk_md5, kmeans_fixedpoint_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fixedpoint_int(emb, "vec_id", "embedding").collect()
+    by_cid: dict[int, list] = {}
+    for r in cents:
+        by_cid.setdefault(int(r["cid"]), [0.0] * 64)[int(r["dim"])] = float(
+            r["c_fix"]
+        )
+    cent = spark.createDataFrame(
+        sorted(by_cid.items()), "cid long, ce array<double>"
+    )
+    out = ivf_topk_md5(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=3,
+        cent=cent,
+    )
+    return out.withColumn("cosine", F.round("cosine", 3))
 
 
 # =====================================================================
@@ -1392,4 +1479,5 @@ _register_new_this_round(
     "ext_simsearch_index_compact",
     "ext_eval_pass_at_k",
     "ext_embed_kmeans_exact",
+    "ext_simsearch_ivf_kmeans",
 )
