@@ -478,6 +478,70 @@ def pq_topk_md5(
     )
 
 
+def pq_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent8: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization top-k with a TRAINED shared subspace
+    codebook — ``cent8`` is (cid, ce) rows of dim/m-dim centroid
+    vectors (e.g. the certified fixed-point KMeans fit over the
+    subvector table), instead of ``pq_topk_md5``'s hash-sampled
+    full-vector slices.  Encoding picks, per (vector, subspace), the
+    codebook entry minimizing exact squared L2 under the (l2, cid)
+    total order — one ``min_by`` hash aggregate per subspace in a
+    single broadcast-codebook corpus pass; ADC is the fixed-order
+    chain of per-subspace dots (the r9 discipline).  Same scale shape
+    as the md5 twin: codes are m small ints per vector at rest, the
+    codebook broadcasts."""
+    sub = dim // m
+
+    def _l2(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("cvec", s * sub + 1, sub),
+                F.col("ce"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    enc = (
+        corpus.select(
+            F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+        )
+        .crossJoin(F.broadcast(cent8))
+        .groupBy("match_id")
+        .agg(
+            *[
+                F.min_by(
+                    "ce", F.struct(_l2(s).alias("l2"), F.col("cid").alias("cid"))
+                ).alias(f"cv{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    adc = _adc_subspace_dot(0, sub)
+    for s in range(1, m):
+        adc = adc + _adc_subspace_dot(s, sub)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("adc", adc)
+    )
+    return _rank_topk(scored, "adc", k)
+
+
 def _md5_codebook(corpus, id_col, vec_col, n):
     """The hash-sampled codebook every md5-restatable ANN twin shares:
     the ``n`` corpus vectors ranked first under ``(md5(str(id)), id)``

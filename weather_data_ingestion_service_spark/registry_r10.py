@@ -1212,12 +1212,15 @@ def _kmeans_exact_oracle(k=8, t=3, dim=64, scale=256, ctes_only=False):
     """
 
 
-def _kmeans_ctes(k=8, t=3, dim=64, scale=256):
+def _kmeans_ctes(k=8, t=3, dim=64, scale=256, src="embeddings"):
+    """The fixed-point-KMeans recursion over ``src`` (a table or CTE
+    exposing (vec_id, embedding)) — composable: the IVF consumer runs
+    it over embeddings, the PQ consumer over the subvector CTE."""
     return f"""q AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS mx
-      FROM embeddings),
+      FROM {src}),
     ql AS (
       SELECT vec_id,
              CASE WHEN mx > 0
@@ -1234,7 +1237,7 @@ def _kmeans_ctes(k=8, t=3, dim=64, scale=256):
       SELECT vec_id,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) - 1 AS cid
-      FROM embeddings),
+      FROM {src}),
     cent0 AS (
       SELECT r0.cid, qv.q256 AS cvec FROM r0 JOIN qv USING (vec_id)
       WHERE r0.cid < {k}),
@@ -1381,6 +1384,106 @@ def q_ext_simsearch_ivf_kmeans(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 3))
 
 
+def _pq_kmeans_oracle(k_cent=8, t=3, m=8, sub=8, topk=3):
+    pivots = ",\n             ".join(
+        f"any_value(CASE WHEN s = {s} THEN cv END) AS cv{s}" for s in range(m)
+    )
+    dots = " + ".join(
+        f"list_dot_product(CAST(qe.embedding[({s * sub + 1}):"
+        f"({s * sub + sub})] AS DOUBLE[]), x.cv{s})"
+        for s in range(m)
+    )
+    l2 = f"""list_sum(list_transform(
+               list_zip(e.embedding[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})],
+                        c.ce),
+               p -> (CAST(p[1] AS DOUBLE) - p[2])
+                    * (CAST(p[1] AS DOUBLE) - p[2])))"""
+    return f"""
+    WITH RECURSIVE kin AS (
+      SELECT e.vec_id * {m} + rs.s AS vec_id,
+             e.embedding[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})]
+               AS embedding
+      FROM embeddings e CROSS JOIN range(0, {m}) rs(s)),
+    {_kmeans_ctes(k=k_cent, t=t, dim=sub, src="kin")},
+    cent AS (
+      SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS ce
+      FROM km WHERE it = {t}),
+    best AS (
+      SELECT match_id, s, cv FROM (
+        SELECT e.vec_id AS match_id, rs.s, c.ce AS cv,
+               row_number() OVER (PARTITION BY e.vec_id, rs.s
+                 ORDER BY {l2} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s))
+      WHERE rn = 1),
+    codes AS (
+      SELECT match_id,
+             {pivots}
+      FROM best GROUP BY match_id),
+    scored AS (
+      SELECT qe.vec_id AS query_id, x.match_id, {dots} AS adc
+      FROM embeddings qe CROSS JOIN codes x
+      WHERE qe.vec_id < 5 AND qe.vec_id <> x.match_id),
+    r AS (
+      SELECT query_id, match_id, adc,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc DESC, match_id) AS rank
+      FROM scored)
+    SELECT query_id, match_id, round(adc, 3) AS adc, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {topk} ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_pq_kmeans", _pq_kmeans_oracle())
+def q_ext_simsearch_pq_kmeans(spark, sf_dir):
+    """PQ top-3 with a TRAINED shared subspace codebook, oracle-paired
+    end to end — the PQ half of the trained-codebook program
+    (`ext_simsearch_ivf_kmeans` is the IVF half): the codebook is the
+    certified fixed-point KMeans fit over the n·m SUBVECTOR table
+    (every vector's m dim-8 slices as training points — exactly how
+    shared PQ codebooks are trained), then min_by subspace encoding
+    and the fixed-order ADC chain.  The oracle composes the KMeans
+    WITH RECURSIVE replay (over the subvector CTE, dim=8) into the r9
+    PQ SQL shape, so training, encoding and scoring are all
+    hash-checked on one pass.  Until this round trained codebooks were
+    the one driver-unverified ANN stage; both families now carry a
+    certified trained path, with the float KMeans entries left as the
+    unconstrained quality surfaces."""
+    from .ext.simsearch import kmeans_fixedpoint_int, pq_topk_trained
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = 8
+    subvecs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * sub + 1, sub) for s in range(8)])
+        ).alias("s", "sv"),
+    ).select(
+        (F.col("vec_id") * 8 + F.col("s")).alias("vec_id"),
+        F.col("sv").alias("embedding"),
+    )
+    cents = kmeans_fixedpoint_int(
+        subvecs, "vec_id", "embedding", k=8, dim=sub
+    ).collect()
+    by_cid: dict[int, list] = {}
+    for r in cents:
+        by_cid.setdefault(int(r["cid"]), [0.0] * sub)[int(r["dim"])] = float(
+            r["c_fix"]
+        )
+    cent8 = spark.createDataFrame(
+        sorted(by_cid.items()), "cid long, ce array<double>"
+    )
+    out = pq_topk_trained(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        cent8,
+        "vec_id",
+        "embedding",
+        k=3,
+        m=8,
+    )
+    return out.withColumn("adc", F.round("adc", 3))
+
+
 # =====================================================================
 # J. Index compaction: ingest layout → serving layout → query
 #    (closing the ops loop: build once + stream appends accumulate
@@ -1480,4 +1583,5 @@ _register_new_this_round(
     "ext_eval_pass_at_k",
     "ext_embed_kmeans_exact",
     "ext_simsearch_ivf_kmeans",
+    "ext_simsearch_pq_kmeans",
 )
