@@ -498,24 +498,41 @@ def pq_topk_trained(
     single broadcast-codebook corpus pass; ADC is the fixed-order
     chain of per-subspace dots (the r9 discipline).  Same scale shape
     as the md5 twin: codes are m small ints per vector at rest, the
-    codebook broadcasts."""
+    codebook broadcasts.
+
+    The WHOLE path runs in the quantized domain: corpus AND query
+    vectors go through the per-full-vector int8 quantization lifted
+    x256 -- the same grid the codebook trains on.  Scale consistency
+    is load-bearing: encoding raw floats (|x| ~ 1) against
+    fixed-point centroids (|c| ~ 3e4) degenerates to
+    pick-the-smallest-norm-entry and ADC recall collapses (measured
+    0.007 vs 0.093 for the md5 twin); on one grid the trained
+    codebook scores like a real PQ fit.  A query's quantization
+    scale is a per-query positive constant, so it cannot change that
+    query's ADC ranking."""
     sub = dim // m
+
+    def _q256(df, out_id, out_vec):
+        return quantize_embeddings(df, id_col, vec_col).select(
+            F.col(id_col).alias(out_id),
+            F.transform(
+                "qvec", lambda x: (x.cast("long") * 256).cast("double")
+            ).alias(out_vec),
+        )
 
     def _l2(s):
         return F.aggregate(
             F.zip_with(
                 F.slice("cvec", s * sub + 1, sub),
                 F.col("ce"),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                lambda x, c: (x - c) * (x - c),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
 
     enc = (
-        corpus.select(
-            F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
-        )
+        _q256(corpus, "match_id", "cvec")
         .crossJoin(F.broadcast(cent8))
         .groupBy("match_id")
         .agg(
@@ -527,9 +544,7 @@ def pq_topk_trained(
             ]
         )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    q = _q256(queries, "query_id", "qvec")
     adc = _adc_subspace_dot(0, sub)
     for s in range(1, m):
         adc = adc + _adc_subspace_dot(s, sub)
@@ -971,6 +986,7 @@ def kmeans_fixedpoint_int(
     scale: int = 256,
     dim: int = 64,
     driver_max_vectors: int = 100_000,
+    pre_scaled: bool = False,
 ) -> DataFrame:
     """Lloyd's KMeans with EXACT INTEGER state — the quality-path
     clustering machinery, made engine-restatable: vectors are the
@@ -1004,11 +1020,23 @@ def kmeans_fixedpoint_int(
 
     Magnitudes: |q·scale| ≤ 127·256 = 32512 ⇒ per-dim squared diff ≤
     4.3e9, distance ≤ 2.8e11; component sums ≤ n·32512 — int64 holds
-    exact state past 10¹⁴ vectors."""
-    q = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("vid"),
-        F.transform("qvec", lambda x: x.cast("long") * scale).alias("q"),
-    )
+    exact state past 10¹⁴ vectors.
+
+    ``pre_scaled=True`` takes ``vec_col`` as ALREADY-integer arrays on
+    the fixed-point grid (e.g. per-full-vector-quantized subvector
+    slices — the PQ training set, where re-quantizing each slice by
+    its OWN max would destroy the cross-subspace scale and collapse
+    downstream ADC recall: measured 0.007 vs 0.167)."""
+    if pre_scaled:
+        q = corpus.select(
+            F.col(id_col).alias("vid"),
+            F.transform(vec_col, lambda x: x.cast("long")).alias("q"),
+        )
+    else:
+        q = quantize_embeddings(corpus, id_col, vec_col).select(
+            F.col(id_col).alias("vid"),
+            F.transform("qvec", lambda x: x.cast("long") * scale).alias("q"),
+        )
     # init: the md5-ranked first k vectors' fixed-point forms (the
     # _md5_codebook sampling convention)
     init = (

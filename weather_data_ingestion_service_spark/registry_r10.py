@@ -1212,11 +1212,20 @@ def _kmeans_exact_oracle(k=8, t=3, dim=64, scale=256, ctes_only=False):
     """
 
 
-def _kmeans_ctes(k=8, t=3, dim=64, scale=256, src="embeddings"):
+def _kmeans_ctes(k=8, t=3, dim=64, scale=256, src="embeddings",
+                 pre_scaled=False):
     """The fixed-point-KMeans recursion over ``src`` (a table or CTE
     exposing (vec_id, embedding)) — composable: the IVF consumer runs
-    it over embeddings, the PQ consumer over the subvector CTE."""
-    return f"""q AS (
+    it over embeddings, the PQ consumer over the subvector CTE.
+    ``pre_scaled`` mirrors the engine flag: the src embedding is
+    already an integer array on the ×scale grid."""
+    if pre_scaled:
+        quant = f"""qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS BIGINT)) AS q256
+      FROM {src}),"""
+    else:
+        quant = f"""q AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
                AS mx
@@ -1232,7 +1241,8 @@ def _kmeans_ctes(k=8, t=3, dim=64, scale=256, src="embeddings"):
     qv AS (
       SELECT vec_id,
              list_transform(qvec, x -> CAST(x AS BIGINT) * {scale}) AS q256
-      FROM ql),
+      FROM ql),"""
+    return f"""{quant}
     r0 AS (
       SELECT vec_id,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -1389,31 +1399,48 @@ def _pq_kmeans_oracle(k_cent=8, t=3, m=8, sub=8, topk=3):
         f"any_value(CASE WHEN s = {s} THEN cv END) AS cv{s}" for s in range(m)
     )
     dots = " + ".join(
-        f"list_dot_product(CAST(qe.embedding[({s * sub + 1}):"
-        f"({s * sub + sub})] AS DOUBLE[]), x.cv{s})"
+        f"list_dot_product(qe.cv[({s * sub + 1}):({s * sub + sub})], x.cv{s})"
         for s in range(m)
     )
     l2 = f"""list_sum(list_transform(
-               list_zip(e.embedding[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})],
+               list_zip(e.cv[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})],
                         c.ce),
-               p -> (CAST(p[1] AS DOUBLE) - p[2])
-                    * (CAST(p[1] AS DOUBLE) - p[2])))"""
+               p -> (p[1] - p[2]) * (p[1] - p[2])))"""
     return f"""
-    WITH RECURSIVE kin AS (
-      SELECT e.vec_id * {m} + rs.s AS vec_id,
-             e.embedding[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})]
-               AS embedding
-      FROM embeddings e CROSS JOIN range(0, {m}) rs(s)),
-    {_kmeans_ctes(k=k_cent, t=t, dim=sub, src="kin")},
+    WITH RECURSIVE fmx AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx
+      FROM embeddings),
+    fql AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) / mx * 127.0 + 0.5)
+                                   AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qvec
+      FROM fmx),
+    f256 AS (
+      SELECT vec_id,
+             list_transform(qvec, x -> CAST(x AS BIGINT) * 256) AS qv256
+      FROM fql),
+    kin AS (
+      SELECT f.vec_id * {m} + rs.s AS vec_id,
+             f.qv256[(rs.s * {sub} + 1):(rs.s * {sub} + {sub})] AS embedding
+      FROM f256 f CROSS JOIN range(0, {m}) rs(s)),
+    {_kmeans_ctes(k=k_cent, t=t, dim=sub, src="kin", pre_scaled=True)},
     cent AS (
       SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS ce
       FROM km WHERE it = {t}),
+    cq AS (
+      SELECT vec_id, list_transform(qv256, x -> CAST(x AS DOUBLE)) AS cv
+      FROM f256),
     best AS (
       SELECT match_id, s, cv FROM (
         SELECT e.vec_id AS match_id, rs.s, c.ce AS cv,
                row_number() OVER (PARTITION BY e.vec_id, rs.s
                  ORDER BY {l2} ASC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s))
+        FROM cq e CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s))
       WHERE rn = 1),
     codes AS (
       SELECT match_id,
@@ -1421,7 +1448,7 @@ def _pq_kmeans_oracle(k_cent=8, t=3, m=8, sub=8, topk=3):
       FROM best GROUP BY match_id),
     scored AS (
       SELECT qe.vec_id AS query_id, x.match_id, {dots} AS adc
-      FROM embeddings qe CROSS JOIN codes x
+      FROM cq qe CROSS JOIN codes x
       WHERE qe.vec_id < 5 AND qe.vec_id <> x.match_id),
     r AS (
       SELECT query_id, match_id, adc,
@@ -1448,21 +1475,33 @@ def q_ext_simsearch_pq_kmeans(spark, sf_dir):
     the one driver-unverified ANN stage; both families now carry a
     certified trained path, with the float KMeans entries left as the
     unconstrained quality surfaces."""
-    from .ext.simsearch import kmeans_fixedpoint_int, pq_topk_trained
+    from .ext.simsearch import (
+        kmeans_fixedpoint_int,
+        pq_topk_trained,
+        quantize_embeddings,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     sub = 8
-    subvecs = emb.select(
+    # training set: per-FULL-vector quantized ×256 slices (one shared
+    # grid — re-quantizing each slice by its own max destroys the
+    # cross-subspace scale and collapses ADC recall, see
+    # pq_topk_trained's docstring)
+    q256 = quantize_embeddings(emb, "vec_id", "embedding").select(
+        "vec_id",
+        F.transform("qvec", lambda x: x.cast("long") * 256).alias("qv"),
+    )
+    subvecs = q256.select(
         "vec_id",
         F.posexplode(
-            F.array(*[F.slice("embedding", s * sub + 1, sub) for s in range(8)])
+            F.array(*[F.slice("qv", s * sub + 1, sub) for s in range(8)])
         ).alias("s", "sv"),
     ).select(
         (F.col("vec_id") * 8 + F.col("s")).alias("vec_id"),
         F.col("sv").alias("embedding"),
     )
     cents = kmeans_fixedpoint_int(
-        subvecs, "vec_id", "embedding", k=8, dim=sub
+        subvecs, "vec_id", "embedding", k=8, dim=sub, pre_scaled=True
     ).collect()
     by_cid: dict[int, list] = {}
     for r in cents:
