@@ -161,7 +161,7 @@ ORACLE_IDS = {
     "ext_tokenizer_bpe_apply_exact", "join_idw_interpolation",
     "ext_simsearch_index_compact", "ext_eval_pass_at_k",
     "ext_embed_kmeans_exact", "ext_simsearch_ivf_kmeans",
-    "ext_simsearch_pq_kmeans",
+    "ext_simsearch_pq_kmeans", "agg_wind_rose",
 }
 
 ROWS_ONLY_IDS = {

@@ -1531,6 +1531,77 @@ def q_ext_simsearch_pq_kmeans(spark, sf_dir):
 # =====================================================================
 
 
+# =====================================================================
+# K. Wind rose — the 16-sector circular histogram every station
+#    climatology publishes (the last classic wind product without a
+#    native computation)
+# =====================================================================
+
+
+@register(
+    "agg_wind_rose",
+    f"""
+    WITH g AS (
+      SELECT range % 5 AS lid, range // 5 AS h FROM range(0, {5 * 21 * 24})),
+    v AS (
+      SELECT lid,
+             CAST('0x' || substr(md5('w_s:' || CAST(lid AS VARCHAR)
+                  || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT) % 60 AS s,
+             CAST('0x' || substr(md5('w_d:' || CAST(lid AS VARCHAR)
+                  || ':' || CAST(h AS VARCHAR)), 1, 13) AS BIGINT) % 360 AS d
+      FROM g),
+    b AS (
+      SELECT lid, s, ((4 * d + 45) % 1440) // 90 AS sector FROM v)
+    SELECT CAST(lid AS BIGINT) AS location_id,
+           CAST(sector AS BIGINT) AS sector,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(s) AS BIGINT) AS speed_sum,
+           CAST(max(s) AS BIGINT) AS gust_max
+    FROM b GROUP BY lid, sector ORDER BY location_id, sector
+    """,
+)
+def q_agg_wind_rose(spark, sf_dir):
+    """Wind rose — the 16-sector circular histogram every station
+    climatology publishes (frequency + mean-speed + max per compass
+    sector), over the same md5 wind grid as ``f_wind_components``.
+    The circular bucketing is INTEGER-EXACT: sector 0 is centered on
+    north covering [−11.25°, +11.25°), so with integer degrees the
+    sector index is ``((4d + 45) mod 1440) DIV 90`` — the ×4 scaling
+    turns the 11.25° half-width into whole units, no float modulo
+    anywhere.  One map-side-combining hash aggregate; 80 output
+    rows at any corpus size."""
+    from .registry_r9 import _FL_N, _grid_hash
+
+    g = spark.range(0, _FL_N).select(
+        (F.col("id") % 5).alias("lid"),
+        F.expr("id DIV 5").alias("h"),
+    )
+    v = g.select(
+        "lid",
+        (_grid_hash("w_s") % 60).alias("s"),
+        (_grid_hash("w_d") % 360).alias("d"),
+    )
+    b = v.select(
+        "lid", "s", F.expr("((4 * d + 45) % 1440) DIV 90").alias("sector")
+    )
+    return (
+        b.groupBy("lid", "sector")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("s").cast("long").alias("speed_sum"),
+            F.max("s").cast("long").alias("gust_max"),
+        )
+        .select(
+            F.col("lid").cast("long").alias("location_id"),
+            F.col("sector").cast("long").alias("sector"),
+            "n_hours",
+            "speed_sum",
+            "gust_max",
+        )
+        .orderBy("location_id", "sector")
+    )
+
+
 def _index_query_twin_sql():
     # the round-9 inline IVF-PQ SQL verbatim (same oracle as
     # ext_simsearch_index_query): ingest-layout epochs → compaction →
@@ -1623,4 +1694,5 @@ _register_new_this_round(
     "ext_embed_kmeans_exact",
     "ext_simsearch_ivf_kmeans",
     "ext_simsearch_pq_kmeans",
+    "agg_wind_rose",
 )
