@@ -3709,3 +3709,58 @@ class TestRound10Ops:
             )
         )
         assert a == b and len(a) == 8 * 64
+
+    def test_kmeans_empty_cluster_carry_cross_engine(self, spark, sf_dir):
+        """Adversarial corpus forcing EMPTY clusters (two tight value
+        groups, k=4 → md5 init lands 3 centroids in one group and ties
+        collapse to the min cid, emptying the rest): the previous-
+        centroid carry rule must agree across the driver loop, the
+        forced distributed loop, AND the DuckDB recursive replay —
+        the one branch the real embeddings fixture never exercises."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            kmeans_fixedpoint_int,
+        )
+        from weather_data_ingestion_service_spark.registry_r10 import (
+            _kmeans_exact_oracle,
+        )
+
+        rows = []
+        for i in range(12):
+            base = 1.0 if i % 2 == 0 else -1.0
+            vec = [
+                float(base * (1.0 + 0.01 * d) + i * 0.002) for d in range(64)
+            ]
+            rows.append((i, vec))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = sorted(
+            map(tuple, kmeans_fixedpoint_int(df, k=4, n_iter=3).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                kmeans_fixedpoint_int(
+                    df, k=4, n_iter=3, driver_max_vectors=0
+                ).collect(),
+            )
+        )
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": [np.array(r[1], dtype=np.float32) for r in rows],
+            }
+        )
+        con = duckdb.connect()
+        con.register("pdf", pdf)
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT vec_id,"
+            " CAST(embedding AS FLOAT[]) AS embedding FROM pdf"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(_kmeans_exact_oracle(k=4)).fetchall()
+        )
+        assert got == want
+        assert dist == got
