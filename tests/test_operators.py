@@ -3611,7 +3611,6 @@ class TestRound10Ops:
         lie within [min, max] of its 3 neighbor station values."""
         import __spark_entry__ as entry
 
-        vals = {}
         from weather_data_ingestion_service_spark.registry_r10 import (
             _idw_station_values,
         )

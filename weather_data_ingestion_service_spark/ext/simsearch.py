@@ -891,7 +891,13 @@ def ivfpq_build_index(
     which is the shape a 100 TB user actually runs."""
     cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
     cent.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
-    codes = ivfpq_encode_codes(corpus, id_col, vec_col, n_clusters, m, dim)
+    # read the PERSISTED codebook back for the encode: one corpus-wide
+    # TakeOrdered pass instead of two, and the codes are guaranteed to
+    # be encoded against exactly the codebook that landed on disk
+    cent_back = corpus.sparkSession.read.parquet(path + "/codebook")
+    codes = ivfpq_encode_codes(
+        corpus, id_col, vec_col, n_clusters, m, dim, cent=cent_back
+    )
     codes.write.mode("overwrite").partitionBy("cid").parquet(path + "/codes")
 
 
@@ -931,7 +937,12 @@ def ivfpq_query_index(
     sub = dim // m
     cent = spark.read.parquet(path + "/codebook")
     cb_rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    probes = _probe_lists(queries, cent, id_col, vec_col, nprobe)
+    # the probe stage runs ONCE: persisted across the distinct-cid
+    # collect and the final candidate join (without the barrier the
+    # queries×codebook cross join + rank window would execute twice);
+    # the registry wrapper / bench clear the block cache per query, so
+    # the small cached probe table never outlives its consumer
+    probes = _probe_lists(queries, cent, id_col, vec_col, nprobe).persist()
     probed = sorted(
         {r["cid"] for r in probes.select("cid").distinct().collect()}
     )
@@ -1037,6 +1048,11 @@ def kmeans_fixedpoint_int(
             F.col(id_col).alias("vid"),
             F.transform("qvec", lambda x: x.cast("long") * scale).alias("q"),
         )
+    # persist BEFORE the init join so the quantize projection runs
+    # once and warms the same cache every later pass reads (round-10
+    # review: persisting after init cost an extra full corpus pass
+    # per invocation)
+    q.persist()
     # init: the md5-ranked first k vectors' fixed-point forms (the
     # _md5_codebook sampling convention)
     init = (
@@ -1056,7 +1072,6 @@ def kmeans_fixedpoint_int(
     cents = [[int(v) for v in r["q"]] for r in cent_rows]  # cid = rank
     spark = corpus.sparkSession
 
-    q.persist()
     try:
         n_vec = q.limit(driver_max_vectors + 1).count()
         if n_vec <= driver_max_vectors:

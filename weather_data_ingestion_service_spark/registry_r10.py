@@ -49,13 +49,21 @@ def _ivfpq_index_path(spark, sf_dir: str) -> str:
 def _ensure_ivfpq_index(spark, sf_dir: str) -> str:
     """Lazy build: the query entry must not depend on the build entry
     having run first (the driver checks a rotating window, in any
-    order) — but when it HAS run, the query amortizes the encode."""
+    order) — but when it HAS run, the query amortizes the encode.
+
+    The index is the first scratch artifact designed to OUTLIVE its
+    writing query, so every access refreshes the root's mtime —
+    otherwise the 1-hour age gate in ``_clean_stale_scratch`` (ours or
+    a concurrent session's) would count age from the build and could
+    yank a live index out from under a >1 h session, silently
+    re-paying the full encode this entry exists to amortize."""
     path = _ivfpq_index_path(spark, sf_dir)
     if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
         from .ext.simsearch import ivfpq_build_index
 
         emb = load_table(spark, sf_dir, "embeddings")
         ivfpq_build_index(emb, path)
+    os.utime(path)  # keep-alive for the age-gated sweep
     return path
 
 
@@ -633,7 +641,30 @@ def _bpe_exact_oracle(n_docs=8, n_merges=10, min_count=2):
     words carried as NULL-pair dummy rows ordered last so they
     survive the round without competing for the argmax."""
     return f"""
-    WITH RECURSIVE tok AS (
+    WITH RECURSIVE {_bpe_merge_ctes(n_docs, n_merges, min_count)}
+    SELECT CAST(it AS INT) AS rank, any_value(ml) AS left,
+           any_value(mr) AS right, any_value(ml || mr) AS merged,
+           CAST(any_value(mc) AS BIGINT) AS pair_count
+    FROM bpe WHERE it >= 1 GROUP BY it ORDER BY rank
+    """
+
+
+def _bpe_merge_ctes(n_docs=8, n_merges=10, min_count=2):
+    """The merge-fold recursion SHARED by the train and apply oracles
+    (the _kmeans_ctes composition pattern — a verbatim copy already
+    cost one duplicated bug, the dummy-row guard below).
+
+    The dummy row a single-symbol word emits is ``(sym, NULL)`` —
+    ``l`` is the symbol, ``r`` is the out-of-range ``syms[k+1]`` — so
+    the argmax exclusion MUST test ``r IS NULL``: ordering by
+    ``l IS NULL`` never excludes them, a frequent fully-merged word's
+    dummy count can beat every real pair, and ``first_value(r)``
+    returns NULL which ``replace(s, …NULL…)`` propagates into EVERY
+    word's state (confirmed on sf0.1 documents, where the original
+    spelling emitted NULL-poisoned merge rows; the smaller fixtures
+    passed only because no single-symbol word got frequent enough
+    inside 10 rounds)."""
+    return f"""tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
                          x -> x <> '') AS ws
@@ -682,17 +713,12 @@ def _bpe_exact_oracle(n_docs=8, n_merges=10, min_count=2):
                 unnest(range(1, greatest(len(syms) - 1, 1) + 1)) kk(k)
             )
           )
-          WINDOW win AS (ORDER BY (l IS NULL), cnt DESC, l ASC, r ASC)
+          WINDOW win AS (ORDER BY (r IS NULL), cnt DESC, l ASC, r ASC)
         )
         GROUP BY it, w, s, freq
       )
       WHERE it < {n_merges} AND bc >= {min_count}
-    )
-    SELECT CAST(it AS INT) AS rank, any_value(ml) AS left,
-           any_value(mr) AS right, any_value(ml || mr) AS merged,
-           CAST(any_value(mc) AS BIGINT) AS pair_count
-    FROM bpe WHERE it >= 1 GROUP BY it ORDER BY rank
-    """
+    )"""
 
 
 @register("ext_tokenizer_bpe_exact", _bpe_exact_oracle())
@@ -815,70 +841,17 @@ def q_stream_simsearch_index(spark, sf_dir):
 def _bpe_apply_oracle(
     train_docs=8, eval_lo=8, eval_hi=24, n_merges=10, min_count=2
 ):
-    """Two chained recursions: re-derive the merge table (the
-    ext_tokenizer_bpe_exact recursion, verbatim), then apply its rules
-    RANK BY RANK to the eval documents' distinct words — state
-    (rank, word, wrapped-string), each step one wrapped-symbol
-    ``replace`` against the rank+1 rule; the inner join on the rule
-    rank terminates the recursion exactly at the last learned merge.
-    Final per-doc accounting joins the encoded word lengths back
-    through the doc→word occurrence list."""
+    """Two chained recursions: the merge-fold recursion SHARED with
+    ``_bpe_exact_oracle`` via ``_bpe_merge_ctes`` (a verbatim copy
+    here carried the duplicated dummy-row-guard bug until the round-10
+    review), then its rules applied RANK BY RANK to the eval
+    documents' distinct words — state (rank, word, wrapped-string),
+    each step one wrapped-symbol ``replace`` against the rank+1 rule;
+    the inner join on the rule rank terminates the recursion exactly
+    at the last learned merge.  Final per-doc accounting joins the
+    encoded word lengths back through the doc→word occurrence list."""
     return f"""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                         x -> x <> '') AS ws
-      FROM documents WHERE doc_id < {train_docs}),
-    wf AS (
-      SELECT w, CAST(count(*) AS BIGINT) AS freq
-      FROM tok, unnest(ws) AS u(w) GROUP BY w),
-    init AS (
-      SELECT w,
-             list_aggregate(list_transform(range(1, length(w) + 1),
-                            i -> chr(2) || w[i] || chr(3)),
-                            'string_agg', '') AS s,
-             freq
-      FROM wf),
-    bpe AS (
-      SELECT 0 AS it, w, s, freq,
-             CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
-             CAST(NULL AS BIGINT) AS mc
-      FROM init
-      UNION ALL
-      SELECT it + 1, w,
-             replace(s, chr(2) || bl || chr(3) || chr(2) || br || chr(3),
-                     chr(2) || bl || br || chr(3)),
-             freq, bl, br, bc
-      FROM (
-        SELECT it, w, s, freq,
-               any_value(bl) AS bl, any_value(br) AS br, any_value(bc) AS bc
-        FROM (
-          SELECT it, w, s, freq,
-                 first_value(l) OVER win AS bl,
-                 first_value(r) OVER win AS br,
-                 first_value(cnt) OVER win AS bc
-          FROM (
-            SELECT it, w, s, freq, l, r,
-                   sum(freq) OVER (PARTITION BY l, r) AS cnt
-            FROM (
-              SELECT it, w, s, freq,
-                     syms[CAST(k AS INT)] AS l,
-                     syms[CAST(k AS INT) + 1] AS r
-              FROM (
-                SELECT it, w, s, freq,
-                       list_filter(string_split(substr(s, 2, length(s) - 2),
-                                                chr(3) || chr(2)),
-                                   x -> x <> '') AS syms
-                FROM bpe) b,
-                unnest(range(1, greatest(len(syms) - 1, 1) + 1)) kk(k)
-            )
-          )
-          WINDOW win AS (ORDER BY (l IS NULL), cnt DESC, l ASC, r ASC)
-        )
-        GROUP BY it, w, s, freq
-      )
-      WHERE it < {n_merges} AND bc >= {min_count}
-    ),
+    WITH RECURSIVE {_bpe_merge_ctes(train_docs, n_merges, min_count)},
     merges AS (
       SELECT CAST(it AS INT) AS rank, any_value(ml) AS l, any_value(mr) AS r
       FROM bpe WHERE it >= 1 GROUP BY it),
@@ -1487,10 +1460,15 @@ def q_ext_simsearch_pq_kmeans(spark, sf_dir):
     # grid — re-quantizing each slice by its own max destroys the
     # cross-subspace scale and collapses ADC recall, see
     # pq_topk_trained's docstring)
+    # persist barrier BEFORE the explode: qv is a higher-order-lambda
+    # chain (quantize transform → ×256 transform), and Generate
+    # re-evaluates an inlined inner expression per array element (the
+    # CLAUDE.md explode-over-HOF rule) — materialize it first.  The
+    # registry wrapper clears the block cache at the next query.
     q256 = quantize_embeddings(emb, "vec_id", "embedding").select(
         "vec_id",
         F.transform("qvec", lambda x: x.cast("long") * 256).alias("qv"),
-    )
+    ).persist()
     subvecs = q256.select(
         "vec_id",
         F.posexplode(
