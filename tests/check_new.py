@@ -1,5 +1,10 @@
 """Ad-hoc: run the named new registry ids through the driver-style
 compare at one or more SFs.  Usage: python tests/check_new.py id [id...]
+
+SFs default to sf0.001 + sf0.01 (the driver's correctness SF);
+override with WDS_CHECK_SFS=0.001,0.01,0.1.  Check recursive-CTE /
+data-dependent oracles at sf0.1 too — the round-10 BPE dummy-row bug
+was invisible at the small SFs and already live at sf0.1.
 """
 import os
 import sys
@@ -14,7 +19,8 @@ names = sys.argv[1:]
 spark = get_spark()
 Q, O = registry.queries(), registry.oracle_sql()
 fail = 0
-for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+_sfs = os.environ.get("WDS_CHECK_SFS", "0.001,0.01").split(",")
+for sf_dir in [f"/root/testdata/sf{s.strip()}" for s in _sfs]:
     duck = duckdb_connection(sf_dir)
     for n in names:
         if n not in Q:
