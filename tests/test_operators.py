@@ -3763,3 +3763,27 @@ class TestRound10Ops:
         )
         assert got == want
         assert dist == got
+
+    def test_hll_estimate_partitioning_invariant(self, spark, sf_dir):
+        """approx_count_distinct merges by per-register MAX —
+        associative and commutative — so the estimate is a pure
+        function of the SET, identical under any partitioning: the
+        exact property that makes stream_distinct_bounds' merged
+        sketch equal the single-pass one for any micro-batch split."""
+        from pyspark.sql import functions as F
+        from weather_data_ingestion_service_spark.io import load_table
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id"
+        )
+        def est(df):
+            return {
+                r.event_type: r.h
+                for r in df.groupBy("event_type")
+                .agg(F.approx_count_distinct("user_id", 0.05).alias("h"))
+                .collect()
+            }
+        a = est(ev.repartition(1))
+        b = est(ev.repartition(32, "user_id"))
+        c = est(ev.repartition(7, "event_type"))
+        assert a == b == c and a
