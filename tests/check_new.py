@@ -19,8 +19,12 @@ names = sys.argv[1:]
 spark = get_spark()
 Q, O = registry.queries(), registry.oracle_sql()
 fail = 0
-_sfs = os.environ.get("WDS_CHECK_SFS", "0.001,0.01").split(",")
-for sf_dir in [f"/root/testdata/sf{s.strip()}" for s in _sfs]:
+_sfs = [
+    s.strip()
+    for s in os.environ.get("WDS_CHECK_SFS", "0.001,0.01").split(",")
+    if s.strip()
+]
+for sf_dir in [f"/root/testdata/sf{s}" for s in _sfs]:
     duck = duckdb_connection(sf_dir)
     for n in names:
         if n not in Q:
