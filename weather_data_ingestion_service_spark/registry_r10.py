@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .registry import (
     _clean_stale_scratch,
-    _register_new_this_round,
     _session_tag,
     register,
 )
@@ -1654,23 +1653,5 @@ def q_ext_simsearch_index_compact(spark, sf_dir):
     return out.withColumn("adc", F.round("adc", 3))
 
 
-_register_new_this_round(
-    "ext_simsearch_index_build",
-    "ext_simsearch_index_query",
-    "agg_distinct_bounds",
-    "stream_distinct_bounds",
-    "agg_sunshine_duration",
-    "f_daylight_duration",
-    "ext_embed_power_iteration",
-    "ext_multimodal_resize_exact",
-    "ext_tokenizer_bpe_exact",
-    "stream_simsearch_index",
-    "ext_tokenizer_bpe_apply_exact",
-    "join_idw_interpolation",
-    "ext_simsearch_index_compact",
-    "ext_eval_pass_at_k",
-    "ext_embed_kmeans_exact",
-    "ext_simsearch_ivf_kmeans",
-    "ext_simsearch_pq_kmeans",
-    "agg_wind_rose",
-)
+# Round-10 _register_new_this_round tail (18 ids) removed at round-11
+# start: all 18 debuted green in CORRECTNESS_r10 and are now carryovers.

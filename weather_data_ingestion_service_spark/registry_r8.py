@@ -22,15 +22,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_changed_since_green, register
+from .registry import register
 
 # (round-9's stream_session_exec / ext_graph_triangles re-cert calls
 # removed at round-10 start: CORRECTNESS_r09 shows both green again.)
 
-# Round-10 gave ext/simsearch.ivf_topk_md5 an optional injected-
-# quantizer param (the ext_simsearch_ivf_kmeans consumer); the default
-# path is unchanged, but it is an edit behind a green id — re-certify.
-_register_changed_since_green("ext_simsearch_ivf_md5")
+# (round-10's ext_simsearch_ivf_md5 re-cert call removed at round-11
+# start: CORRECTNESS_r10 shows it green again.)
 
 
 # =====================================================================

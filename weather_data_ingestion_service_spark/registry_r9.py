@@ -25,16 +25,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_changed_since_green, register
+from .registry import register
 
-# Round-10 ADVICE fix swapped obs_manifest_diff's planted corruption
-# from upper() (JVM/DuckDB Unicode case-mapping hazard) to the
-# engine-neutral translate(' '→'_') — re-certify it.
-_register_changed_since_green("obs_manifest_diff")
-# Round-10 ADVICE fix added the small-vocabulary ValueError guard to
-# ext/text.bm25_topk (no green-path behavior change, but it is an edit
-# behind a green id) — re-certify it.
-_register_changed_since_green("ext_text_bm25")
+# (round-10's obs_manifest_diff / ext_text_bm25 re-cert calls removed
+# at round-11 start: CORRECTNESS_r10 shows both green again.)
 
 # =====================================================================
 # A. IVF-PQ: probed inverted lists + ADC (VERDICT r8 #4)
