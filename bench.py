@@ -260,6 +260,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         isolated[name] = round(best, 3)
 
+    # per-stage sub-timings for multi-stage lifecycle entries (VERDICT
+    # r10 #8): the suite row times the WHOLE flow; these rows attribute
+    # it, so a regression in one stage is visible instead of drowned.
+    # Keys are "<entry>/<stage>"; they do NOT sum exactly to the suite
+    # row (separate run, own cache state) — read them as ratios.
+    from weather_data_ingestion_service_spark.registry_r10 import (
+        _index_compact_stages,
+    )
+
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    stages, _state = _index_compact_stages(spark, SF_DIR)
+    for stage_name, fn in stages:
+        t0 = time.perf_counter()
+        fn()
+        isolated[f"ext_simsearch_index_compact/{stage_name}"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_seconds",

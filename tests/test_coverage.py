@@ -162,6 +162,11 @@ ORACLE_IDS = {
     "ext_simsearch_index_compact", "ext_eval_pass_at_k",
     "ext_embed_kmeans_exact", "ext_simsearch_ivf_kmeans",
     "ext_simsearch_pq_kmeans", "agg_wind_rose",
+    # round 11 additions (VERDICT r10 punch list: serving-grade
+    # trained IVF-PQ + refine with the hash-pinned recall gate;
+    # index upsert/delete via epoch supersedence + tombstones)
+    "ext_simsearch_ivfpq_refined", "ext_eval_ivfpq_recall_trained",
+    "ext_simsearch_index_upsert", "ext_text_redundancy_exact",
 }
 
 ROWS_ONLY_IDS = {

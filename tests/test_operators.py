@@ -1179,6 +1179,76 @@ class TestBpeTrain:
         docs = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
         assert bpe_train(docs, n_merges=5, min_count=2).count() == 0
 
+    def test_oracle_terminates_with_engine_on_full_merge(self, spark):
+        """ADVICE r10: when the vocabulary fully merges BEFORE n_merges
+        rounds, only dummy (sym, NULL) pairs remain and a frequent
+        single-symbol word's dummy count can pass min_count — without
+        the `br IS NOT NULL` recursion guard the DuckDB oracle emitted
+        a NULL-right merge (NULL-poisoning later rounds) while
+        bpe_train broke out of its loop.  Corpus: 'ab'×5 fully merges
+        in round 1; 'c'×5 contributes a freq-5 dummy that would have
+        won round 2's argmax."""
+        import duckdb
+        import pandas as pd
+
+        from weather_data_ingestion_service_spark.ext.text import bpe_train
+        from weather_data_ingestion_service_spark.registry_r10 import (
+            _bpe_exact_oracle,
+        )
+
+        rows = [(0, "ab ab ab ab ab"), (1, "c c c c c")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe_train(docs, n_merges=10, min_count=2)
+            .orderBy("rank").collect()
+        ]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        want = con.execute(
+            _bpe_exact_oracle(n_docs=2, n_merges=10, min_count=2)
+        ).fetchall()
+        con.close()
+        assert got == [tuple(w) for w in want] == [(1, "a", "b", "ab", 5)]
+
+
+class TestPassAtKCeiling:
+    def test_bucket_over_1000_raises_on_both_engines(self, spark, tmp_path):
+        """ADVICE r10: C(n,5)·1e6 overflows int64 past n ≈ 1020 — Spark
+        used to wrap silently while DuckDB raised.  The ceiling is now
+        enforced symmetrically: a task bucket with n > 1000 raises on
+        BOTH engines instead of producing a wrong number on one."""
+        import duckdb
+
+        import pytest
+
+        from weather_data_ingestion_service_spark.registry import (
+            oracle_sql,
+            queries,
+        )
+
+        spark.createDataFrame(
+            [(i, 7, float(i % 100)) for i in range(1001)],
+            "event_id long, user_id long, value double",
+        ).selectExpr(
+            "event_id", "user_id", "value",
+            "timestamp_micros(event_id * 1000000) AS ts",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+        with pytest.raises(Exception, match="pass@k int64 ceiling"):
+            queries()["ext_eval_pass_at_k"](spark, str(tmp_path)).collect()
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"'{tmp_path}/events.parquet/*.parquet'"
+        )
+        with pytest.raises(Exception, match="pass@k int64 ceiling"):
+            con.execute(oracle_sql()["ext_eval_pass_at_k"]).fetchall()
+        con.close()
+
 
 class TestAsofForward:
     def test_forward_semantics_and_ties(self, spark):

@@ -737,8 +737,11 @@ def bpe_encode(
     Encoding is GREEDY-BY-RANK (the GPT-2 convention): rules apply in
     training order, each rewriting all adjacent occurrences
     left-to-right — deterministic, so the output is a pure function of
-    (corpus, merge table).  Not SQL-expressible → rows-only +
-    hand-computed pytest fixture.
+    (corpus, merge table).  The micro-corpus apply path IS
+    oracle-paired since round 10 (``ext_tokenizer_bpe_apply_exact``
+    replays the rank-by-rank rewrite in a DuckDB WITH RECURSIVE, hash
+    green); only the full-corpus scale path (``ext_tokenizer_bpe_apply``)
+    remains rows-only, backed by the hand-computed pytest fixture.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -932,3 +935,111 @@ def gopher_flags(
         ok_sym.alias("ok_symbols"),
         (ok_words & ok_wordlen & ok_alpha & ok_stop & ok_sym).alias("keep"),
     ).orderBy(id_col)
+
+
+def text_redundancy_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4
+) -> DataFrame:
+    """Exact WITHIN-document redundancy — the engine-portable twin of
+    ``compression_ratio``'s zlib signal (VERDICT r10 #5: the zlib byte
+    output is inherently engine-opaque, but the redundancy it PROXIES
+    — repeated k-gram mass — is exactly computable on both engines).
+
+    Two families of per-doc integers from one positional-k-gram pass:
+
+    - GRAM MASS: ``n_grams``, ``n_distinct_grams``, their difference
+      ``dup_gram_mass`` (how many k-gram occurrences are re-sights of
+      an earlier in-doc k-gram — the quantity a dictionary coder
+      exploits), and ``redundancy_micro = dup_gram_mass·1e6 DIV
+      n_grams``;
+    - DUP SPANS: the ``ext/dedup.duplicate_spans`` discipline scoped
+      WITHIN the document (hot grams counted per doc, not
+      corpus-wide): coalesced maximal repeated spans → ``n_dup_spans``,
+      ``dup_tokens``, ``dup_frac_micro``.
+
+    Scale shape mirrors ``duplicate_spans``: int64 hash-composed gram
+    keys (join/group keys are 8 bytes, never strings), positional
+    grams behind ``persist`` barriers (explode over an uncached
+    higher-order array re-evaluates the inner expression per element —
+    CLAUDE.md), one map-side-combining count per (doc, gram), a
+    per-doc gap-islands window.  Everything per-doc, so the shuffle
+    keys are the natural document partitioning."""
+    from pyspark.sql import Window
+
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    tok_tbl = df.select(
+        F.col(id_col).alias("__id"), th.alias("__th")
+    ).persist()
+    idx = F.sequence(F.lit(1), F.size("__th") - (k - 1))
+    grams = F.when(
+        F.size("__th") >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                *[F.try_element_at(F.col("__th"), i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gram_tbl = tok_tbl.select(
+        "__id", F.size("__th").alias("__n"), grams.alias("__g")
+    ).persist()
+    pos = gram_tbl.select(
+        "__id", "__n", F.posexplode("__g").alias("__p", "__gram")
+    )
+    gs = pos.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("__gram").cast("long").alias("n_distinct_grams"),
+    )
+    hot = (
+        pos.groupBy("__id", "__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("__id", "__gram")
+    )
+    marked = pos.join(hot, ["__id", "__gram"]).select("__id", "__n", "__p")
+    w = Window.partitionBy("__id").orderBy("__p")
+    islands = marked.withColumn(
+        "__brk",
+        F.when(
+            F.col("__p") - F.lag("__p").over(w) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn("__isl", F.sum("__brk").over(w))
+    spans = islands.groupBy("__id", "__n", "__isl").agg(
+        (F.max("__p") - F.min("__p") + k).alias("__len")
+    )
+    per_doc = spans.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("__len").cast("long").alias("dup_tokens"),
+    )
+    return (
+        tok_tbl.select("__id", F.size("__th").cast("long").alias("n_tokens"))
+        .join(gs, "__id", "left")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_grams"),
+            (
+                F.coalesce("n_grams", F.lit(0))
+                - F.coalesce("n_distinct_grams", F.lit(0))
+            ).cast("long").alias("dup_gram_mass"),
+            F.expr(
+                "CAST((coalesce(n_grams, 0) - coalesce(n_distinct_grams, 0))"
+                " * 1000000 DIV greatest(coalesce(n_grams, 0), 1) AS BIGINT)"
+            ).alias("redundancy_micro"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) * 1000000"
+                " DIV greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("dup_frac_micro"),
+        )
+    )

@@ -28,8 +28,34 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .registry import (
     _clean_stale_scratch,
+    _register_changed_since_green,
     _session_tag,
     register,
+)
+
+# ADVICE r10: the shared BPE merge-fold recursion gained the
+# `br IS NOT NULL` termination guard (oracle now stops exactly when
+# bpe_train's `if not pc: break` does on a fully-merged vocabulary);
+# re-certify both consumers of _bpe_merge_ctes.
+_register_changed_since_green(
+    "ext_tokenizer_bpe_exact", "ext_tokenizer_bpe_apply_exact"
+)
+# ADVICE r10: ext_eval_pass_at_k's int64 ceiling is now enforced with a
+# symmetric raise on both engines (n > 1000 per task bucket).
+_register_changed_since_green("ext_eval_pass_at_k")
+# ADVICE r10: ivfpq_query_index now localCheckpoints its result and
+# unpersists the probe cache inside the function; re-certify its two
+# registry consumers.
+_register_changed_since_green(
+    "ext_simsearch_index_query", "ext_simsearch_index_compact"
+)
+# Round 11: kmeans_fixedpoint_int's driver branch was vectorized with
+# exact-int64 numpy (bit-identical by integer determinism, but the
+# implementation behind these greens changed — re-certify).
+_register_changed_since_green(
+    "ext_embed_kmeans_exact",
+    "ext_simsearch_ivf_kmeans",
+    "ext_simsearch_pq_kmeans",
 )
 
 # =====================================================================
@@ -662,7 +688,16 @@ def _bpe_merge_ctes(n_docs=8, n_merges=10, min_count=2):
     word's state (confirmed on sf0.1 documents, where the original
     spelling emitted NULL-poisoned merge rows; the smaller fixtures
     passed only because no single-symbol word got frequent enough
-    inside 10 rounds)."""
+    inside 10 rounds).
+
+    The recursive WHERE also requires ``br IS NOT NULL`` (ADVICE r10):
+    once the vocabulary fully merges before ``n_merges`` rounds, only
+    dummy ``(sym, NULL)`` pairs remain, the argmax window falls
+    through to one of them, and its summed freq can still pass
+    ``min_count`` — without the guard the oracle would emit a
+    NULL-right merge (NULL-poisoning later rounds via ``replace``)
+    while ``bpe_train`` breaks out of its loop; with it both sides
+    terminate on the same round."""
     return f"""tok AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -716,7 +751,7 @@ def _bpe_merge_ctes(n_docs=8, n_merges=10, min_count=2):
         )
         GROUP BY it, w, s, freq
       )
-      WHERE it < {n_merges} AND bc >= {min_count}
+      WHERE it < {n_merges} AND bc >= {min_count} AND br IS NOT NULL
     )"""
 
 
@@ -1111,7 +1146,12 @@ def q_join_idw_interpolation(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS c
       FROM events GROUP BY task),
-    f AS (SELECT task, n, c, n - c AS m FROM s WHERE n >= 5)
+    f AS (SELECT task,
+                 CASE WHEN n > 1000
+                      THEN CAST(error('pass@k int64 ceiling: task bucket '
+                                      || 'n > 1000') AS BIGINT)
+                      ELSE n END AS n,
+                 c, n - c AS m FROM s WHERE n >= 5)
     SELECT CAST(task AS BIGINT) AS task, n, c,
            CAST((((n*(n-1)*(n-2)*(n-3)*(n-4)) // 120)
                  - CASE WHEN m >= 5
@@ -1130,8 +1170,13 @@ def q_ext_eval_pass_at_k(spark, sf_dir):
     with no factorial, no float, and no engine to disagree —
     ``pass5_micro = (C(n,5) − C(n−c,5)) · 1e6 DIV C(n,5)``.  Tasks are
     user buckets (% 499 keeps n ≈ corpus/499 so C(n,5)·1e6 stays well
-    inside int64 through sf0.1; at larger n switch to per-row log-space
-    or k=1), samples are the task's events, "correct" = value > 50
+    inside int64 through sf0.1; max bucket n=299 there).  The int64
+    ceiling (n ≈ 1020) is ENFORCED, not just documented (ADVICE r10):
+    both engines raise_error/error() on any bucket with n > 1000, so a
+    larger SF fails loudly on BOTH sides instead of Spark silently
+    wrapping while DuckDB raises — at that scale switch to per-row
+    log-space or k=1.  Samples are the task's events, "correct" =
+    value > 50
     (a pure comparison, no arithmetic).  Two map-side-combining hash
     aggregates; nothing beyond one corpus pass."""
     ev = load_table(spark, sf_dir, "events")
@@ -1147,6 +1192,18 @@ def q_ext_eval_pass_at_k(spark, sf_dir):
         )
         .filter(F.col("n") >= 5)
         .withColumn("m", F.col("n") - F.col("c"))
+        # ADVICE r10: C(n,5)·1e6 overflows int64 past n ≈ 1020 — Spark
+        # wraps silently while DuckDB raises, so the documented ceiling
+        # is now ENFORCED symmetrically: both engines raise past it.
+        .withColumn(
+            "n",
+            F.when(
+                F.col("n") > 1000,
+                F.raise_error(
+                    F.lit("pass@k int64 ceiling: task bucket n > 1000")
+                ).cast("long"),
+            ).otherwise(F.col("n")),
+        )
     )
     return s.select(
         F.col("task").cast("long").alias("task"),
@@ -1588,6 +1645,80 @@ def _index_query_twin_sql():
     return _ivfpq_md5_oracle()
 
 
+def _index_compact_stages(spark, sf_dir):
+    """The compaction lifecycle split into its three stages —
+    ``(name, thunk)`` pairs run in order; each thunk is EAGER (writes
+    or an eagerly-materialized query), so bench.py can time the stages
+    individually (VERDICT r10 #8: an 8 s multi-stage flow timed as one
+    number hides which stage regressed).  Composing them verbatim IS
+    ``q_ext_simsearch_index_compact``; ``state["out"]`` holds the
+    served result after the last stage."""
+    import os
+    import shutil
+
+    from .ext.simsearch import (
+        _md5_codebook,
+        ivfpq_encode_codes,
+        ivfpq_query_index,
+    )
+
+    _clean_stale_scratch("/tmp/wds_icmp_*")
+    root = f"/tmp/wds_icmp_{_session_tag(spark, sf_dir)}"
+    state: dict = {}
+
+    def ingest_encode():
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        state["emb"] = emb
+        cent = _md5_codebook(emb, "vec_id", "embedding", 16)
+        state["cent"] = spark.createDataFrame(cent.collect(), cent.schema)
+        # ingest accumulation: two arrival epochs, append-ordered
+        mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+        ingest = f"{root}/ingest"
+        for i, part in enumerate(
+            [
+                emb.filter(F.col("vec_id") <= mid),
+                emb.filter(F.col("vec_id") > mid),
+            ]
+        ):
+            ivfpq_encode_codes(
+                part, "vec_id", "embedding", cent=state["cent"]
+            ).write.mode("overwrite").parquet(
+                os.path.join(ingest, f"epoch={i}")
+            )
+
+    def compact_rewrite():
+        # compaction: epoch store → cid-partitioned serving layout
+        serving = f"{root}/serving"
+        state["cent"].coalesce(1).write.mode("overwrite").parquet(
+            serving + "/codebook"
+        )
+        spark.read.parquet(f"{root}/ingest").drop("epoch").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(serving + "/codes")
+
+    def serve_query():
+        # eagerly materialized inside ivfpq_query_index
+        # (localCheckpoint), so this thunk's wall time IS the serve cost
+        out = ivfpq_query_index(
+            spark,
+            f"{root}/serving",
+            state["emb"].filter(F.col("vec_id") < 5),
+            "vec_id",
+            "embedding",
+            k=3,
+            nprobe=4,
+            m=8,
+        )
+        state["out"] = out.withColumn("adc", F.round("adc", 3))
+
+    return [
+        ("ingest_encode", ingest_encode),
+        ("compact_rewrite", compact_rewrite),
+        ("serve_query", serve_query),
+    ], state
+
+
 @register("ext_simsearch_index_compact", _index_query_twin_sql())
 def q_ext_simsearch_index_compact(spark, sf_dir):
     """Index COMPACTION, the third lifecycle verb: streaming ingest
@@ -1603,54 +1734,13 @@ def q_ext_simsearch_index_compact(spark, sf_dir):
     score.  At 100 TB compaction is one read + one partitioned write
     of m+1 small ints per vector, amortized across every query the
     serving layout accelerates (the probed-list partition pruning
-    ext_simsearch_index_query plan-asserts)."""
-    import os
-    import shutil
-
-    from .ext.simsearch import (
-        _md5_codebook,
-        ivfpq_encode_codes,
-        ivfpq_query_index,
-    )
-
-    _clean_stale_scratch("/tmp/wds_icmp_*")
-    root = f"/tmp/wds_icmp_{_session_tag(spark, sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = _md5_codebook(emb, "vec_id", "embedding", 16)
-    cent_rows = cent.collect()
-    cent_static = spark.createDataFrame(cent_rows, cent.schema)
-
-    # ingest accumulation: two arrival epochs, append-ordered layout
-    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
-    ingest = f"{root}/ingest"
-    for i, part in enumerate(
-        [emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)]
-    ):
-        ivfpq_encode_codes(
-            part, "vec_id", "embedding", cent=cent_static
-        ).write.mode("overwrite").parquet(os.path.join(ingest, f"epoch={i}"))
-
-    # compaction: epoch store → cid-partitioned serving layout
-    serving = f"{root}/serving"
-    cent_static.coalesce(1).write.mode("overwrite").parquet(
-        serving + "/codebook"
-    )
-    spark.read.parquet(ingest).drop("epoch").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(serving + "/codes")
-
-    out = ivfpq_query_index(
-        spark,
-        serving,
-        emb.filter(F.col("vec_id") < 5),
-        "vec_id",
-        "embedding",
-        k=3,
-        nprobe=4,
-        m=8,
-    )
-    return out.withColumn("adc", F.round("adc", 3))
+    ext_simsearch_index_query plan-asserts).  Stage bodies live in
+    ``_index_compact_stages`` so bench.py can time
+    ingest/compact/serve separately."""
+    stages, state = _index_compact_stages(spark, sf_dir)
+    for _name, fn in stages:
+        fn()
+    return state["out"]
 
 
 # Round-10 _register_new_this_round tail (18 ids) removed at round-11

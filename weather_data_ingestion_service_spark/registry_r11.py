@@ -1,0 +1,526 @@
+"""Round-11 registry entries.
+
+Headline: the SERVING-GRADE trained IVF-PQ demonstration (VERDICT r10
+#2) — coarse k=64 + per-SUBSPACE k=256 codebooks trained with the
+certified fixed-point integer KMeans, PQ-ADC candidate generation, and
+an exact-int8 refine stage, hash-verified end to end including the
+measured recall value.
+
+Reference parity: the reference service (server.py) has no ANN path —
+these are the large-scale training-data-pipeline extensions the build
+brief mandates as first-class components.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import (
+    _register_new_this_round,
+    register,
+)
+from .registry_r10 import _kmeans_ctes
+
+# =====================================================================
+# A. Serving-grade trained IVF-PQ + refine (VERDICT r10 #2)
+# =====================================================================
+
+# realistic serving config (sf0.1-scale corpus): 64 coarse lists,
+# per-subspace 256-entry codebooks over m=16 dim-4 slices, probe 1/4 of
+# the lists, ADC-shortlist 50, exact-int8 refine to top-3
+_RT = dict(k=3, n_clusters=64, ksub=256, m=16, nprobe=16, shortlist=50,
+           n_iter=3, dim=64, n_queries=5)
+
+
+def _ivfpq_refined_ctes(p=_RT):
+    """The full SQL replay of ``ivfpq_refine_topk`` at the serving
+    config: coarse KMeans via the certified ``_kmeans_ctes`` recursion
+    (registry_r10), a second recursion ``skm`` for the m per-subspace
+    codebooks (same init ranking ``r0``, state keyed by subspace —
+    per-element expansions collapse back to state granularity with a
+    GROUP BY before re-entering, the CLAUDE.md recursive-replay rule),
+    then encode / probe / ADC / shortlist / refine — every comparison
+    in exact integers, the refine dequant a pinned-order IEEE multiply
+    chain."""
+    m, sub, t = p["m"], p["dim"] // p["m"], p["n_iter"]
+    ksub, nq = p["ksub"], p["n_queries"]
+    return f"""{_kmeans_ctes(k=p["n_clusters"], t=t, dim=p["dim"])},
+    coarse AS (SELECT cid, cvec FROM km WHERE it = {t}),
+    scales AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS scale
+      FROM q),
+    sv AS (
+      SELECT vec_id, CAST(s AS BIGINT) AS s,
+             q256[CAST(s AS INT) * {sub} + 1 :
+                  (CAST(s AS INT) + 1) * {sub}] AS qs
+      FROM qv, unnest(range(0, {m})) tt(s)),
+    scent0 AS (
+      SELECT sv.s, r0.cid, sv.qs AS cvec
+      FROM r0 JOIN sv USING (vec_id) WHERE r0.cid < {ksub}),
+    skm AS (
+      SELECT 0 AS it, s, cid, cvec FROM scent0
+      UNION ALL
+      SELECT it + 1, s, cid, list(newc ORDER BY dim) AS cvec
+      FROM (
+        SELECT it, s, cid, dim,
+               CASE WHEN count(val) > 0
+                    THEN (sum(val)
+                          - ((sum(val) % count(val)) + count(val))
+                            % count(val))
+                         // count(val)
+                    ELSE any_value(cval) END AS newc
+        FROM (
+          SELECT pp.it, pp.s, pp.cid, CAST(dd.d AS INT) AS dim,
+                 CASE WHEN pp.rn = 1
+                      THEN pp.qs[CAST(dd.d AS INT) + 1] END AS val,
+                 pp.cvec[CAST(dd.d AS INT) + 1] AS cval
+          FROM (
+            SELECT skm.it, skm.s, skm.cid, skm.cvec, sv.qs, sv.vec_id,
+                   row_number() OVER (
+                     PARTITION BY sv.vec_id, sv.s ORDER BY
+                     list_sum(list_transform(list_zip(sv.qs, skm.cvec),
+                                             z -> (z[1]-z[2])*(z[1]-z[2]))),
+                     skm.cid) AS rn
+            FROM skm, sv
+            WHERE skm.it < {t} AND skm.s = sv.s) pp,
+            unnest(range(0, {sub})) dd(d)
+        )
+        GROUP BY it, s, cid, dim
+      )
+      GROUP BY it, s, cid
+    ),
+    books AS (SELECT s, cid AS code, cvec AS ce FROM skm WHERE it = {t}),
+    lists AS (
+      SELECT vec_id AS match_id, cid FROM (
+        SELECT qv.vec_id, c.cid,
+               row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(qv.q256, c.cvec),
+                                         z -> (z[1]-z[2])*(z[1]-z[2]))),
+                 c.cid) AS rn
+        FROM qv, coarse c) WHERE rn = 1),
+    codes AS (
+      SELECT vec_id AS match_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, b.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.s ORDER BY
+                 list_sum(list_transform(list_zip(sv.qs, b.ce),
+                                         z -> (z[1]-z[2])*(z[1]-z[2]))),
+                 b.code) AS rn
+        FROM sv JOIN books b USING (s)) WHERE rn = 1),
+    qset AS (SELECT vec_id AS query_id, q256 FROM qv
+             WHERE vec_id < {nq}),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT qs.query_id, c.cid,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 list_sum(list_transform(list_zip(qs.q256, c.cvec),
+                                         z -> (z[1]-z[2])*(z[1]-z[2]))),
+                 c.cid) AS rn
+        FROM qset qs, coarse c) WHERE rn <= {p["nprobe"]}),
+    lut AS (
+      SELECT qs.query_id, b.s, b.code,
+             list_sum(list_transform(
+               list_zip(qs.q256[CAST(b.s AS INT) * {sub} + 1 :
+                                (CAST(b.s AS INT) + 1) * {sub}], b.ce),
+               z -> z[1] * z[2])) AS dq
+      FROM qset qs, books b),
+    cand AS (
+      SELECT p2.query_id, l.match_id
+      FROM probes p2 JOIN lists l USING (cid)
+      WHERE p2.query_id <> l.match_id),
+    adc AS (
+      SELECT c.query_id, c.match_id, CAST(sum(dq) AS BIGINT) AS adc
+      FROM cand c
+      JOIN codes cd USING (match_id)
+      JOIN lut ON lut.query_id = c.query_id AND lut.s = cd.s
+              AND lut.code = cd.code
+      GROUP BY c.query_id, c.match_id),
+    short AS (
+      SELECT query_id, match_id, adc FROM (
+        SELECT query_id, match_id, adc,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, match_id) AS rn
+        FROM adc) WHERE rn <= {p["shortlist"]}),
+    refined AS (
+      SELECT query_id, match_id, adc, rank, refine_micro FROM (
+        SELECT sh.query_id, sh.match_id, sh.adc,
+               row_number() OVER (PARTITION BY sh.query_id
+                 ORDER BY CAST(list_sum(list_transform(
+                            list_zip(cv.q256, qs.q256), z -> z[1]*z[2]))
+                          AS DOUBLE) * sc.scale DESC, sh.match_id) AS rank,
+               CAST(floor(CAST(list_sum(list_transform(
+                            list_zip(cv.q256, qs.q256), z -> z[1]*z[2]))
+                          AS DOUBLE) * sc.scale * sq.scale / 65536.0
+                          * 1000000.0) AS BIGINT) AS refine_micro
+        FROM short sh
+        JOIN qv cv ON cv.vec_id = sh.match_id
+        JOIN qset qs ON qs.query_id = sh.query_id
+        JOIN scales sc ON sc.vec_id = sh.match_id
+        JOIN scales sq ON sq.vec_id = sh.query_id)
+      WHERE rank <= {p["k"]})"""
+
+
+def _refined_oracle():
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes()}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(match_id AS BIGINT) AS match_id,
+           CAST(rank AS BIGINT) AS rank, adc, refine_micro
+    FROM refined ORDER BY query_id, rank
+    """
+
+
+def _run_refined(spark, sf_dir):
+    from .ext.simsearch import ivfpq_refine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_refine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _RT["n_queries"]),
+        "vec_id",
+        "embedding",
+        k=_RT["k"],
+        n_clusters=_RT["n_clusters"],
+        ksub=_RT["ksub"],
+        m=_RT["m"],
+        nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"],
+        n_iter=_RT["n_iter"],
+        dim=_RT["dim"],
+    )
+
+
+@register("ext_simsearch_ivfpq_refined", _refined_oracle())
+def q_ext_simsearch_ivfpq_refined(spark, sf_dir):
+    """Serving-grade trained IVF-PQ + exact-int8 refine at the
+    REALISTIC config (VERDICT r10 #2): coarse k=64, per-SUBSPACE
+    k=256 PQ codebooks (m=16 dim-4 slices), nprobe=16, ADC shortlist
+    50, refine to top-3 — ``ext/simsearch.ivfpq_refine_topk``.  The
+    oracle replays training (two WITH RECURSIVE KMeans folds),
+    encoding, probing, the integer ADC, and the refine dequant chain
+    bit-for-bit, so codebook quality, candidate generation and final
+    ranking are all hash-pinned.  The degenerate-size r10 twins
+    certified the machinery; this entry certifies the configuration a
+    service would actually run."""
+    return _run_refined(spark, sf_dir)
+
+
+def _recall_trained_oracle():
+    from .registry_ext import _COSINE_SQL
+
+    cos = _COSINE_SQL.format(a="eq.embedding", b="ec.embedding")
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes()},
+    appr AS (SELECT query_id, match_id FROM refined),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT eq.vec_id AS query_id, ec.vec_id AS match_id,
+               row_number() OVER (PARTITION BY eq.vec_id
+                 ORDER BY {cos} DESC, ec.vec_id) AS rank
+        FROM embeddings eq CROSS JOIN embeddings ec
+        WHERE eq.vec_id < {_RT["n_queries"]} AND eq.vec_id <> ec.vec_id)
+      WHERE rank <= {_RT["k"]}),
+    hits AS (
+      -- not INTERSECT: DuckDB rejects set-op CTE bodies other than
+      -- UNION inside a WITH RECURSIVE list; both sides are already
+      -- distinct (rank-limited), so an equi-join is the semi join
+      SELECT e.query_id, e.match_id
+      FROM exact e JOIN appr a
+        ON a.query_id = e.query_id AND a.match_id = e.match_id)
+    SELECT CAST((SELECT count(DISTINCT query_id) FROM exact) AS BIGINT)
+             AS n_queries,
+           CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+             AS recall_micro
+    """
+
+
+@register("ext_eval_ivfpq_recall_trained", _recall_trained_oracle())
+def q_ext_eval_ivfpq_recall_trained(spark, sf_dir):
+    """Recall@3 of the serving-grade trained IVF-PQ+refine path
+    against exact brute-force cosine — the realistic-config companion
+    of ``ext_eval_ivfpq_recall`` (r9, md5-codebook twin).  Both sides
+    restate in SQL, so the MEASURED recall value itself is
+    hash-pinned: if a future edit degrades trained-codebook recall,
+    the hashed ``recall_micro`` changes and the driver flags it.
+    BASELINE.md round-11 probe records the recall-vs-config curve
+    (m, nprobe, shortlist sweeps) measured through this engine path
+    at sf0.1."""
+    from .ext.simsearch import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q5 = emb.filter(F.col("vec_id") < _RT["n_queries"])
+    exact = cosine_topk(emb, q5, "vec_id", "embedding", k=_RT["k"]).select(
+        "query_id", "match_id"
+    ).persist()
+    appr = _run_refined(spark, sf_dir).select("query_id", "match_id")
+    try:
+        n_truth = exact.count()
+        n_q = exact.select("query_id").distinct().count()
+        n_hits = exact.join(
+            appr, ["query_id", "match_id"], "left_semi"
+        ).count()
+    finally:
+        exact.unpersist()
+    rows = [
+        (
+            int(n_q),
+            int(n_truth),
+            int(n_hits),
+            int(n_hits * 1_000_000 // max(n_truth, 1)),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n_queries long, n_truth long, n_hits long, recall_micro long"
+    )
+
+
+# =====================================================================
+# B. IVF-PQ index UPSERT + DELETE — the missing lifecycle verb
+#    (VERDICT r10 #4): epoch supersedence + tombstones
+# =====================================================================
+
+
+def _index_upsert_oracle():
+    # rebuild-from-final-corpus equivalence (the stream_dedup_minhash
+    # replay-idempotence discipline): after upserts re-encode the
+    # changed ids and tombstones delete others, the served top-k must
+    # equal a CLEAN rebuild over exactly the live rows — the round-9
+    # inline IVF-PQ SQL with the corpus restricted to them.  The
+    # codebook stays the full-corpus one (codebooks train offline;
+    # ingest verbs never retrain).
+    from .registry_r9 import _ivfpq_md5_oracle
+
+    return _ivfpq_md5_oracle(corpus_where="NOT (e.vec_id % 11 = 3)")
+
+
+@register("ext_simsearch_index_upsert", _index_upsert_oracle())
+def q_ext_simsearch_index_upsert(spark, sf_dir):
+    """Index UPSERT + DELETE, the fourth lifecycle verb (build /
+    query / compact exist since r10): real indexes re-ingest changed
+    ids and drop deleted ones.  Epoch supersedence does both without
+    touching old files — this entry runs the whole story:
+
+    - epoch 0: initial ingest where every ``vec_id % 7 = 0`` row was
+      encoded from a STALE vector (its reversed embedding — a
+      deterministic corruption the upsert must fully shadow);
+    - epoch 1: the upsert batch — those ids re-encoded from their
+      true vectors;
+    - epoch 2: the delete batch — tombstone records (``alive = 0``)
+      for every ``vec_id % 11 = 3``;
+    - read path: latest epoch wins per vec_id (one ``max_by(struct,
+      epoch)`` hash aggregate over the epoch store), tombstoned ids
+      drop out;
+    - compaction: the superseded view rewrites into the
+      cid-partitioned serving layout (shadowed + dead codes gone from
+      disk, the pruned-scan layout restored);
+    - serve: top-3 from the compacted index.
+
+    The oracle is a clean rebuild over exactly the live rows, so a
+    stale code leaking through (supersedence bug) or a deleted id
+    surfacing (tombstone bug) changes a score and fails the hash.  At
+    100 TB: upserts append m+1 small ints per changed vector, deletes
+    append one tombstone row, and the read-side aggregate touches only
+    code rows — never the vectors; compaction amortizes it away."""
+    import os
+    import shutil
+
+    from .ext.simsearch import (
+        _md5_codebook,
+        ivfpq_encode_codes,
+        ivfpq_query_index,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_iups_*")
+    root = f"/tmp/wds_iups_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _md5_codebook(emb, "vec_id", "embedding", 16)
+    cent_static = spark.createDataFrame(cent.collect(), cent.schema)
+    m = 8
+
+    changed = F.col("vec_id") % 7 == 0
+    stale0 = emb.withColumn(
+        "embedding",
+        F.when(changed, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    ingest = f"{root}/ingest"
+    epochs = [
+        # epoch 0: full initial ingest, changed ids encoded stale
+        ivfpq_encode_codes(
+            stale0, "vec_id", "embedding", cent=cent_static, m=m
+        ).withColumn("alive", F.lit(1)),
+        # epoch 1: upsert — changed ids re-encoded from true vectors
+        ivfpq_encode_codes(
+            emb.filter(changed), "vec_id", "embedding",
+            cent=cent_static, m=m,
+        ).withColumn("alive", F.lit(1)),
+        # epoch 2: delete — tombstones only (no vector, no codes)
+        emb.filter(F.col("vec_id") % 11 == 3).select(
+            F.col("vec_id").alias("match_id"),
+            F.lit(-1).cast("long").alias("cid"),
+            *[F.lit(-1).cast("long").alias(f"c{s}") for s in range(m)],
+            F.lit(0).alias("alive"),
+        ),
+    ]
+    for i, ep in enumerate(epochs):
+        ep.write.mode("overwrite").parquet(
+            os.path.join(ingest, f"epoch={i}")
+        )
+
+    # supersede-at-read: latest epoch wins per vec_id, dead ids drop
+    payload = F.struct(
+        "cid", *[f"c{s}" for s in range(m)], "alive"
+    )
+    latest = (
+        spark.read.parquet(ingest)
+        .groupBy("match_id")
+        .agg(F.max_by(payload, F.col("epoch")).alias("st"))
+        .select("match_id", "st.*")
+    )
+    live = latest.filter(F.col("alive") == 1).drop("alive")
+
+    # compaction of the superseded view → pruned serving layout
+    serving = f"{root}/serving"
+    cent_static.coalesce(1).write.mode("overwrite").parquet(
+        serving + "/codebook"
+    )
+    live.write.mode("overwrite").partitionBy("cid").parquet(
+        serving + "/codes"
+    )
+
+    out = ivfpq_query_index(
+        spark,
+        serving,
+        emb.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=4,
+        m=m,
+    )
+    return out.withColumn("adc", F.round("adc", 3))
+
+
+# =====================================================================
+# C. Exact text redundancy — the hash-verified twin that closes the
+#    rows-only set (VERDICT r10 #5): ext_text_compression's zlib bytes
+#    stay engine-opaque, but the redundancy they proxy is exact
+# =====================================================================
+
+# the planted corpus: m3=0 docs self-duplicate wholesale, m3=1 docs
+# append an 8-token prefix twice, m3=2 stay as-is — both engines build
+# the same strings, so every redundancy integer is deterministic
+_RED_TOK_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+)
+_RED_CORPUS_SQL = f"""corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text
+                  WHEN doc_id % 3 = 1
+                  THEN text || ' '
+                       || array_to_string(({_RED_TOK_SQL})[1:8], ' ')
+                       || ' '
+                       || array_to_string(({_RED_TOK_SQL})[1:8], ' ')
+                  ELSE text END AS text
+      FROM documents)"""
+
+
+def _redundant_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    p8 = F.array_join(F.slice(toks, 1, 8), " ")
+    m3 = F.col("doc_id") % 3
+    return docs.select(
+        "doc_id",
+        F.when(m3 == 0, F.concat_ws(" ", "text", "text"))
+        .when(m3 == 1, F.concat_ws(" ", F.col("text"), p8, p8))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@register(
+    "ext_text_redundancy_exact",
+    f"""
+    WITH {_RED_CORPUS_SQL},
+    tok AS (SELECT doc_id, {_RED_TOK_SQL} AS w FROM corpus),
+    g AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+3], ' ') AS gram
+          FROM tok, unnest(range(1, greatest(len(w) - 3, 0) + 1)) AS u(i)),
+    gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+           FROM g GROUP BY doc_id),
+    hot AS (SELECT doc_id, gram FROM g
+            GROUP BY doc_id, gram HAVING count(*) > 1),
+    m AS (SELECT g.doc_id, g.p
+          FROM g JOIN hot ON hot.doc_id = g.doc_id AND hot.gram = g.gram),
+    b AS (SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                           <= 4
+                      THEN 0 ELSE 1 END AS brk
+          FROM m),
+    s AS (SELECT doc_id, p,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+          FROM b),
+    sp AS (SELECT doc_id, isl, max(p) - min(p) + 4 AS len
+           FROM s GROUP BY doc_id, isl),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                  CAST(sum(len) AS BIGINT) AS dup_tokens
+           FROM sp GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(gs.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(gs.n_distinct, 0) AS BIGINT) AS n_distinct_grams,
+           CAST(coalesce(gs.n_grams, 0) - coalesce(gs.n_distinct, 0)
+             AS BIGINT) AS dup_gram_mass,
+           CAST((coalesce(gs.n_grams, 0) - coalesce(gs.n_distinct, 0))
+                * 1000000 // greatest(coalesce(gs.n_grams, 0), 1)
+             AS BIGINT) AS redundancy_micro,
+           CAST(coalesce(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(coalesce(pd.dup_tokens, 0) * 1000000
+                // greatest(len(t.w), 1) AS BIGINT) AS dup_frac_micro
+    FROM tok t
+    LEFT JOIN gs ON gs.doc_id = t.doc_id
+    LEFT JOIN pd ON pd.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_ext_text_redundancy_exact(spark, sf_dir):
+    """Exact within-document redundancy, hash-verified — the twin that
+    closes the rows-only set (VERDICT r10 #5): ``ext_text_compression``
+    publishes zlib bytes (inherently engine-opaque, pytest-pinned);
+    THIS entry publishes the signal those bytes proxy — repeated
+    4-gram mass and coalesced duplicated spans per document, in exact
+    integer micro-units — over a corpus with PLANTED redundancy
+    (wholesale self-duplication for doc_id%3=0, a doubled 8-token
+    prefix for %3=1, untouched otherwise), so the verdict integers are
+    structurally meaningful, not all-zero.  Engine:
+    ``ext/text.text_redundancy_exact`` (int64 hash-composed gram keys,
+    persist barriers, per-doc hot-gram counts + gap-islands — the
+    ``duplicate_spans`` discipline scoped within the document)."""
+    from .ext.text import text_redundancy_exact
+
+    return text_redundancy_exact(
+        _redundant_corpus(spark, sf_dir), "doc_id", "text", k=4
+    )
+
+
+# ---------------------------------------------------------------------
+# Round-11 rotation bookkeeping: every id registered in THIS round is
+# listed here so older carryovers outrank it for driver window slots
+# (delete this tail at round-12 start).
+# ---------------------------------------------------------------------
+_register_new_this_round(
+    "ext_simsearch_ivfpq_refined",
+    "ext_eval_ivfpq_recall_trained",
+    "ext_simsearch_index_upsert",
+    "ext_text_redundancy_exact",
+)

@@ -35,8 +35,18 @@ from .registry import register
 # =====================================================================
 
 
-def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3, ctes_only=False):
+def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3, ctes_only=False,
+                      corpus_where=""):
+    """``corpus_where``: optional predicate (over alias ``e``) that
+    restricts the MATCHABLE corpus — the codebook and the query set
+    stay the full ``embeddings`` table.  The round-11 upsert entry
+    uses it to express rebuild-from-final-corpus equivalence (epoch
+    supersedence + tombstones must serve exactly what a clean rebuild
+    on the live rows serves).  Default "" leaves the existing
+    consumers' oracle SQL unchanged (modulo whitespace)."""
     from .registry_ext import _COSINE_SQL
+
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
 
     cos_assign = _COSINE_SQL.format(a="e.embedding", b="c.ce")
     cos_probe = _COSINE_SQL.format(a="q.embedding", b="c.ce")
@@ -60,7 +70,7 @@ def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3, ctes_only=False):
         SELECT e.vec_id AS match_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {cos_assign} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cent c)
+        FROM embeddings e CROSS JOIN cent c {cw})
       WHERE rn = 1),
     best AS (
       SELECT match_id, s, cv FROM (
@@ -70,7 +80,8 @@ def _ivfpq_md5_oracle(m=8, sub=8, n_cent=16, nprobe=4, k=3, ctes_only=False):
                  ORDER BY {l2.format(lo=f"rs.s * {sub} + 1",
                                      hi=f"rs.s * {sub} + {sub}")} ASC,
                           c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s))
+        FROM embeddings e CROSS JOIN cent c CROSS JOIN range(0, {m}) rs(s)
+        {cw})
       WHERE rn = 1),
     codes AS (
       SELECT match_id,
