@@ -170,6 +170,16 @@ HEADLINE = [
     # encode-on-arrival) and the full ingest→compact→serve flow
     "stream_simsearch_index",
     "ext_simsearch_index_compact",
+    # round-11 additions: the serving-grade trained IVF-PQ + refine
+    # (17 codebook fits + encode + probed ADC + exact-int8 re-rank),
+    # its hash-pinned recall gate, the epoch-supersedence upsert flow,
+    # the exact text-redundancy twin, and the weather-path end-to-end
+    # pipeline (one Catalyst plan, 4 exchanges)
+    "ext_simsearch_ivfpq_refined",
+    "ext_eval_ivfpq_recall_trained",
+    "ext_simsearch_index_upsert",
+    "ext_text_redundancy_exact",
+    "wx_pipeline_e2e",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

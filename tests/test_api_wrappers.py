@@ -247,7 +247,15 @@ class TestGetHistory:
         )
         got = {r.day: (r.temperature_2m_max, r.precipitation_sum) for r in df.collect()}
         want = {r.day: (r.tmax, r.psum) for r in manual.collect()}
-        assert got == want
+        assert got.keys() == want.keys()
+        for day in want:
+            # max is order-free and must be exact; the float sum's
+            # accumulation order differs between the engine's two-level
+            # daily+mode plan and this manual single groupBy, so it is
+            # ULP-close, not bit-equal (the oracle-paired wx entries
+            # use integer-valued measures exactly to avoid this)
+            assert got[day][0] == want[day][0]
+            assert got[day][1] == pytest.approx(want[day][1], rel=1e-12)
 
 
 class TestGeocode:

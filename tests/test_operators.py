@@ -3857,3 +3857,79 @@ class TestRound10Ops:
         b = est(ev.repartition(32, "user_id"))
         c = est(ev.repartition(7, "event_type"))
         assert a == b == c and a
+
+
+class TestDailySummaryWithMode:
+    def test_matches_join_shape_and_tie_break(self, spark):
+        """The single-pass two-level daily+mode (round 11) must equal
+        daily_summary ⋈ categorical_mode exactly on integer-valued
+        measures, including the mode tie-break (largest count, ties to
+        the smallest value — server.py:132)."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            categorical_mode,
+            daily_summary,
+            daily_summary_with_mode,
+        )
+
+        t0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        # day 0: code 7 ×3, code 2 ×3 (tie → 2 wins), code 9 ×1
+        # day 1: code 5 ×2, code 8 ×1
+        for h, code, v in [
+            (0, 7, 10.0), (1, 7, -3.0), (2, 7, 4.0),
+            (3, 2, 8.0), (4, 2, 1.0), (5, 2, 0.0), (6, 9, 2.0),
+            (24, 5, 6.0), (25, 5, 7.0), (26, 8, -1.0),
+        ]:
+            rows.append((1, t0 + dt.timedelta(hours=h), code, v))
+        df = spark.createDataFrame(
+            rows, "location_id long, ts timestamp, weather_code int, v double"
+        )
+        specs = {
+            "v_max": ("v", "max"),
+            "v_min": ("v", "min"),
+            "v_sum": ("v", "sum"),
+            "v_hours": ("v", "cond_hours"),
+        }
+        got = {
+            r["day"]: (r["v_max"], r["v_min"], r["v_sum"], r["v_hours"],
+                       r["weather_code"])
+            for r in daily_summary_with_mode(
+                df, "ts", ["location_id"],
+                {**specs, "weather_code": ("weather_code", "mode")},
+            ).collect()
+        }
+        base = daily_summary(df, "ts", ["location_id"], specs)
+        mode = categorical_mode(
+            df.withColumn("day", F.window("ts", "1 day")["start"]),
+            ["location_id", "day"],
+            "weather_code",
+        )
+        want = {
+            r["day"]: (r["v_max"], r["v_min"], r["v_sum"], r["v_hours"],
+                       r["weather_code"])
+            for r in base.join(mode, ["location_id", "day"]).collect()
+        }
+        assert got == want
+        # the tie day resolves to the SMALLEST code among max-count
+        day0 = min(got)
+        assert got[day0][4] == 2
+
+    def test_requires_exactly_one_mode_spec(self, spark):
+        import pytest
+
+        from weather_data_ingestion_service_spark.operators.aggregates import (
+            daily_summary_with_mode,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1, 1.0)],
+            "location_id long, ts string, weather_code int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="exactly one mode"):
+            daily_summary_with_mode(
+                df, "ts", ["location_id"], {"v_max": ("v", "max")}
+            )

@@ -62,7 +62,13 @@ def test_star_join_broadcasts_nation(spark, sf_dir):
 #: stay correct (every exchange is corpus-sized I/O at 100 TB).
 #: Budgets are the current plan's count; lower is always fine.
 EXCHANGE_BUDGET = {
-    "wx_daily_summary": 3,       # daily families + mode join
+    "wx_daily_summary": 2,       # single-pass daily+mode (two-level
+                                 # re-aggregation; was 3 with the
+                                 # mode-join shape)
+    "wx_pipeline_e2e": 4,        # history∪forecast keep-preferred
+                                 # window + two-level daily+mode + the
+                                 # terminal day sort — ONE scan of the
+                                 # merged hourly view
     "agg_multi": 1,
     "bench_q3": 1,
     "bench_q6": 1,
@@ -797,8 +803,26 @@ def test_ivfpq_index_query_prunes_code_lists(spark, sf_dir):
     with m+1 small ints per vector."""
     import re
 
-    df = QS["ext_simsearch_index_query"](spark, sf_dir)
+    # the registry entry eagerly localCheckpoints (cache hygiene,
+    # ADVICE r10), which hides the serving plan behind a LogicalRDD —
+    # assert on the LAZY plan via eager=False instead
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        ivfpq_query_index,
+    )
+    from weather_data_ingestion_service_spark.registry_r10 import (
+        _ensure_ivfpq_index,
+    )
+
+    path = _ensure_ivfpq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivfpq_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), "vec_id",
+        "embedding", k=3, nprobe=4, m=8, eager=False,
+    )
     plan = formatted_plan(df)
+    spark.catalog.clearCache()  # eager=False leaves the probe cache
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and "cid" in pf.group(1), plan[-2000:]
     assert "min_by" not in plan and "max_by" not in plan, plan[-2000:]

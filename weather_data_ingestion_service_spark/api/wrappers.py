@@ -17,7 +17,11 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregates import DAILY_VARIABLE_SPECS, categorical_mode, daily_summary
+from ..operators.aggregates import (
+    DAILY_VARIABLE_SPECS,
+    daily_summary,
+    daily_summary_with_mode,
+)
 from ..operators.relational import (
     filter_date_range,
     filter_horizon_relative,
@@ -195,11 +199,15 @@ def _resolve_location(spark, place, latitude, longitude, geo):
 
 def _materialize(
     wh: DataFrame, granularity: int, variables, loc_id: int,
-    native_15min: bool = False,
+    native_15min: bool = False, sort: bool = True,
 ) -> DataFrame:
     """Granularity dispatch (reference server.py:213-225): 15 → 15-min
     resample (skipped when the source is already quarter-hour), 60 →
-    hourly passthrough, ≥1440 → daily aggregates."""
+    hourly passthrough, ≥1440 → daily aggregates.  ``sort=False``
+    skips the terminal order-by — the wire block is sorted, but
+    pipeline composition (union_prefer → re-aggregate) would pay a
+    dead range-exchange per branch for an ordering the next stage
+    destroys."""
     base = wh.filter(F.col("location_id") == loc_id)
     if granularity >= 1440:
         specs = {
@@ -208,16 +216,22 @@ def _materialize(
             if spec[1] != "mode"
             and (variables is None or name in _as_list(variables))
         }
-        out = daily_summary(base, "ts", ["location_id"], specs)
         want_mode = variables is None or "weather_code" in _as_list(variables)
         if want_mode:
-            mode = categorical_mode(
-                base.withColumn("day", F.window("ts", "1 day")["start"]),
-                ["location_id", "day"],
-                "weather_code",
+            # single-pass two-level plan (daily_summary_with_mode):
+            # the old daily_summary ⋈ categorical_mode shape scanned
+            # `base` twice, once per branch — same results, one scan
+            out = daily_summary_with_mode(
+                base,
+                "ts",
+                ["location_id"],
+                {**specs, "weather_code": ("weather_code", "mode")},
+            ).select(
+                "location_id", *specs, "day", "weather_code"
             )
-            out = out.join(mode, ["location_id", "day"])
-        return out.orderBy("day")
+        else:
+            out = daily_summary(base, "ts", ["location_id"], specs)
+        return out.orderBy("day") if sort else out
     if granularity == 15 and not native_15min:
         # caller injected an HOURLY frame: resample by forward-fill
         # within the hour (explode of 4 offsets).  The default path
@@ -233,7 +247,7 @@ def _materialize(
     proj = select_vars(
         base, variables, DEFAULT_HOURLY_VARS, keys=["location_id", "ts"]
     )
-    return proj.orderBy("ts")
+    return proj.orderBy("ts") if sort else proj
 
 
 def _as_list(variables) -> list[str]:
@@ -257,6 +271,7 @@ def get_forecast_blocks(
     now: str = fixtures.FIXTURE_NOW,
     weather: DataFrame | None = None,
     geo: DataFrame | None = None,
+    sort: bool = True,
 ) -> dict[str, DataFrame]:
     """Engine ``get_forecast``, full multi-block response
     (reference server.py:142-280).
@@ -304,7 +319,7 @@ def get_forecast_blocks(
     )
     blocks = {
         primary_key: _materialize(
-            horizon, gran, vars_, loc_id, native_15min=native_15
+            horizon, gran, vars_, loc_id, native_15min=native_15, sort=sort
         )
     }
     if daily_variables and gran != 1440:
@@ -338,6 +353,7 @@ def get_forecast(
     now: str = fixtures.FIXTURE_NOW,
     weather: DataFrame | None = None,
     geo: DataFrame | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Engine ``get_forecast`` (reference server.py:142-280), primary
     block only — the single-DataFrame accessor.  Callers that request
@@ -358,6 +374,7 @@ def get_forecast(
         now=now,
         weather=weather,
         geo=geo,
+        sort=sort,
     )
     primary = next(k for k in ("minutely_15", "hourly", "daily") if k in blocks)
     return blocks[primary]
@@ -374,6 +391,7 @@ def get_history(
     variables: str | list[str] | None = None,
     weather: DataFrame | None = None,
     geo: DataFrame | None = None,
+    sort: bool = True,
 ) -> DataFrame:
     """Engine ``get_history`` (reference server.py:284-369): dates are
     required ISO strings with ``start <= end`` (server.py:336-345);
@@ -395,4 +413,4 @@ def get_history(
     wh = weather if weather is not None else fixtures.weather_hourly(spark)
     ranged = filter_date_range(wh, "ts", sd, ed)
     gran = 1440 if granularity >= 1440 else granularity
-    return _materialize(ranged, gran, variables, loc_id)
+    return _materialize(ranged, gran, variables, loc_id, sort=sort)

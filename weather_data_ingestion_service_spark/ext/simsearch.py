@@ -911,6 +911,7 @@ def ivfpq_query_index(
     nprobe: int = 4,
     m: int = 8,
     dim: int = 64,
+    eager: bool = True,
 ) -> DataFrame:
     """QUERY-MANY half of the IVF-PQ index lifecycle: top-k against an
     index persisted by ``ivfpq_build_index`` — NO corpus scan and no
@@ -990,9 +991,14 @@ def ivfpq_query_index(
     # Eagerly materialize the tiny |Q|·k result (localCheckpoint cuts
     # the lineage WITHOUT registering in the plan-cache manager), then
     # drop the probe cache — the returned frame reads checkpointed
-    # blocks, so no cached fragment outlives this call.
-    out = _rank_topk(scored, "adc", k).localCheckpoint(eager=True)
-    probes.unpersist()
+    # blocks, so no cached fragment outlives this call.  eager=False
+    # returns the lazy serving plan instead (plan assertions inspect
+    # its PartitionFilters) and leaves the probe cache live — those
+    # callers clear the cache themselves.
+    out = _rank_topk(scored, "adc", k)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        probes.unpersist()
     return out
 
 

@@ -88,6 +88,87 @@ def daily_summary(
     )
 
 
+def daily_summary_with_mode(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    specs: dict[str, tuple[str, str]],
+    day_alias: str = "day",
+) -> DataFrame:
+    """The full daily product INCLUDING the categorical mode in ONE
+    scan of ``df`` — the composition ``daily_summary ⋈
+    categorical_mode`` reads the input twice (each branch its own
+    shuffle; round-11 plan audit: the duplication doubles the corpus
+    pass when the input is itself a shuffled view, e.g. the
+    history∪forecast merge).  Two-level re-aggregation instead:
+
+    - level 1 groups by ``(keys, day, mode_col)`` and computes every
+      measure's partial (max/min/sum partials re-aggregate exactly;
+      the conditional counters stay integer) plus the group count;
+    - level 2 groups by ``(keys, day)``, folds the partials, and takes
+      the mode as ``min_by(mode_col, struct(-n, mode_col))`` — largest
+      count, ties to the smallest value, the server.py:132 rule — so
+      no join, no second scan, and the level-2 shuffle moves one row
+      per (day, code), not per hour.
+
+    Exactness: max/min/sum-of-integer-valued partials fold without
+    float-order sensitivity (the repo's cross-engine sum discipline
+    already requires integer-valued measures); ``avg`` folds as
+    (Σsum)/(Σcount), the same two-phase computation Spark's own avg
+    performs.  Exactly one ``mode`` family entry is required in
+    ``specs``."""
+    mode_items = [
+        (alias, src) for alias, (src, fam) in specs.items() if fam == "mode"
+    ]
+    if len(mode_items) != 1:
+        raise ValueError(
+            "daily_summary_with_mode needs exactly one mode spec, got "
+            f"{len(mode_items)}"
+        )
+    mode_alias, mode_src = mode_items[0]
+
+    p1, p2 = [], []
+    for alias, (src, family) in specs.items():
+        if family == "mode":
+            continue
+        p = f"__p_{alias}"
+        if family == "max":
+            p1.append(F.max(src).alias(p))
+            p2.append(F.max(p).alias(alias))
+        elif family == "min":
+            p1.append(F.min(src).alias(p))
+            p2.append(F.min(p).alias(alias))
+        elif family == "sum":
+            p1.append(F.sum(src).alias(p))
+            p2.append(F.sum(p).alias(alias))
+        elif family == "cond_hours":
+            p1.append(F.sum(F.when(F.col(src) > 0, 1).otherwise(0)).alias(p))
+            p2.append(F.sum(p).cast("double").alias(alias))
+        elif family == "sunshine":
+            p1.append(
+                F.sum(F.when(F.col(src) > 120.0, 3600).otherwise(0)).alias(p)
+            )
+            p2.append(F.sum(p).cast("double").alias(alias))
+        elif family == "avg":
+            p1.append(F.sum(src).alias(p))
+            p1.append(F.count(src).alias(p + "_n"))
+            p2.append((F.sum(p) / F.sum(p + "_n")).alias(alias))
+        else:
+            raise ValueError(f"unknown aggregate family: {family}")
+
+    win = F.window(F.col(ts_col), "1 day")
+    lvl1 = df.groupBy(*keys, win.alias("__w"), F.col(mode_src)).agg(
+        *p1, F.count(F.lit(1)).alias("__n")
+    )
+    lvl2 = lvl1.groupBy(*keys, "__w").agg(
+        *p2,
+        F.min_by(
+            mode_src, F.struct((-F.col("__n")).alias("__neg"), F.col(mode_src))
+        ).alias(mode_alias),
+    )
+    return lvl2.withColumn(day_alias, F.col("__w.start")).drop("__w")
+
+
 def categorical_mode(
     df: DataFrame,
     keys: Sequence[str],

@@ -1374,11 +1374,17 @@ def q_f_array_ops(spark, sf_dir):
 )
 def q_wx_daily_summary(spark, sf_dir):
     """Flagship: date-range filter → tumbling daily max/min/sum + mode
-    (the get_forecast daily path: server.py:142-280, 219-233)."""
+    (the get_forecast daily path: server.py:142-280, 219-233).  Since
+    round 11 the mode rides the SAME single scan as the measures
+    (``daily_summary_with_mode`` two-level re-aggregation) instead of
+    a second scan + join — identical results, one exchange fewer, and
+    the level-2 shuffle moves one row per (day, event_type)."""
+    from .operators.aggregates import daily_summary_with_mode
+
     ev = filter_date_range(
         load_table(spark, sf_dir, "events"), "ts", "2024-01-05", "2024-01-24"
     ).withColumn("value_cents", _cents("value"))
-    daily = daily_summary(
+    daily = daily_summary_with_mode(
         ev,
         "ts",
         [],
@@ -1386,15 +1392,10 @@ def q_wx_daily_summary(spark, sf_dir):
             "value_max": ("value", "max"),
             "value_min": ("value", "min"),
             "value_sum": ("value_cents", "sum"),
+            "mode_event_type": ("event_type", "mode"),
         },
     ).withColumn("value_sum", F.col("value_sum") / 100.0)
-    mode = categorical_mode(
-        ev.withColumn("day", F.window("ts", "1 day")["start"]),
-        ["day"],
-        "event_type",
-        alias="mode_event_type",
-    )
-    return daily.join(mode, "day").select(
+    return daily.select(
         "day", "value_max", "value_min", "value_sum", "mode_event_type"
     )
 

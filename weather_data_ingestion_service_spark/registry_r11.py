@@ -16,9 +16,16 @@ from pyspark.sql import functions as F
 
 from .io import load_table
 from .registry import (
+    _register_changed_since_green,
     _register_new_this_round,
     register,
 )
+
+# Round 11: _materialize's daily path switched from the two-scan
+# daily_summary ⋈ categorical_mode shape to the single-pass
+# daily_summary_with_mode (identical results, one scan) — re-certify
+# the green consumers of the 1440 path.
+_register_changed_since_green("wx_history_daily", "wx_daily_summary")
 from .registry_r10 import _kmeans_ctes
 
 # =====================================================================
@@ -513,6 +520,121 @@ def q_ext_text_redundancy_exact(spark, sf_dir):
     )
 
 
+# =====================================================================
+# D. The weather-path END-TO-END pipeline (VERDICT r10 #7): the
+#    reference's flagship user journey as ONE Catalyst plan
+# =====================================================================
+
+_WX_E2E_HIST_COLS = """relative_humidity_2m, dew_point_2m,
+       apparent_temperature, precipitation, rain, snowfall, snow_depth,
+       weather_code, pressure_msl, cloud_cover, shortwave_radiation,
+       direct_radiation, diffuse_radiation, uv_index"""
+
+
+def _wx_pipeline_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    fc AS (
+      SELECT * FROM wx
+      WHERE location_id = 0
+        AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-22 00:00:00'),
+    hist AS (
+      -- the "archive fetch": observed temperature supersedes the model
+      SELECT location_id, ts,
+             temperature_2m + 1.0 AS temperature_2m, {_WX_E2E_HIST_COLS}
+      FROM wx
+      WHERE location_id = 0
+        AND ts >= TIMESTAMP '2024-01-12 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-15 00:00:00'),
+    merged AS (
+      SELECT location_id, ts, temperature_2m, {_WX_E2E_HIST_COLS} FROM (
+        SELECT *, row_number() OVER (PARTITION BY location_id, ts
+                                     ORDER BY prio) AS rn
+        FROM (SELECT location_id, ts, temperature_2m, {_WX_E2E_HIST_COLS},
+                     0 AS prio FROM hist
+              UNION ALL
+              SELECT location_id, ts, temperature_2m, {_WX_E2E_HIST_COLS},
+                     1 AS prio FROM fc))
+      WHERE rn = 1),
+    d AS (
+      SELECT location_id, date_trunc('day', ts) AS day,
+             max(temperature_2m) AS temperature_2m_max,
+             min(temperature_2m) AS temperature_2m_min,
+             max(apparent_temperature) AS apparent_temperature_max,
+             min(apparent_temperature) AS apparent_temperature_min,
+             CAST(sum(CASE WHEN direct_radiation > 120 THEN 3600 ELSE 0 END)
+                  AS DOUBLE) AS sunshine_duration,
+             sum(precipitation) AS precipitation_sum,
+             sum(rain) AS rain_sum,
+             sum(snowfall) AS snowfall_sum,
+             CAST(sum(CASE WHEN precipitation > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS precipitation_hours,
+             max(uv_index) AS uv_index_max
+      FROM merged GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT location_id, day, weather_code FROM (
+        SELECT location_id, date_trunc('day', ts) AS day, weather_code,
+               row_number() OVER (
+                 PARTITION BY location_id, date_trunc('day', ts)
+                 ORDER BY count(*) DESC, weather_code ASC) AS rn
+        FROM merged GROUP BY location_id, date_trunc('day', ts),
+                             weather_code
+      ) WHERE rn = 1
+    )
+    SELECT d.location_id, CAST(d.day AS TIMESTAMP) AS day,
+           d.temperature_2m_max, d.temperature_2m_min,
+           d.apparent_temperature_max, d.apparent_temperature_min,
+           d.sunshine_duration, d.precipitation_sum, d.rain_sum,
+           d.snowfall_sum, d.precipitation_hours, d.uv_index_max,
+           m.weather_code
+    FROM d JOIN m ON d.location_id = m.location_id AND d.day = m.day
+    ORDER BY d.day
+    """
+
+
+@register("wx_pipeline_e2e", _wx_pipeline_oracle())
+def q_wx_pipeline_e2e(spark, sf_dir):
+    """The reference's FLAGSHIP user journey composed as ONE Catalyst
+    plan (VERDICT r10 #7 — the curation side has ext_pipeline_e2e; the
+    weather side did not): ``get_forecast`` (Prague, 3 past + 7
+    forecast days around the fixture now — server.py:142-280) ∪
+    ``get_history`` over the past window with an observed-temperature
+    correction (server.py:284-369; +1.0 marks the archive rows) merged
+    by ``union_prefer`` (observation beats forecast per (location,
+    ts) — server.py:304 "might use more recent models"), then the
+    standard daily product (max/min/sums/WMO sunshine/precip hours/
+    mode weather_code) sorted by day — all lazy, one plan, over the
+    engine-portable weather twin so DuckDB restates every stage.
+    Shuffle shape: one window exchange for the keep-preferred merge,
+    the daily hash aggregate, and the two-level mode — budget pinned
+    in tests/test_plans.py."""
+    from .api import get_forecast, get_history
+    from .api.wrappers import _materialize
+    from .registry_ext import wx_twin_sql
+    from .operators.setops import union_prefer
+    from .session import configure
+
+    configure(spark)  # hostile-tz pin (the wx_forecast_hourly rule)
+    twin = spark.sql(wx_twin_sql("spark"))
+    obs = twin.withColumn(
+        "temperature_2m", F.col("temperature_2m") + F.lit(1.0)
+    )
+    fc = get_forecast(
+        spark, place="Prague, CZ", past_days=3, forecast_days=7,
+        weather=twin, sort=False,
+    )
+    hist = get_history(
+        spark, "2024-01-12", "2024-01-14", place="Prague, CZ",
+        granularity=60, weather=obs, sort=False,
+    )
+    merged = union_prefer(hist, fc, ["location_id", "ts"])
+    return _materialize(merged, 1440, None, 0)
+
+
 # ---------------------------------------------------------------------
 # Round-11 rotation bookkeeping: every id registered in THIS round is
 # listed here so older carryovers outrank it for driver window slots
@@ -523,4 +645,5 @@ _register_new_this_round(
     "ext_eval_ivfpq_recall_trained",
     "ext_simsearch_index_upsert",
     "ext_text_redundancy_exact",
+    "wx_pipeline_e2e",
 )
