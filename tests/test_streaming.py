@@ -988,3 +988,86 @@ def test_buffered_sessionizer_merges_out_of_order_across_batches(spark):
     # if this ever starts passing, fold the caveat docs accordingly
     assert sorted((r.key, r.n_events) for r in eager) != [(7, 3)]
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_buffered_sessionizer_hot_key_state_bounded(spark):
+    """Hot-key skew pin (VERDICT r10 #6 / BASELINE r11 probe 3): one
+    key carrying ~100x the others' volume must (a) still produce the
+    exact batch gap-islands and (b) keep state at ONE row per live
+    key — buffered state holds only OPEN sessions' event timestamps,
+    so per-key state is bounded by watermark-horizon x per-key rate,
+    never by total key volume.  No per-key cap exists by design: a
+    cap would silently break the arrival-order-invariance law."""
+    import datetime as dt
+    import os
+    import shutil
+    import uuid
+
+    from weather_data_ingestion_service_spark.streaming.stateful import (
+        sessions_buffered,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1e6)  # noqa: E731
+    eid = iter(range(1, 10_000))
+    # hot key 1: 400 events 1 min apart (one 30-min-gap island);
+    # cold keys 100..119: 3 events each, 5 min apart
+    b0 = [(next(eid), 1, us(m)) for m in range(0, 200)]
+    b1 = [(next(eid), 1, us(m)) for m in range(200, 400)]
+    for k in range(100, 120):
+        b0.append((next(eid), k, us(k)))
+        b1.append((next(eid), k, us(k + 5)))
+        b1.append((next(eid), k, us(k + 10)))
+    flush = t0 + dt.timedelta(days=40)
+    b1.append((next(eid), 999, int(flush.timestamp() * 1e6)))
+
+    path = os.path.join(TMP, "sess_buffered_hotkey")
+    shutil.rmtree(path, ignore_errors=True)
+    now = 1_700_000_000
+    for i, rows in enumerate([b0, b1]):
+        sub = os.path.join(path, f"f{i}")
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_us long"
+        ).selectExpr(
+            "event_id", "user_id", "timestamp_micros(ts_us) AS ts"
+        ).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/f*")
+    )
+    out = sessions_buffered(
+        stream, "user_id", "ts", gap_seconds=1800, watermark="4 days"
+    )
+    qname = f"hotkey_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    peak_rows = 0
+    try:
+        while q.isActive:
+            q.awaitTermination(1)
+            for p in q.recentProgress:
+                for so in p.get("stateOperators", []):
+                    peak_rows = max(peak_rows, so.get("numRowsTotal") or 0)
+    finally:
+        q.stop()
+    got = {
+        r.key: (r.session_start, r.session_end, r.n_events)
+        for r in spark.table(qname).collect()
+        if r.key != 999
+    }
+    # exact gap-islands: the hot key merges into ONE 400-event session
+    assert got[1][2] == 400
+    assert got[1][0] == t0.replace(tzinfo=None)
+    assert all(got[k][2] == 3 for k in range(100, 120))
+    # one state row per live key (21 real keys + the flush sentinel)
+    assert 0 < peak_rows <= 22, peak_rows
+    shutil.rmtree(path, ignore_errors=True)
