@@ -167,7 +167,7 @@ ORACLE_IDS = {
     # index upsert/delete via epoch supersedence + tombstones)
     "ext_simsearch_ivfpq_refined", "ext_eval_ivfpq_recall_trained",
     "ext_simsearch_index_upsert", "ext_text_redundancy_exact",
-    "wx_pipeline_e2e",
+    "wx_pipeline_e2e", "agg_climate_normals", "ext_data_mixture_plan",
 }
 
 ROWS_ONLY_IDS = {

@@ -636,6 +636,172 @@ def q_wx_pipeline_e2e(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# =====================================================================
+# E. Diurnal climate normals — the hour-of-day climatology every
+#    station product publishes (mean diurnal cycle over the record)
+# =====================================================================
+
+
+def _climate_normals_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    h AS (SELECT location_id, CAST(hour(ts) AS BIGINT) AS hod,
+                 CAST(temperature_2m AS BIGINT) AS t,
+                 CAST(relative_humidity_2m AS BIGINT) AS rh,
+                 CAST(precipitation AS BIGINT) AS p
+          FROM wx)
+    SELECT location_id, hod,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(t) AS BIGINT) AS t_sum,
+           CAST((sum(t) * 1000000
+                 - ((sum(t) * 1000000 % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS t_mean_micro,
+           CAST(sum(rh) * 1000000 // count(*) AS BIGINT) AS rh_mean_micro,
+           CAST(sum(p) AS BIGINT) AS precip_total
+    FROM h GROUP BY location_id, hod ORDER BY location_id, hod
+    """
+
+
+@register("agg_climate_normals", _climate_normals_oracle())
+def q_agg_climate_normals(spark, sf_dir):
+    """Diurnal climate normals — the mean hour-of-day cycle per
+    station over the full record (what climatology pages publish as
+    "average temperature by hour"): exact integer sums over the wx
+    twin's integer-valued measures, means published floor-micro with
+    the sign-safe explicit-floor spelling (temperature sums go
+    NEGATIVE, and Spark's DIV truncates toward zero — subtracting the
+    positive pmod first makes the quotient exact, so truncate == floor
+    on both engines; humidity/precip are non-negative and use plain
+    DIV).  One map-side-combining hash aggregate; 120 output rows at
+    any record length."""
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    h = wx.select(
+        "location_id",
+        F.hour("ts").cast("long").alias("hod"),
+        F.col("temperature_2m").cast("long").alias("t"),
+        F.col("relative_humidity_2m").cast("long").alias("rh"),
+        F.col("precipitation").cast("long").alias("p"),
+    )
+    return (
+        h.groupBy("location_id", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("t").cast("long").alias("t_sum"),
+            F.sum("rh").cast("long").alias("rh_sum"),
+            F.sum("p").cast("long").alias("precip_total"),
+        )
+        .select(
+            "location_id",
+            "hod",
+            "n_hours",
+            "t_sum",
+            F.expr(
+                "CAST((t_sum * 1000000"
+                " - pmod(pmod(t_sum * 1000000, n_hours) + n_hours, n_hours))"
+                " DIV n_hours AS BIGINT)"
+            ).alias("t_mean_micro"),
+            F.expr(
+                "CAST(rh_sum * 1000000 DIV n_hours AS BIGINT)"
+            ).alias("rh_mean_micro"),
+            "precip_total",
+        )
+        .orderBy("location_id", "hod")
+    )
+
+
+# =====================================================================
+# F. Training-data mixture plan — temperature-weighted source sampling
+#    (the multilingual-LM sampling-rate recipe, τ = 0.5)
+# =====================================================================
+
+
+@register(
+    "ext_data_mixture_plan",
+    """
+    WITH tok AS (
+      SELECT doc_id % 7 AS shard,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY shard),
+    w AS (
+      SELECT shard, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS sqrt_micro
+      FROM s),
+    t AS (SELECT CAST(sum(sqrt_micro) AS BIGINT) AS total_sqrt,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM w)
+    SELECT CAST(w.shard AS BIGINT) AS shard, w.n_docs, w.n_tokens,
+           w.sqrt_micro,
+           CAST(w.sqrt_micro * 1000000 // t.total_sqrt AS BIGINT)
+             AS weight_micro,
+           CAST((w.sqrt_micro * 1000000 // t.total_sqrt) * t.total_tokens
+                // 1000000 AS BIGINT) AS tokens_per_epoch
+    FROM w, t ORDER BY shard
+    """,
+)
+def q_ext_data_mixture_plan(spark, sf_dir):
+    """Training-data MIXTURE PLAN — temperature-weighted source
+    sampling rates (the multilingual-LM recipe: sample source i with
+    probability ∝ n_i^τ; τ = 0.5 here, so the weight is √n — an
+    IEEE-exact correctly-rounded op on every platform, unlike pow/log,
+    the round-9 libm rule): per shard (doc_id % 7 — stand-in for
+    source/lang buckets) token mass, √-mass floored to micro, the
+    normalized sampling weight in integer micro-units, and the
+    expected tokens drawn per epoch.  Everything after the one exact
+    sqrt is integer arithmetic, so the plan is bit-stable cross-engine
+    and under any partitioning.  Two map-side-combining aggregates
+    over one corpus pass + a broadcast of the 1-row total."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 7).alias("shard"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("n_tok"),
+    )
+    s = tok.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "sqrt_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6))
+        .cast("long"),
+    )
+    t = w.agg(
+        F.sum("sqrt_micro").cast("long").alias("total_sqrt"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "sqrt_micro",
+            F.expr("CAST(sqrt_micro * 1000000 DIV total_sqrt AS BIGINT)")
+            .alias("weight_micro"),
+            F.expr(
+                "CAST((sqrt_micro * 1000000 DIV total_sqrt) * total_tokens"
+                " DIV 1000000 AS BIGINT)"
+            ).alias("tokens_per_epoch"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------
 # Round-11 rotation bookkeeping: every id registered in THIS round is
 # listed here so older carryovers outrank it for driver window slots
 # (delete this tail at round-12 start).
@@ -646,4 +812,6 @@ _register_new_this_round(
     "ext_simsearch_index_upsert",
     "ext_text_redundancy_exact",
     "wx_pipeline_e2e",
+    "agg_climate_normals",
+    "ext_data_mixture_plan",
 )
