@@ -176,6 +176,10 @@ HEADLINE = [
     # the exact text-redundancy twin, and the weather-path end-to-end
     # pipeline (one Catalyst plan, 4 exchanges)
     "ext_simsearch_ivfpq_refined",
+    # trained-index lifecycle: build runs FIRST, then the amortized
+    # serve row and the recall gate (both read the persisted index)
+    "ext_simsearch_index_refined_build",
+    "ext_simsearch_index_refined_serve",
     "ext_eval_ivfpq_recall_trained",
     "ext_simsearch_index_upsert",
     "ext_text_redundancy_exact",

@@ -168,6 +168,7 @@ ORACLE_IDS = {
     "ext_simsearch_ivfpq_refined", "ext_eval_ivfpq_recall_trained",
     "ext_simsearch_index_upsert", "ext_text_redundancy_exact",
     "wx_pipeline_e2e", "agg_climate_normals", "ext_data_mixture_plan",
+    "ext_simsearch_index_refined_build", "ext_simsearch_index_refined_serve",
 }
 
 ROWS_ONLY_IDS = {

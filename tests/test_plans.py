@@ -826,3 +826,37 @@ def test_ivfpq_index_query_prunes_code_lists(spark, sf_dir):
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert pf and "cid" in pf.group(1), plan[-2000:]
     assert "min_by" not in plan and "max_by" not in plan, plan[-2000:]
+
+
+def test_refined_index_serve_prunes_codes_and_vectors(spark, sf_dir):
+    """ext_simsearch_index_refined_serve: the probed list ids must
+    statically prune BOTH corpus-sized scans — codes (ADC stage) and
+    the int8 vectors store (refine stage) — via PartitionFilters on
+    the coarse ``cid`` partition column, with NO re-encode and NO
+    KMeans retrain anywhere in the plan (min_by belongs to the build
+    half only).  At 100 TB both reads touch nprobe/n_clusters of the
+    list directories."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        ivfpq_refined_query_index,
+    )
+    from weather_data_ingestion_service_spark.registry_r11 import (
+        _RT,
+        _ensure_refined_index,
+    )
+
+    path = _ensure_refined_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivfpq_refined_query_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), "vec_id",
+        "embedding", k=3, nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"], m=_RT["m"], eager=False,
+    )
+    plan = formatted_plan(df)
+    spark.catalog.clearCache()  # eager=False leaves probe/query caches
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*cid[^\]]*)\]", plan)
+    assert len(pfs) >= 2, plan[-3000:]  # codes scan AND vectors scan
+    assert "min_by" not in plan and "max_by" not in plan, plan[-2000:]

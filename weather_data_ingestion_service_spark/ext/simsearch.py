@@ -2428,74 +2428,31 @@ def _dot_int(a, b):
     )
 
 
-def ivfpq_refine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_clusters: int = 64,
-    ksub: int = 256,
-    m: int = 16,
-    nprobe: int = 16,
-    shortlist: int = 50,
-    n_iter: int = 3,
-    dim: int = 64,
-    driver_max_vectors: int = 100_000,
-) -> DataFrame:
-    """SERVING-GRADE trained IVF-PQ with an exact-int8 refine stage —
-    the architecture a production ANN service actually runs (VERDICT
-    r10 #2: demonstrate the quality path at realistic codebook sizes,
-    coarse k=64 + per-SUBSPACE k=256, not the degenerate shared-8
-    certification configs):
-
-    1. TRAIN: coarse quantizer (``n_clusters`` centroids over the full
-       fixed-point vectors) and ``m`` PER-SUBSPACE PQ codebooks
-       (``ksub`` centroids over each dim/m slice), all via the
-       certified integer KMeans — every codebook a pure function of
-       the corpus, bit-identical across engines.  One quantization
-       grid end-to-end (per-FULL-vector ×256 — the round-10 rule).
-    2. ENCODE: one broadcast-codebook corpus pass → coarse list id +
-       m 1-byte codes per vector (what keeps 100 TB RAM-resident).
-    3. PROBE: each query scans its ``nprobe`` nearest coarse lists
-       under the integer (L2, cid) order — candidates ≈
-       nprobe/n_clusters of the corpus.
-    4. ADC: per-query lookup table (m·ksub integer dots), candidate
-       score = Σ_s LUT[s, code_s] — an EXACT int64 sum, so no float
-       accumulation order exists to diverge.
-    5. REFINE: the ADC ``shortlist`` re-ranks by the exact int8 dot
-       (full-dim integer dot × the candidate's dequant scale — one
-       IEEE multiply, deterministic).  This stage is what lifts
-       recall@3 from the PQ ceiling (~0.4–0.7 on this corpus) to
-       ≥0.8: it touches only ``shortlist`` full vectors per query.
-
-    Size-adaptive training (the dedup_clusters / pagerank_int rule):
-    at or under ``driver_max_vectors`` all 1+m fits run on ONE
-    collected copy of the quantized corpus via ``_kmeans_int_np``;
-    above it each fit is a ``kmeans_fixedpoint_int`` distributed loop
-    (broadcast centroids + hash aggregate per round).  Both paths are
-    bit-identical by integer determinism.  Encode/probe/ADC/refine are
-    always the distributed DataFrame plan.
-
-    Returns (query_id, match_id, rank, adc, refine_micro): ``adc`` the
-    exact integer ADC score, ``refine_micro`` the floored-micro
-    approximate cosine from the refine stage (monotone with the rank
-    key within a query)."""
+def _train_refined_codebooks(
+    spark,
+    q256,
+    corpus,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    ksub: int,
+    m: int,
+    sub: int,
+    dim: int,
+    n_iter: int,
+    driver_max_vectors: int,
+):
+    """TRAIN stage of the serving-grade path, shared by the inline
+    query (``ivfpq_refine_topk``) and the index build
+    (``ivfpq_refined_build_index``): coarse quantizer + m per-subspace
+    PQ codebooks, all via the certified fixed-point integer KMeans.
+    Size-adaptive (the dedup_clusters / pagerank_int rule): at or
+    under ``driver_max_vectors`` all 1+m fits run on ONE collected
+    copy of the quantized corpus via ``_kmeans_int_np``; above it each
+    fit is a ``kmeans_fixedpoint_int`` distributed loop.  Both paths
+    are bit-identical by integer determinism.  Returns the two
+    control-plane codebook frames (n_clusters rows; m·ksub rows)."""
     import numpy as np
-
-    sub = dim // m
-    spark = corpus.sparkSession
-
-    q256 = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("match_id"),
-        F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
-        F.col("scale"),
-    )
-    # persist barrier BEFORE any slice/explode over the HOF-built
-    # array (the CLAUDE.md Generate-re-evaluation rule) and before the
-    # multi-consumer fan-out (assignment, codes, refine join all read
-    # it); unpersisted after the eager materialization at the end
-    q256.persist()
 
     n_vec = q256.limit(driver_max_vectors + 1).count()
     if n_vec <= driver_max_vectors:
@@ -2546,8 +2503,18 @@ def ivfpq_refine_topk(
         ],
         "s long, code long, ce array<long>",
     )
+    return coarse_df, books_df
 
-    # 2. ENCODE — coarse assignment (one broadcast pass) ...
+
+def _encode_refined(q256, coarse_df, books_df, m: int, sub: int):
+    """ENCODE stage, shared by inline query and index build: one
+    broadcast-codebook corpus pass for the coarse assignment, one
+    exploded broadcast join for the m PQ codes (n·m·ksub dim-sub
+    integer distance evals).  Returns the long-form code table WITH
+    the coarse list id attached — ``(match_id, cid, s, code)`` — the
+    inverted-list record an index persists (a production layout pivots
+    the m rows wide; long-form keeps the encode/serve expressions
+    verbatim-shared with the inline twin)."""
     lists_df = (
         q256.crossJoin(F.broadcast(coarse_df))
         .withColumn("d", _l2_int(F.col("q"), F.col("cvec")))
@@ -2556,9 +2523,6 @@ def ivfpq_refine_topk(
             F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cid")
         )
     )
-    # ... and PQ codes: corpus exploded to (match_id, s, slice), one
-    # broadcast join per-row against the subspace's ksub entries —
-    # n·m·ksub dim-sub distance evals, each a short exact-int lambda
     sv = q256.select(
         "match_id",
         F.posexplode(
@@ -2575,21 +2539,28 @@ def ivfpq_refine_topk(
             )
         )
     )
+    return lists_df, codes_df.join(lists_df, "match_id").select(
+        "match_id", "cid", "s", "code"
+    )
 
-    qq = quantize_embeddings(queries, id_col, vec_col).select(
+
+def _quantize_queries(queries, id_col, vec_col):
+    return quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.transform("qvec", lambda x: x.cast("long") * 256).alias("qv"),
         F.col("scale").alias("qscale"),
     )
-    qq.persist()
 
-    # 3. PROBE — nprobe nearest coarse lists under (int L2, cid)
+
+def _probe_refined(qq, coarse_df, nprobe: int):
+    """PROBE stage: each query's nprobe nearest coarse lists under the
+    integer (L2, cid) total order."""
     from pyspark.sql import Window
 
     wp = Window.partitionBy("query_id").orderBy(
         F.col("d").asc(), F.col("cid").asc()
     )
-    probes = (
+    return (
         qq.crossJoin(F.broadcast(coarse_df))
         .withColumn("d", _l2_int(F.col("qv"), F.col("cvec")))
         .withColumn("rn", F.row_number().over(wp))
@@ -2597,8 +2568,32 @@ def ivfpq_refine_topk(
         .select("query_id", "cid")
     )
 
-    # 4. ADC — per-query LUT (m·ksub exact integer dots), candidate
-    # score = one broadcast-LUT join + int64 sum per (query, match)
+
+def _serve_refined(
+    qq,
+    coarse_df,
+    books_df,
+    codes_cid,
+    vecs_df,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    m: int,
+    sub: int,
+    probes=None,
+):
+    """ADC + REFINE serving tail, shared by the inline query and the
+    persisted-index query: probe (unless a pre-computed ``probes``
+    frame is injected — the index path computes it early to derive the
+    static partition filter), per-query integer ADC lookup tables,
+    shortlist by exact int64 ADC sum, then the exact-int8 refine
+    re-rank.  ``codes_cid`` is (match_id, cid, s, code); ``vecs_df``
+    is (match_id, q, scale) — the inline path passes the quantized
+    corpus, the index path its pruned parquet scans."""
+    from pyspark.sql import Window
+
+    if probes is None:
+        probes = _probe_refined(qq, coarse_df, nprobe)
     lut = (
         qq.select(
             "query_id",
@@ -2613,13 +2608,12 @@ def ivfpq_refine_topk(
         )
     )
     cand = (
-        probes.join(lists_df, "cid")
+        probes.join(codes_cid, "cid")
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id")
+        .select("query_id", "match_id", "s", "code")
     )
     adc = (
-        cand.join(codes_df, "match_id")
-        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        cand.join(F.broadcast(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "match_id")
         .agg(F.sum("dq").cast("long").alias("adc"))
     )
@@ -2631,12 +2625,8 @@ def ivfpq_refine_topk(
         .filter(F.col("rn") <= shortlist)
         .drop("rn")
     )
-
-    # 5. REFINE — exact full-dim integer dot, dequantized by the
-    # candidate's scale (one IEEE multiply; the query's own scale is a
-    # per-query constant, applied only to the published micro value)
     ref = (
-        short.join(q256, "match_id")
+        short.join(vecs_df, "match_id")
         .join(F.broadcast(qq), "query_id")
         .withColumn("dotint", _dot_int(F.col("q"), F.col("qv")))
         .withColumn("r", F.col("dotint").cast("double") * F.col("scale"))
@@ -2644,7 +2634,7 @@ def ivfpq_refine_topk(
     wr = Window.partitionBy("query_id").orderBy(
         F.col("r").desc(), F.col("match_id").asc()
     )
-    out = (
+    return (
         ref.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select(
@@ -2657,7 +2647,200 @@ def ivfpq_refine_topk(
             ).cast("long").alias("refine_micro"),
         )
     )
+
+
+def ivfpq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_clusters: int = 64,
+    ksub: int = 256,
+    m: int = 16,
+    nprobe: int = 16,
+    shortlist: int = 50,
+    n_iter: int = 3,
+    dim: int = 64,
+    driver_max_vectors: int = 100_000,
+) -> DataFrame:
+    """SERVING-GRADE trained IVF-PQ with an exact-int8 refine stage —
+    the architecture a production ANN service actually runs (VERDICT
+    r10 #2: demonstrate the quality path at realistic codebook sizes,
+    coarse k=64 + per-SUBSPACE k=256, not the degenerate shared-8
+    certification configs):
+
+    1. TRAIN: coarse quantizer (``n_clusters`` centroids over the full
+       fixed-point vectors) and ``m`` PER-SUBSPACE PQ codebooks
+       (``ksub`` centroids over each dim/m slice), all via the
+       certified integer KMeans — every codebook a pure function of
+       the corpus, bit-identical across engines.  One quantization
+       grid end-to-end (per-FULL-vector ×256 — the round-10 rule).
+    2. ENCODE: one broadcast-codebook corpus pass → coarse list id +
+       m 1-byte codes per vector (what keeps 100 TB RAM-resident).
+    3. PROBE: each query scans its ``nprobe`` nearest coarse lists
+       under the integer (L2, cid) order — candidates ≈
+       nprobe/n_clusters of the corpus.
+    4. ADC: per-query lookup table (m·ksub integer dots), candidate
+       score = Σ_s LUT[s, code_s] — an EXACT int64 sum, so no float
+       accumulation order exists to diverge.
+    5. REFINE: the ADC ``shortlist`` re-ranks by the exact int8 dot
+       (full-dim integer dot × the candidate's dequant scale — one
+       IEEE multiply, deterministic).  This stage is what lifts
+       recall@3 from the PQ ceiling (~0.4–0.7 on this corpus) to
+       ≥0.8 — BASELINE.md round-11 probe 2: 0.86 at the default
+       config, 0.97 at nprobe=32 — touching only ``shortlist`` full
+       vectors per query.
+
+    Stages live in ``_train_refined_codebooks`` / ``_encode_refined``
+    / ``_serve_refined``, verbatim-shared with the persisted-index
+    lifecycle (``ivfpq_refined_build_index`` /
+    ``ivfpq_refined_query_index``) so the split cannot change a score.
+
+    Returns (query_id, match_id, rank, adc, refine_micro): ``adc`` the
+    exact integer ADC score, ``refine_micro`` the floored-micro
+    approximate cosine from the refine stage (monotone with the rank
+    key within a query)."""
+    sub = dim // m
+    spark = corpus.sparkSession
+
+    q256 = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"),
+        F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
+        F.col("scale"),
+    )
+    # persist barrier BEFORE any slice/explode over the HOF-built
+    # array (the CLAUDE.md Generate-re-evaluation rule) and before the
+    # multi-consumer fan-out (assignment, codes, refine join all read
+    # it); unpersisted after the eager materialization at the end
+    q256.persist()
+
+    coarse_df, books_df = _train_refined_codebooks(
+        spark, q256, corpus, id_col, vec_col,
+        n_clusters, ksub, m, sub, dim, n_iter, driver_max_vectors,
+    )
+    _lists_df, codes_cid = _encode_refined(q256, coarse_df, books_df, m, sub)
+    qq = _quantize_queries(queries, id_col, vec_col)
+    qq.persist()
+    out = _serve_refined(
+        qq, coarse_df, books_df, codes_cid, q256,
+        k, nprobe, shortlist, m, sub,
+    )
     out = out.localCheckpoint(eager=True)
     q256.unpersist()
     qq.unpersist()
+    return out
+
+
+def ivfpq_refined_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    ksub: int = 256,
+    m: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    driver_max_vectors: int = 100_000,
+) -> None:
+    """BUILD-ONCE half of the serving-grade TRAINED index lifecycle:
+    train the realistic-config codebooks (coarse k=64 + per-subspace
+    k=256 — ``_train_refined_codebooks``), encode the corpus
+    (``_encode_refined``), and persist FOUR tables under ``path``:
+
+    - ``coarse``  — the n_clusters coarse centroids (control-plane);
+    - ``books``   — the m·ksub subspace codebook entries;
+    - ``codes``   — (match_id, s, code) PARTITIONED BY the coarse list
+      id, the inverted-list layout a probed query prunes at the
+      parquet layer;
+    - ``vectors`` — (match_id, q int8×256-grid, scale) partitioned the
+      SAME way, so the refine stage's full-vector reads prune to the
+      probed lists too (the int8 store that rides along in real ANN
+      deployments — 4× smaller than fp32).
+
+    At 100 TB: train is 1+m control-plane fits over one corpus
+    collect/aggregate; encode is one broadcast pass; the writes move
+    m+1 small ints + dim int8s per vector, once."""
+    sub = dim // m
+    spark = corpus.sparkSession
+    q256 = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"),
+        F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
+        F.col("scale"),
+    )
+    q256.persist()
+    try:
+        coarse_df, books_df = _train_refined_codebooks(
+            spark, q256, corpus, id_col, vec_col,
+            n_clusters, ksub, m, sub, dim, n_iter, driver_max_vectors,
+        )
+        lists_df, codes_cid = _encode_refined(
+            q256, coarse_df, books_df, m, sub
+        )
+        coarse_df.coalesce(1).write.mode("overwrite").parquet(
+            path + "/coarse"
+        )
+        books_df.coalesce(1).write.mode("overwrite").parquet(path + "/books")
+        codes_cid.write.mode("overwrite").partitionBy("cid").parquet(
+            path + "/codes"
+        )
+        q256.join(lists_df, "match_id").select(
+            "match_id", "q", "scale", "cid"
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            path + "/vectors"
+        )
+    finally:
+        q256.unpersist()
+
+
+def ivfpq_refined_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 16,
+    shortlist: int = 50,
+    m: int = 16,
+    dim: int = 64,
+    eager: bool = True,
+) -> DataFrame:
+    """QUERY-MANY half of the trained-index lifecycle: top-k from an
+    index persisted by ``ivfpq_refined_build_index`` — NO corpus scan,
+    NO re-encode, NO re-train.  The probe stage runs against the tiny
+    ``coarse`` table, the probed list ids become a STATIC partition
+    filter on BOTH the ``codes`` scan (ADC stage) and the ``vectors``
+    scan (refine stage), so every corpus-sized read is pruned to
+    nprobe/n_clusters of the list directories (plan-asserted).  The
+    serving tail is ``_serve_refined`` verbatim — the lifecycle split
+    cannot change a score, and the oracle is the inline twin's SQL."""
+    sub = dim // m
+    coarse_df = spark.read.parquet(path + "/coarse")
+    books_df = spark.read.parquet(path + "/books")
+    qq = _quantize_queries(queries, id_col, vec_col)
+    qq.persist()
+    probes = _probe_refined(qq, coarse_df, nprobe).persist()
+    probed = sorted(
+        {int(r["cid"]) for r in probes.select("cid").distinct().collect()}
+    )
+    codes_cid = (
+        spark.read.parquet(path + "/codes")
+        .filter(F.col("cid").isin(probed))
+        .withColumn("cid", F.col("cid").cast("long"))
+    )
+    vecs_df = (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("cid").isin(probed))
+        .select("match_id", "q", "scale")
+    )
+    out = _serve_refined(
+        qq, coarse_df, books_df, codes_cid, vecs_df,
+        k, nprobe, shortlist, m, sub, probes=probes,
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        probes.unpersist()
+        qq.unpersist()
     return out

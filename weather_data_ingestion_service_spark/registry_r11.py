@@ -254,15 +254,29 @@ def q_ext_eval_ivfpq_recall_trained(spark, sf_dir):
     the hashed ``recall_micro`` changes and the driver flags it.
     BASELINE.md round-11 probe records the recall-vs-config curve
     (m, nprobe, shortlist sweeps) measured through this engine path
-    at sf0.1."""
-    from .ext.simsearch import cosine_topk
+    at sf0.1.  The approximate side serves from the PERSISTED trained
+    index (built lazily if absent) — the production shape, and
+    score-identical to the inline twin by the lifecycle-split
+    discipline, so the oracle replay is unchanged."""
+    from .ext.simsearch import cosine_topk, ivfpq_refined_query_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     q5 = emb.filter(F.col("vec_id") < _RT["n_queries"])
     exact = cosine_topk(emb, q5, "vec_id", "embedding", k=_RT["k"]).select(
         "query_id", "match_id"
     ).persist()
-    appr = _run_refined(spark, sf_dir).select("query_id", "match_id")
+    appr = ivfpq_refined_query_index(
+        spark,
+        _ensure_refined_index(spark, sf_dir),
+        q5,
+        "vec_id",
+        "embedding",
+        k=_RT["k"],
+        nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"],
+        m=_RT["m"],
+        dim=_RT["dim"],
+    ).select("query_id", "match_id")
     try:
         n_truth = exact.count()
         n_q = exact.select("query_id").distinct().count()
@@ -637,6 +651,105 @@ def q_wx_pipeline_e2e(spark, sf_dir):
 
 # ---------------------------------------------------------------------
 # =====================================================================
+# D2. Trained-index lifecycle at the serving config: build once /
+#     serve many with partition-pruned ADC AND refine scans
+# =====================================================================
+
+
+def _refined_index_path(spark, sf_dir: str) -> str:
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_ridx_*")
+    return f"/tmp/wds_ridx_{_session_tag(spark, sf_dir)}"
+
+
+def _ensure_refined_index(spark, sf_dir: str) -> str:
+    """Build the trained serving index if absent (driver order
+    independence — the serve entry must not depend on the build entry
+    having run first in the same session)."""
+    import os
+
+    from .ext.simsearch import ivfpq_refined_build_index
+
+    path = _refined_index_path(spark, sf_dir)
+    if not os.path.exists(os.path.join(path, "vectors")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivfpq_refined_build_index(
+            emb, path, "vec_id", "embedding",
+            n_clusters=_RT["n_clusters"], ksub=_RT["ksub"], m=_RT["m"],
+            n_iter=_RT["n_iter"], dim=_RT["dim"],
+        )
+    return path
+
+
+def _refined_manifest_oracle():
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes()}
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(count(*) * {_RT["m"]} AS BIGINT) AS n_code_rows
+    FROM lists GROUP BY cid ORDER BY cid
+    """
+
+
+@register("ext_simsearch_index_refined_build", _refined_manifest_oracle())
+def q_ext_simsearch_index_refined_build(spark, sf_dir):
+    """BUILD half of the trained-index lifecycle at the serving
+    config (coarse k=64, per-subspace k=256, m=16): train + encode +
+    persist coarse/books/codes/vectors, codes AND the int8 vector
+    store both PARTITIONED BY the coarse list id so the serve half
+    prunes every corpus-sized scan.  Published result: the per-list
+    manifest read BACK from the persisted codes parquet (list id,
+    vector count, long-form code rows) — the oracle re-derives every
+    coarse assignment from embeddings through the same two KMeans
+    recursions, so a single misassigned vector flips a count."""
+    import shutil
+
+    path = _refined_index_path(spark, sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    _ensure_refined_index(spark, sf_dir)
+    codes = spark.read.parquet(path + "/codes")
+    return (
+        codes.groupBy(F.col("cid").cast("long").alias("cid"))
+        .agg(
+            F.count_distinct("match_id").cast("long").alias("n_codes"),
+            F.count(F.lit(1)).cast("long").alias("n_code_rows"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register("ext_simsearch_index_refined_serve", _refined_oracle())
+def q_ext_simsearch_index_refined_serve(spark, sf_dir):
+    """SERVE half of the trained-index lifecycle: top-3 from the
+    persisted realistic-config index — no corpus scan, no re-encode,
+    no re-train; the probed list ids statically prune BOTH the codes
+    scan (ADC) and the int8 vectors scan (refine) to
+    nprobe/n_clusters of the list directories (plan-pinned in
+    tests/test_plans.py).  The oracle is the inline
+    ``ext_simsearch_ivfpq_refined`` SQL VERBATIM — the lifecycle
+    split cannot change a single score.  Built lazily if absent; in
+    bench.py the build entry precedes this one, so this row shows the
+    amortized per-query serving cost of the trained path."""
+    from .ext.simsearch import ivfpq_refined_query_index
+
+    path = _ensure_refined_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_refined_query_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < _RT["n_queries"]),
+        "vec_id",
+        "embedding",
+        k=_RT["k"],
+        nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"],
+        m=_RT["m"],
+        dim=_RT["dim"],
+    )
+
+
+# =====================================================================
 # E. Diurnal climate normals — the hour-of-day climatology every
 #    station product publishes (mean diurnal cycle over the record)
 # =====================================================================
@@ -814,4 +927,6 @@ _register_new_this_round(
     "wx_pipeline_e2e",
     "agg_climate_normals",
     "ext_data_mixture_plan",
+    "ext_simsearch_index_refined_build",
+    "ext_simsearch_index_refined_serve",
 )
