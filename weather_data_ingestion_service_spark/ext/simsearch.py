@@ -2503,45 +2503,81 @@ def _train_refined_codebooks(
         ],
         "s long, code long, ce array<long>",
     )
-    return coarse_df, books_df
+    return coarse_np, [b for b in books_np], coarse_df, books_df
 
 
-def _encode_refined(q256, coarse_df, books_df, m: int, sub: int):
-    """ENCODE stage, shared by inline query and index build: one
-    broadcast-codebook corpus pass for the coarse assignment, one
-    exploded broadcast join for the m PQ codes (n·m·ksub dim-sub
-    integer distance evals).  Returns the long-form code table WITH
-    the coarse list id attached — ``(match_id, cid, s, code)`` — the
-    inverted-list record an index persists (a production layout pivots
-    the m rows wide; long-form keeps the encode/serve expressions
-    verbatim-shared with the inline twin)."""
-    lists_df = (
-        q256.crossJoin(F.broadcast(coarse_df))
-        .withColumn("d", _l2_int(F.col("q"), F.col("cvec")))
-        .groupBy("match_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cid")
-        )
+def _encode_refined(q256, coarse_np, books_np, m: int, sub: int):
+    """ENCODE stage, shared by inline query and index build: ONE
+    narrow Arrow pass over the quantized corpus — per batch, the
+    coarse assignment and all m PQ codes come from exact int64 numpy
+    matmuls against the closure-shipped codebooks (the FAISS-style
+    encode kernel; ~160 KB of codebooks per worker, no join, no
+    shuffle).  ``np.argmin``'s first-minimum rule IS the (distance,
+    cid)/(distance, code) tie-break, and every term is exact int64
+    (max ≈ dim·32512² ≈ 6.8e10), so the output is bit-identical to
+    the broadcast-join formulation it replaced — the DuckDB oracle
+    replay certifies exactly that.  Returns the coarse assignment and
+    the long-form code table WITH the list id attached —
+    ``(match_id, cid, s, code)``, the inverted-list record an index
+    persists (a production layout pivots the m rows wide)."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.ascontiguousarray(coarse_np)
+    B = [np.ascontiguousarray(b) for b in books_np]
+    c2 = (C * C).sum(axis=1)
+    b2 = [(b * b).sum(axis=1) for b in B]
+    dim = C.shape[1]
+
+    out_schema = pa.schema(
+        [
+            pa.field("match_id", pa.int64()),
+            pa.field("cid", pa.int64()),
+            pa.field("s", pa.int64()),
+            pa.field("code", pa.int64()),
+        ]
     )
-    sv = q256.select(
-        "match_id",
-        F.posexplode(
-            F.array(*[F.slice("q", s * sub + 1, sub) for s in range(m)])
-        ).alias("s", "qs"),
-    )
-    codes_df = (
-        sv.join(F.broadcast(books_df), "s")
-        .withColumn("d", _l2_int(F.col("qs"), F.col("ce")))
-        .groupBy("match_id", "s")
-        .agg(
-            F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias(
-                "code"
+
+    def encode(batches):
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0:
+                # explicit-schema empty batch (the CLAUDE.md
+                # zero-row-first-batch Arrow rule)
+                yield pa.RecordBatch.from_pydict(
+                    {f.name: [] for f in out_schema}, schema=out_schema
+                )
+                continue
+            ids = batch.column("match_id").to_numpy(zero_copy_only=False)
+            # ListArray.flatten() is offset-aware → the rows' values
+            # contiguously, no per-row Python lists
+            X = np.asarray(
+                batch.column("q").flatten(), dtype=np.int64
+            ).reshape(n_b, dim)
+            x2 = (X * X).sum(axis=1)
+            dc = x2[:, None] - 2 * (X @ C.T) + c2[None, :]
+            cid = dc.argmin(axis=1)
+            codes = np.empty((n_b, m), dtype=np.int64)
+            for s in range(m):
+                Xs = np.ascontiguousarray(X[:, s * sub:(s + 1) * sub])
+                xs2 = (Xs * Xs).sum(axis=1)
+                ds = xs2[:, None] - 2 * (Xs @ B[s].T) + b2[s][None, :]
+                codes[:, s] = ds.argmin(axis=1)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "match_id": np.repeat(ids.astype(np.int64), m),
+                    "cid": np.repeat(cid, m),
+                    "s": np.tile(np.arange(m, dtype=np.int64), n_b),
+                    "code": codes.reshape(-1),
+                },
+                schema=out_schema,
             )
-        )
+
+    codes_cid = q256.select("match_id", "q").mapInArrow(
+        encode, "match_id long, cid long, s long, code long"
     )
-    return lists_df, codes_df.join(lists_df, "match_id").select(
-        "match_id", "cid", "s", "code"
-    )
+    lists_df = codes_cid.filter(F.col("s") == 0).select("match_id", "cid")
+    return lists_df, codes_cid
 
 
 def _quantize_queries(queries, id_col, vec_col):
@@ -2676,8 +2712,10 @@ def ivfpq_refine_topk(
        certified integer KMeans — every codebook a pure function of
        the corpus, bit-identical across engines.  One quantization
        grid end-to-end (per-FULL-vector ×256 — the round-10 rule).
-    2. ENCODE: one broadcast-codebook corpus pass → coarse list id +
-       m 1-byte codes per vector (what keeps 100 TB RAM-resident).
+    2. ENCODE: one narrow Arrow pass (exact-int64 numpy matmuls
+       against closure-shipped codebooks — no join, no shuffle) →
+       coarse list id + m 1-byte codes per vector (what keeps 100 TB
+       RAM-resident).
     3. PROBE: each query scans its ``nprobe`` nearest coarse lists
        under the integer (L2, cid) order — candidates ≈
        nprobe/n_clusters of the corpus.
@@ -2715,11 +2753,11 @@ def ivfpq_refine_topk(
     # it); unpersisted after the eager materialization at the end
     q256.persist()
 
-    coarse_df, books_df = _train_refined_codebooks(
+    coarse_np, books_np, coarse_df, books_df = _train_refined_codebooks(
         spark, q256, corpus, id_col, vec_col,
         n_clusters, ksub, m, sub, dim, n_iter, driver_max_vectors,
     )
-    _lists_df, codes_cid = _encode_refined(q256, coarse_df, books_df, m, sub)
+    _lists_df, codes_cid = _encode_refined(q256, coarse_np, books_np, m, sub)
     qq = _quantize_queries(queries, id_col, vec_col)
     qq.persist()
     out = _serve_refined(
@@ -2771,25 +2809,32 @@ def ivfpq_refined_build_index(
     )
     q256.persist()
     try:
-        coarse_df, books_df = _train_refined_codebooks(
+        coarse_np, books_np, coarse_df, books_df = _train_refined_codebooks(
             spark, q256, corpus, id_col, vec_col,
             n_clusters, ksub, m, sub, dim, n_iter, driver_max_vectors,
         )
         lists_df, codes_cid = _encode_refined(
-            q256, coarse_df, books_df, m, sub
+            q256, coarse_np, books_np, m, sub
         )
         coarse_df.coalesce(1).write.mode("overwrite").parquet(
             path + "/coarse"
         )
         books_df.coalesce(1).write.mode("overwrite").parquet(path + "/books")
-        codes_cid.write.mode("overwrite").partitionBy("cid").parquet(
-            path + "/codes"
-        )
-        q256.join(lists_df, "match_id").select(
-            "match_id", "q", "scale", "cid"
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            path + "/vectors"
-        )
+        # persist: the Arrow encode pass feeds BOTH the codes write and
+        # (via lists_df) the vectors write — without the barrier it
+        # would run twice
+        codes_cid.persist()
+        try:
+            codes_cid.write.mode("overwrite").partitionBy("cid").parquet(
+                path + "/codes"
+            )
+            q256.join(lists_df, "match_id").select(
+                "match_id", "q", "scale", "cid"
+            ).write.mode("overwrite").partitionBy("cid").parquet(
+                path + "/vectors"
+            )
+        finally:
+            codes_cid.unpersist()
     finally:
         q256.unpersist()
 
