@@ -3933,3 +3933,43 @@ class TestDailySummaryWithMode:
             daily_summary_with_mode(
                 df, "ts", ["location_id"], {"v_max": ("v", "max")}
             )
+
+
+class TestKmeansMultiArrow:
+    def test_fused_subspace_fits_match_separate_kmeans(self, spark, sf_dir):
+        """The fused one-pass-per-round multi-subspace trainer
+        (`_kmeans_multi_arrow`) must be bit-identical to m separate
+        `kmeans_fixedpoint_int` fits on the same slices (the
+        size-adaptive/reformulation rule: a perf path may not change a
+        single integer)."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from weather_data_ingestion_service_spark.ext.simsearch import (
+            _kmeans_multi_arrow,
+            kmeans_fixedpoint_int,
+            quantize_embeddings,
+        )
+        from weather_data_ingestion_service_spark.io import load_table
+
+        m, sub, ksub = 4, 16, 16
+        emb = load_table(spark, sf_dir, "embeddings")
+        q256 = quantize_embeddings(emb, "vec_id", "embedding").select(
+            F.col("vec_id").alias("match_id"),
+            F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
+        ).persist()
+        fused = _kmeans_multi_arrow(q256, ksub, m, sub, n_iter=3)
+        for s in range(m):
+            sl = q256.select(
+                F.col("match_id").alias("vec_id"),
+                F.slice("q", s * sub + 1, sub).alias("emb"),
+            )
+            want = np.zeros((ksub, sub), dtype=np.int64)
+            for r in kmeans_fixedpoint_int(
+                sl, "vec_id", "emb", k=ksub, n_iter=3, dim=sub,
+                pre_scaled=True,
+            ).collect():
+                want[int(r["cid"]), int(r["dim"])] = int(r["c_fix"])
+            assert (fused[s] == want).all(), f"subspace {s} diverged"
+        q256.unpersist()

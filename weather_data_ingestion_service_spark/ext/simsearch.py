@@ -1121,50 +1121,90 @@ def kmeans_fixedpoint_int(
                         carr[j] = vecs[mask].sum(axis=0) // nj
             cents = [[int(v) for v in row] for row in carr]
         else:
+            # distributed round = ONE narrow Arrow pass per iteration:
+            # each batch assigns its vectors against the
+            # closure-shipped centroids (exact-int64 numpy matmul —
+            # argmin's first-minimum rule IS the (distance, cid)
+            # tie-break) and emits per-cluster PARTIAL component sums
+            # (k·dim long-form rows per batch), which one k·dim-row
+            # hash aggregate folds — int64 addition is associative, so
+            # the fold is batch-shape-independent and bit-identical to
+            # the broadcast-join + min_by formulation it replaced
+            # (which paid n·k zip_with lambda evals per round: the
+            # 128k-vector ksub=256 fit measured ~10 s/subspace).
+            # The floor mean stays driver-side CPython `//`.
+            import numpy as np
+            import pyarrow as pa
+
+            part_schema = pa.schema(
+                [
+                    pa.field("cid", pa.int64()),
+                    pa.field("d", pa.int64()),
+                    pa.field("s", pa.int64()),
+                    pa.field("n", pa.int64()),
+                ]
+            )
+
             for _ in range(n_iter):
-                cdf = spark.createDataFrame(
-                    [(j, cents[j]) for j in range(k)],
-                    "cid long, cvec array<long>",
-                )
-                d = F.aggregate(
-                    F.zip_with(
-                        "q", "cvec", lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                )
-                assigned = (
-                    q.crossJoin(F.broadcast(cdf))
-                    .withColumn("d", d)
-                    .groupBy("vid")
+                carr = np.array(cents, dtype=np.int64)
+                c2 = (carr * carr).sum(axis=1)
+                kk, dd = k, dim
+
+                def assign_partials(batches, carr=carr, c2=c2):
+                    for batch in batches:
+                        n_b = batch.num_rows
+                        if n_b == 0:
+                            yield pa.RecordBatch.from_pydict(
+                                {f.name: [] for f in part_schema},
+                                schema=part_schema,
+                            )
+                            continue
+                        X = np.asarray(
+                            batch.column("q").flatten(), dtype=np.int64
+                        ).reshape(n_b, dd)
+                        x2 = (X * X).sum(axis=1)
+                        dist = x2[:, None] - 2 * (X @ carr.T) + c2[None, :]
+                        a = dist.argmin(axis=1)
+                        sums = np.zeros((kk, dd), dtype=np.int64)
+                        np.add.at(sums, a, X)
+                        cnt = np.bincount(a, minlength=kk).astype(np.int64)
+                        nz = np.nonzero(cnt)[0]
+                        yield pa.RecordBatch.from_pydict(
+                            {
+                                "cid": np.repeat(nz, dd),
+                                "d": np.tile(
+                                    np.arange(dd, dtype=np.int64), len(nz)
+                                ),
+                                "s": sums[nz].reshape(-1),
+                                "n": np.repeat(cnt[nz], dd),
+                            },
+                            schema=part_schema,
+                        )
+
+                upd = (
+                    q.select("q")
+                    .mapInArrow(
+                        assign_partials, "cid long, d long, s long, n long"
+                    )
+                    .groupBy("cid", "d")
                     .agg(
-                        F.min_by(
-                            "q", F.struct(F.col("d"), F.col("cid"))
-                        ).alias("q"),
-                        F.min_by(
-                            "cid", F.struct(F.col("d"), F.col("cid"))
-                        ).alias("cid"),
+                        F.sum("s").cast("long").alias("s"),
+                        F.sum("n").cast("long").alias("n"),
                     )
                 )
-                upd = assigned.groupBy("cid").agg(
-                    F.count(F.lit(1)).cast("long").alias("n"),
-                    *[
-                        F.sum(F.element_at("q", t + 1)).alias(f"s{t}")
-                        for t in range(dim)
-                    ],
-                )
-                rows = {r["cid"]: r for r in upd.collect()}
-                new_cents = []
-                for j in range(k):
-                    r = rows.get(j)
-                    if r is None:
-                        new_cents.append(cents[j])
-                    else:
-                        n = int(r["n"])
-                        new_cents.append(
-                            [int(r[f"s{t}"]) // n for t in range(dim)]
-                        )
-                cents = new_cents
+                acc: dict[int, tuple[list[int], int]] = {}
+                for r in upd.collect():
+                    j = int(r["cid"])
+                    if j not in acc:
+                        acc[j] = ([0] * dim, 0)
+                    acc[j][0][int(r["d"])] = int(r["s"])
+                    acc[j] = (acc[j][0], int(r["n"]))
+                cents = [
+                    [acc[j][0][t] // acc[j][1] for t in range(dim)]
+                    if j in acc and acc[j][1] > 0
+                    else cents[j]
+                    for j in range(k)
+                ]
     finally:
         q.unpersist()
     return spark.createDataFrame(
@@ -2476,20 +2516,10 @@ def _train_refined_codebooks(
         coarse_np = np.zeros((n_clusters, dim), dtype=np.int64)
         for r in co:
             coarse_np[int(r["cid"]), int(r["dim"])] = int(r["c_fix"])
-        books_np = []
-        for s in range(m):
-            sl = q256.select(
-                F.col("match_id").alias(id_col),
-                F.slice("q", s * sub + 1, sub).alias("emb"),
-            )
-            bo = kmeans_fixedpoint_int(
-                sl, id_col, "emb", k=ksub, n_iter=n_iter, dim=sub,
-                pre_scaled=True, driver_max_vectors=driver_max_vectors,
-            ).collect()
-            b = np.zeros((ksub, sub), dtype=np.int64)
-            for r in bo:
-                b[int(r["cid"]), int(r["dim"])] = int(r["c_fix"])
-            books_np.append(b)
+        # all m subspace fits fused into one Arrow pass per round —
+        # bit-identical to m separate kmeans_fixedpoint_int calls
+        # (pytest-pinned), 3 jobs instead of 3·m
+        books_np = _kmeans_multi_arrow(q256, ksub, m, sub, n_iter)
 
     coarse_df = spark.createDataFrame(
         [(j, [int(v) for v in coarse_np[j]]) for j in range(n_clusters)],
@@ -2504,6 +2534,128 @@ def _train_refined_codebooks(
         "s long, code long, ce array<long>",
     )
     return coarse_np, [b for b in books_np], coarse_df, books_df
+
+
+def _kmeans_multi_arrow(q256, ksub: int, m: int, sub: int, n_iter: int):
+    """ALL m per-subspace codebooks trained with ONE narrow Arrow pass
+    per Lloyd round (the distributed scale path of
+    ``_train_refined_codebooks``): each batch assigns every vector's m
+    slices against the closure-shipped codebook stack (m·ksub·sub
+    int64s ≈ 130 KB) and emits per-(subspace, cluster) PARTIAL
+    component sums; one m·ksub·sub-row hash aggregate folds them and
+    the floor mean runs driver-side.  Bit-identical to m separate
+    ``kmeans_fixedpoint_int`` fits — same md5-ranked init (the slices
+    of the same first-ksub vectors), same integer argmin tie-break,
+    and int64 partial sums fold associatively — but 3 jobs instead of
+    3·m (the 128k-vector probe measured the per-job scheduling floor
+    dominating the split formulation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    init_rows = (
+        q256.select(
+            "match_id",
+            "q",
+            F.md5(F.col("match_id").cast("string").cast("binary")).alias(
+                "h"
+            ),
+        )
+        .orderBy("h", "match_id")
+        .limit(ksub)
+        .collect()
+    )
+    init_vecs = np.array(
+        [[int(v) for v in r["q"]] for r in init_rows], dtype=np.int64
+    )
+    books = [
+        np.ascontiguousarray(init_vecs[:, s * sub:(s + 1) * sub]).copy()
+        for s in range(m)
+    ]
+    dim = m * sub
+    part_schema = pa.schema(
+        [
+            pa.field("s", pa.int64()),
+            pa.field("cid", pa.int64()),
+            pa.field("d", pa.int64()),
+            pa.field("ps", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+    for _ in range(n_iter):
+        B = np.stack(books)  # m × ksub × sub
+        b2 = (B * B).sum(axis=2)  # m × ksub
+
+        def partials(batches, B=B, b2=b2):
+            for batch in batches:
+                n_b = batch.num_rows
+                if n_b == 0:
+                    yield pa.RecordBatch.from_pydict(
+                        {f.name: [] for f in part_schema},
+                        schema=part_schema,
+                    )
+                    continue
+                X = np.asarray(
+                    batch.column("q").flatten(), dtype=np.int64
+                ).reshape(n_b, dim)
+                out_s, out_c, out_d, out_ps, out_n = [], [], [], [], []
+                for s in range(m):
+                    Xs = np.ascontiguousarray(X[:, s * sub:(s + 1) * sub])
+                    xs2 = (Xs * Xs).sum(axis=1)
+                    dist = (
+                        xs2[:, None] - 2 * (Xs @ B[s].T) + b2[s][None, :]
+                    )
+                    a = dist.argmin(axis=1)
+                    sums = np.zeros((B.shape[1], sub), dtype=np.int64)
+                    np.add.at(sums, a, Xs)
+                    cnt = np.bincount(a, minlength=B.shape[1]).astype(
+                        np.int64
+                    )
+                    nz = np.nonzero(cnt)[0]
+                    out_s.append(np.full(len(nz) * sub, s, dtype=np.int64))
+                    out_c.append(np.repeat(nz, sub))
+                    out_d.append(
+                        np.tile(np.arange(sub, dtype=np.int64), len(nz))
+                    )
+                    out_ps.append(sums[nz].reshape(-1))
+                    out_n.append(np.repeat(cnt[nz], sub))
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "s": np.concatenate(out_s),
+                        "cid": np.concatenate(out_c),
+                        "d": np.concatenate(out_d),
+                        "ps": np.concatenate(out_ps),
+                        "n": np.concatenate(out_n),
+                    },
+                    schema=part_schema,
+                )
+
+        upd = (
+            q256.select("q")
+            .mapInArrow(
+                partials, "s long, cid long, d long, ps long, n long"
+            )
+            .groupBy("s", "cid", "d")
+            .agg(
+                F.sum("ps").cast("long").alias("ps"),
+                F.sum("n").cast("long").alias("n"),
+            )
+        )
+        acc: dict = {}
+        for r in upd.collect():
+            key = (int(r["s"]), int(r["cid"]))
+            if key not in acc:
+                acc[key] = ([0] * sub, 0)
+            acc[key][0][int(r["d"])] = int(r["ps"])
+            acc[key] = (acc[key][0], int(r["n"]))
+        for s in range(m):
+            nb = books[s].copy()
+            for c in range(ksub):
+                hit = acc.get((s, c))
+                if hit is not None and hit[1] > 0:
+                    for t in range(sub):
+                        nb[c, t] = hit[0][t] // hit[1]
+            books[s] = nb
+    return books
 
 
 def _encode_refined(q256, coarse_np, books_np, m: int, sub: int):
