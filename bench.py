@@ -184,6 +184,11 @@ HEADLINE = [
     "ext_simsearch_index_upsert",
     "ext_text_redundancy_exact",
     "wx_pipeline_e2e",
+    # round-11 second batch: the clipped n-gram overlap evaluator —
+    # a two-granularity corpus pass (uni+bi grams) whose counts
+    # shuffle on (n, pair, gram); the climate-normals/TX90p entries
+    # are constant-size (wx twin) and stay out of the suite
+    "ext_eval_ngram_overlap",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

@@ -169,6 +169,7 @@ ORACLE_IDS = {
     "ext_simsearch_index_upsert", "ext_text_redundancy_exact",
     "wx_pipeline_e2e", "agg_climate_normals", "ext_data_mixture_plan",
     "ext_simsearch_index_refined_build", "ext_simsearch_index_refined_serve",
+    "agg_anomaly_normals", "agg_extreme_tx90p", "ext_eval_ngram_overlap",
 }
 
 ROWS_ONLY_IDS = {

@@ -860,3 +860,41 @@ def test_refined_index_serve_prunes_codes_and_vectors(spark, sf_dir):
     pfs = re.findall(r"PartitionFilters: \[([^\]]*cid[^\]]*)\]", plan)
     assert len(pfs) >= 2, plan[-3000:]  # codes scan AND vectors scan
     assert "min_by" not in plan and "max_by" not in plan, plan[-2000:]
+
+
+def test_anomaly_normals_broadcasts_the_normals_dim(spark, sf_dir):
+    """agg_anomaly_normals: the hour-of-day normals table is
+    |locs|x24 rows at ANY record length — it must broadcast back onto
+    the hourly record (no sort-merge join), and the whole anomaly
+    pipeline fits in 4 exchanges (normals agg, daily rollup, plus
+    AQE/sort plumbing)."""
+    df = QS["agg_anomaly_normals"](spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)[-2000:]
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[-2000:]
+    assert count_exchanges(df) <= 4, plan[-2000:]
+
+
+def test_extreme_tx90p_broadcasts_thresholds(spark, sf_dir):
+    """agg_extreme_tx90p: the rank-selected p90 threshold table (one
+    row per (location, hour-of-day) slot) broadcasts back for the
+    exceedance count — the only shuffle of record-sized data is the
+    one rank window on uniform slot keys."""
+    df = QS["agg_extreme_tx90p"](spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)[-2000:]
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[-2000:]
+    assert count_exchanges(df) <= 4, plan[-2000:]
+
+
+def test_ngram_overlap_no_cartesian_bounded_shuffles(spark, sf_dir):
+    """ext_eval_ngram_overlap: clipped-count evaluation never forms a
+    cross product (the naive BLEU join is cand-grams x ref-grams) —
+    counts meet on fine-grained (n, pair, gram) hash keys, within a
+    bounded exchange budget."""
+    df = QS["ext_eval_ngram_overlap"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[-2000:]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[-2000:]
+    assert count_exchanges(df) <= 5, plan[-2000:]
+    spark.catalog.clearCache()  # the entry persists the token arrays

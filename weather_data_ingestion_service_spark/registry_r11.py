@@ -914,6 +914,313 @@ def q_ext_data_mixture_plan(spark, sf_dir):
     )
 
 
+# =====================================================================
+# G. Daily anomaly vs the diurnal climate normal — the "departure from
+#    normal" every station report publishes (composes section E)
+# =====================================================================
+
+
+def _anomaly_normals_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    h AS (SELECT location_id, ts, CAST(hour(ts) AS BIGINT) AS hod,
+                 CAST(temperature_2m AS BIGINT) AS t
+          FROM wx WHERE temperature_2m IS NOT NULL),
+    nrm AS (SELECT location_id, hod,
+                   CAST((sum(t) * 1000000
+                         - ((sum(t) * 1000000 % count(*)) + count(*))
+                           % count(*))
+                        // count(*) AS BIGINT) AS t_norm_micro
+            FROM h GROUP BY location_id, hod),
+    a AS (SELECT h.location_id,
+                 CAST(date_trunc('day', h.ts) AS TIMESTAMP) AS day,
+                 h.t * 1000000 - n.t_norm_micro AS anom
+          FROM h JOIN nrm n
+            ON h.location_id = n.location_id AND h.hod = n.hod)
+    SELECT location_id, day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(anom) AS BIGINT) AS anom_sum_micro,
+           CAST((sum(anom)
+                 - ((sum(anom) % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS anom_mean_micro,
+           CAST(max(anom) AS BIGINT) AS anom_max_micro,
+           CAST(min(anom) AS BIGINT) AS anom_min_micro
+    FROM a GROUP BY location_id, day ORDER BY location_id, day
+    """
+
+
+@register("agg_anomaly_normals", _anomaly_normals_oracle())
+def q_agg_anomaly_normals(spark, sf_dir):
+    """Daily temperature ANOMALY against the hour-of-day climate
+    normal — "departure from normal", the headline number on every
+    climatology page (and the de-seasonalized signal trend detection
+    runs on): the diurnal normal from section E (exact integer sums,
+    floor-micro mean with the sign-safe explicit-floor spelling — the
+    hourly mean removes the diurnal cycle that a flat daily mean would
+    leak into the anomaly), broadcast back onto the hourly record
+    keyed (location, hour-of-day), anomaly in exact integer micro-°C,
+    then a daily roll-up of sum / floor-mean / max / min.  Everything
+    after the one floor division is integer +/−/min/max, so the result
+    is bit-stable cross-engine and under any partitioning.  Scale
+    shape: the normals table is |locs|×24 rows at ANY record length —
+    a broadcast dim — so the anomaly join adds no shuffle; the daily
+    roll-up is the one map-side-combining aggregate."""
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    h = wx.filter(F.col("temperature_2m").isNotNull()).select(
+        "location_id",
+        "ts",
+        F.hour("ts").cast("long").alias("hod"),
+        F.col("temperature_2m").cast("long").alias("t"),
+    )
+    nrm = (
+        h.groupBy("location_id", "hod")
+        .agg(
+            F.sum("t").alias("t_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "location_id",
+            "hod",
+            F.expr(
+                "CAST((t_sum * 1000000"
+                " - pmod(pmod(t_sum * 1000000, n) + n, n))"
+                " DIV n AS BIGINT)"
+            ).alias("t_norm_micro"),
+        )
+    )
+    a = h.join(F.broadcast(nrm), ["location_id", "hod"]).select(
+        "location_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        (F.col("t") * F.lit(1_000_000) - F.col("t_norm_micro")).alias("anom"),
+    )
+    return (
+        a.groupBy("location_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("anom").cast("long").alias("s"),
+            F.max("anom").cast("long").alias("anom_max_micro"),
+            F.min("anom").cast("long").alias("anom_min_micro"),
+        )
+        .select(
+            "location_id",
+            "day",
+            "n_hours",
+            F.col("s").alias("anom_sum_micro"),
+            F.expr(
+                "CAST((s - pmod(pmod(s, n_hours) + n_hours, n_hours))"
+                " DIV n_hours AS BIGINT)"
+            ).alias("anom_mean_micro"),
+            "anom_max_micro",
+            "anom_min_micro",
+        )
+        .orderBy("location_id", "day")
+    )
+
+
+# =====================================================================
+# H. Percentile-exceedance climate extreme index (ETCCDI TX90p shape)
+#    — exact rank SELECTION, never interpolation (CLAUDE.md rule)
+# =====================================================================
+
+
+def _extreme_tx90p_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    h AS (SELECT location_id, ts, CAST(hour(ts) AS BIGINT) AS hod,
+                 CAST(temperature_2m AS BIGINT) AS t
+          FROM wx WHERE temperature_2m IS NOT NULL),
+    r AS (SELECT location_id, hod, t,
+                 row_number() OVER (PARTITION BY location_id, hod
+                                    ORDER BY t, ts) AS rn,
+                 count(*) OVER (PARTITION BY location_id, hod) AS n
+          FROM h),
+    thr AS (SELECT location_id, hod, t AS p90_t, n
+            FROM r WHERE rn = (9 * n + 9) // 10)
+    SELECT h.location_id, h.hod, thr.p90_t,
+           CAST(thr.n AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN h.t > thr.p90_t THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exceed
+    FROM h JOIN thr
+      ON h.location_id = thr.location_id AND h.hod = thr.hod
+    GROUP BY h.location_id, h.hod, thr.p90_t, thr.n
+    ORDER BY h.location_id, h.hod
+    """
+
+
+@register("agg_extreme_tx90p", _extreme_tx90p_oracle())
+def q_agg_extreme_tx90p(spark, sf_dir):
+    """Percentile-exceedance climate EXTREME index — the ETCCDI
+    TX90p family (fraction of readings above the calendar-slot 90th
+    percentile), on the hour-of-day slots the twin record supports:
+    the 90th percentile is exact rank SELECTION — the element at
+    row_number (9n+9) DIV 10 (= ceil(0.9n), non-negative so truncate
+    == floor on both engines) under the total order (t, ts), never
+    interpolation (the CLAUDE.md cross-engine quantile rule) — then
+    one pass counts strict exceedances per slot.  Scale shape: one
+    shuffle on (location, hour-of-day) for the rank window (slots are
+    uniform — no skew), and the 120-row threshold table broadcasts
+    back onto the record, so the exceedance count is shuffle-free."""
+    from pyspark.sql import Window
+
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    h = wx.filter(F.col("temperature_2m").isNotNull()).select(
+        "location_id",
+        "ts",
+        F.hour("ts").cast("long").alias("hod"),
+        F.col("temperature_2m").cast("long").alias("t"),
+    )
+    w = Window.partitionBy("location_id", "hod")
+    r = h.select(
+        "location_id",
+        "hod",
+        "t",
+        F.row_number().over(w.orderBy("t", "ts")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    thr = r.filter(F.expr("rn = (9 * n + 9) DIV 10")).select(
+        "location_id",
+        "hod",
+        F.col("t").alias("p90_t"),
+        F.col("n").cast("long").alias("n_hours"),
+    )
+    return (
+        h.join(F.broadcast(thr), ["location_id", "hod"])
+        .groupBy("location_id", "hod", "p90_t", "n_hours")
+        .agg(
+            F.sum(F.when(F.col("t") > F.col("p90_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exceed")
+        )
+        .orderBy("location_id", "hod")
+    )
+
+
+# =====================================================================
+# I. Clipped n-gram overlap (BLEU/ROUGE numerators) — exact integers
+# =====================================================================
+
+
+@register(
+    "ext_eval_ngram_overlap",
+    """
+    WITH d AS (
+      SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    p AS (SELECT pair_id FROM d GROUP BY pair_id HAVING count(*) = 2),
+    d2 AS (SELECT d.* FROM d JOIN p USING (pair_id)),
+    uni AS (SELECT pair_id, side, unnest(w) AS g FROM d2),
+    bi AS (SELECT pair_id, side, array_to_string(w[i:i+1], ' ') AS g
+           FROM (SELECT pair_id, side, w,
+                        unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+                 FROM d2 WHERE len(w) >= 2)),
+    grams AS (SELECT 1 AS n, pair_id, side, g FROM uni
+              UNION ALL
+              SELECT 2 AS n, pair_id, side, g FROM bi),
+    cnt AS (SELECT n, pair_id, g,
+                   sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cn,
+                   sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS rn
+            FROM grams GROUP BY n, pair_id, g),
+    agg AS (SELECT n, pair_id,
+                   CAST(sum(cn) AS BIGINT) AS cand_total,
+                   CAST(sum(least(cn, rn)) AS BIGINT) AS clipped
+            FROM cnt GROUP BY n, pair_id)
+    SELECT CAST(pair_id AS BIGINT) AS pair_id, CAST(n AS BIGINT) AS n,
+           cand_total, clipped,
+           CAST(clipped * 1000000 // cand_total AS BIGINT) AS prec_micro
+    FROM agg WHERE cand_total > 0
+    ORDER BY pair_id, n
+    """,
+)
+def q_ext_eval_ngram_overlap(spark, sf_dir):
+    """CLIPPED n-gram overlap — the BLEU numerator (modified n-gram
+    precision, Papineni et al. 2002) and the ROUGE-n recall numerator
+    are both Σ_g min(count_cand(g), count_ref(g)); this publishes that
+    count exactly, per candidate/reference pair, for n = 1 and 2,
+    alongside the candidate gram total and the floor-micro precision —
+    pure integer arithmetic, no libm (the geometric mean / brevity
+    penalty a scalar BLEU adds are driver-side trivia over these
+    integers).  Pairing: doc_id DIV 2, even side = candidate, odd =
+    reference (the eval-set convention: adjacent rows are the
+    candidate/reference columns of one example).  The token arrays are
+    materialized through a persist barrier before the bigram explode —
+    the CLAUDE.md Generate-re-evaluation rule (ext_text_bigrams
+    precedent).  Scale shape: one corpus pass, then counts shuffle on
+    (n, pair_id, gram) — fine-grained uniform keys, no skew; nothing
+    collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.expr("doc_id DIV 2").alias("pair_id"),
+        (F.col("doc_id") % 2).alias("side"),
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("w"),
+    )
+    # keep only complete pairs (both sides present in the corpus)
+    from pyspark.sql import Window
+
+    d2 = (
+        d.withColumn(
+            "n_sides", F.count(F.lit(1)).over(Window.partitionBy("pair_id"))
+        )
+        .filter(F.col("n_sides") == 2)
+        .drop("n_sides")
+        .persist()  # barrier: bigram transform's lambda slices `w`
+    )
+    uni = d2.select(
+        F.lit(1).alias("n"), "pair_id", "side", F.explode("w").alias("g")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("w", i, 2)))
+    bi = (
+        d2.filter(F.size("w") >= 2)
+        .select(
+            F.lit(2).alias("n"),
+            "pair_id",
+            "side",
+            F.explode(bigrams).alias("g"),
+        )
+    )
+    cnt = (
+        uni.unionByName(bi)
+        .groupBy("n", "pair_id", "g")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("cn"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("rn"),
+        )
+    )
+    return (
+        cnt.groupBy("n", "pair_id")
+        .agg(
+            F.sum("cn").cast("long").alias("cand_total"),
+            F.sum(F.least("cn", "rn")).cast("long").alias("clipped"),
+        )
+        .filter(F.col("cand_total") > 0)
+        .select(
+            F.col("pair_id").cast("long").alias("pair_id"),
+            F.col("n").cast("long").alias("n"),
+            "cand_total",
+            "clipped",
+            F.expr("CAST(clipped * 1000000 DIV cand_total AS BIGINT)")
+            .alias("prec_micro"),
+        )
+        .orderBy("pair_id", "n")
+    )
+
+
 # ---------------------------------------------------------------------
 # Round-11 rotation bookkeeping: every id registered in THIS round is
 # listed here so older carryovers outrank it for driver window slots
@@ -929,4 +1236,7 @@ _register_new_this_round(
     "ext_data_mixture_plan",
     "ext_simsearch_index_refined_build",
     "ext_simsearch_index_refined_serve",
+    "agg_anomaly_normals",
+    "agg_extreme_tx90p",
+    "ext_eval_ngram_overlap",
 )
