@@ -288,15 +288,23 @@ def main() -> None:
         _index_compact_stages,
     )
 
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
-    stages, _state = _index_compact_stages(spark, SF_DIR)
-    for stage_name, fn in stages:
-        t0 = time.perf_counter()
-        fn()
-        isolated[f"ext_simsearch_index_compact/{stage_name}"] = round(
-            time.perf_counter() - t0, 3
-        )
+    from weather_data_ingestion_service_spark.registry_r11 import (
+        _refined_build_stages,
+    )
+
+    for entry, stage_fn in [
+        ("ext_simsearch_index_compact", _index_compact_stages),
+        ("ext_simsearch_index_refined_build", _refined_build_stages),
+    ]:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        stages, _state = stage_fn(spark, SF_DIR)
+        for stage_name, fn in stages:
+            t0 = time.perf_counter()
+            fn()
+            isolated[f"{entry}/{stage_name}"] = round(
+                time.perf_counter() - t0, 3
+            )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -2952,43 +2952,100 @@ def ivfpq_refined_build_index(
     At 100 TB: train is 1+m control-plane fits over one corpus
     collect/aggregate; encode is one broadcast pass; the writes move
     m+1 small ints + dim int8s per vector, once."""
+    stages, state = ivfpq_refined_build_stages(
+        corpus, path, id_col, vec_col,
+        n_clusters=n_clusters, ksub=ksub, m=m, n_iter=n_iter, dim=dim,
+        driver_max_vectors=driver_max_vectors,
+    )
+    try:
+        for _name, fn in stages:
+            fn()
+    finally:
+        # the write stage unpersists on success; this covers a failure
+        # part-way through any stage (unpersisting twice is a no-op)
+        for key in ("codes_cid", "q256"):
+            frame = state.get(key)
+            if frame is not None:
+                frame.unpersist()
+
+
+def ivfpq_refined_build_stages(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    ksub: int = 256,
+    m: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    driver_max_vectors: int = 100_000,
+):
+    """``ivfpq_refined_build_index`` split into its three stages —
+    ``(name, thunk)`` pairs run in order (the compaction
+    ``_index_compact_stages`` discipline, VERDICT r10 #8): composing
+    them verbatim IS the build, and bench.py times each stage
+    separately so a regression in ONE stage (a slow codebook fit, an
+    encode-kernel fallback, a write amplification) is attributable
+    instead of drowned in the whole-flow number.
+
+    - ``train``  — quantize to the shared ×256 grid (persisted: feeds
+      training, encode, and the vectors write), fit coarse +
+      per-subspace codebooks, write the two control-plane tables;
+    - ``encode`` — the one narrow mapInArrow pass producing all codes;
+      eagerly materialized into the cache here so this stage's wall
+      IS the encode cost (the composed flow pays it exactly once
+      either way — the writes then read the cached batches);
+    - ``write``  — the two cid-partitioned writes (codes + int8
+      vectors), then unpersist."""
     sub = dim // m
     spark = corpus.sparkSession
-    q256 = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("match_id"),
-        F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
-        F.col("scale"),
-    )
-    q256.persist()
-    try:
+    state: dict = {}
+
+    def train():
+        q256 = quantize_embeddings(corpus, id_col, vec_col).select(
+            F.col(id_col).alias("match_id"),
+            F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
+            F.col("scale"),
+        )
+        q256.persist()
+        state["q256"] = q256
         coarse_np, books_np, coarse_df, books_df = _train_refined_codebooks(
             spark, q256, corpus, id_col, vec_col,
             n_clusters, ksub, m, sub, dim, n_iter, driver_max_vectors,
         )
-        lists_df, codes_cid = _encode_refined(
-            q256, coarse_np, books_np, m, sub
-        )
+        state["coarse_np"], state["books_np"] = coarse_np, books_np
         coarse_df.coalesce(1).write.mode("overwrite").parquet(
             path + "/coarse"
         )
         books_df.coalesce(1).write.mode("overwrite").parquet(path + "/books")
+
+    def encode():
+        lists_df, codes_cid = _encode_refined(
+            state["q256"], state["coarse_np"], state["books_np"], m, sub
+        )
         # persist: the Arrow encode pass feeds BOTH the codes write and
         # (via lists_df) the vectors write — without the barrier it
         # would run twice
         codes_cid.persist()
+        codes_cid.count()
+        state["lists_df"], state["codes_cid"] = lists_df, codes_cid
+
+    def write():
         try:
-            codes_cid.write.mode("overwrite").partitionBy("cid").parquet(
-                path + "/codes"
-            )
-            q256.join(lists_df, "match_id").select(
+            state["codes_cid"].write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(path + "/codes")
+            state["q256"].join(state["lists_df"], "match_id").select(
                 "match_id", "q", "scale", "cid"
             ).write.mode("overwrite").partitionBy("cid").parquet(
                 path + "/vectors"
             )
         finally:
-            codes_cid.unpersist()
-    finally:
-        q256.unpersist()
+            state["codes_cid"].unpersist()
+            state["q256"].unpersist()
+
+    return [("train", train), ("encode", encode), ("write", write)], state
 
 
 def ivfpq_refined_query_index(

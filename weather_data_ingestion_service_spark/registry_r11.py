@@ -663,6 +663,29 @@ def _refined_index_path(spark, sf_dir: str) -> str:
     return f"/tmp/wds_ridx_{_session_tag(spark, sf_dir)}"
 
 
+def _refined_build_stages(spark, sf_dir):
+    """The trained-index BUILD split into its timed stages for
+    bench.py (the ``_index_compact_stages`` discipline): builds into a
+    throwaway scratch root (fresh every call — stage timings must
+    include the real writes, not an ensure-skip), at the same serving
+    config as the registry entry."""
+    import shutil
+
+    from .ext.simsearch import ivfpq_refined_build_stages
+    from .registry import _clean_stale_scratch, _session_tag
+
+    _clean_stale_scratch("/tmp/wds_rbld_*")
+    root = f"/tmp/wds_rbld_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    stages, state = ivfpq_refined_build_stages(
+        emb, root, "vec_id", "embedding",
+        n_clusters=_RT["n_clusters"], ksub=_RT["ksub"], m=_RT["m"],
+        n_iter=_RT["n_iter"], dim=_RT["dim"],
+    )
+    return stages, state
+
+
 def _ensure_refined_index(spark, sf_dir: str) -> str:
     """Build the trained serving index if absent (driver order
     independence — the serve entry must not depend on the build entry
