@@ -247,3 +247,24 @@ def test_coverage_doc_mentions_every_registered_id():
         if q not in ids_in_doc and not q.startswith("wx_")
     }
     assert not missing, f"COVERAGE.md missing: {sorted(missing)}"
+
+
+def test_bench_stage_splits_keep_their_names():
+    """bench.py emits per-stage sub-timings keyed '<entry>/<stage>'
+    (VERDICT r10 #8); BASELINE.md reads those keys round-over-round,
+    so a stage rename silently breaks the attribution history — pin
+    the names without running the stages."""
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        ivfpq_refined_build_stages,
+    )
+
+    import inspect
+
+    src = inspect.getsource(ivfpq_refined_build_stages)
+    for name in ("train", "encode", "write"):
+        assert f'("{name}",' in src, name
+    from weather_data_ingestion_service_spark import registry_r10
+
+    src = inspect.getsource(registry_r10._index_compact_stages)
+    for name in ("ingest_encode", "compact_rewrite", "serve_query"):
+        assert f'("{name}",' in src, name
