@@ -28,35 +28,12 @@ from pyspark.sql import functions as F
 from .io import load_table
 from .registry import (
     _clean_stale_scratch,
-    _register_changed_since_green,
     _session_tag,
     register,
 )
 
-# ADVICE r10: the shared BPE merge-fold recursion gained the
-# `br IS NOT NULL` termination guard (oracle now stops exactly when
-# bpe_train's `if not pc: break` does on a fully-merged vocabulary);
-# re-certify both consumers of _bpe_merge_ctes.
-_register_changed_since_green(
-    "ext_tokenizer_bpe_exact", "ext_tokenizer_bpe_apply_exact"
-)
-# ADVICE r10: ext_eval_pass_at_k's int64 ceiling is now enforced with a
-# symmetric raise on both engines (n > 1000 per task bucket).
-_register_changed_since_green("ext_eval_pass_at_k")
-# ADVICE r10: ivfpq_query_index now localCheckpoints its result and
-# unpersists the probe cache inside the function; re-certify its two
-# registry consumers.
-_register_changed_since_green(
-    "ext_simsearch_index_query", "ext_simsearch_index_compact"
-)
-# Round 11: kmeans_fixedpoint_int's driver branch was vectorized with
-# exact-int64 numpy (bit-identical by integer determinism, but the
-# implementation behind these greens changed — re-certify).
-_register_changed_since_green(
-    "ext_embed_kmeans_exact",
-    "ext_simsearch_ivf_kmeans",
-    "ext_simsearch_pq_kmeans",
-)
+# All round-10/11 _register_changed_since_green markers were deleted at
+# round-12 start: every named id re-certified green in CORRECTNESS_r11.
 
 # =====================================================================
 # A. IVF-PQ index lifecycle: build once / query many (VERDICT r9 #2)

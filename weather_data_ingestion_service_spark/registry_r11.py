@@ -15,17 +15,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import (
-    _register_changed_since_green,
-    _register_new_this_round,
-    register,
-)
+from .registry import register
 
-# Round 11: _materialize's daily path switched from the two-scan
-# daily_summary ⋈ categorical_mode shape to the single-pass
-# daily_summary_with_mode (identical results, one scan) — re-certify
-# the green consumers of the 1440 path.
-_register_changed_since_green("wx_history_daily", "wx_daily_summary")
+# Round-11 _register_changed_since_green markers deleted at round-12
+# start (wx_history_daily / wx_daily_summary re-certified green in
+# CORRECTNESS_r11).
 from .registry_r10 import _kmeans_ctes
 
 # =====================================================================
@@ -1244,22 +1238,5 @@ def q_ext_eval_ngram_overlap(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------
-# Round-11 rotation bookkeeping: every id registered in THIS round is
-# listed here so older carryovers outrank it for driver window slots
-# (delete this tail at round-12 start).
-# ---------------------------------------------------------------------
-_register_new_this_round(
-    "ext_simsearch_ivfpq_refined",
-    "ext_eval_ivfpq_recall_trained",
-    "ext_simsearch_index_upsert",
-    "ext_text_redundancy_exact",
-    "wx_pipeline_e2e",
-    "agg_climate_normals",
-    "ext_data_mixture_plan",
-    "ext_simsearch_index_refined_build",
-    "ext_simsearch_index_refined_serve",
-    "agg_anomaly_normals",
-    "agg_extreme_tx90p",
-    "ext_eval_ngram_overlap",
-)
+# Round-11 _register_new_this_round tail (12 ids) removed at round-12
+# start (all are carryovers now; every one went green in r11).
