@@ -189,6 +189,13 @@ HEADLINE = [
     # shuffle on (n, pair, gram); the climate-normals/TX90p entries
     # are constant-size (wx twin) and stay out of the suite
     "ext_eval_ngram_overlap",
+    # round-12 additions: upsert/delete on the TRAINED serving-config
+    # index (runs after the refined build so the ensure is a no-op)
+    # and the retrain-drift gate (reads the upserted serving layout);
+    # the ETCCDI precipitation extremes are constant-size (wx twin)
+    # and stay out of the suite
+    "ext_simsearch_index_refined_upsert",
+    "ext_eval_index_drift",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing
@@ -289,12 +296,20 @@ def main() -> None:
     )
 
     from weather_data_ingestion_service_spark.registry_r11 import (
+        _index_upsert_stages,
         _refined_build_stages,
+    )
+
+    from weather_data_ingestion_service_spark.registry_r12 import (
+        _refined_upsert_stages,
     )
 
     for entry, stage_fn in [
         ("ext_simsearch_index_compact", _index_compact_stages),
         ("ext_simsearch_index_refined_build", _refined_build_stages),
+        # VERDICT r11 #3: the two upsert flows attributed per verb
+        ("ext_simsearch_index_upsert", _index_upsert_stages),
+        ("ext_simsearch_index_refined_upsert", _refined_upsert_stages),
     ]:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
@@ -318,6 +333,13 @@ def main() -> None:
         "agg": "min",
     }
     print(json.dumps(out))
+    # VERDICT r11 #4: the driver's BENCH_rN.json artifact keeps only a
+    # stdout *tail*, which truncated the per-query dict to 46 of ~100
+    # rows in r11. Persist the complete result to a stable file so
+    # round-over-round diffs never depend on tail luck.
+    with open(os.path.join(REPO, "bench_results.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     spark.stop()
 
 

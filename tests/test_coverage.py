@@ -170,6 +170,11 @@ ORACLE_IDS = {
     "wx_pipeline_e2e", "agg_climate_normals", "ext_data_mixture_plan",
     "ext_simsearch_index_refined_build", "ext_simsearch_index_refined_serve",
     "agg_anomaly_normals", "agg_extreme_tx90p", "ext_eval_ngram_overlap",
+    # round 12 additions (VERDICT r11 punch list: upsert/delete on the
+    # TRAINED serving-config index with rebuild-equivalence oracle;
+    # the retrain-drift gate; ETCCDI precipitation extremes)
+    "ext_simsearch_index_refined_upsert", "ext_eval_index_drift",
+    "agg_extreme_rx1day", "agg_extreme_rx5day", "agg_extreme_cdd",
 }
 
 ROWS_ONLY_IDS = {
@@ -249,22 +254,34 @@ def test_coverage_doc_mentions_every_registered_id():
     assert not missing, f"COVERAGE.md missing: {sorted(missing)}"
 
 
-def test_bench_stage_splits_keep_their_names():
+def test_bench_stage_splits_keep_their_names(spark, sf_dir):
     """bench.py emits per-stage sub-timings keyed '<entry>/<stage>'
     (VERDICT r10 #8); BASELINE.md reads those keys round-over-round,
     so a stage rename silently breaks the attribution history — pin
-    the names without running the stages."""
+    the names by CONSTRUCTING each stage list (construction is lazy,
+    no stage runs) and asserting on the actual returned names, not on
+    source text (ADVICE r11 #3: substring pins break on reflow and
+    miss renames)."""
+    from weather_data_ingestion_service_spark import (
+        registry_r10,
+        registry_r11,
+        registry_r12,
+    )
     from weather_data_ingestion_service_spark.ext.simsearch import (
         ivfpq_refined_build_stages,
     )
 
-    import inspect
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build, _ = ivfpq_refined_build_stages(emb, "/tmp/wds_stage_names")
+    assert [n for n, _fn in build] == ["train", "encode", "write"]
 
-    src = inspect.getsource(ivfpq_refined_build_stages)
-    for name in ("train", "encode", "write"):
-        assert f'("{name}",' in src, name
-    from weather_data_ingestion_service_spark import registry_r10
+    compact, _ = registry_r10._index_compact_stages(spark, sf_dir)
+    assert [n for n, _fn in compact] == [
+        "ingest_encode", "compact_rewrite", "serve_query",
+    ]
 
-    src = inspect.getsource(registry_r10._index_compact_stages)
-    for name in ("ingest_encode", "compact_rewrite", "serve_query"):
-        assert f'("{name}",' in src, name
+    lifecycle = ["ingest", "upsert", "tombstone", "compact", "serve"]
+    upsert, _ = registry_r11._index_upsert_stages(spark, sf_dir)
+    assert [n for n, _fn in upsert] == lifecycle
+    rupsert, _ = registry_r12._refined_upsert_stages(spark, sf_dir)
+    assert [n for n, _fn in rupsert] == lifecycle

@@ -2956,6 +2956,10 @@ def ivfpq_refined_build_index(
         corpus, path, id_col, vec_col,
         n_clusters=n_clusters, ksub=ksub, m=m, n_iter=n_iter, dim=dim,
         driver_max_vectors=driver_max_vectors,
+        # composed production build: let the codes WRITE trigger the
+        # encode compute (fused), instead of the per-stage-attribution
+        # eager count that costs one extra cached scan (ADVICE r11)
+        eager_encode=False,
     )
     try:
         for _name, fn in stages:
@@ -2980,6 +2984,7 @@ def ivfpq_refined_build_stages(
     n_iter: int = 3,
     dim: int = 64,
     driver_max_vectors: int = 100_000,
+    eager_encode: bool = True,
 ):
     """``ivfpq_refined_build_index`` split into its three stages —
     ``(name, thunk)`` pairs run in order (the compaction
@@ -2993,9 +2998,11 @@ def ivfpq_refined_build_stages(
       training, encode, and the vectors write), fit coarse +
       per-subspace codebooks, write the two control-plane tables;
     - ``encode`` — the one narrow mapInArrow pass producing all codes;
-      eagerly materialized into the cache here so this stage's wall
-      IS the encode cost (the composed flow pays it exactly once
-      either way — the writes then read the cached batches);
+      with ``eager_encode`` (bench attribution) it is materialized
+      into the cache here so this stage's wall IS the encode cost;
+      the composed production build passes ``eager_encode=False`` so
+      the codes write fuses compute+write with no extra cached scan
+      (ADVICE r11);
     - ``write``  — the two cid-partitioned writes (codes + int8
       vectors), then unpersist."""
     sub = dim // m
@@ -3028,7 +3035,8 @@ def ivfpq_refined_build_stages(
         # (via lists_df) the vectors write — without the barrier it
         # would run twice
         codes_cid.persist()
-        codes_cid.count()
+        if eager_encode:
+            codes_cid.count()
         state["lists_df"], state["codes_cid"] = lists_df, codes_cid
 
     def write():
@@ -3098,3 +3106,137 @@ def ivfpq_refined_query_index(
         probes.unpersist()
         qq.unpersist()
     return out
+
+
+def load_refined_codebooks(spark, path: str, m: int):
+    """Load the persisted trained codebooks of a
+    ``ivfpq_refined_build_index`` index back into the numpy form the
+    encode kernel ships in its closure — the handle every
+    ingest-time lifecycle verb (upsert, re-encode, drift check) needs:
+    codebooks train OFFLINE, once; upserts must encode against the
+    SAME codebooks or the served scores drift from the index.
+    Control-plane read: n_clusters·dim + m·ksub·sub int64s (~160 KB at
+    the serving config) — never corpus-sized."""
+    import numpy as np
+
+    crows = sorted(
+        spark.read.parquet(path + "/coarse").collect(),
+        key=lambda r: int(r["cid"]),
+    )
+    coarse_np = np.array([list(r["cvec"]) for r in crows], dtype=np.int64)
+    by_s: dict = {}
+    for r in spark.read.parquet(path + "/books").collect():
+        by_s.setdefault(int(r["s"]), []).append(r)
+    books_np = [
+        np.array(
+            [list(r["ce"]) for r in sorted(by_s[s], key=lambda r: int(r["code"]))],
+            dtype=np.int64,
+        )
+        for s in range(m)
+    ]
+    return coarse_np, books_np
+
+
+def ivfpq_refined_encode_epoch(
+    corpus: DataFrame,
+    coarse_np,
+    books_np,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode ONE ingest epoch for the trained-index upsert story:
+    quantize on the shared ×256 grid (the round-10 one-grid rule) and
+    run the certified ``_encode_refined`` Arrow kernel against the
+    OFFLINE codebooks, then pivot the long-form codes WIDE — one row
+    per vector ``(match_id, cid, codes array<long>[m], q, scale,
+    alive=1)``, the epoch-store record whose supersedence is a single
+    ``max_by(payload, epoch)`` per id.  At 100 TB an upsert epoch
+    ships m+1 small ints + dim int8s per CHANGED vector only — the
+    index files already on disk are never rewritten until compaction."""
+    sub = dim // m
+    q256 = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("match_id"),
+        F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
+        F.col("scale"),
+    )
+    _lists, codes_cid = _encode_refined(q256, coarse_np, books_np, m, sub)
+    wide = codes_cid.groupBy("match_id", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+    return wide.join(q256, "match_id").select(
+        "match_id", "cid", "codes", "q", "scale",
+        F.lit(1).cast("int").alias("alive"),
+    )
+
+
+def ivfpq_refined_tombstones(
+    deletes: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """DELETE epoch records: one ``alive = 0`` tombstone per id, no
+    vector, no codes — the append-only delete a production index uses
+    (supersede-at-read drops the id; compaction reclaims the space)."""
+    return deletes.select(
+        F.col(id_col).alias("match_id"),
+        F.lit(-1).cast("long").alias("cid"),
+        F.lit(None).cast("array<long>").alias("codes"),
+        F.lit(None).cast("array<long>").alias("q"),
+        F.lit(None).cast("double").alias("scale"),
+        F.lit(0).cast("int").alias("alive"),
+    )
+
+
+def ivfpq_refined_apply_epochs(spark, ingest_path: str) -> DataFrame:
+    """SUPERSEDE-AT-READ over an epoch store written as
+    ``{ingest_path}/epoch=i`` partitions: latest epoch wins per id
+    (one ``max_by(struct, epoch)`` hash aggregate — map-side
+    combinable, one shuffle on match_id), tombstoned ids drop out.
+    Returns the LIVE wide records ``(match_id, cid, codes, q,
+    scale)`` — the input to compaction and the logical truth the
+    clean-rebuild oracle must match."""
+    payload = F.struct("cid", "codes", "q", "scale", "alive")
+    return (
+        spark.read.parquet(ingest_path)
+        .groupBy("match_id")
+        .agg(F.max_by(payload, F.col("epoch")).alias("st"))
+        .select("match_id", "st.*")
+        .filter(F.col("alive") == 1)
+        .drop("alive")
+    )
+
+
+def ivfpq_refined_compact_epochs(
+    spark, index_path: str, live: DataFrame, serving_path: str
+) -> None:
+    """COMPACTION of a superseded epoch view back into the pruned
+    serving layout ``ivfpq_refined_query_index`` reads: codes exploded
+    long-form and the int8 vector store BOTH partitioned by the coarse
+    list id (shadowed + dead rows gone from disk, static partition
+    pruning restored), codebooks copied verbatim from the trained
+    index (compaction never retrains).  Moves m+1 small ints + dim
+    int8s per LIVE vector, once — the amortized cost that keeps the
+    epoch store from growing unboundedly."""
+    for tbl in ("coarse", "books"):
+        spark.read.parquet(f"{index_path}/{tbl}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{serving_path}/{tbl}")
+    live = live.persist()
+    try:
+        live.select(
+            "match_id",
+            F.posexplode("codes").alias("s", "code"),
+            "cid",
+        ).select(
+            "match_id", F.col("s").cast("long").alias("s"), "code", "cid"
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            serving_path + "/codes"
+        )
+        live.select("match_id", "q", "scale", "cid").write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(serving_path + "/vectors")
+    finally:
+        live.unpersist()

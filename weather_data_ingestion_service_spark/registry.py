@@ -1413,6 +1413,7 @@ def _load_extensions() -> None:
     from . import registry_r9  # noqa: F401
     from . import registry_r10  # noqa: F401
     from . import registry_r11  # noqa: F401
+    from . import registry_r12  # noqa: F401
 
 
 #: SURVEY.md §2-mandated ids beyond the ``ext_*`` prefix — served ahead

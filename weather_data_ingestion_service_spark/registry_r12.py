@@ -1,0 +1,620 @@
+"""Round-12 registry entries.
+
+Headline: UPSERT + DELETE on the TRAINED serving-config IVF-PQ index
+(VERDICT r11 #2) — the epoch-supersedence + tombstone + compaction
+lifecycle ported onto ``ivfpq_refined_build_index``'s layout (codes AND
+the int8 vector store both cid-partitioned), hash-verified against a
+clean rebuild over exactly the live rows; plus the retrain-drift gate
+(VERDICT r11 #5) and the ETCCDI precipitation extremes (VERDICT r11
+#6: Rx1day / Rx5day / CDD).
+
+Reference parity: the reference service (server.py) has no ANN or
+climate-index path — these are the large-scale training-data-pipeline
+and climate-analytics extensions the build brief mandates.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .registry import (
+    _register_changed_since_green,
+    _register_new_this_round,
+    register,
+)
+
+# Round 12 edits behind green ids (delete once a later CORRECTNESS
+# shows them green again):
+# - ext_simsearch_index_upsert: body split into _index_upsert_stages
+#   (registry_r11) for per-stage bench attribution — same verbs, same
+#   epochs, composed verbatim.
+_register_changed_since_green("ext_simsearch_index_upsert")
+# - tokenizer whitespace class: Java `\s` includes \x0B, RE2 `\s` does
+#   not — both engines now split on the explicit identical class
+#   [ \t\n\r\f\x0B]+ (ADVICE r11 #1; results unchanged on data without
+#   vertical tabs, engine-independent by construction now).
+_register_changed_since_green(
+    "ext_text_redundancy_exact", "ext_data_mixture_plan",
+    "ext_eval_ngram_overlap",
+)
+# - ivfpq_refined_build_stages grew the eager_encode knob and the
+#   composed production build now fuses compute+write (ADVICE r11 #2);
+#   re-certify the consumers of the persisted trained index.
+_register_changed_since_green(
+    "ext_simsearch_index_refined_build",
+    "ext_simsearch_index_refined_serve",
+    "ext_eval_ivfpq_recall_trained",
+)
+
+#: live-rows predicate of the round-12 upsert/delete story (mirrors the
+#: r11 md5-index story so the two lifecycles are comparable)
+_LIVE_WHERE = "NOT (vec_id % 11 = 3)"
+
+#: retrain-drift gate: flag the index for retraining when post-upsert
+#: recall@3 (vs exact cosine over the live corpus) drops below 0.80 —
+#: the trained config measures 0.86 on the full corpus (BASELINE r11
+#: probe 2), so a healthy upsert keeps the gate green
+_DRIFT_MIN_RECALL_MICRO = 800_000
+
+
+# =====================================================================
+# A. UPSERT + DELETE on the TRAINED serving-config index (VERDICT #2)
+# =====================================================================
+
+
+def _refined_upsert_stages(spark, sf_dir):
+    """The trained-index upsert/delete flow split into its five timed
+    stages (the ``_index_upsert_stages`` discipline, VERDICT r11 #3):
+    composing the ``(name, thunk)`` pairs verbatim IS the registry
+    entry; bench.py times each stage separately.
+
+    Precondition (resolved lazily at first use, so constructing the
+    stage list costs nothing — the name-pinning test calls builders
+    without running them): the trained serving index exists —
+    codebooks train OFFLINE and the ingest verbs never retrain, so
+    every epoch encodes against the codebooks loaded back from the
+    persisted index (``load_refined_codebooks``)."""
+    import shutil
+
+    from .ext.simsearch import (
+        ivfpq_refined_apply_epochs,
+        ivfpq_refined_compact_epochs,
+        ivfpq_refined_encode_epoch,
+        ivfpq_refined_query_index,
+        ivfpq_refined_tombstones,
+        load_refined_codebooks,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+    from .registry_r11 import _RT, _ensure_refined_index
+
+    _clean_stale_scratch("/tmp/wds_rups_*")
+    root = f"/tmp/wds_rups_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ingest, serving = f"{root}/ingest", f"{root}/serving"
+    state: dict = {"root": root, "serving": serving}
+    changed = F.col("vec_id") % 7 == 0
+    m, dim = _RT["m"], _RT["dim"]
+
+    def _emb():
+        return load_table(spark, sf_dir, "embeddings")
+
+    def _idx():
+        if "idx" not in state:
+            state["idx"] = _ensure_refined_index(spark, sf_dir)
+        return state["idx"]
+
+    def _cb():
+        if "cb" not in state:
+            state["cb"] = load_refined_codebooks(spark, _idx(), m)
+        return state["cb"]
+
+    def ingest_stage():
+        # epoch 0: full initial ingest, every vec_id % 7 = 0 row
+        # encoded from a STALE vector (its reversed embedding — a
+        # deterministic corruption the upsert must fully shadow)
+        stale0 = _emb().withColumn(
+            "embedding",
+            F.when(changed, F.reverse("embedding")).otherwise(
+                F.col("embedding")
+            ),
+        )
+        cb = _cb()
+        ivfpq_refined_encode_epoch(stale0, cb[0], cb[1], m, dim).write.mode(
+            "overwrite"
+        ).parquet(f"{ingest}/epoch=0")
+
+    def upsert_stage():
+        # epoch 1: the changed ids re-encoded from their true vectors
+        cb = _cb()
+        ivfpq_refined_encode_epoch(
+            _emb().filter(changed), cb[0], cb[1], m, dim
+        ).write.mode("overwrite").parquet(f"{ingest}/epoch=1")
+
+    def tombstone_stage():
+        # epoch 2: alive = 0 records for every vec_id % 11 = 3
+        ivfpq_refined_tombstones(
+            _emb().filter(F.col("vec_id") % 11 == 3)
+        ).write.mode("overwrite").parquet(f"{ingest}/epoch=2")
+
+    def compact_stage():
+        # supersede-at-read (one max_by(struct, epoch) hash aggregate)
+        # then rewrite the live view into the pruned serving layout —
+        # codes AND the int8 vector store both cid-partitioned
+        live = ivfpq_refined_apply_epochs(spark, ingest)
+        ivfpq_refined_compact_epochs(spark, _idx(), live, serving)
+
+    def serve_stage():
+        state["out"] = ivfpq_refined_query_index(
+            spark,
+            serving,
+            _emb().filter(F.col("vec_id") < _RT["n_queries"]),
+            "vec_id",
+            "embedding",
+            k=_RT["k"],
+            nprobe=_RT["nprobe"],
+            shortlist=_RT["shortlist"],
+            m=m,
+            dim=dim,
+        )
+
+    return [
+        ("ingest", ingest_stage),
+        ("upsert", upsert_stage),
+        ("tombstone", tombstone_stage),
+        ("compact", compact_stage),
+        ("serve", serve_stage),
+    ], state
+
+
+def _ensure_refined_upserted(spark, sf_dir: str) -> str:
+    """Serving path of the post-upsert trained index, built lazily
+    (driver order independence — the drift gate must not depend on the
+    upsert entry having run first in the same session)."""
+    import os
+
+    from .registry import _session_tag
+
+    root = f"/tmp/wds_rups_{_session_tag(spark, sf_dir)}"
+    if not os.path.exists(f"{root}/serving/vectors"):
+        stages, _state = _refined_upsert_stages(spark, sf_dir)
+        for _name, fn in stages[:-1]:  # through compact; serve is a read
+            fn()
+    return f"{root}/serving"
+
+
+def _refined_upsert_oracle():
+    from .registry_r11 import _ivfpq_refined_ctes
+
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes(live_where=_LIVE_WHERE)}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(match_id AS BIGINT) AS match_id,
+           CAST(rank AS BIGINT) AS rank, adc, refine_micro
+    FROM refined ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_index_refined_upsert", _refined_upsert_oracle())
+def q_ext_simsearch_index_refined_upsert(spark, sf_dir):
+    """UPSERT + DELETE on the TRAINED serving-config IVF-PQ index
+    (VERDICT r11 #2): the epoch-supersedence + tombstone + compaction
+    pattern certified on the r9 md5-sampled index
+    (``ext_simsearch_index_upsert``), ported onto
+    ``ivfpq_refined_build_index``'s layout — which means the upsert
+    must maintain BOTH cid-partitioned stores: the long-form PQ codes
+    (ADC stage) and the int8 full-vector store (refine stage).  Runs
+    the five ``_refined_upsert_stages`` verbatim (bench.py times each):
+    stale-encoded epoch 0, true re-encode epoch 1, tombstone epoch 2,
+    supersede + compact into the pruned serving layout, then top-3
+    served through ``ivfpq_refined_query_index`` — static partition
+    pruning intact on both scans after the rewrite.
+
+    The oracle is the serving-config SQL replay
+    (``_ivfpq_refined_ctes``) with the INDEXED corpus restricted to
+    exactly the live rows: training stays full-corpus (codebooks train
+    offline; ingest verbs never retrain) and the query set stays
+    unrestricted (queries are external vectors).  A stale code or a
+    stale int8 vector leaking through supersedence, a deleted id
+    surfacing, or a compaction that breaks either store's layout
+    changes an adc/refine score and fails the hash.  At 100 TB: an
+    upsert epoch appends m+1 small ints + dim int8s per CHANGED vector
+    only; deletes append one tombstone row; supersede-at-read is one
+    map-side-combinable aggregate; compaction moves each LIVE vector
+    once."""
+    stages, state = _refined_upsert_stages(spark, sf_dir)
+    for _name, fn in stages:
+        fn()
+    return state["out"]
+
+
+# =====================================================================
+# B. Retrain-drift gate — the fifth lifecycle verb (VERDICT #5)
+# =====================================================================
+
+
+def _index_drift_oracle():
+    from .registry_ext import _COSINE_SQL
+    from .registry_r11 import _RT, _ivfpq_refined_ctes
+
+    cos = _COSINE_SQL.format(a="eq.embedding", b="ec.embedding")
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes(live_where=_LIVE_WHERE)},
+    appr AS (SELECT query_id, match_id FROM refined),
+    exact AS (
+      SELECT query_id, match_id FROM (
+        SELECT eq.vec_id AS query_id, ec.vec_id AS match_id,
+               row_number() OVER (PARTITION BY eq.vec_id
+                 ORDER BY {cos} DESC, ec.vec_id) AS rank
+        FROM embeddings eq CROSS JOIN embeddings ec
+        WHERE eq.vec_id < {_RT["n_queries"]} AND eq.vec_id <> ec.vec_id
+          AND NOT (ec.vec_id % 11 = 3))
+      WHERE rank <= {_RT["k"]}),
+    hits AS (
+      -- equi-join, not INTERSECT (DuckDB rejects set-op CTE bodies
+      -- inside a WITH RECURSIVE list); both sides are rank-limited
+      -- distinct, so this IS the semi join
+      SELECT e.query_id, e.match_id
+      FROM exact e JOIN appr a
+        ON a.query_id = e.query_id AND a.match_id = e.match_id),
+    agg AS (
+      SELECT
+        CAST((SELECT count(DISTINCT query_id) FROM exact) AS BIGINT)
+          AS n_queries,
+        CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_truth,
+        CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+        CAST((SELECT count(*) FROM hits) * 1000000
+             // greatest((SELECT count(*) FROM exact), 1) AS BIGINT)
+          AS recall_micro)
+    SELECT n_queries, n_truth, n_hits, recall_micro,
+           CAST(CASE WHEN recall_micro < {_DRIFT_MIN_RECALL_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS retrain_needed
+    FROM agg
+    """
+
+
+@register("ext_eval_index_drift", _index_drift_oracle())
+def q_ext_eval_index_drift(spark, sf_dir):
+    """Retrain-drift gate — the FIFTH index lifecycle verb (VERDICT
+    r11 #5): after upserts mutate the corpus under offline-trained
+    codebooks, recompute the hash-pinned recall@3 of the POST-UPSERT
+    index (served through the compacted layout) against exact
+    brute-force cosine over the LIVE corpus, and publish a
+    retrain-needed boolean at the pinned 0.80 threshold.  Both sides
+    restate in SQL, so the measured post-upsert recall AND the gate
+    decision are hash-verified: codebook drift that degrades recall
+    past the threshold flips ``retrain_needed`` and the driver sees
+    it.  Scale shape: the exact side broadcasts the tiny query set
+    over one corpus scan; the approximate side touches only probed
+    partitions — the gate costs one evaluation pass, never a
+    retrain."""
+    from .ext.simsearch import cosine_topk, ivfpq_refined_query_index
+    from .registry_r11 import _RT
+
+    serving = _ensure_refined_upserted(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.filter(~(F.col("vec_id") % 11 == 3))
+    q5 = emb.filter(F.col("vec_id") < _RT["n_queries"])
+    exact = (
+        cosine_topk(live, q5, "vec_id", "embedding", k=_RT["k"])
+        .select("query_id", "match_id")
+        .persist()
+    )
+    appr = ivfpq_refined_query_index(
+        spark,
+        serving,
+        q5,
+        "vec_id",
+        "embedding",
+        k=_RT["k"],
+        nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"],
+        m=_RT["m"],
+        dim=_RT["dim"],
+    ).select("query_id", "match_id")
+    try:
+        n_truth = exact.count()
+        n_q = exact.select("query_id").distinct().count()
+        n_hits = exact.join(
+            appr, ["query_id", "match_id"], "left_semi"
+        ).count()
+    finally:
+        exact.unpersist()
+    recall_micro = n_hits * 1_000_000 // max(n_truth, 1)
+    rows = [
+        (
+            int(n_q),
+            int(n_truth),
+            int(n_hits),
+            int(recall_micro),
+            int(recall_micro < _DRIFT_MIN_RECALL_MICRO),
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "n_queries long, n_truth long, n_hits long, recall_micro long,"
+        " retrain_needed long",
+    )
+
+
+# =====================================================================
+# C. ETCCDI precipitation extremes (VERDICT #6): Rx1day / Rx5day / CDD
+# =====================================================================
+
+
+def _wx_daily_pr_ctes() -> str:
+    """DuckDB CTE chain: the wx twin record reduced to the exact
+    integer daily-precipitation series with a 0-based day index —
+    shared by the three precipitation-extreme oracles."""
+    from .registry_ext import wx_twin_sql
+
+    return f"""wx AS ({wx_twin_sql("duckdb")}),
+    dailyp AS (
+      SELECT location_id, CAST(ts AS DATE) AS d,
+             CAST(sum(precipitation) AS BIGINT) AS pr
+      FROM wx GROUP BY location_id, CAST(ts AS DATE)),
+    daily AS (
+      SELECT location_id, d,
+             CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT)
+               AS day_idx,
+             pr
+      FROM dailyp)"""
+
+
+def _wx_daily_pr(spark):
+    """Spark twin of ``_wx_daily_pr_ctes``: hourly precipitation is an
+    integer-valued DOUBLE by twin construction, so the daily sum is
+    exact and order-independent; ``datediff`` on DATEs counts date
+    boundaries on both engines."""
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    return (
+        wx.groupBy("location_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum("precipitation").cast("long").alias("pr"))
+        .withColumn(
+            "day_idx",
+            F.datediff(
+                F.col("d"), F.lit("2024-01-01").cast("date")
+            ).cast("long"),
+        )
+    )
+
+
+@register(
+    "agg_extreme_rx1day",
+    f"""
+    WITH {_wx_daily_pr_ctes()},
+    wk AS (SELECT location_id, day_idx // 7 AS week, day_idx, pr
+           FROM daily),
+    r AS (SELECT location_id, week, pr, day_idx,
+                 row_number() OVER (PARTITION BY location_id, week
+                   ORDER BY pr DESC, day_idx) AS rn,
+                 count(*) OVER (PARTITION BY location_id, week) AS n_days
+          FROM wk)
+    SELECT CAST(location_id AS BIGINT) AS location_id,
+           CAST(week AS BIGINT) AS week,
+           CAST(pr AS BIGINT) AS rx1day_mm,
+           CAST(day_idx AS BIGINT) AS max_day,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rn = 1 ORDER BY location_id, week
+    """,
+)
+def q_agg_extreme_rx1day(spark, sf_dir):
+    """ETCCDI Rx1day — highest 1-day precipitation total per
+    location × 7-day block (the monthly index re-keyed to the 21-day
+    twin record; VERDICT r11 #6): exact integer daily sums, the block
+    maximum published as an ARGMAX row (value + the earliest day it
+    occurs, under the total order (pr DESC, day_idx) — selection,
+    never interpolation).  One shuffle on (location, day) for the
+    daily rollup, one on (location, week) for the rank window —
+    calendar blocks are uniform, no skew."""
+    from pyspark.sql import Window
+
+    daily = _wx_daily_pr(spark)
+    wk = daily.withColumn("week", F.expr("day_idx DIV 7"))
+    w = Window.partitionBy("location_id", "week")
+    r = wk.select(
+        "location_id",
+        "week",
+        "pr",
+        "day_idx",
+        F.row_number()
+        .over(w.orderBy(F.col("pr").desc(), F.col("day_idx")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            F.col("location_id").cast("long").alias("location_id"),
+            F.col("week").cast("long").alias("week"),
+            F.col("pr").cast("long").alias("rx1day_mm"),
+            F.col("day_idx").cast("long").alias("max_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("location_id", "week")
+    )
+
+
+@register(
+    "agg_extreme_rx5day",
+    f"""
+    WITH {_wx_daily_pr_ctes()},
+    r5 AS (SELECT location_id, day_idx,
+                  CAST(sum(pr) OVER (PARTITION BY location_id
+                       ORDER BY day_idx
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS p5
+           FROM daily),
+    wk AS (SELECT location_id, day_idx // 7 AS week, day_idx, p5
+           FROM r5),
+    r AS (SELECT location_id, week, p5, day_idx,
+                 row_number() OVER (PARTITION BY location_id, week
+                   ORDER BY p5 DESC, day_idx) AS rn,
+                 count(*) OVER (PARTITION BY location_id, week) AS n_days
+          FROM wk)
+    SELECT CAST(location_id AS BIGINT) AS location_id,
+           CAST(week AS BIGINT) AS week,
+           CAST(p5 AS BIGINT) AS rx5day_mm,
+           CAST(day_idx AS BIGINT) AS end_day,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rn = 1 ORDER BY location_id, week
+    """,
+)
+def q_agg_extreme_rx5day(spark, sf_dir):
+    """ETCCDI Rx5day — highest consecutive-5-day precipitation total
+    per location × 7-day block: the 5-day window is a ROWS BETWEEN 4
+    PRECEDING frame over the gap-free daily series (the
+    ``win_sliding_minmax`` frame discipline — rows == range on a
+    dense day index), crossing block boundaries exactly as the ETCCDI
+    definition crosses month starts; the block max is attributed to
+    the window's END day, published as an argmax row.  All integer —
+    bit-stable under any partitioning."""
+    from pyspark.sql import Window
+
+    daily = _wx_daily_pr(spark)
+    w5 = (
+        Window.partitionBy("location_id")
+        .orderBy("day_idx")
+        .rowsBetween(-4, 0)
+    )
+    r5 = daily.select(
+        "location_id",
+        "day_idx",
+        F.sum("pr").over(w5).cast("long").alias("p5"),
+    )
+    wk = r5.withColumn("week", F.expr("day_idx DIV 7"))
+    w = Window.partitionBy("location_id", "week")
+    r = wk.select(
+        "location_id",
+        "week",
+        "p5",
+        "day_idx",
+        F.row_number()
+        .over(w.orderBy(F.col("p5").desc(), F.col("day_idx")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            F.col("location_id").cast("long").alias("location_id"),
+            F.col("week").cast("long").alias("week"),
+            F.col("p5").cast("long").alias("rx5day_mm"),
+            F.col("day_idx").cast("long").alias("end_day"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("location_id", "week")
+    )
+
+
+def _cdd_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    hr AS (SELECT location_id,
+                  CAST(date_diff('second',
+                       TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT)
+                    // 3600 AS hour_idx,
+                  precipitation AS pr
+           FROM wx),
+    dry AS (SELECT location_id, hour_idx FROM hr WHERE pr < 1),
+    isl AS (SELECT location_id, hour_idx,
+                   hour_idx - row_number() OVER (PARTITION BY location_id
+                     ORDER BY hour_idx) AS grp
+            FROM dry),
+    runs AS (SELECT location_id, grp,
+                    CAST(count(*) AS BIGINT) AS run_len,
+                    CAST(min(hour_idx) AS BIGINT) AS start_hour
+             FROM isl GROUP BY location_id, grp),
+    top AS (SELECT location_id, run_len, start_hour,
+                   row_number() OVER (PARTITION BY location_id
+                     ORDER BY run_len DESC, start_hour) AS rn,
+                   CAST(sum(run_len) OVER (PARTITION BY location_id)
+                     AS BIGINT) AS n_dry_hours
+            FROM runs)
+    SELECT CAST(location_id AS BIGINT) AS location_id,
+           run_len AS cdd_hours, start_hour, n_dry_hours
+    FROM top WHERE rn = 1 ORDER BY location_id
+    """
+
+
+@register("agg_extreme_cdd", _cdd_oracle())
+def q_agg_extreme_cdd(spark, sf_dir):
+    """ETCCDI CDD — longest consecutive dry spell per location, at
+    the HOURLY granularity the twin record supports (the twin rains
+    on ~20% of hours, so nearly every DAY is wet and daily CDD is
+    vacuous — the hourly re-keying keeps the index meaningful while
+    exercising the same gap-islands machinery; VERDICT r11 #6 /
+    ``agg_spell_lengths`` discipline): dry hour = precipitation <
+    1 mm; island key = hour_idx − row_number over the dry hours (the
+    hour index spelled as integer epoch-second subtraction + DIV on
+    both engines — the CLAUDE.md duration rule, never
+    date_diff('hour') vs timestampdiff); one count per island, the
+    argmax run published with its start hour and the location's total
+    dry-hour count.  One window pass + one hash aggregate, all
+    integer."""
+    from pyspark.sql import Window
+
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    hr = wx.select(
+        "location_id",
+        F.expr(
+            "(unix_timestamp(ts) - unix_timestamp("
+            "TIMESTAMP '2024-01-01 00:00:00')) DIV 3600"
+        ).alias("hour_idx"),
+        F.col("precipitation").alias("pr"),
+    )
+    dry = hr.filter(F.col("pr") < 1).select("location_id", "hour_idx")
+    isl = dry.withColumn(
+        "grp",
+        F.col("hour_idx")
+        - F.row_number().over(
+            Window.partitionBy("location_id").orderBy("hour_idx")
+        ),
+    )
+    runs = isl.groupBy("location_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("hour_idx").cast("long").alias("start_hour"),
+    )
+    wloc = Window.partitionBy("location_id")
+    top = runs.select(
+        "location_id",
+        "run_len",
+        "start_hour",
+        F.row_number()
+        .over(wloc.orderBy(F.col("run_len").desc(), F.col("start_hour")))
+        .alias("rn"),
+        F.sum("run_len").over(wloc).cast("long").alias("n_dry_hours"),
+    )
+    return (
+        top.filter(F.col("rn") == 1)
+        .select(
+            F.col("location_id").cast("long").alias("location_id"),
+            F.col("run_len").alias("cdd_hours"),
+            "start_hour",
+            "n_dry_hours",
+        )
+        .orderBy("location_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# Round-12 rotation bookkeeping: every id registered in THIS round is
+# listed here so older carryovers outrank it for driver window slots
+# (delete this tail at round-13 start).
+# ---------------------------------------------------------------------
+_register_new_this_round(
+    "ext_simsearch_index_refined_upsert",
+    "ext_eval_index_drift",
+    "agg_extreme_rx1day",
+    "agg_extreme_rx5day",
+    "agg_extreme_cdd",
+)
