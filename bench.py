@@ -214,6 +214,11 @@ ISOLATED = [
     # code; the isolated sample makes suite noise separable by
     # construction next round
     "win_scd2",
+    # r11 judge: stream_dedup_minhash drifted 3.24->4.22 anchor-over-
+    # anchor; round-12 isolated probes read it inside the iterative
+    # noise band once ambient host drift is factored out — keep the
+    # clean sample so future rounds separate it by construction
+    "stream_dedup_minhash",
 ]
 
 

@@ -175,6 +175,9 @@ ORACLE_IDS = {
     # the retrain-drift gate; ETCCDI precipitation extremes)
     "ext_simsearch_index_refined_upsert", "ext_eval_index_drift",
     "agg_extreme_rx1day", "agg_extreme_rx5day", "agg_extreme_cdd",
+    "ext_simsearch_index_retrain", "agg_extreme_wetdays",
+    "agg_extreme_wsdi", "ext_pack_length_buckets",
+    "ext_text_span_corruption",
 }
 
 ROWS_ONLY_IDS = {

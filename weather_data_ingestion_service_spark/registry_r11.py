@@ -33,7 +33,7 @@ _RT = dict(k=3, n_clusters=64, ksub=256, m=16, nprobe=16, shortlist=50,
            n_iter=3, dim=64, n_queries=5)
 
 
-def _ivfpq_refined_ctes(p=_RT, live_where=""):
+def _ivfpq_refined_ctes(p=_RT, live_where="", src="embeddings"):
     """The full SQL replay of ``ivfpq_refine_topk`` at the serving
     config: coarse KMeans via the certified ``_kmeans_ctes`` recursion
     (registry_r10), a second recursion ``skm`` for the m per-subspace
@@ -49,11 +49,17 @@ def _ivfpq_refined_ctes(p=_RT, live_where=""):
     the live rows after an upsert/delete epoch story — training stays
     full-corpus (codebooks train offline; ingest verbs never retrain)
     and the query set stays unrestricted (queries are external
-    vectors).  Empty string emits the original SQL byte-for-byte."""
+    vectors).  Empty string emits the original SQL byte-for-byte.
+
+    ``src`` (round 12, the retrain verb): the corpus CTE/table the
+    WHOLE replay — training included — runs over; the retrain oracle
+    passes a live-filtered CTE so codebooks, encode, and serve all
+    re-derive from the post-delete corpus, exactly what a retrain
+    does."""
     m, sub, t = p["m"], p["dim"] // p["m"], p["n_iter"]
     ksub, nq = p["ksub"], p["n_queries"]
     lw = f" WHERE {live_where}" if live_where else ""
-    return f"""{_kmeans_ctes(k=p["n_clusters"], t=t, dim=p["dim"])},
+    return f"""{_kmeans_ctes(k=p["n_clusters"], t=t, dim=p["dim"], src=src)},
     coarse AS (SELECT cid, cvec FROM km WHERE it = {t}),
     scales AS (
       SELECT vec_id,

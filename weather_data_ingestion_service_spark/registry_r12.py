@@ -606,6 +606,464 @@ def q_agg_extreme_cdd(spark, sf_dir):
     )
 
 
+# =====================================================================
+# D. RETRAIN — the sixth lifecycle verb: the action the drift gate
+#    triggers (rebuild codebooks + encode from the LIVE corpus)
+# =====================================================================
+
+
+def _retrain_oracle():
+    from .registry_r11 import _ivfpq_refined_ctes
+
+    return f"""
+    WITH RECURSIVE live AS (
+      SELECT vec_id, embedding FROM embeddings WHERE {_LIVE_WHERE}),
+    {_ivfpq_refined_ctes(src="live")}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(match_id AS BIGINT) AS match_id,
+           CAST(rank AS BIGINT) AS rank, adc, refine_micro
+    FROM refined ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_index_retrain", _retrain_oracle())
+def q_ext_simsearch_index_retrain(spark, sf_dir):
+    """RETRAIN — the SIXTH index lifecycle verb, the action
+    ``ext_eval_index_drift`` triggers: after enough upserts/deletes
+    the offline codebooks drift from the corpus distribution, so the
+    index rebuilds a NEW GENERATION from the LIVE corpus — codebooks
+    retrained, every live vector re-encoded, fresh pruned layout —
+    while the old generation keeps serving until the swap (here: a
+    separate generation directory).  The oracle re-derives the ENTIRE
+    replay — both KMeans recursions, encode, probe, ADC, refine —
+    from the live-filtered corpus CTE, so a retrain that accidentally
+    trains on dead rows (or keeps stale codebooks) changes the
+    codebooks and fails the hash.  Queries come from the live corpus
+    (the post-delete world).  At 100 TB retrain is the one
+    corpus-sized verb — 1+m control-plane fits + one encode pass —
+    which is exactly why the drift GATE exists: pay it only when the
+    measured recall demands it."""
+    import shutil
+
+    from .ext.simsearch import (
+        ivfpq_refined_build_index,
+        ivfpq_refined_query_index,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+    from .registry_r11 import _RT
+
+    _clean_stale_scratch("/tmp/wds_rtrn_*")
+    root = f"/tmp/wds_rtrn_{_session_tag(spark, sf_dir)}/gen1"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    live = emb.filter(~(F.col("vec_id") % 11 == 3))
+    ivfpq_refined_build_index(
+        live, root, "vec_id", "embedding",
+        n_clusters=_RT["n_clusters"], ksub=_RT["ksub"], m=_RT["m"],
+        n_iter=_RT["n_iter"], dim=_RT["dim"],
+    )
+    return ivfpq_refined_query_index(
+        spark,
+        root,
+        live.filter(F.col("vec_id") < _RT["n_queries"]),
+        "vec_id",
+        "embedding",
+        k=_RT["k"],
+        nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"],
+        m=_RT["m"],
+        dim=_RT["dim"],
+    )
+
+
+# =====================================================================
+# E. ETCCDI wet-day family: R10mm / R20mm / PRCPTOT / SDII (one pass)
+# =====================================================================
+
+
+@register(
+    "agg_extreme_wetdays",
+    f"""
+    WITH {_wx_daily_pr_ctes()},
+    wk AS (SELECT location_id, day_idx // 7 AS week, pr FROM daily)
+    SELECT CAST(location_id AS BIGINT) AS location_id,
+           CAST(week AS BIGINT) AS week,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN pr >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS wet_days,
+           CAST(sum(CASE WHEN pr >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS r100mm,
+           CAST(sum(CASE WHEN pr >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS r200mm,
+           CAST(sum(CASE WHEN pr >= 1 THEN pr ELSE 0 END) AS BIGINT)
+             AS prcptot,
+           CAST(CASE WHEN sum(CASE WHEN pr >= 1 THEN 1 ELSE 0 END) > 0
+                     THEN sum(CASE WHEN pr >= 1 THEN pr ELSE 0 END)
+                          * 1000000
+                          // sum(CASE WHEN pr >= 1 THEN 1 ELSE 0 END)
+                     ELSE 0 END AS BIGINT) AS sdii_micro
+    FROM wk GROUP BY location_id, week ORDER BY location_id, week
+    """,
+)
+def q_agg_extreme_wetdays(spark, sf_dir):
+    """ETCCDI wet-day family in ONE corpus pass — R10mm/R20mm-style
+    heavy-precipitation day counts (thresholds 100/200 on the twin's
+    rainier scale), PRCPTOT (total wet-day precipitation) and SDII
+    (simple daily intensity index = PRCPTOT / wet days, published
+    floor-micro — non-negative, so DIV == floor on both engines): all
+    cross-multiplied integer conditionals inside one
+    map-side-combining hash aggregate per (location, 7-day block) —
+    the C4/Gopher-gate discipline applied to climate indices."""
+    daily = _wx_daily_pr(spark)
+    wk = daily.withColumn("week", F.expr("day_idx DIV 7"))
+    wet = F.when(F.col("pr") >= 1, 1).otherwise(0)
+    wet_pr = F.when(F.col("pr") >= 1, F.col("pr")).otherwise(0)
+    return (
+        wk.groupBy(
+            F.col("location_id").cast("long").alias("location_id"),
+            F.col("week").cast("long").alias("week"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(wet).cast("long").alias("wet_days"),
+            F.sum(F.when(F.col("pr") >= 100, 1).otherwise(0))
+            .cast("long")
+            .alias("r100mm"),
+            F.sum(F.when(F.col("pr") >= 200, 1).otherwise(0))
+            .cast("long")
+            .alias("r200mm"),
+            F.sum(wet_pr).cast("long").alias("prcptot"),
+            F.when(
+                F.sum(wet) > 0,
+                F.expr(
+                    "sum(CASE WHEN pr >= 1 THEN pr ELSE 0 END)"
+                    " * CAST(1000000 AS BIGINT)"
+                    " DIV sum(CASE WHEN pr >= 1 THEN 1 ELSE 0 END)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sdii_micro"),
+        )
+        .orderBy("location_id", "week")
+    )
+
+
+# =====================================================================
+# F. ETCCDI WSDI-family warm-spell index (percentile + gap-islands)
+# =====================================================================
+
+
+def _wsdi_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    tx AS (SELECT location_id, CAST(ts AS DATE) AS d,
+                  CAST(max(temperature_2m) AS BIGINT) AS tx
+           FROM wx WHERE temperature_2m IS NOT NULL
+           GROUP BY location_id, CAST(ts AS DATE)),
+    txi AS (SELECT location_id,
+                   CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT)
+                     AS day_idx,
+                   tx
+            FROM tx),
+    r AS (SELECT location_id, day_idx, tx,
+                 row_number() OVER (PARTITION BY location_id
+                                    ORDER BY tx, day_idx) AS rn,
+                 count(*) OVER (PARTITION BY location_id) AS n
+          FROM txi),
+    thr AS (SELECT location_id, tx AS p75_tx
+            FROM r WHERE rn = (3 * n + 3) // 4),
+    hot AS (SELECT t.location_id, t.day_idx
+            FROM txi t JOIN thr ON t.location_id = thr.location_id
+            WHERE t.tx > thr.p75_tx),
+    isl AS (SELECT location_id, day_idx,
+                   day_idx - row_number() OVER (PARTITION BY location_id
+                     ORDER BY day_idx) AS grp
+            FROM hot),
+    runs AS (SELECT location_id, grp, CAST(count(*) AS BIGINT) AS run_len
+             FROM isl GROUP BY location_id, grp),
+    spells AS (SELECT location_id, run_len FROM runs WHERE run_len >= 2)
+    SELECT CAST(thr.location_id AS BIGINT) AS location_id,
+           CAST(thr.p75_tx AS BIGINT) AS p75_tx,
+           CAST(coalesce(sum(s.run_len), 0) AS BIGINT) AS wsdi_days,
+           CAST(count(s.run_len) AS BIGINT) AS n_spells,
+           CAST(coalesce(max(s.run_len), 0) AS BIGINT) AS longest_spell
+    FROM thr LEFT JOIN spells s ON s.location_id = thr.location_id
+    GROUP BY thr.location_id, thr.p75_tx ORDER BY location_id
+    """
+
+
+@register("agg_extreme_wsdi", _wsdi_oracle())
+def q_agg_extreme_wsdi(spark, sf_dir):
+    """ETCCDI WSDI-family warm-spell duration index — the composition
+    of the two certified machineries: the percentile-exceedance
+    threshold (exact rank SELECTION at (3n+3) DIV 4 under total order
+    (tx, day_idx) — p75 and min spell length 2 re-key the p90/6-day
+    definition to the 21-day twin record, where p90 spells are
+    vacuous by construction) and the gap-islands spell finder over
+    the exceedance days.  Published per location: total warm-spell
+    days, spell count, longest spell, and the threshold itself.
+    Locations without a qualifying spell still publish a zero row
+    (left join from the threshold dim).  One window shuffle + one
+    hash aggregate + a broadcast threshold join, all integer."""
+    from pyspark.sql import Window
+
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    tx = (
+        wx.filter(F.col("temperature_2m").isNotNull())
+        .groupBy("location_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.max("temperature_2m").cast("long").alias("tx"))
+        .withColumn(
+            "day_idx",
+            F.datediff(
+                F.col("d"), F.lit("2024-01-01").cast("date")
+            ).cast("long"),
+        )
+    )
+    wloc = Window.partitionBy("location_id")
+    r = tx.select(
+        "location_id",
+        "day_idx",
+        "tx",
+        F.row_number().over(wloc.orderBy("tx", "day_idx")).alias("rn"),
+        F.count(F.lit(1)).over(wloc).alias("n"),
+    )
+    thr = r.filter(F.expr("rn = (3 * n + 3) DIV 4")).select(
+        "location_id", F.col("tx").alias("p75_tx")
+    )
+    hot = (
+        tx.join(F.broadcast(thr), "location_id")
+        .filter(F.col("tx") > F.col("p75_tx"))
+        .select("location_id", "day_idx")
+    )
+    isl = hot.withColumn(
+        "grp",
+        F.col("day_idx")
+        - F.row_number().over(wloc.orderBy("day_idx")),
+    )
+    runs = isl.groupBy("location_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    spells = runs.filter(F.col("run_len") >= 2).select(
+        "location_id", "run_len"
+    )
+    return (
+        thr.join(spells, "location_id", "left")
+        .groupBy(
+            F.col("location_id").cast("long").alias("location_id"),
+            F.col("p75_tx").cast("long").alias("p75_tx"),
+        )
+        .agg(
+            F.coalesce(F.sum("run_len"), F.lit(0))
+            .cast("long")
+            .alias("wsdi_days"),
+            F.count("run_len").cast("long").alias("n_spells"),
+            F.coalesce(F.max("run_len"), F.lit(0))
+            .cast("long")
+            .alias("longest_spell"),
+        )
+        .orderBy("location_id")
+    )
+
+
+# =====================================================================
+# G. Length-bucketed batching — the padding-efficiency planner every
+#    training loader runs before collation
+# =====================================================================
+
+#: engine-identical whitespace class (Java \s includes \x0B, RE2 does
+#: not — ADVICE r11 #1 rule, explicit on both sides)
+_WS = "[ \\t\\n\\r\\f\\x0B]+"
+_WS_SQL = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+@register(
+    "ext_pack_length_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text),
+                                                   '{_WS_SQL}'),
+                             x -> x <> '')) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             greatest(16, CASE WHEN n_tok <= 1 THEN 1
+                               ELSE 1 << length(bin(n_tok - 1))
+                          END) AS bucket_len
+      FROM tok WHERE n_tok > 0),
+    g AS (
+      SELECT bucket_len,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST((count(*) + 7) // 8 AS BIGINT) AS n_batches,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             CAST(sum(bucket_len - n_tok) AS BIGINT) AS pad_tokens
+      FROM b GROUP BY bucket_len)
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, n_batches,
+           sum_tokens, pad_tokens,
+           CAST(n_batches * 8 * bucket_len AS BIGINT) AS capacity,
+           CAST(sum_tokens * 1000000 // (n_batches * 8 * bucket_len)
+                AS BIGINT) AS efficiency_micro
+    FROM g ORDER BY bucket_len
+    """,
+)
+def q_ext_pack_length_buckets(spark, sf_dir):
+    """LENGTH-BUCKETED batching plan — the padding-efficiency pass a
+    training loader runs before collation (dynamic batching: group
+    sequences into power-of-two length buckets so a batch pads to the
+    bucket length, not the global max): token counts under the
+    engine-identical whitespace class, bucket = max(16, 2^ceil(log2 n))
+    spelled WITHOUT libm as 1 << bitlength(n−1) (``bin`` + ``length``
+    on both engines — exact integers, the round-9 libm rule), batches
+    of 8 per bucket, and per bucket the doc/batch/token counts,
+    padding mass, slot capacity and floor-micro packing efficiency.
+    One corpus pass + one map-side-combining hash aggregate on ~10
+    bucket keys — trivially 100 TB-safe."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), _WS), lambda t: t != ""
+            )
+        ).alias("n_tok"),
+    )
+    b = tok.filter(F.col("n_tok") > 0).withColumn(
+        "bucket_len",
+        F.greatest(
+            F.lit(16).cast("long"),
+            F.when(F.col("n_tok") <= 1, F.lit(1).cast("long")).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "length(bin(n_tok - 1)))")
+            ),
+        ),
+    )
+    g = b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST((count(*) + 7) DIV 8 AS BIGINT)").alias("n_batches"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum(F.col("bucket_len") - F.col("n_tok"))
+        .cast("long")
+        .alias("pad_tokens"),
+    )
+    return g.select(
+        F.col("bucket_len").cast("long").alias("bucket_len"),
+        "n_docs",
+        "n_batches",
+        "sum_tokens",
+        "pad_tokens",
+        (F.col("n_batches") * 8 * F.col("bucket_len"))
+        .cast("long")
+        .alias("capacity"),
+        F.expr(
+            "CAST(sum_tokens * CAST(1000000 AS BIGINT)"
+            " DIV (n_batches * 8 * bucket_len) AS BIGINT)"
+        ).alias("efficiency_micro"),
+    ).orderBy("bucket_len")
+
+
+# =====================================================================
+# H. T5-style span-corruption plan (masked-LM target construction)
+# =====================================================================
+
+
+def _span_corruption_oracle():
+    h = ("CAST('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)"
+         " || ':' || CAST(w AS VARCHAR)), 1, 13) AS BIGINT)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text),
+                                                   '{_WS_SQL}'),
+                             x -> x <> '')) AS n_tok
+      FROM documents),
+    d AS (SELECT doc_id, n_tok FROM tok WHERE n_tok > 0),
+    win AS (
+      SELECT doc_id, n_tok, CAST(w AS BIGINT) AS w
+      FROM d, unnest(range(0, (n_tok - 1) // 20 + 1)) t(w)),
+    sp AS (
+      SELECT doc_id, n_tok, w,
+             w * 20 + ({h} % 17) AS span_start
+      FROM win),
+    spans AS (
+      SELECT doc_id, n_tok, w AS span_idx, span_start,
+             least(3, n_tok - span_start) AS span_len
+      FROM sp WHERE span_start < n_tok)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(span_idx AS BIGINT) AS span_idx,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(sum(span_len) OVER (PARTITION BY doc_id) AS BIGINT)
+             AS corrupted_tokens
+    FROM spans ORDER BY doc_id, span_idx
+    """
+
+
+@register("ext_text_span_corruption", _span_corruption_oracle())
+def q_ext_text_span_corruption(spark, sf_dir):
+    """T5-style SPAN-CORRUPTION plan — masked-LM target construction
+    as a deterministic, shuffle-light corpus pass: each document's
+    token stream splits into 20-token windows; each window corrupts
+    ONE 3-token span whose offset is the portable md5 integer of
+    (doc, window) mod 17 — spans are non-overlapping BY CONSTRUCTION
+    (offset ≤ 16 + length 3 ≤ window width), the final span clips to
+    the document end, and the effective corruption rate is the T5-ish
+    ~15%.  Published: one row per span (start, length) plus the
+    per-doc token/corrupted-token accounting — the exact plan a
+    masking collator materializes.  Scale shape: explode is bounded
+    at n_tok/20 rows per doc, the hash is computed per WINDOW (not
+    per token), and the only window function is a per-doc sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), _WS), lambda t: t != ""
+            )
+        ).alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    win = tok.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.expr("(n_tok - 1) DIV 20"))
+        ).alias("w"),
+    )
+    h = (
+        "CAST(conv(substr(md5(CAST('sc:' || CAST(doc_id AS STRING)"
+        " || ':' || CAST(w AS STRING) AS BINARY)), 1, 13), 16, 10)"
+        " AS BIGINT)"
+    )
+    sp = win.withColumn("span_start", F.expr(f"w * 20 + ({h} % 17)"))
+    spans = sp.filter(F.col("span_start") < F.col("n_tok")).select(
+        "doc_id",
+        "n_tok",
+        F.col("w").alias("span_idx"),
+        "span_start",
+        F.least(
+            F.lit(3).cast("long"), F.col("n_tok") - F.col("span_start")
+        ).alias("span_len"),
+    )
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id")
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_idx").cast("long").alias("span_idx"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_len").cast("long").alias("span_len"),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.sum("span_len").over(wdoc).cast("long").alias("corrupted_tokens"),
+    ).orderBy("doc_id", "span_idx")
+
+
 # ---------------------------------------------------------------------
 # Round-12 rotation bookkeeping: every id registered in THIS round is
 # listed here so older carryovers outrank it for driver window slots
@@ -617,4 +1075,9 @@ _register_new_this_round(
     "agg_extreme_rx1day",
     "agg_extreme_rx5day",
     "agg_extreme_cdd",
+    "ext_simsearch_index_retrain",
+    "agg_extreme_wetdays",
+    "agg_extreme_wsdi",
+    "ext_pack_length_buckets",
+    "ext_text_span_corruption",
 )
