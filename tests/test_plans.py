@@ -898,3 +898,103 @@ def test_ngram_overlap_no_cartesian_bounded_shuffles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan[-2000:]
     assert count_exchanges(df) <= 5, plan[-2000:]
     spark.catalog.clearCache()  # the entry persists the token arrays
+
+
+def test_refined_upserted_serving_keeps_partition_pruning(spark, sf_dir):
+    """ext_simsearch_index_refined_upsert: COMPACTION must restore the
+    pruned serving layout exactly — a query against the post-upsert
+    serving directory statically prunes BOTH cid-partitioned scans
+    (codes AND int8 vectors), same as the freshly-built index (the
+    r11 serve plan pin).  A compaction that dropped partitionBy on
+    either store would silently turn every probe into a full-index
+    scan at 100 TB."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        ivfpq_refined_query_index,
+    )
+    from weather_data_ingestion_service_spark.registry_r11 import _RT
+    from weather_data_ingestion_service_spark.registry_r12 import (
+        _ensure_refined_upserted,
+    )
+
+    serving = _ensure_refined_upserted(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = ivfpq_refined_query_index(
+        spark, serving, emb.filter(F.col("vec_id") < 5), "vec_id",
+        "embedding", k=3, nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"], m=_RT["m"], eager=False,
+    )
+    plan = formatted_plan(df)
+    spark.catalog.clearCache()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*cid[^\]]*)\]", plan)
+    assert len(pfs) >= 2, plan[-3000:]
+    assert "min_by" not in plan and "max_by" not in plan, plan[-2000:]
+
+
+def test_refined_upsert_supersedence_is_epoch_order_not_arrival(
+    spark, sf_dir
+):
+    """The upsert read path must resolve by EPOCH NUMBER, not file
+    arrival order: writing the three epochs in permuted order
+    (tombstones first, then the true re-encode, then the stale full
+    ingest) must yield the identical live view — max_by(payload,
+    epoch) is order-invariant by construction, and this pins it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        ivfpq_refined_apply_epochs,
+        ivfpq_refined_encode_epoch,
+        ivfpq_refined_tombstones,
+        load_refined_codebooks,
+    )
+    from weather_data_ingestion_service_spark.registry_r11 import (
+        _RT,
+        _ensure_refined_index,
+    )
+
+    idx = _ensure_refined_index(spark, sf_dir)
+    cb = load_refined_codebooks(spark, idx, _RT["m"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    changed = F.col("vec_id") % 7 == 0
+    stale0 = emb.withColumn(
+        "embedding",
+        F.when(changed, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    epochs = {
+        0: ivfpq_refined_encode_epoch(
+            stale0, cb[0], cb[1], _RT["m"], _RT["dim"]
+        ),
+        1: ivfpq_refined_encode_epoch(
+            emb.filter(changed), cb[0], cb[1], _RT["m"], _RT["dim"]
+        ),
+        2: ivfpq_refined_tombstones(
+            emb.filter(F.col("vec_id") % 11 == 3)
+        ),
+    }
+    outs = []
+    for order in [(0, 1, 2), (2, 1, 0)]:
+        root = f"/tmp/wds_epochorder_{order[0]}"
+        shutil.rmtree(root, ignore_errors=True)
+        for i in order:
+            epochs[i].write.mode("overwrite").parquet(
+                f"{root}/epoch={i}"
+            )
+        live = ivfpq_refined_apply_epochs(spark, root)
+        outs.append(
+            sorted(
+                (r["match_id"], r["cid"], tuple(r["codes"]))
+                for r in live.select("match_id", "cid", "codes").collect()
+            )
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    assert outs[0] == outs[1]
+    # the deleted ids are gone and the stale codes are shadowed
+    dead = {m for m, _c, _k in outs[0] if m % 11 == 3}
+    assert not dead
