@@ -1064,6 +1064,191 @@ def q_ext_text_span_corruption(spark, sf_dir):
     ).orderBy("doc_id", "span_idx")
 
 
+# =====================================================================
+# I. Matryoshka truncated-dimension recall (MRL-style eval)
+# =====================================================================
+
+
+def _matryoshka_oracle():
+    from .registry_ext import _COSINE_SQL
+
+    parts = []
+    for d in (16, 32, 64):
+        cos = _COSINE_SQL.format(
+            a=f"eq.embedding[1:{d}]", b=f"ec.embedding[1:{d}]"
+        )
+        parts.append(f"""
+    t{d} AS (
+      SELECT query_id, match_id FROM (
+        SELECT eq.vec_id AS query_id, ec.vec_id AS match_id,
+               row_number() OVER (PARTITION BY eq.vec_id
+                 ORDER BY {cos} DESC, ec.vec_id) AS rank
+        FROM embeddings eq CROSS JOIN embeddings ec
+        WHERE eq.vec_id < 5 AND eq.vec_id <> ec.vec_id)
+      WHERE rank <= 3),
+    h{d} AS (
+      SELECT e.query_id, e.match_id
+      FROM t64 e JOIN t{d} a
+        ON a.query_id = e.query_id AND a.match_id = e.match_id)""")
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({d} AS BIGINT) AS trunc_dim,
+           CAST((SELECT count(*) FROM t64) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM h{d}) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM h{d}) * 1000000
+                // greatest((SELECT count(*) FROM t64), 1) AS BIGINT)
+             AS recall_micro"""
+        for d in (16, 32, 64)
+    )
+    return f"WITH {','.join(parts)}\n    {rows} ORDER BY trunc_dim"
+
+
+@register("ext_eval_matryoshka", _matryoshka_oracle())
+def q_ext_eval_matryoshka(spark, sf_dir):
+    """MATRYOSHKA (MRL-style) truncated-dimension recall — the eval a
+    team runs before shipping truncatable embeddings: rank by exact
+    cosine on the FIRST d dims (d = 16/32/64) and score recall@3
+    against the full-dim exact top-3, per truncation.  Dim slicing is
+    a zero-copy array prefix on both engines and the certified
+    ``cosine_topk`` ranking (fixed fold order, ties by vec_id) runs
+    unchanged on the sliced column, so every recall value is
+    hash-pinned.  Scale shape: 3 broadcast-query corpus passes — at
+    100 TB the same eval runs on a hash sample, same plan."""
+    from .ext.simsearch import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=3
+    ).select("query_id", "match_id").persist()
+    rows = []
+    try:
+        n_truth = truth.count()
+        for d in (16, 32, 64):
+            embd = emb.select(
+                "vec_id", F.slice("embedding", 1, d).alias("embedding")
+            )
+            top = cosine_topk(
+                embd, embd.filter(F.col("vec_id") < 5),
+                "vec_id", "embedding", k=3,
+            ).select("query_id", "match_id")
+            n_hits = truth.join(
+                top, ["query_id", "match_id"], "left_semi"
+            ).count()
+            rows.append(
+                (d, int(n_truth), int(n_hits),
+                 int(n_hits * 1_000_000 // max(n_truth, 1)))
+            )
+    finally:
+        truth.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "trunc_dim long, n_truth long, n_hits long, recall_micro long",
+    ).orderBy("trunc_dim")
+
+
+# =====================================================================
+# J. Streaming trained-index ingest (foreachBatch encode-on-arrival
+#    against the OFFLINE trained codebooks)
+# =====================================================================
+
+
+def _stream_refined_oracle():
+    from .registry_r11 import _ivfpq_refined_ctes
+
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes()},
+    csum AS (SELECT match_id, CAST(sum(code) AS BIGINT) AS cs
+             FROM codes GROUP BY match_id)
+    SELECT CAST(l.cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(sum(l.match_id) AS BIGINT) AS match_sum,
+           CAST(sum(c.cs) AS BIGINT) AS code_sum
+    FROM lists l JOIN csum c ON c.match_id = l.match_id
+    GROUP BY l.cid ORDER BY cid
+    """
+
+
+@register("stream_refined_index", _stream_refined_oracle())
+def q_stream_refined_index(spark, sf_dir):
+    """STREAMING ingest for the TRAINED serving-config index — the
+    r10 ``stream_simsearch_index`` story upgraded to the realistic
+    codebooks: vectors keep arriving, codebooks train OFFLINE (once),
+    so each micro-batch encodes against the loaded static codebooks
+    (``ivfpq_refined_encode_epoch`` — the same certified Arrow
+    kernel) and appends a replay-idempotent ``epoch=N`` partition of
+    WIDE per-vector records.  The streamed store's per-list manifest
+    (vector count, id checksum, PQ-code checksum per coarse list)
+    must equal the batch encode BIT-FOR-BIT — encoding is per-row
+    against fixed codebooks, so the union over ANY batching is the
+    batch result; the oracle re-derives every coarse assignment and
+    every one of the m codes through the serving-config SQL replay.
+    Per-batch cost |new|·(n_clusters + m·ksub) broadcast work; the
+    stored index is never rescanned."""
+    import os
+    import shutil
+
+    from .ext.simsearch import (
+        ivfpq_refined_encode_epoch,
+        load_refined_codebooks,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+    from .registry_r11 import _RT, _ensure_refined_index
+
+    idx = _ensure_refined_index(spark, sf_dir)
+    cb = load_refined_codebooks(spark, idx, _RT["m"])
+    _clean_stale_scratch("/tmp/wds_sridx_*")
+    root = f"/tmp/wds_sridx_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # stage the corpus as two arrival files (vec_id halves)
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    now = 1_700_000_000
+    for i, part in enumerate(
+        [emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)]
+    ):
+        sub = os.path.join(root, "in", f"f{i}")
+        part.select("vec_id", "embedding").coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+    store = f"{root}/store"
+
+    def handle(batch_df, epoch_id):
+        ivfpq_refined_encode_epoch(
+            batch_df, cb[0], cb[1], _RT["m"], _RT["dim"]
+        ).write.mode("overwrite").parquet(f"{store}/epoch={int(epoch_id)}")
+
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/in/f*")
+        .writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(store)
+    return (
+        back.withColumn("cid", F.col("cid").cast("long"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_codes"),
+            F.sum("match_id").cast("long").alias("match_sum"),
+            F.sum(
+                F.aggregate(
+                    "codes",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+            )
+            .cast("long")
+            .alias("code_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
 # ---------------------------------------------------------------------
 # Round-12 rotation bookkeeping: every id registered in THIS round is
 # listed here so older carryovers outrank it for driver window slots
@@ -1080,4 +1265,6 @@ _register_new_this_round(
     "agg_extreme_wsdi",
     "ext_pack_length_buckets",
     "ext_text_span_corruption",
+    "ext_eval_matryoshka",
+    "stream_refined_index",
 )
