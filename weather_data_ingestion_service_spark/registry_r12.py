@@ -1111,34 +1111,74 @@ def q_ext_eval_matryoshka(spark, sf_dir):
     a zero-copy array prefix on both engines and the certified
     ``cosine_topk`` ranking (fixed fold order, ties by vec_id) runs
     unchanged on the sliced column, so every recall value is
-    hash-pinned.  Scale shape: 3 broadcast-query corpus passes — at
-    100 TB the same eval runs on a hash sample, same plan."""
-    from .ext.simsearch import cosine_topk
+    hash-pinned.  Scale shape: ONE broadcast-query corpus pass
+    computing all three truncations' cosines and ranks (3 window
+    sorts over one exchange, one aggregate) — at 100 TB the same
+    eval runs on a hash sample, same plan."""
+    from pyspark.sql import Window
 
+    from .ext.simsearch import _dot, _norm
+
+    dims = (16, 32, 64)
     emb = load_table(spark, sf_dir, "embeddings")
-    truth = cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=3
-    ).select("query_id", "match_id").persist()
-    rows = []
-    try:
-        n_truth = truth.count()
-        for d in (16, 32, 64):
-            embd = emb.select(
-                "vec_id", F.slice("embedding", 1, d).alias("embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.slice("embedding", 1, d).alias(f"q{d}") for d in dims],
+    )
+    q = q.select(
+        "query_id",
+        *[F.col(f"q{d}") for d in dims],
+        *[_norm(F.col(f"q{d}")).alias(f"qn{d}") for d in dims],
+    )
+    c = emb.select(
+        F.col("vec_id").alias("match_id"),
+        *[F.slice("embedding", 1, d).alias(f"c{d}") for d in dims],
+    )
+    c = c.select(
+        "match_id",
+        *[F.col(f"c{d}") for d in dims],
+        *[_norm(F.col(f"c{d}")).alias(f"cn{d}") for d in dims],
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+    )
+    for d in dims:
+        # the certified cosine_topk expression verbatim, per slice
+        pairs = pairs.withColumn(
+            f"cos{d}",
+            _dot(F.col(f"q{d}"), F.col(f"c{d}"))
+            / (F.col(f"qn{d}") * F.col(f"cn{d}")),
+        )
+    w = Window.partitionBy("query_id")
+    for d in dims:
+        pairs = pairs.withColumn(
+            f"r{d}",
+            F.row_number().over(
+                w.orderBy(F.col(f"cos{d}").desc(), F.col("match_id"))
+            ),
+        )
+    got = pairs.agg(
+        F.sum(F.when(F.col("r64") <= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truth"),
+        *[
+            F.sum(
+                F.when((F.col(f"r{d}") <= 3) & (F.col("r64") <= 3), 1)
+                .otherwise(0)
             )
-            top = cosine_topk(
-                embd, embd.filter(F.col("vec_id") < 5),
-                "vec_id", "embedding", k=3,
-            ).select("query_id", "match_id")
-            n_hits = truth.join(
-                top, ["query_id", "match_id"], "left_semi"
-            ).count()
-            rows.append(
-                (d, int(n_truth), int(n_hits),
-                 int(n_hits * 1_000_000 // max(n_truth, 1)))
-            )
-    finally:
-        truth.unpersist()
+            .cast("long")
+            .alias(f"h{d}")
+            for d in dims
+        ],
+    ).first()
+    n_truth = int(got["n_truth"])
+    rows = [
+        (d, n_truth, int(got[f"h{d}"]),
+         int(got[f"h{d}"] * 1_000_000 // max(n_truth, 1)))
+        for d in dims
+    ]
     return spark.createDataFrame(
         rows,
         "trunc_dim long, n_truth long, n_hits long, recall_micro long",
