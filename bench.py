@@ -192,10 +192,15 @@ HEADLINE = [
     # round-12 additions: upsert/delete on the TRAINED serving-config
     # index (runs after the refined build so the ensure is a no-op)
     # and the retrain-drift gate (reads the upserted serving layout);
-    # the ETCCDI precipitation extremes are constant-size (wx twin)
-    # and stay out of the suite
+    # the ETCCDI extremes are constant-size (wx twin) and stay out of
+    # the suite; ext_simsearch_index_retrain and stream_refined_index
+    # stay out too — both are build+encode re-runs whose cost the
+    # refined-build row and its per-stage split already attribute
     "ext_simsearch_index_refined_upsert",
     "ext_eval_index_drift",
+    # round-12 second batch: the fused single-pass truncated-dim
+    # recall eval (one broadcast corpus pass, 3 ranks)
+    "ext_eval_matryoshka",
 ]
 
 #: iterative heavies also get a NO-NEIGHBOR sample: one extra timing

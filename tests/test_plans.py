@@ -998,3 +998,28 @@ def test_refined_upsert_supersedence_is_epoch_order_not_arrival(
     # the deleted ids are gone and the stale codes are shadowed
     dead = {m for m, _c, _k in outs[0] if m % 11 == 3}
     assert not dead
+
+
+def test_round12_new_entries_plan_budgets(spark, sf_dir):
+    """Exchange budgets + join strategy pins for the round-12 entries:
+    the ETCCDI aggregates are 2-3 exchange window/agg passes with no
+    sort-merge join anywhere (per-location dims broadcast), the two
+    LLM planners are single-aggregate corpus passes, and the fused
+    matryoshka eval is ONE broadcast cross-join pass."""
+    budgets = {
+        "agg_extreme_wetdays": 3,
+        "agg_extreme_rx1day": 3,
+        "agg_extreme_rx5day": 3,
+        "agg_extreme_cdd": 2,
+        "agg_extreme_wsdi": 7,  # duplicated tiny-twin subtrees; all keys are per-location
+        "ext_pack_length_buckets": 2,
+        "ext_text_span_corruption": 2,
+        "ext_eval_matryoshka": 2,
+    }
+    for name, budget in budgets.items():
+        df = QS[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" not in plan, (name, plan[-2000:])
+        assert count_exchanges(df) <= budget, (
+            name, count_exchanges(df), plan[-2000:]
+        )

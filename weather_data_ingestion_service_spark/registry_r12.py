@@ -853,8 +853,11 @@ def q_agg_extreme_wsdi(spark, sf_dir):
     spells = runs.filter(F.col("run_len") >= 2).select(
         "location_id", "run_len"
     )
+    # both sides are per-location summaries (|locs| rows at any record
+    # length) — broadcast the spell side so the zero-preserving left
+    # join never sort-merges
     return (
-        thr.join(spells, "location_id", "left")
+        thr.join(F.broadcast(spells), "location_id", "left")
         .groupBy(
             F.col("location_id").cast("long").alias("location_id"),
             F.col("p75_tx").cast("long").alias("p75_tx"),
