@@ -2491,7 +2491,13 @@ def _train_refined_codebooks(
     copy of the quantized corpus via ``_kmeans_int_np``; above it each
     fit is a ``kmeans_fixedpoint_int`` distributed loop.  Both paths
     are bit-identical by integer determinism.  Returns the two
-    control-plane codebook frames (n_clusters rows; m·ksub rows)."""
+    control-plane codebook frames (n_clusters rows; m·ksub rows).
+
+    Do NOT raise ``driver_max_vectors`` past its ~100k design point:
+    numpy int64 matmuls have no BLAS path, so the collected fit
+    degrades super-linearly (128k vectors: 501 s collected vs 103 s
+    distributed — BASELINE.md round-12 probe 6c); the distributed
+    Arrow path exists precisely for that regime."""
     import numpy as np
 
     n_vec = q256.limit(driver_max_vectors + 1).count()
