@@ -176,8 +176,8 @@ ORACLE_IDS = {
     "ext_simsearch_index_refined_upsert", "ext_eval_index_drift",
     "agg_extreme_rx1day", "agg_extreme_rx5day", "agg_extreme_cdd",
     "ext_simsearch_index_retrain", "agg_extreme_wetdays",
-    "agg_extreme_wsdi", "ext_pack_length_buckets",
-    "ext_text_span_corruption", "ext_eval_matryoshka",
+    "agg_extreme_wsdi", "ext_pack_length_buckets", "agg_extreme_dtr",
+    "ext_eval_matryoshka",
     "stream_refined_index",
 }
 

@@ -1011,9 +1011,9 @@ def test_round12_new_entries_plan_budgets(spark, sf_dir):
         "agg_extreme_rx1day": 3,
         "agg_extreme_rx5day": 3,
         "agg_extreme_cdd": 2,
+        "agg_extreme_dtr": 3,
         "agg_extreme_wsdi": 7,  # duplicated tiny-twin subtrees; all keys are per-location
         "ext_pack_length_buckets": 2,
-        "ext_text_span_corruption": 2,
         "ext_eval_matryoshka": 2,
     }
     for name, budget in budgets.items():

@@ -971,103 +971,6 @@ def q_ext_pack_length_buckets(spark, sf_dir):
 
 
 # =====================================================================
-# H. T5-style span-corruption plan (masked-LM target construction)
-# =====================================================================
-
-
-def _span_corruption_oracle():
-    h = ("CAST('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)"
-         " || ':' || CAST(w AS VARCHAR)), 1, 13) AS BIGINT)")
-    return f"""
-    WITH tok AS (
-      SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(text),
-                                                   '{_WS_SQL}'),
-                             x -> x <> '')) AS n_tok
-      FROM documents),
-    d AS (SELECT doc_id, n_tok FROM tok WHERE n_tok > 0),
-    win AS (
-      SELECT doc_id, n_tok, CAST(w AS BIGINT) AS w
-      FROM d, unnest(range(0, (n_tok - 1) // 20 + 1)) t(w)),
-    sp AS (
-      SELECT doc_id, n_tok, w,
-             w * 20 + ({h} % 17) AS span_start
-      FROM win),
-    spans AS (
-      SELECT doc_id, n_tok, w AS span_idx, span_start,
-             least(3, n_tok - span_start) AS span_len
-      FROM sp WHERE span_start < n_tok)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(span_idx AS BIGINT) AS span_idx,
-           CAST(span_start AS BIGINT) AS span_start,
-           CAST(span_len AS BIGINT) AS span_len,
-           CAST(n_tok AS BIGINT) AS n_tokens,
-           CAST(sum(span_len) OVER (PARTITION BY doc_id) AS BIGINT)
-             AS corrupted_tokens
-    FROM spans ORDER BY doc_id, span_idx
-    """
-
-
-@register("ext_text_span_corruption", _span_corruption_oracle())
-def q_ext_text_span_corruption(spark, sf_dir):
-    """T5-style SPAN-CORRUPTION plan — masked-LM target construction
-    as a deterministic, shuffle-light corpus pass: each document's
-    token stream splits into 20-token windows; each window corrupts
-    ONE 3-token span whose offset is the portable md5 integer of
-    (doc, window) mod 17 — spans are non-overlapping BY CONSTRUCTION
-    (offset ≤ 16 + length 3 ≤ window width), the final span clips to
-    the document end, and the effective corruption rate is the T5-ish
-    ~15%.  Published: one row per span (start, length) plus the
-    per-doc token/corrupted-token accounting — the exact plan a
-    masking collator materializes.  Scale shape: explode is bounded
-    at n_tok/20 rows per doc, the hash is computed per WINDOW (not
-    per token), and the only window function is a per-doc sum."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col("text")), _WS), lambda t: t != ""
-            )
-        ).alias("n_tok"),
-    ).filter(F.col("n_tok") > 0)
-    win = tok.select(
-        "doc_id",
-        "n_tok",
-        F.explode(
-            F.sequence(F.lit(0).cast("long"),
-                       F.expr("(n_tok - 1) DIV 20"))
-        ).alias("w"),
-    )
-    h = (
-        "CAST(conv(substr(md5(CAST('sc:' || CAST(doc_id AS STRING)"
-        " || ':' || CAST(w AS STRING) AS BINARY)), 1, 13), 16, 10)"
-        " AS BIGINT)"
-    )
-    sp = win.withColumn("span_start", F.expr(f"w * 20 + ({h} % 17)"))
-    spans = sp.filter(F.col("span_start") < F.col("n_tok")).select(
-        "doc_id",
-        "n_tok",
-        F.col("w").alias("span_idx"),
-        "span_start",
-        F.least(
-            F.lit(3).cast("long"), F.col("n_tok") - F.col("span_start")
-        ).alias("span_len"),
-    )
-    from pyspark.sql import Window
-
-    wdoc = Window.partitionBy("doc_id")
-    return spans.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("span_idx").cast("long").alias("span_idx"),
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_len").cast("long").alias("span_len"),
-        F.col("n_tok").cast("long").alias("n_tokens"),
-        F.sum("span_len").over(wdoc).cast("long").alias("corrupted_tokens"),
-    ).orderBy("doc_id", "span_idx")
-
-
-# =====================================================================
 # I. Matryoshka truncated-dimension recall (MRL-style eval)
 # =====================================================================
 
@@ -1292,6 +1195,104 @@ def q_stream_refined_index(spark, sf_dir):
     )
 
 
+# =====================================================================
+# K. ETCCDI DTR — diurnal temperature range
+# =====================================================================
+
+
+def _dtr_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb")}),
+    d AS (SELECT location_id, CAST(ts AS DATE) AS dd,
+                 CAST(max(temperature_2m) AS BIGINT)
+                   - CAST(min(temperature_2m) AS BIGINT) AS rng
+          FROM wx WHERE temperature_2m IS NOT NULL
+          GROUP BY location_id, CAST(ts AS DATE)),
+    di AS (SELECT location_id,
+                  CAST(date_diff('day', DATE '2024-01-01', dd) AS BIGINT)
+                    AS day_idx,
+                  rng
+           FROM d),
+    wk AS (SELECT location_id, day_idx // 7 AS week, day_idx, rng
+           FROM di),
+    r AS (SELECT location_id, week, rng, day_idx,
+                 row_number() OVER (PARTITION BY location_id, week
+                   ORDER BY rng DESC, day_idx) AS rn,
+                 count(*) OVER (PARTITION BY location_id, week) AS n_days,
+                 sum(rng) OVER (PARTITION BY location_id, week) AS s
+          FROM wk)
+    SELECT CAST(location_id AS BIGINT) AS location_id,
+           CAST(week AS BIGINT) AS week,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(s * 1000000 // n_days AS BIGINT) AS dtr_mean_micro,
+           CAST(rng AS BIGINT) AS dtr_max,
+           CAST(day_idx AS BIGINT) AS max_day
+    FROM r WHERE rn = 1 ORDER BY location_id, week
+    """
+
+
+@register("agg_extreme_dtr", _dtr_oracle())
+def q_agg_extreme_dtr(spark, sf_dir):
+    """ETCCDI DTR — diurnal temperature range per location × 7-day
+    block: daily max−min temperature (exact integers on the twin),
+    the block MEAN published floor-micro (the range is non-negative,
+    so DIV == floor on both engines) and the block-max range as an
+    argmax row under the total order (rng DESC, day_idx).  One daily
+    rollup + one block window — the Rx1day shape on a derived
+    measure."""
+    from pyspark.sql import Window
+
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark"))
+    d = (
+        wx.filter(F.col("temperature_2m").isNotNull())
+        .groupBy("location_id", F.col("ts").cast("date").alias("dd"))
+        .agg(
+            (
+                F.max("temperature_2m").cast("long")
+                - F.min("temperature_2m").cast("long")
+            ).alias("rng")
+        )
+        .withColumn(
+            "day_idx",
+            F.datediff(
+                F.col("dd"), F.lit("2024-01-01").cast("date")
+            ).cast("long"),
+        )
+        .withColumn("week", F.expr("day_idx DIV 7"))
+    )
+    w = Window.partitionBy("location_id", "week")
+    r = d.select(
+        "location_id",
+        "week",
+        "rng",
+        "day_idx",
+        F.row_number()
+        .over(w.orderBy(F.col("rng").desc(), F.col("day_idx")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.sum("rng").over(w).alias("s"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            F.col("location_id").cast("long").alias("location_id"),
+            F.col("week").cast("long").alias("week"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.expr("CAST(s * CAST(1000000 AS BIGINT) DIV n_days AS BIGINT)")
+            .alias("dtr_mean_micro"),
+            F.col("rng").cast("long").alias("dtr_max"),
+            F.col("day_idx").cast("long").alias("max_day"),
+        )
+        .orderBy("location_id", "week")
+    )
+
+
 # ---------------------------------------------------------------------
 # Round-12 rotation bookkeeping: every id registered in THIS round is
 # listed here so older carryovers outrank it for driver window slots
@@ -1307,7 +1308,7 @@ _register_new_this_round(
     "agg_extreme_wetdays",
     "agg_extreme_wsdi",
     "ext_pack_length_buckets",
-    "ext_text_span_corruption",
     "ext_eval_matryoshka",
     "stream_refined_index",
+    "agg_extreme_dtr",
 )
