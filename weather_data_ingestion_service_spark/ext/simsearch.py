@@ -898,7 +898,13 @@ def ivfpq_build_index(
     codes = ivfpq_encode_codes(
         corpus, id_col, vec_col, n_clusters, m, dim, cent=cent_back
     )
-    codes.write.mode("overwrite").partitionBy("cid").parquet(path + "/codes")
+    # repartition("cid") first: a partitionBy write from N upstream
+    # partitions fans out to N × |touched cids| files (round-12 probe:
+    # 917 files / 50 s vs 64 files / 3.2 s at sf0.1); one file per
+    # list bounds file count by n_clusters at any corpus size
+    codes.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path + "/codes")
 
 
 def ivfpq_query_index(
@@ -3046,15 +3052,19 @@ def ivfpq_refined_build_stages(
         state["lists_df"], state["codes_cid"] = lists_df, codes_cid
 
     def write():
+        # repartition("cid") first: a partitionBy write from N cached
+        # partitions creates N × |touched cids| files (round-12 probe:
+        # 917 files / 50 s vs 64 files / 3.2 s); one file per list
+        # bounds file count by n_clusters at any corpus size
         try:
-            state["codes_cid"].write.mode("overwrite").partitionBy(
-                "cid"
-            ).parquet(path + "/codes")
+            state["codes_cid"].repartition("cid").write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(path + "/codes")
             state["q256"].join(state["lists_df"], "match_id").select(
                 "match_id", "q", "scale", "cid"
-            ).write.mode("overwrite").partitionBy("cid").parquet(
-                path + "/vectors"
-            )
+            ).repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(path + "/vectors")
         finally:
             state["codes_cid"].unpersist()
             state["q256"].unpersist()
@@ -3225,7 +3235,14 @@ def ivfpq_refined_compact_epochs(
     pruning restored), codebooks copied verbatim from the trained
     index (compaction never retrains).  Moves m+1 small ints + dim
     int8s per LIVE vector, once — the amortized cost that keeps the
-    epoch store from growing unboundedly."""
+    epoch store from growing unboundedly.
+
+    Both writes ``repartition("cid")`` first: a partitionBy write from
+    N upstream partitions fans out to N × |touched cids| files — the
+    round-12 probe measured 917 files / 50 s vs 64 files / 3.2 s at
+    sf0.1.  Hash-distributing whole cids over the shuffle keeps one
+    file per list per store and bounds file count by n_clusters at
+    any corpus size."""
     for tbl in ("coarse", "books"):
         spark.read.parquet(f"{index_path}/{tbl}").coalesce(1).write.mode(
             "overwrite"
@@ -3238,11 +3255,13 @@ def ivfpq_refined_compact_epochs(
             "cid",
         ).select(
             "match_id", F.col("s").cast("long").alias("s"), "code", "cid"
+        ).repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(serving_path + "/codes")
+        live.select("match_id", "q", "scale", "cid").repartition(
+            "cid"
         ).write.mode("overwrite").partitionBy("cid").parquet(
-            serving_path + "/codes"
+            serving_path + "/vectors"
         )
-        live.select("match_id", "q", "scale", "cid").write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(serving_path + "/vectors")
     finally:
         live.unpersist()

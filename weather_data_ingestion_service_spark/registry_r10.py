@@ -1670,9 +1670,13 @@ def _index_compact_stages(spark, sf_dir):
         state["cent"].coalesce(1).write.mode("overwrite").parquet(
             serving + "/codebook"
         )
-        spark.read.parquet(f"{root}/ingest").drop("epoch").write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(serving + "/codes")
+        # repartition("cid") first — the round-12 file-fanout rule
+        # (one file per list; see ivfpq_refined_compact_epochs)
+        spark.read.parquet(f"{root}/ingest").drop("epoch").repartition(
+            "cid"
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            serving + "/codes"
+        )
 
     def serve_query():
         # eagerly materialized inside ivfpq_query_index

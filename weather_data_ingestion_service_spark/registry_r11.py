@@ -416,9 +416,11 @@ def _index_upsert_stages(spark, sf_dir):
         _cb().coalesce(1).write.mode("overwrite").parquet(
             serving + "/codebook"
         )
-        live.write.mode("overwrite").partitionBy("cid").parquet(
-            serving + "/codes"
-        )
+        # repartition("cid") first — the round-12 file-fanout rule
+        # (one file per list; see ivfpq_refined_compact_epochs)
+        live.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(serving + "/codes")
 
     def serve_stage():
         out = ivfpq_query_index(

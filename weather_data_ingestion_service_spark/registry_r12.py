@@ -45,6 +45,15 @@ _register_changed_since_green(
     "ext_simsearch_index_refined_serve",
     "ext_eval_ivfpq_recall_trained",
 )
+# - the cid-partitioned index writes now repartition("cid") first (the
+#   round-12 file-fanout rule: N upstream partitions × |cids| files →
+#   one file per list, 917→64 files / 50→3.2 s measured); re-certify
+#   every green consumer of an index write path.
+_register_changed_since_green(
+    "ext_simsearch_index_build",
+    "ext_simsearch_index_query",
+    "ext_simsearch_index_compact",
+)
 
 #: live-rows predicate of the round-12 upsert/delete story (mirrors the
 #: r11 md5-index story so the two lifecycles are comparable)
