@@ -179,6 +179,12 @@ ORACLE_IDS = {
     "agg_extreme_wsdi", "ext_pack_length_buckets", "agg_extreme_dtr",
     "ext_eval_matryoshka",
     "stream_refined_index",
+    # round 13 additions (VERDICT r12 punch list: the generation-swap
+    # pointer flip; the deleted-list recall hole; streaming ingest →
+    # drift gate → retrain composition; TX90p at the true calendar
+    # config over the 3-year twin)
+    "ext_simsearch_index_swap", "ext_simsearch_index_list_hole",
+    "stream_drift_retrain", "agg_extreme_tx90p_year",
 }
 
 ROWS_ONLY_IDS = {

@@ -978,9 +978,11 @@ def test_refined_upsert_supersedence_is_epoch_order_not_arrival(
             emb.filter(F.col("vec_id") % 11 == 3)
         ),
     }
+    from weather_data_ingestion_service_spark.registry import _session_tag
+
     outs = []
     for order in [(0, 1, 2), (2, 1, 0)]:
-        root = f"/tmp/wds_epochorder_{order[0]}"
+        root = f"/tmp/wds_epochorder_{_session_tag(spark, sf_dir)}_{order[0]}"
         shutil.rmtree(root, ignore_errors=True)
         for i in order:
             epochs[i].write.mode("overwrite").parquet(
@@ -1023,3 +1025,20 @@ def test_round12_new_entries_plan_budgets(spark, sf_dir):
         assert count_exchanges(df) <= budget, (
             name, count_exchanges(df), plan[-2000:]
         )
+
+
+def test_tx90p_year_threshold_broadcast_no_smj(spark, sf_dir):
+    """agg_extreme_tx90p_year: the 1830-row calendar threshold table
+    must broadcast back onto the daily series (no sort-merge join),
+    and the whole plan stays within a bounded exchange budget — the
+    hourly record reduces to daily grain before any pooling, so no
+    window sort ever touches hourly rows.  5 exchanges: the daily
+    reduce runs on BOTH the threshold branch and the exceedance
+    branch (Spark's exchange reuse can't unify them — different
+    pruned schemas), plus the threshold pooling, the monthly rollup
+    and the terminal sort; every one is daily-grain or smaller."""
+    df = QS["agg_extreme_tx90p_year"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan[-2000:]
+    assert "SortMergeJoin" not in plan, plan[-2000:]
+    assert count_exchanges(df) <= 5, (count_exchanges(df), plan[-2000:])

@@ -3265,3 +3265,68 @@ def ivfpq_refined_compact_epochs(
         )
     finally:
         live.unpersist()
+
+
+# ---------------------------------------------------------------------
+# Generation manifest — the serve-during-retrain pointer (round 13)
+# ---------------------------------------------------------------------
+
+#: schema of one generation-manifest record: a tiny append-only control
+#: row.  ``state_epoch`` is the manifest's own logical clock — the
+#: LATEST state row per generation wins (max_by), so a flip is ONE
+#: atomic-append of new state rows, never an in-place rewrite.
+_GENERATION_MANIFEST_SCHEMA = (
+    "generation long, path string, state_epoch long, active int"
+)
+
+
+def index_generation_append(
+    spark, manifest_path: str, rows: list
+) -> None:
+    """Append generation-state rows ``(generation, path, state_epoch,
+    active)`` to the index's generation manifest.  The manifest is the
+    POINTER a serving fleet reads: retrain builds generation N+1 into
+    its own directory while N keeps serving, then ONE append flips the
+    pointer (N+1 active, N retired).  Control-plane: a handful of rows
+    per lifecycle event, coalesced to one file — never corpus-sized."""
+    spark.createDataFrame(
+        [
+            (int(g), str(p), int(e), int(a))
+            for (g, p, e, a) in rows
+        ],
+        _GENERATION_MANIFEST_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(manifest_path)
+
+
+def index_generation_states(spark, manifest_path: str) -> DataFrame:
+    """Resolve the CURRENT state of every generation: latest
+    ``state_epoch`` row wins per generation (one ``max_by(struct,
+    state_epoch)`` over a control-plane table)."""
+    return (
+        spark.read.parquet(manifest_path)
+        .groupBy("generation")
+        .agg(
+            F.max_by(
+                F.struct("path", "active"), F.col("state_epoch")
+            ).alias("st")
+        )
+        .select("generation", F.col("st.path").alias("path"),
+                F.col("st.active").alias("active"))
+    )
+
+
+def index_generation_active(spark, manifest_path: str):
+    """THE pointer read: the highest active generation ``(generation,
+    path)``.  Every query-path consumer resolves through this — after
+    a flip, queries land on the new generation with no coordination
+    beyond the manifest append."""
+    rows = (
+        index_generation_states(spark, manifest_path)
+        .filter(F.col("active") == 1)
+        .orderBy(F.col("generation").desc())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no active generation in {manifest_path}")
+    return int(rows[0]["generation"]), str(rows[0]["path"])

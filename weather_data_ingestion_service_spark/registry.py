@@ -1414,6 +1414,7 @@ def _load_extensions() -> None:
     from . import registry_r10  # noqa: F401
     from . import registry_r11  # noqa: F401
     from . import registry_r12  # noqa: F401
+    from . import registry_r13  # noqa: F401
 
 
 #: SURVEY.md §2-mandated ids beyond the ``ext_*`` prefix — served ahead

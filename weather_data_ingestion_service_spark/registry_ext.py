@@ -770,14 +770,22 @@ _WX_TWIN_DAYS = 21
 _WX_TWIN_LOCS = 5
 
 
-def wx_twin_sql(engine: str) -> str:
+def wx_twin_sql(
+    engine: str, days: int = _WX_TWIN_DAYS, locs: int = _WX_TWIN_LOCS
+) -> str:
     """One deterministic hourly-weather construction, emitted for
     either engine.  Noise = first 13 hex digits of
     md5('<tag>:<loc>:<hour>') as an integer (the repo's portable-hash
     convention, registry_r6 ext_text_hashtf); every measure is an
     integer-valued DOUBLE so daily sums/avgs are exact and
-    order-independent cross-engine."""
-    n = _WX_TWIN_DAYS * 24 * _WX_TWIN_LOCS
+    order-independent cross-engine.
+
+    ``days``/``locs`` (round 13): horizon knobs for the multi-year
+    ETCCDI record — at the defaults the emitted SQL is byte-identical
+    to the round-4 original (every green oracle unchanged); a longer
+    horizon extends the SAME md5 grid, so the first 21 days of the
+    year twin are bit-identical to the short twin."""
+    n = days * 24 * locs
     if engine == "spark":
         rng = f"SELECT id AS n FROM range(0, {n})"
         intdiv, s = "DIV", "STRING"
@@ -832,8 +840,8 @@ def wx_twin_sql(engine: str) -> str:
            CAST({H('df')} % 150 AS DOUBLE) AS diffuse_radiation,
            CASE WHEN h % 97 = 0 THEN CAST(NULL AS DOUBLE)
                 ELSE CAST({H('uv')} % 9 AS DOUBLE) END AS uv_index
-    FROM (SELECT n % {_WX_TWIN_LOCS} AS lid,
-                 n {intdiv} {_WX_TWIN_LOCS} AS h
+    FROM (SELECT n % {locs} AS lid,
+                 n {intdiv} {locs} AS h
           FROM ({rng}))
     """
 

@@ -17,43 +17,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import (
-    _register_changed_since_green,
-    _register_new_this_round,
-    register,
-)
+from .registry import _register_changed_since_green, register
 
-# Round 12 edits behind green ids (delete once a later CORRECTNESS
-# shows them green again):
-# - ext_simsearch_index_upsert: body split into _index_upsert_stages
-#   (registry_r11) for per-stage bench attribution — same verbs, same
-#   epochs, composed verbatim.
-_register_changed_since_green("ext_simsearch_index_upsert")
-# - tokenizer whitespace class: Java `\s` includes \x0B, RE2 `\s` does
-#   not — both engines now split on the explicit identical class
-#   [ \t\n\r\f\x0B]+ (ADVICE r11 #1; results unchanged on data without
-#   vertical tabs, engine-independent by construction now).
-_register_changed_since_green(
-    "ext_text_redundancy_exact", "ext_data_mixture_plan",
-    "ext_eval_ngram_overlap",
-)
-# - ivfpq_refined_build_stages grew the eager_encode knob and the
-#   composed production build now fuses compute+write (ADVICE r11 #2);
-#   re-certify the consumers of the persisted trained index.
-_register_changed_since_green(
-    "ext_simsearch_index_refined_build",
-    "ext_simsearch_index_refined_serve",
-    "ext_eval_ivfpq_recall_trained",
-)
-# - the cid-partitioned index writes now repartition("cid") first (the
-#   round-12 file-fanout rule: N upstream partitions × |cids| files →
-#   one file per list, 917→64 files / 50→3.2 s measured); re-certify
-#   every green consumer of an index write path.
-_register_changed_since_green(
-    "ext_simsearch_index_build",
-    "ext_simsearch_index_query",
-    "ext_simsearch_index_compact",
-)
+# (Round-13 hygiene: the round-12 _register_changed_since_green blocks
+# were deleted — all 10 ids re-greened in CORRECTNESS_r12 — and the
+# _register_new_this_round tail was removed: its members are now
+# carryovers.)
+
+# Round-13 edit behind a green id (delete once a later CORRECTNESS
+# shows it green again): the ext_pack_length_buckets ORACLE shift is
+# now 64-bit (`(CAST(1 AS BIGINT)) << ...`) to match Spark's
+# shiftleft(BIGINT) domain (ADVICE r12 #1); identical results at every
+# reachable n_tok, but the SQL text changed.
+_register_changed_since_green("ext_pack_length_buckets")
 
 #: live-rows predicate of the round-12 upsert/delete story (mirrors the
 #: r11 md5-index story so the two lifecycles are comparable)
@@ -96,9 +72,7 @@ def _refined_upsert_stages(spark, sf_dir):
     from .registry import _clean_stale_scratch, _session_tag
     from .registry_r11 import _RT, _ensure_refined_index
 
-    _clean_stale_scratch("/tmp/wds_rups_*")
     root = f"/tmp/wds_rups_{_session_tag(spark, sf_dir)}"
-    shutil.rmtree(root, ignore_errors=True)
     ingest, serving = f"{root}/ingest", f"{root}/serving"
     state: dict = {"root": root, "serving": serving}
     changed = F.col("vec_id") % 7 == 0
@@ -118,6 +92,12 @@ def _refined_upsert_stages(spark, sf_dir):
         return state["cb"]
 
     def ingest_stage():
+        # scratch hygiene runs HERE, not at stage-list construction
+        # (ADVICE r12 #3: building the list must be side-effect free —
+        # the stage-name pinning test constructs without running, and
+        # must not delete a live session's upserted serving store)
+        _clean_stale_scratch("/tmp/wds_rups_*")
+        shutil.rmtree(root, ignore_errors=True)
         # epoch 0: full initial ingest, every vec_id % 7 = 0 row
         # encoded from a STALE vector (its reversed embedding — a
         # deterministic corruption the upsert must fully shadow)
@@ -907,7 +887,7 @@ _WS_SQL = "[ \\t\\n\\r\\f\\x0B]+"
     b AS (
       SELECT doc_id, n_tok,
              greatest(16, CASE WHEN n_tok <= 1 THEN 1
-                               ELSE 1 << length(bin(n_tok - 1))
+                               ELSE (CAST(1 AS BIGINT)) << length(bin(n_tok - 1))
                           END) AS bucket_len
       FROM tok WHERE n_tok > 0),
     g AS (
@@ -1302,22 +1282,3 @@ def q_agg_extreme_dtr(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------
-# Round-12 rotation bookkeeping: every id registered in THIS round is
-# listed here so older carryovers outrank it for driver window slots
-# (delete this tail at round-13 start).
-# ---------------------------------------------------------------------
-_register_new_this_round(
-    "ext_simsearch_index_refined_upsert",
-    "ext_eval_index_drift",
-    "agg_extreme_rx1day",
-    "agg_extreme_rx5day",
-    "agg_extreme_cdd",
-    "ext_simsearch_index_retrain",
-    "agg_extreme_wetdays",
-    "agg_extreme_wsdi",
-    "ext_pack_length_buckets",
-    "ext_eval_matryoshka",
-    "stream_refined_index",
-    "agg_extreme_dtr",
-)
