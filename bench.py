@@ -224,6 +224,12 @@ ISOLATED = [
     # noise band once ambient host drift is factored out — keep the
     # clean sample so future rounds separate it by construction
     "stream_dedup_minhash",
+    # r12 judge #7: the remaining >5 s in-suite rows get isolated
+    # samples too, so suite-neighbor noise is separable for them by
+    # construction (the exact failure mode ext_knn_graph hit in r12)
+    "stream_simsearch_index",
+    "stream_sessionize_buffered",
+    "ext_eval_dedup_md5",
 ]
 
 
