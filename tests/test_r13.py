@@ -206,3 +206,26 @@ def test_tx90p_year_calendar_config(spark, sf_dir):
         .first()
     )
     assert (int(counts["lo"]), int(counts["hi"])) == (15, 15)
+
+
+def test_gsl_year_spell_semantics(spark, sf_dir):
+    """GSL invariants on the 3-year record: one row per location ×
+    year; GSL is 0 exactly when no ≥6-day warm spell exists; a
+    no-end season runs to year end (year_days + 1 − start); otherwise
+    end ≥ July is the run START of a ≥6-day cold run and gsl =
+    max(0, end − start)."""
+    rows = QS["agg_extreme_gsl_year"](spark, sf_dir).collect()
+    assert len(rows) == 5 * 3
+    for r in rows:
+        start, end = int(r["start_doy"]), int(r["end_doy"])
+        gsl, ydays = int(r["gsl_days"]), int(r["year_days"])
+        assert ydays in (364, 365, 366)
+        if start == 0:
+            assert gsl == 0
+        elif end == 0:
+            assert gsl == ydays + 1 - start
+        else:
+            assert gsl == max(0, end - start)
+            # July 1 is doy 182 (non-leap) / 183 (leap): the end
+            # trigger's run starts at midyear or later
+            assert end >= 182

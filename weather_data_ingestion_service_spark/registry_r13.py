@@ -4,8 +4,10 @@ Headline: the index GENERATION SWAP — the serve-during-retrain pointer
 flip the round-12 retrain verb stopped short of (VERDICT r12 #2) — plus
 the deleted-list recall blind spot as a hash-green planted-hole entry
 (VERDICT r12 #3), the streaming ingest → drift gate → retrain
-composition (VERDICT r12 #6), and ETCCDI TX90p at the true calendar
-config over a 3-year md5 twin record (VERDICT r12 #5).
+composition (VERDICT r12 #6), and two calendar-config climate indices
+over a 3-year md5 twin record: ETCCDI TX90p at the true ±2-day
+calendar percentile window (VERDICT r12 #5) and Growing Season Length
+(spell-trigger + after-midyear selection).
 
 Reference parity: the reference service (server.py) has no ANN or
 climate-index path — these are the large-scale training-data-pipeline
@@ -632,4 +634,164 @@ _register_new_this_round(
     "ext_simsearch_index_list_hole",
     "stream_drift_retrain",
     "agg_extreme_tx90p_year",
+    "agg_extreme_gsl_year",
 )
+
+
+# =====================================================================
+# E. ETCCDI Growing Season Length over the 3-year twin — spell-trigger
+#    + after-midyear selection (a composition TX90p/WSDI don't cover)
+# =====================================================================
+
+#: GSL temperature threshold on the DAILY SUM grain: mean > 5 over 24
+#: hourly readings ⇔ sum > 120 — exact integers, no division anywhere
+_GSL_TSUM = 120
+
+
+def _gsl_year_oracle():
+    from .registry_ext import wx_twin_sql
+
+    return f"""
+    WITH wx AS ({wx_twin_sql("duckdb", days=_TX_YEAR_DAYS)}),
+    d AS (SELECT location_id, CAST(ts AS DATE) AS dd,
+                 CAST(sum(temperature_2m) AS BIGINT) AS tsum
+          FROM wx WHERE temperature_2m IS NOT NULL
+          GROUP BY location_id, CAST(ts AS DATE)),
+    di AS (SELECT location_id, CAST(year(dd) AS BIGINT) AS yr,
+                  CAST(dayofyear(dd) AS BIGINT) AS doy,
+                  CAST(month(dd) AS BIGINT) AS mth, tsum
+           FROM d),
+    warm AS (
+      SELECT location_id, yr, doy,
+             doy - row_number() OVER (PARTITION BY location_id, yr
+                                      ORDER BY doy) AS grp
+      FROM di WHERE tsum > {_GSL_TSUM}),
+    wruns AS (
+      SELECT location_id, yr, CAST(min(doy) AS BIGINT) AS start_doy,
+             CAST(count(*) AS BIGINT) AS len
+      FROM warm GROUP BY location_id, yr, grp),
+    cold AS (
+      SELECT location_id, yr, doy, mth,
+             doy - row_number() OVER (PARTITION BY location_id, yr
+                                      ORDER BY doy) AS grp
+      FROM di WHERE tsum < {_GSL_TSUM}),
+    cruns AS (
+      SELECT location_id, yr, CAST(min(doy) AS BIGINT) AS start_doy,
+             CAST(min(mth) AS BIGINT) AS start_mth,
+             CAST(count(*) AS BIGINT) AS len
+      FROM cold GROUP BY location_id, yr, grp),
+    years AS (
+      SELECT location_id, yr, CAST(max(doy) AS BIGINT) AS year_days
+      FROM di GROUP BY location_id, yr),
+    s AS (
+      SELECT location_id, yr, CAST(min(start_doy) AS BIGINT) AS gstart
+      FROM wruns WHERE len >= 6 GROUP BY location_id, yr),
+    e AS (
+      SELECT location_id, yr, CAST(min(start_doy) AS BIGINT) AS gend
+      FROM cruns WHERE len >= 6 AND start_mth >= 7
+      GROUP BY location_id, yr)
+    SELECT y.location_id, y.yr,
+           CAST(coalesce(s.gstart, 0) AS BIGINT) AS start_doy,
+           CAST(coalesce(e.gend, 0) AS BIGINT) AS end_doy,
+           CAST(CASE
+                  WHEN s.gstart IS NULL THEN 0
+                  WHEN e.gend IS NULL THEN y.year_days + 1 - s.gstart
+                  ELSE greatest(0, e.gend - s.gstart)
+                END AS BIGINT) AS gsl_days,
+           y.year_days
+    FROM years y
+    LEFT JOIN s ON s.location_id = y.location_id AND s.yr = y.yr
+    LEFT JOIN e ON e.location_id = y.location_id AND e.yr = y.yr
+    ORDER BY y.location_id, y.yr
+    """
+
+
+@register("agg_extreme_gsl_year", _gsl_year_oracle())
+def q_agg_extreme_gsl_year(spark, sf_dir):
+    """ETCCDI Growing Season Length over the 3-year calendar twin — a
+    composition none of the existing extreme indices cover: a
+    SPELL-TRIGGERED season start (first run of ≥6 consecutive days
+    with daily-mean temperature above 5 — spelled divide-free as
+    daily SUM > 120 over the twin's fixed 24 readings/day) closed by
+    an AFTER-MIDYEAR spell trigger (first run of ≥6 consecutive
+    sub-threshold days whose run STARTS in July or later — the
+    run-start-keyed reading of ETCCDI's "first occurrence after 1
+    July", documented simplification), per location × calendar year.
+    No-start years publish GSL 0; no-end years run to year end
+    (year_days + 1 − start).  Gap-islands runs are keyed
+    (location, year) so spells never cross calendar years; equality
+    days (sum == 120) break warm runs without extending cold ones,
+    exactly as ETCCDI's strict inequalities demand.  Scale shape: one
+    daily reduce, two filtered island windows on uniform
+    (location, year) keys, then three tiny per-year aggregates joined
+    broadcast — no window ever touches hourly rows."""
+    from pyspark.sql import Window
+
+    from .registry_ext import wx_twin_sql
+    from .session import configure
+
+    configure(spark)
+    wx = spark.sql(wx_twin_sql("spark", days=_TX_YEAR_DAYS))
+    d = (
+        wx.filter(F.col("temperature_2m").isNotNull())
+        .groupBy("location_id", F.col("ts").cast("date").alias("dd"))
+        .agg(F.sum("temperature_2m").cast("long").alias("tsum"))
+    )
+    di = d.select(
+        "location_id",
+        F.year("dd").cast("long").alias("yr"),
+        F.dayofyear("dd").cast("long").alias("doy"),
+        F.month("dd").cast("long").alias("mth"),
+        "tsum",
+    )
+    wly = Window.partitionBy("location_id", "yr").orderBy("doy")
+
+    def runs(flt, with_mth=False):
+        base = di.filter(flt).withColumn(
+            "grp", F.col("doy") - F.row_number().over(wly)
+        )
+        aggs = [
+            F.min("doy").cast("long").alias("start_doy"),
+            F.count(F.lit(1)).cast("long").alias("len"),
+        ]
+        if with_mth:
+            aggs.insert(1, F.min("mth").cast("long").alias("start_mth"))
+        return base.groupBy("location_id", "yr", "grp").agg(*aggs)
+
+    wruns = runs(F.col("tsum") > _GSL_TSUM)
+    cruns = runs(F.col("tsum") < _GSL_TSUM, with_mth=True)
+    years = di.groupBy("location_id", "yr").agg(
+        F.max("doy").cast("long").alias("year_days")
+    )
+    s = (
+        wruns.filter(F.col("len") >= 6)
+        .groupBy("location_id", "yr")
+        .agg(F.min("start_doy").cast("long").alias("gstart"))
+    )
+    e = (
+        cruns.filter((F.col("len") >= 6) & (F.col("start_mth") >= 7))
+        .groupBy("location_id", "yr")
+        .agg(F.min("start_doy").cast("long").alias("gend"))
+    )
+    return (
+        years.join(F.broadcast(s), ["location_id", "yr"], "left")
+        .join(F.broadcast(e), ["location_id", "yr"], "left")
+        .select(
+            "location_id",
+            "yr",
+            F.coalesce("gstart", F.lit(0)).cast("long").alias("start_doy"),
+            F.coalesce("gend", F.lit(0)).cast("long").alias("end_doy"),
+            F.when(F.col("gstart").isNull(), F.lit(0))
+            .when(
+                F.col("gend").isNull(),
+                F.col("year_days") + 1 - F.col("gstart"),
+            )
+            .otherwise(
+                F.greatest(F.lit(0), F.col("gend") - F.col("gstart"))
+            )
+            .cast("long")
+            .alias("gsl_days"),
+            "year_days",
+        )
+        .orderBy("location_id", "yr")
+    )
