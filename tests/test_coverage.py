@@ -185,7 +185,7 @@ ORACLE_IDS = {
     # config over the 3-year twin)
     "ext_simsearch_index_swap", "ext_simsearch_index_list_hole",
     "stream_drift_retrain", "agg_extreme_tx90p_year",
-    "agg_extreme_gsl_year",
+    "agg_extreme_gsl_year", "ext_simsearch_index_rollback",
 }
 
 ROWS_ONLY_IDS = {

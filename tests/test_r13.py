@@ -229,3 +229,31 @@ def test_gsl_year_spell_semantics(spark, sf_dir):
             # July 1 is doy 182 (non-leap) / 183 (leap): the end
             # trigger's run starts at midyear or later
             assert end >= 182
+
+
+def test_rollback_restores_gen0_and_gcs_faulted_gen(spark, sf_dir):
+    """After the rollback entry: phase 2 rows equal phase 0 rows
+    bit-for-bit (the pointer restored the old generation), the
+    FAULTED generation 1 directory is GC'd while generation 0
+    survives, and the pointer reads generation 0."""
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        index_generation_active,
+    )
+    from weather_data_ingestion_service_spark.registry import _session_tag
+
+    out = QS["ext_simsearch_index_rollback"](spark, sf_dir).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(int(r["phase"]), []).append(
+            (int(r["query_id"]), int(r["match_id"]), int(r["rank"]),
+             int(r["adc"]), int(r["refine_micro"]))
+        )
+    assert sorted(by_phase[0]) == sorted(by_phase[2])
+    assert sorted(by_phase[0]) != sorted(by_phase[1])
+
+    root = f"/tmp/wds_rollb_{_session_tag(spark, sf_dir)}"
+    assert os.path.exists(f"{root}/gen0")
+    assert not os.path.exists(f"{root}/gen1"), "faulted gen1 not GC'd"
+    assert index_generation_active(spark, root + "/manifest") == (
+        0, f"{root}/gen0",
+    )

@@ -635,6 +635,7 @@ _register_new_this_round(
     "stream_drift_retrain",
     "agg_extreme_tx90p_year",
     "agg_extreme_gsl_year",
+    "ext_simsearch_index_rollback",
 )
 
 
@@ -794,4 +795,167 @@ def q_agg_extreme_gsl_year(spark, sf_dir):
             "year_days",
         )
         .orderBy("location_id", "yr")
+    )
+
+
+# =====================================================================
+# F. Generation ROLLBACK — the swap's failure path: gate-checked flip,
+#    un-retire, and GC of the FAULTED generation instead of the old one
+# =====================================================================
+
+
+def _rollback_oracle():
+    from .registry_r11 import _ivfpq_refined_ctes
+
+    cols = """CAST(query_id AS BIGINT) AS query_id,
+           CAST(match_id AS BIGINT) AS match_id,
+           CAST(rank AS BIGINT) AS rank, adc, refine_micro"""
+
+    def healthy(phase):
+        return f"""
+    SELECT * FROM (
+      WITH RECURSIVE {_ivfpq_refined_ctes()}
+      SELECT CAST({phase} AS BIGINT) AS phase, {cols} FROM refined)"""
+
+    return f"""
+    {healthy(0)}
+    UNION ALL
+    SELECT * FROM (
+      WITH RECURSIVE corrupt AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 2 = 0 THEN list_reverse(embedding)
+                    ELSE embedding END AS embedding
+        FROM embeddings),
+      {_ivfpq_refined_ctes(src="corrupt")}
+      SELECT CAST(1 AS BIGINT) AS phase, {cols} FROM refined)
+    UNION ALL
+    {healthy(2)}
+    ORDER BY phase, query_id, rank
+    """
+
+
+@register("ext_simsearch_index_rollback", _rollback_oracle())
+def q_ext_simsearch_index_rollback(spark, sf_dir):
+    """Generation ROLLBACK — the swap verb's FAILURE path: generation
+    1 retrains from a corrupted decode (half the vectors arrive
+    coordinate-REVERSED — the r12 stale-encode corruption at retrain
+    scale; the corruption must hit a SUBSET, a uniform permutation
+    would preserve every dot product), the pointer flips, the
+    post-flip drift gate reads recall against the CATALOG truth and
+    comes back red, so ONE manifest append rolls the pointer back
+    (generation 0 un-retired — the ``state_epoch``-latest-wins
+    resolution makes un-retire a first-class verb, never an in-place
+    edit) and GC reclaims the FAULTED generation instead of the old
+    one.  All three pointer reads are hash-pinned under a ``phase``
+    column: pre-flip (gen 0 — unrestricted replay), post-flip (the
+    faulted gen 1 — the full replay re-derived from the corrupted
+    corpus CTE: wrong codebooks, wrong lists, wrong scores, exactly
+    what serving a bad generation looks like), and post-rollback —
+    whose oracle block is the phase-0 SQL verbatim, so the hash proves
+    the rollback restored bit-identical serving.  GC policy refinement
+    over the swap entry: the old generation is reclaimed only after
+    the NEW one passes its gate.  At 100 TB: a rollback is one
+    control-plane append — the blast radius of a bad retrain is one
+    gate evaluation, never an outage."""
+    import shutil
+
+    from .ext.simsearch import (
+        cosine_topk,
+        index_generation_active,
+        index_generation_append,
+        index_generation_states,
+        ivfpq_refined_build_index,
+        ivfpq_refined_query_index,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+    from .registry_r11 import _RT, _ensure_refined_index
+
+    _clean_stale_scratch("/tmp/wds_rollb_*")
+    root = f"/tmp/wds_rollb_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    manifest = f"{root}/manifest"
+
+    gen0 = f"{root}/gen0"
+    shutil.copytree(_ensure_refined_index(spark, sf_dir), gen0)
+    index_generation_append(spark, manifest, [(0, gen0, 0, 1)])
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def serve_through_pointer(expect_gen, phase, queries):
+        gen, path = index_generation_active(spark, manifest)
+        assert gen == expect_gen, (gen, expect_gen)
+        return ivfpq_refined_query_index(
+            spark, path, queries, "vec_id", "embedding",
+            k=_RT["k"], nprobe=_RT["nprobe"], shortlist=_RT["shortlist"],
+            m=_RT["m"], dim=_RT["dim"],
+        ).withColumn("phase", F.lit(phase).cast("long"))
+
+    q_all = emb.filter(F.col("vec_id") < _RT["n_queries"])
+    pre = serve_through_pointer(0, 0, q_all)
+
+    # generation 1 retrains from the CORRUPTED decode (the planted
+    # upstream fault: even vec_ids arrive coordinate-reversed) and the
+    # pointer flips to it
+    corrupt = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 0, F.reverse("embedding")
+        ).otherwise(F.col("embedding")),
+    )
+    gen1 = f"{root}/gen1"
+    ivfpq_refined_build_index(
+        corrupt, gen1, "vec_id", "embedding",
+        n_clusters=_RT["n_clusters"], ksub=_RT["ksub"], m=_RT["m"],
+        n_iter=_RT["n_iter"], dim=_RT["dim"],
+    )
+    index_generation_append(
+        spark, manifest, [(1, gen1, 1, 1), (0, gen0, 1, 0)]
+    )
+    # the faulted generation SERVES (that is the failure's blast
+    # radius) — queries come through the same corrupted decode, the
+    # retrain discipline
+    post = serve_through_pointer(
+        1, 1, corrupt.filter(F.col("vec_id") < _RT["n_queries"])
+    )
+
+    # post-flip gate vs the CATALOG truth — red on the lossy build
+    exact = (
+        cosine_topk(emb, q_all, "vec_id", "embedding", k=_RT["k"])
+        .select("query_id", "match_id")
+        .persist()
+    )
+    try:
+        n_truth = exact.count()
+        appr = ivfpq_refined_query_index(
+            spark, gen1, q_all, "vec_id", "embedding",
+            k=_RT["k"], nprobe=_RT["nprobe"], shortlist=_RT["shortlist"],
+            m=_RT["m"], dim=_RT["dim"],
+        ).select("query_id", "match_id")
+        n_hits = exact.join(
+            appr, ["query_id", "match_id"], "left_semi"
+        ).count()
+    finally:
+        exact.unpersist()
+    recall_micro = n_hits * 1_000_000 // max(n_truth, 1)
+    assert recall_micro < _DRIFT_MIN_RECALL_MICRO, recall_micro
+
+    # ROLLBACK: one append un-retires gen 0 and retires gen 1; GC then
+    # reclaims the FAULTED generation (gate-checked GC policy)
+    index_generation_append(
+        spark, manifest, [(0, gen0, 2, 1), (1, gen1, 2, 0)]
+    )
+    for row in index_generation_states(spark, manifest).collect():
+        if int(row["active"]) == 0:
+            shutil.rmtree(row["path"], ignore_errors=True)
+
+    back = serve_through_pointer(0, 2, q_all)
+
+    return (
+        pre.unionByName(post)
+        .unionByName(back)
+        .select(
+            "phase", "query_id", "match_id", "rank", "adc",
+            "refine_micro",
+        )
+        .orderBy("phase", "query_id", "rank")
     )
