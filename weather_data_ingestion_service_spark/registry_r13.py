@@ -636,6 +636,7 @@ _register_new_this_round(
     "agg_extreme_tx90p_year",
     "agg_extreme_gsl_year",
     "ext_simsearch_index_rollback",
+    "ext_simsearch_index_compact_delta",
 )
 
 
@@ -958,4 +959,113 @@ def q_ext_simsearch_index_rollback(spark, sf_dir):
             "refine_micro",
         )
         .orderBy("phase", "query_id", "rank")
+    )
+
+
+# =====================================================================
+# G. DELTA compaction — rewrite only the touched lists (the answer to
+#    "compaction is the one index-sized rewrite")
+# =====================================================================
+
+#: sparse change stream for the delta story: ~0.5% of ids re-encoded,
+#: ~0.5% deleted — the realistic steady-state between compactions
+_DELTA_UPSERT = "vec_id % 97 = 0"
+_DELTA_DELETE = "vec_id % 89 = 3"
+
+
+def _compact_delta_oracle():
+    from .registry_r11 import _ivfpq_refined_ctes
+
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes(
+        live_where=f"NOT ({_DELTA_DELETE})")}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(match_id AS BIGINT) AS match_id,
+           CAST(rank AS BIGINT) AS rank, adc, refine_micro
+    FROM refined ORDER BY query_id, rank
+    """
+
+
+@register("ext_simsearch_index_compact_delta", _compact_delta_oracle())
+def q_ext_simsearch_index_compact_delta(spark, sf_dir):
+    """DELTA compaction — the scale answer to the one remaining
+    index-sized recurring cost: full compaction moves EVERY live
+    vector once per cycle, but a steady-state change stream touches a
+    handful of coarse lists, so the delta verb merges the new epochs
+    into a previously compacted serving layout rewriting ONLY the
+    touched lists (new list of every upsert ∪ previous list of every
+    changed/deleted id — supersedence runs the verbatim read-path
+    ``max_by(payload, epoch)`` with the previous serving rows entering
+    as epoch −1) and carries every untouched list over as a hardlink —
+    a metadata move, a manifest pointer on an object store.
+
+    Flow: full ingest epoch (a ~0.5% slice encoded from STALE reversed
+    vectors) → FULL compact (the baseline serving store) → sparse
+    epochs (the slice re-encoded true + ~0.5% tombstones) → DELTA
+    compact → serve top-3 through the pruned layout.  The oracle is
+    the serving-config replay over exactly the live rows — a stale
+    code surviving in an unrewritten list, a moved row leaking outside
+    the touched set, or a hardlinked file that should have been
+    rewritten all change a score and fail the hash.  At 100 TB: delta
+    cost ∝ |touched lists|, not index size (sf0.1 probe: see
+    BASELINE round-13 (5))."""
+    import shutil
+
+    from .ext.simsearch import (
+        ivfpq_refined_apply_epochs,
+        ivfpq_refined_compact_delta,
+        ivfpq_refined_compact_epochs,
+        ivfpq_refined_encode_epoch,
+        ivfpq_refined_query_index,
+        ivfpq_refined_tombstones,
+        load_refined_codebooks,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+    from .registry_r11 import _RT, _ensure_refined_index
+
+    idx = _ensure_refined_index(spark, sf_dir)
+    cb = load_refined_codebooks(spark, idx, _RT["m"])
+    _clean_stale_scratch("/tmp/wds_dcmp_*")
+    root = f"/tmp/wds_dcmp_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    changed = F.expr(_DELTA_UPSERT)
+
+    # baseline: full ingest (stale slice) folded into a compacted store
+    stale0 = emb.withColumn(
+        "embedding",
+        F.when(changed, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    ivfpq_refined_encode_epoch(
+        stale0, cb[0], cb[1], _RT["m"], _RT["dim"]
+    ).write.mode("overwrite").parquet(f"{root}/ingest0/epoch=0")
+    base = ivfpq_refined_apply_epochs(spark, f"{root}/ingest0")
+    ivfpq_refined_compact_epochs(spark, idx, base, f"{root}/serving1")
+
+    # the sparse change stream since that compaction
+    ivfpq_refined_encode_epoch(
+        emb.filter(changed), cb[0], cb[1], _RT["m"], _RT["dim"]
+    ).write.mode("overwrite").parquet(f"{root}/delta/epoch=1")
+    ivfpq_refined_tombstones(
+        emb.filter(F.expr(_DELTA_DELETE))
+    ).write.mode("overwrite").parquet(f"{root}/delta/epoch=2")
+
+    # DELTA: only the touched lists are rewritten; the rest hardlink
+    ivfpq_refined_compact_delta(
+        spark, f"{root}/serving1", f"{root}/delta", f"{root}/serving2"
+    )
+
+    return ivfpq_refined_query_index(
+        spark,
+        f"{root}/serving2",
+        emb.filter(F.col("vec_id") < _RT["n_queries"]),
+        "vec_id",
+        "embedding",
+        k=_RT["k"],
+        nprobe=_RT["nprobe"],
+        shortlist=_RT["shortlist"],
+        m=_RT["m"],
+        dim=_RT["dim"],
     )
