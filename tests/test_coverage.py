@@ -186,7 +186,7 @@ ORACLE_IDS = {
     "ext_simsearch_index_swap", "ext_simsearch_index_list_hole",
     "stream_drift_retrain", "agg_extreme_tx90p_year",
     "agg_extreme_gsl_year", "ext_simsearch_index_rollback",
-    "ext_simsearch_index_compact_delta",
+    "ext_simsearch_index_compact_delta", "stream_delta_compact",
 }
 
 ROWS_ONLY_IDS = {

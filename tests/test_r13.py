@@ -301,3 +301,42 @@ def test_delta_compact_rewrites_only_touched_lists(spark, sf_dir):
     )
     assert dup == 0
     assert _DELTA_UPSERT  # imported for parity with the entry's story
+
+
+def test_vacuum_is_hardlink_safe(spark, sf_dir):
+    """Vacuuming the PREVIOUS serving store and the folded-in epoch
+    dirs after a delta compaction must not disturb the new store:
+    untouched lists live there as hardlinks, and dropping the old
+    name only decrements the refcount.  The post-vacuum serve is
+    byte-identical to the pre-vacuum serve."""
+    from weather_data_ingestion_service_spark.ext.simsearch import (
+        index_vacuum,
+        ivfpq_refined_query_index,
+    )
+    from weather_data_ingestion_service_spark.registry import _session_tag
+    from weather_data_ingestion_service_spark.registry_r11 import _RT
+
+    QS["ext_simsearch_index_compact_delta"](spark, sf_dir).collect()
+    root = f"/tmp/wds_dcmp_{_session_tag(spark, sf_dir)}"
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def serve():
+        return sorted(
+            (int(r["query_id"]), int(r["match_id"]), int(r["rank"]),
+             int(r["adc"]), int(r["refine_micro"]))
+            for r in ivfpq_refined_query_index(
+                spark, f"{root}/serving2",
+                emb.filter(F.col("vec_id") < _RT["n_queries"]),
+                "vec_id", "embedding", k=_RT["k"],
+                nprobe=_RT["nprobe"], shortlist=_RT["shortlist"],
+                m=_RT["m"], dim=_RT["dim"],
+            ).collect()
+        )
+
+    before = serve()
+    n = index_vacuum(
+        [f"{root}/serving1", f"{root}/ingest0", f"{root}/delta"]
+    )
+    assert n == 3
+    assert not os.path.exists(f"{root}/serving1")
+    assert serve() == before

@@ -3452,3 +3452,24 @@ def ivfpq_refined_compact_delta(
                 if f.endswith(".parquet"):
                     os.link(os.path.join(d, f), os.path.join(nd, f))
     return touched
+
+
+def index_vacuum(paths: list) -> int:
+    """VACUUM superseded index artifacts — compacted-away epoch
+    stores, retired serving generations: delete each path tree and
+    return how many existed.  Hardlink-safe BY CONSTRUCTION: delta
+    compaction carries untouched lists into the new serving store as
+    hardlinks, and unlinking one name of a multiply-linked file only
+    drops its refcount — the new store's files survive vacuuming the
+    old one untouched (pinned by test_vacuum_is_hardlink_safe).  At
+    100 TB this is the retention loop that keeps the epoch store from
+    growing unboundedly once compaction has folded it in."""
+    import os
+    import shutil
+
+    n = 0
+    for p in paths:
+        if os.path.exists(p):
+            shutil.rmtree(p)
+            n += 1
+    return n

@@ -637,6 +637,7 @@ _register_new_this_round(
     "agg_extreme_gsl_year",
     "ext_simsearch_index_rollback",
     "ext_simsearch_index_compact_delta",
+    "stream_delta_compact",
 )
 
 
@@ -1068,4 +1069,156 @@ def q_ext_simsearch_index_compact_delta(spark, sf_dir):
         shortlist=_RT["shortlist"],
         m=_RT["m"],
         dim=_RT["dim"],
+    )
+
+
+# =====================================================================
+# H. Streaming CONTINUOUS compaction — epoch appends + per-batch delta
+#    folds, deletes arriving mid-stream
+# =====================================================================
+
+
+def _stream_delta_oracle():
+    from .registry_r11 import _ivfpq_refined_ctes
+
+    return f"""
+    WITH RECURSIVE {_ivfpq_refined_ctes(live_where=_LIVE_WHERE)},
+    csum AS (SELECT match_id, CAST(sum(code) AS BIGINT) AS cs
+             FROM codes GROUP BY match_id)
+    SELECT CAST(l.cid AS BIGINT) AS cid,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(sum(l.match_id) AS BIGINT) AS match_sum,
+           CAST(sum(c.cs) AS BIGINT) AS code_sum
+    FROM lists l JOIN csum c ON c.match_id = l.match_id
+    GROUP BY l.cid ORDER BY cid
+    """
+
+
+@register("stream_delta_compact", _stream_delta_oracle())
+def q_stream_delta_compact(spark, sf_dir):
+    """STREAMING CONTINUOUS COMPACTION — the epoch store never grows
+    past one uncompacted epoch: arrivals carry an ``op`` column
+    (upsert/delete), each micro-batch encodes its upserts against the
+    offline codebooks and tombstones its deletes into ``epoch=N``,
+    and foreachBatch FOLDS that epoch into the serving store on the
+    spot — the first batch full-compacts the baseline, every later
+    batch delta-compacts (only its touched lists rewrite; the rest
+    hardlink), and the superseded stores + epoch dirs vacuum at the
+    end (``index_vacuum``, hardlink-safe).  Deletes arrive MID-STREAM
+    as batch 3, so the final store is the live post-delete world.
+
+    The published per-list manifest (count, id checksum, PQ-code
+    checksum per coarse list) must equal the live-restricted
+    serving-config replay bit-for-bit — a stale code in a hardlinked
+    list, a tombstone that missed its list, or a fold that dropped a
+    late row all change a checksum.  At 100 TB: read amplification is
+    bounded at one epoch (the serve path never unions a growing epoch
+    store), and each fold's I/O is ∝ that batch's touched lists —
+    the delta probe's 14×-fewer-bytes bound, paid continuously
+    instead of in one index-sized rewrite."""
+    import os
+    import shutil
+
+    from .ext.simsearch import (
+        index_vacuum,
+        ivfpq_refined_apply_epochs,
+        ivfpq_refined_compact_delta,
+        ivfpq_refined_compact_epochs,
+        ivfpq_refined_encode_epoch,
+        ivfpq_refined_tombstones,
+        load_refined_codebooks,
+    )
+    from .registry import _clean_stale_scratch, _session_tag
+    from .registry_r11 import _RT, _ensure_refined_index
+
+    idx = _ensure_refined_index(spark, sf_dir)
+    cb = load_refined_codebooks(spark, idx, _RT["m"])
+    _clean_stale_scratch("/tmp/wds_sdlt_*")
+    root = f"/tmp/wds_sdlt_{_session_tag(spark, sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # arrivals: two upsert halves, then the delete stream
+    mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
+    parts = [
+        emb.filter(F.col("vec_id") <= mid).withColumn(
+            "op", F.lit("upsert")
+        ),
+        emb.filter(F.col("vec_id") > mid).withColumn(
+            "op", F.lit("upsert")
+        ),
+        emb.filter(~F.expr(_LIVE_WHERE)).withColumn(
+            "op", F.lit("delete")
+        ),
+    ]
+    now = 1_700_000_000
+    for i, part in enumerate(parts):
+        sub = os.path.join(root, "in", f"f{i}")
+        part.select("vec_id", "embedding", "op").coalesce(1).write.parquet(
+            sub
+        )
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+    def handle(batch_df, epoch_id):
+        n = int(epoch_id)
+        ep_dir = f"{root}/delta_{n}"
+        ups = batch_df.filter(F.col("op") == "upsert")
+        dels = batch_df.filter(F.col("op") == "delete")
+        ivfpq_refined_encode_epoch(
+            ups, cb[0], cb[1], _RT["m"], _RT["dim"]
+        ).unionByName(ivfpq_refined_tombstones(dels)).write.mode(
+            "overwrite"
+        ).parquet(f"{ep_dir}/epoch={n}")
+        # FOLD: baseline full-compact on the first batch, delta after
+        if n == 0:
+            ivfpq_refined_compact_epochs(
+                spark, idx,
+                ivfpq_refined_apply_epochs(spark, ep_dir),
+                f"{root}/serving_0",
+            )
+        else:
+            ivfpq_refined_compact_delta(
+                spark, f"{root}/serving_{n - 1}", ep_dir,
+                f"{root}/serving_{n}",
+            )
+
+    q = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root + "/in/f*")
+        .writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # retention: superseded generations + folded epochs vacuum away;
+    # the final store's hardlinked lists survive (refcounted)
+    final = f"{root}/serving_2"
+    index_vacuum(
+        [f"{root}/serving_0", f"{root}/serving_1"]
+        + [f"{root}/delta_{n}" for n in range(3)]
+    )
+
+    vecs = spark.read.parquet(final + "/vectors").select(
+        "match_id", F.col("cid").cast("long").alias("cid")
+    )
+    csum = (
+        spark.read.parquet(final + "/codes")
+        .groupBy("match_id")
+        .agg(F.sum("code").cast("long").alias("cs"))
+    )
+    return (
+        vecs.join(csum, "match_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_codes"),
+            F.sum("match_id").cast("long").alias("match_sum"),
+            F.sum("cs").cast("long").alias("code_sum"),
+        )
+        .orderBy("cid")
     )
