@@ -5,8 +5,6 @@ covered by tests/test_correctness.py like every registry entry)."""
 
 import os
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from weather_data_ingestion_service_spark.io import load_table
