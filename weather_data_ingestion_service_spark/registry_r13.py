@@ -2,12 +2,16 @@
 
 Headline: the index GENERATION SWAP — the serve-during-retrain pointer
 flip the round-12 retrain verb stopped short of (VERDICT r12 #2) — plus
-the deleted-list recall blind spot as a hash-green planted-hole entry
-(VERDICT r12 #3), the streaming ingest → drift gate → retrain
-composition (VERDICT r12 #6), and two calendar-config climate indices
-over a 3-year md5 twin record: ETCCDI TX90p at the true ±2-day
-calendar percentile window (VERDICT r12 #5) and Growing Season Length
-(spell-trigger + after-midyear selection).
+its failure path (gate-checked ROLLBACK with un-retire), DELTA
+compaction (rewrite only touched lists, hardlink the rest — I/O ∝
+touched lists, with the streaming continuous-compaction composition
+and the hardlink-safe vacuum retention verb), the deleted-list recall
+blind spot as a hash-green planted-hole entry (VERDICT r12 #3), the
+streaming ingest → drift gate → retrain composition (VERDICT r12 #6),
+and two calendar-config climate indices over a 3-year md5 twin record:
+ETCCDI TX90p at the true ±2-day calendar percentile window (VERDICT
+r12 #5) and Growing Season Length (spell-trigger + after-midyear
+selection).
 
 Reference parity: the reference service (server.py) has no ANN or
 climate-index path — these are the large-scale training-data-pipeline
