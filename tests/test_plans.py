@@ -1042,3 +1042,14 @@ def test_tx90p_year_threshold_broadcast_no_smj(spark, sf_dir):
     assert has_broadcast_join(df), plan[-2000:]
     assert "SortMergeJoin" not in plan, plan[-2000:]
     assert count_exchanges(df) <= 5, (count_exchanges(df), plan[-2000:])
+
+
+def test_gsl_year_broadcast_no_smj(spark, sf_dir):
+    """agg_extreme_gsl_year: the tiny per-year spell aggregates join
+    back broadcast (no sort-merge join), and no window ever touches
+    hourly rows — the island windows run on the daily series."""
+    df = QS["agg_extreme_gsl_year"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan[-2000:]
+    assert "SortMergeJoin" not in plan, plan[-2000:]
+    assert count_exchanges(df) <= 8, (count_exchanges(df), plan[-2000:])
