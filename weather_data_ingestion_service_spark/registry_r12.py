@@ -17,19 +17,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_changed_since_green, register
+from .registry import register
 
-# (Round-13 hygiene: the round-12 _register_changed_since_green blocks
-# were deleted — all 10 ids re-greened in CORRECTNESS_r12 — and the
-# _register_new_this_round tail was removed: its members are now
-# carryovers.)
-
-# Round-13 edit behind a green id (delete once a later CORRECTNESS
-# shows it green again): the ext_pack_length_buckets ORACLE shift is
-# now 64-bit (`(CAST(1 AS BIGINT)) << ...`) to match Spark's
-# shiftleft(BIGINT) domain (ADVICE r12 #1); identical results at every
-# reachable n_tok, but the SQL text changed.
-_register_changed_since_green("ext_pack_length_buckets")
+# (Round-14 hygiene: the round-13
+# _register_changed_since_green("ext_pack_length_buckets") marker was
+# deleted — the id re-greened in CORRECTNESS_r13. Round-12's own
+# markers and _register_new_this_round tail were deleted at round-13
+# start.)
 
 #: live-rows predicate of the round-12 upsert/delete story (mirrors the
 #: r11 md5-index story so the two lifecycles are comparable)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .io import load_table
-from .registry import _register_new_this_round, register
+from .registry import register
 from .registry_r12 import _DRIFT_MIN_RECALL_MICRO, _LIVE_WHERE
 
 
@@ -628,21 +628,8 @@ def q_agg_extreme_tx90p_year(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------
-# Round-13 rotation bookkeeping: every id registered in THIS round is
-# listed here so older carryovers outrank it for driver window slots
-# (delete this tail at round-14 start).
-# ---------------------------------------------------------------------
-_register_new_this_round(
-    "ext_simsearch_index_swap",
-    "ext_simsearch_index_list_hole",
-    "stream_drift_retrain",
-    "agg_extreme_tx90p_year",
-    "agg_extreme_gsl_year",
-    "ext_simsearch_index_rollback",
-    "ext_simsearch_index_compact_delta",
-    "stream_delta_compact",
-)
+# (Round-13 `_register_new_this_round` tail deleted at round-14 start
+# per the CLAUDE.md rotation checklist — its ids are now carryovers.)
 
 
 # =====================================================================
