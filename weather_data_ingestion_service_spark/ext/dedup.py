@@ -611,8 +611,10 @@ def dedup_clusters(
             return all_nodes.select(
                 F.col("id").alias(id_col), F.col("id").alias("cluster_id")
             )
+        from ..io import local_frame
+
         labels = F.broadcast(
-            spark.createDataFrame(label_rows, "id long, lab long")
+            local_frame(spark, label_rows, "id long, lab long")
         )
         return all_nodes.join(labels, "id", "left").select(
             F.col("id").alias(id_col),

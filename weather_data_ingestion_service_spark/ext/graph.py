@@ -121,7 +121,9 @@ def pagerank_int(
         spark = pairs.sparkSession
         n_nodes = len(adj)
         if n_nodes == 0:
-            return spark.createDataFrame([], "id long, rank_nano long")
+            from ..io import local_frame
+
+            return local_frame(spark, [], "id long, rank_nano long")
         teleport = (unit - damping_micro * unit // 1_000_000) // n_nodes
         deg = {u: len(vs) for u, vs in adj.items()}
         rank = {u: unit // n_nodes for u in adj}
@@ -132,8 +134,10 @@ def pagerank_int(
                 + sum(contrib[u] for u in adj[v]) * damping_micro // 1_000_000
                 for v in adj
             }
-        return spark.createDataFrame(
-            sorted(rank.items()), "id long, rank_nano long"
+        from ..io import local_frame
+
+        return local_frame(
+            spark, sorted(rank.items()), "id long, rank_nano long"
         )
     edges = (
         pair_tbl.select(

@@ -1213,7 +1213,10 @@ def kmeans_fixedpoint_int(
                 ]
     finally:
         q.unpersist()
-    return spark.createDataFrame(
+    from ..io import local_frame
+
+    return local_frame(
+        spark,
         [(j, t, cents[j][t]) for j in range(k) for t in range(dim)],
         "cid long, dim long, c_fix long",
     )
@@ -1260,8 +1263,10 @@ def power_iteration_int(
             break
         v = [(x * unit) // m for x in w]  # Python // IS floor
     spark = gram.sparkSession
-    return spark.createDataFrame(
-        [(i, int(v[i])) for i in range(dim)], "idx long, v_unit long"
+    from ..io import local_frame
+
+    return local_frame(
+        spark, [(i, int(v[i])) for i in range(dim)], "idx long, v_unit long"
     )
 
 
@@ -2053,8 +2058,10 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     (broadcast); one equi-join + two grouped sums — nothing
     corpus-sized."""
     spark = truth.sparkSession
+    from ..io import local_frame
+
     disc = F.broadcast(
-        spark.createDataFrame(ndcg_discount_micros(k), "rank int, disc_micro long")
+        local_frame(spark, ndcg_discount_micros(k), "rank int, disc_micro long")
     )
     # duplicated (query, match) pairs reduce to their BEST (min) rank —
     # dropDuplicates would keep an arbitrary rank per pair and make
@@ -2112,8 +2119,11 @@ def mrr_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
     publish ``(0, 0)``.  Both runs are Q·k rows; one equi-join + a min
     per query — nothing corpus-sized."""
     spark = truth.sparkSession
+    from ..io import local_frame
+
     rr = F.broadcast(
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(r, round(1_000_000 / r)) for r in range(1, k + 1)],
             "rank int, rr_micro long",
         )
@@ -2533,11 +2543,20 @@ def _train_refined_codebooks(
         # (pytest-pinned), 3 jobs instead of 3·m
         books_np = _kmeans_multi_arrow(q256, ksub, m, sub, n_iter)
 
-    coarse_df = spark.createDataFrame(
+    # single-batch Arrow local frames (io.local_frame): these two are
+    # parquet-WRITTEN by every build — through the pickled-rows path
+    # the write alone cost 5-7 s each (32 Python-RDD partitions);
+    # Arrow-backed they execute JVM-side (r14: 12.5 s train stage →
+    # the fits' ~0.6 s plus one quantize pass)
+    from ..io import local_frame
+
+    coarse_df = local_frame(
+        spark,
         [(j, [int(v) for v in coarse_np[j]]) for j in range(n_clusters)],
         "cid long, cvec array<long>",
     )
-    books_df = spark.createDataFrame(
+    books_df = local_frame(
+        spark,
         [
             (s, c, [int(v) for v in books_np[s][c]])
             for s in range(m)
@@ -3289,7 +3308,10 @@ def index_generation_append(
     its own directory while N keeps serving, then ONE append flips the
     pointer (N+1 active, N retired).  Control-plane: a handful of rows
     per lifecycle event, coalesced to one file — never corpus-sized."""
-    spark.createDataFrame(
+    from ..io import local_frame
+
+    local_frame(
+        spark,
         [
             (int(g), str(p), int(e), int(a))
             for (g, p, e, a) in rows

@@ -630,7 +630,10 @@ def bpe_train(
                         out.append(syms[i])
                         i += 1
                 dvocab[w] = (out, f)
-        return spark.createDataFrame(
+        from ..io import local_frame
+
+        return local_frame(
+            spark,
             merges_d,
             "rank int, left string, right string, merged string, "
             "pair_count long",
@@ -710,8 +713,11 @@ def bpe_train(
         vocab = new_vocab
     vocab.unpersist()
 
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count long"
+    from ..io import local_frame
+
+    return local_frame(
+        spark, merges,
+        "rank int, left string, right string, merged string, pair_count long"
     )
 
 

@@ -58,3 +58,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TEST_TABLES}
+
+
+def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-partition Arrow-backed local DataFrame — the fast path
+    for every driver-literal frame (codebooks, seeds, published result
+    rows).
+
+    ``spark.createDataFrame(list_of_rows)`` slices the data into
+    ``defaultParallelism`` pickled partitions that plan as a
+    Python-RDD scan, so EVERY action over the frame pays one
+    Python-worker round trip per partition.  Measured at local[32]
+    (r14 optimization round): a 64-row codebook parquet write costs
+    5-6 s through that path and 0.24 s through one pyarrow
+    RecordBatch; broadcast-joining such a frame re-executes it the
+    same way.  Values are bit-identical: ints/doubles/strings/arrays
+    cross Arrow unchanged (IEEE doubles are passed through, never
+    re-parsed).
+
+    ``schema`` is a DDL string or StructType; timestamp columns are
+    rejected (Arrow timestamp handling has its own tz semantics — no
+    literal-frame call site needs one, and refusing keeps it that
+    way).  ``rows`` may be tuples, lists or Row objects in schema
+    field order.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+
+    def _no_ts(dt) -> bool:
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _no_ts(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_no_ts(f.dataType) for f in dt.fields)
+        return True
+
+    if not all(_no_ts(f.dataType) for f in schema.fields):
+        raise ValueError("local_frame does not support timestamp columns")
+    pa_schema = to_arrow_schema(schema)
+    rows = list(rows)
+    cols = (
+        list(zip(*rows)) if rows else [[] for _ in schema.fields]
+    )
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(list(c), type=f.type)
+            for c, f in zip(cols, pa_schema)
+        ],
+        schema=pa_schema,
+    )
+    return spark.createDataFrame(tbl)

@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import (
     _clean_stale_scratch,
     _session_tag,
@@ -798,7 +798,7 @@ def q_stream_simsearch_index(spark, sf_dir):
     # hash-sampled here so the oracle restates it)
     cent = _md5_codebook(emb, "vec_id", "embedding", 16)
     cent_rows = cent.collect()  # 16 rows — pin the codebook statically
-    cent_static = spark.createDataFrame(cent_rows, cent.schema)
+    cent_static = local_frame(spark, cent_rows, cent.schema)
 
     # stage the corpus as two arrival files (vec_id halves)
     mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
@@ -1027,7 +1027,8 @@ def q_join_idw_interpolation(spark, sf_dir):
     from .fixtures import LATS, LONS
 
     vals = _idw_station_values()
-    st = spark.createDataFrame(
+    st = local_frame(
+        spark,
         [
             (
                 i,
@@ -1385,8 +1386,8 @@ def q_ext_simsearch_ivf_kmeans(spark, sf_dir):
         by_cid.setdefault(int(r["cid"]), [0.0] * 64)[int(r["dim"])] = float(
             r["c_fix"]
         )
-    cent = spark.createDataFrame(
-        sorted(by_cid.items()), "cid long, ce array<double>"
+    cent = local_frame(
+        spark, sorted(by_cid.items()), "cid long, ce array<double>"
     )
     out = ivf_topk_md5(
         emb,
@@ -1519,8 +1520,8 @@ def q_ext_simsearch_pq_kmeans(spark, sf_dir):
         by_cid.setdefault(int(r["cid"]), [0.0] * sub)[int(r["dim"])] = float(
             r["c_fix"]
         )
-    cent8 = spark.createDataFrame(
-        sorted(by_cid.items()), "cid long, ce array<double>"
+    cent8 = local_frame(
+        spark, sorted(by_cid.items()), "cid long, ce array<double>"
     )
     out = pq_topk_trained(
         emb,
@@ -1648,7 +1649,7 @@ def _index_compact_stages(spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         state["emb"] = emb
         cent = _md5_codebook(emb, "vec_id", "embedding", 16)
-        state["cent"] = spark.createDataFrame(cent.collect(), cent.schema)
+        state["cent"] = local_frame(spark, cent.collect(), cent.schema)
         # ingest accumulation: two arrival epochs, append-ordered
         mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
         ingest = f"{root}/ingest"

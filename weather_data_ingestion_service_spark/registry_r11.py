@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import register
 
 # Round-11 _register_changed_since_green markers deleted at round-12
@@ -301,8 +301,8 @@ def q_ext_eval_ivfpq_recall_trained(spark, sf_dir):
             int(n_hits * 1_000_000 // max(n_truth, 1)),
         )
     ]
-    return spark.createDataFrame(
-        rows, "n_queries long, n_truth long, n_hits long, recall_micro long"
+    return local_frame(
+        spark, rows, "n_queries long, n_truth long, n_hits long, recall_micro long"
     )
 
 
@@ -361,7 +361,11 @@ def _index_upsert_stages(spark, sf_dir):
         # every epoch encodes against the identical control plane
         if "cent" not in state:
             cent = _md5_codebook(_emb(), "vec_id", "embedding", 16)
-            state["cent"] = spark.createDataFrame(cent.collect(), cent.schema)
+            # Arrow local frame (io.local_frame): this codebook is
+            # broadcast into 3 encode passes AND parquet-written by the
+            # compact stage — the pickled-rows path cost ~5 s per
+            # write/broadcast execution (r14 measurement)
+            state["cent"] = local_frame(spark, cent.collect(), cent.schema)
         return state["cent"]
 
     def ingest_stage():

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import register
 
 # (Round-14 hygiene: the round-13
@@ -312,7 +312,8 @@ def q_ext_eval_index_drift(spark, sf_dir):
             int(recall_micro < _DRIFT_MIN_RECALL_MICRO),
         )
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "n_queries long, n_truth long, n_hits long, recall_micro long,"
         " retrain_needed long",
@@ -1068,7 +1069,8 @@ def q_ext_eval_matryoshka(spark, sf_dir):
          int(got[f"h{d}"] * 1_000_000 // max(n_truth, 1)))
         for d in dims
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "trunc_dim long, n_truth long, n_hits long, recall_micro long",
     ).orderBy("trunc_dim")

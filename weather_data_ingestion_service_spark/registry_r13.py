@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import register
 from .registry_r12 import _DRIFT_MIN_RECALL_MICRO, _LIVE_WHERE
 
@@ -488,7 +488,8 @@ def q_stream_drift_retrain(spark, sf_dir):
     finally:
         exact.unpersist()
 
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [row0, row1],
         "stage long, n_queries long, n_truth long, n_hits long,"
         " recall_micro long, retrain_needed long",

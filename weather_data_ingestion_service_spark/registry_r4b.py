@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import (
     _cents,
     _clean_stale_scratch,
@@ -2309,7 +2309,8 @@ def q_ext_eval_dedup(spark, sf_dir):
             int(n_both * 1_000_000 // max(n_exact, 1)),
         )
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "n_exact long, n_approx long, n_both long, "
         "precision_micro long, recall_micro long",

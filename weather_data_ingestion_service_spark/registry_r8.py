@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import register
 
 # (round-9's stream_session_exec / ext_graph_triangles re-cert calls
@@ -225,8 +225,8 @@ def q_stream_dedup_minhash(spark, sf_dir):
     # seed the pairs sink (as the epoch=-1 partition, matching the
     # handler's replay-idempotent per-epoch layout) so the read-back
     # never sees a missing path even if every batch yields zero pairs
-    empty = spark.createDataFrame(
-        [], "id_a long, id_b long, n_equal int, jaccard_est_micro long"
+    empty = local_frame(
+        spark, [], "id_a long, id_b long, n_equal int, jaccard_est_micro long"
     )
     empty.write.mode("overwrite").parquet(f"{pairs_dir}/epoch=-1")
     q = (
@@ -351,7 +351,8 @@ def q_ext_eval_dedup_md5(spark, sf_dir):
             int(n_both * 1_000_000 // max(n_exact, 1)),
         )
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "n_exact long, n_approx long, n_both long, "
         "precision_micro long, recall_micro long",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .io import load_table
+from .io import load_table, local_frame
 from .registry import register
 
 # (round-10's obs_manifest_diff / ext_text_bm25 re-cert calls removed
@@ -308,8 +308,8 @@ def q_ext_eval_ivfpq_recall(spark, sf_dir):
             int(n_hits * 1_000_000 // max(n_truth, 1)),
         )
     ]
-    return spark.createDataFrame(
-        rows, "n_queries long, n_truth long, n_hits long, recall_micro long"
+    return local_frame(
+        spark, rows, "n_queries long, n_truth long, n_hits long, recall_micro long"
     )
 
 
