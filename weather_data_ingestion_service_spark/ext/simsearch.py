@@ -889,22 +889,35 @@ def ivfpq_build_index(
     ~12.7 s of the 31.8 s IVF run at 128k vectors is the encode);
     persisting codes amortizes that across every subsequent query,
     which is the shape a 100 TB user actually runs."""
+    # ONE corpus-wide TakeOrdered pass, collected to the control plane
+    # (n_clusters rows) and re-injected as a single-batch Arrow local
+    # frame (r14, guide §1/§2.4): the previous shape wrote the
+    # codebook and READ IT BACK for the encode — a round trip whose
+    # only purpose was value identity, which the Arrow frame gives
+    # bit-for-bit without the extra read job.  The codebook write and
+    # the codes write (disjoint dirs) then overlap (guide §2.6).
+    from ..io import local_frame, overlap_jobs
+
     cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
-    cent.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
-    # read the PERSISTED codebook back for the encode: one corpus-wide
-    # TakeOrdered pass instead of two, and the codes are guaranteed to
-    # be encoded against exactly the codebook that landed on disk
-    cent_back = corpus.sparkSession.read.parquet(path + "/codebook")
+    cent_local = local_frame(
+        corpus.sparkSession, cent.collect(), cent.schema
+    )
     codes = ivfpq_encode_codes(
-        corpus, id_col, vec_col, n_clusters, m, dim, cent=cent_back
+        corpus, id_col, vec_col, n_clusters, m, dim, cent=cent_local
     )
     # repartition("cid") first: a partitionBy write from N upstream
     # partitions fans out to N × |touched cids| files (round-12 probe:
     # 917 files / 50 s vs 64 files / 3.2 s at sf0.1); one file per
     # list bounds file count by n_clusters at any corpus size
-    codes.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(path + "/codes")
+    overlap_jobs(
+        lambda: cent_local.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/codebook"),
+        lambda: codes.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path + "/codes"),
+    )
 
 
 def ivfpq_query_index(
@@ -3074,16 +3087,28 @@ def ivfpq_refined_build_stages(
         # repartition("cid") first: a partitionBy write from N cached
         # partitions creates N × |touched cids| files (round-12 probe:
         # 917 files / 50 s vs 64 files / 3.2 s); one file per list
-        # bounds file count by n_clusters at any corpus size
+        # bounds file count by n_clusters at any corpus size.
+        # The codes and vectors writes land in disjoint dirs and read
+        # only persisted frames (concurrent computation of a cached
+        # block deduplicates via the BlockManager's block locks), so
+        # they overlap from a driver thread pool (guide §2.6).
+        from ..io import overlap_jobs
+
         try:
-            state["codes_cid"].repartition("cid").write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(path + "/codes")
-            state["q256"].join(state["lists_df"], "match_id").select(
-                "match_id", "q", "scale", "cid"
-            ).repartition("cid").write.mode("overwrite").partitionBy(
-                "cid"
-            ).parquet(path + "/vectors")
+            overlap_jobs(
+                lambda: state["codes_cid"]
+                .repartition("cid")
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(path + "/codes"),
+                lambda: state["q256"]
+                .join(state["lists_df"], "match_id")
+                .select("match_id", "q", "scale", "cid")
+                .repartition("cid")
+                .write.mode("overwrite")
+                .partitionBy("cid")
+                .parquet(path + "/vectors"),
+            )
         finally:
             state["codes_cid"].unpersist()
             state["q256"].unpersist()

@@ -113,3 +113,42 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
         schema=pa_schema,
     )
     return spark.createDataFrame(tbl)
+
+
+def overlap_jobs(*thunks, max_workers: int = 3):
+    """Run INDEPENDENT Spark actions concurrently from a small driver
+    thread pool (spark_optimization_guide §2.6: actions are only
+    sequential because driver code calls them sequentially; submitting
+    independent jobs from 2-3 threads lets the next job's tasks
+    back-fill executors freed by the current job's tail).
+
+    Use ONLY for actions with no data dependency — e.g. the epoch
+    writes of an index ingest flow (distinct output directories) or a
+    codebook write next to a codes rewrite.  Results are returned in
+    thunk order; the first exception propagates after all thunks have
+    settled (no half-cancelled writes hiding a second failure).
+
+    Correctness: each thunk's job is the same job it would be when run
+    sequentially — same plan, same partitioning, same output — so
+    overlapping changes wall-clock only, never a row.  Job
+    descriptions/groups are thread-local in Spark, so concurrent jobs
+    keep their own labels."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(
+        max_workers=min(len(thunks), max_workers)
+    ) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for fut in futures:
+            try:
+                results.append(fut.result())
+            except Exception as exc:  # settle all before raising
+                results.append(None)
+                if first_err is None:
+                    first_err = exc
+        if first_err is not None:
+            raise first_err
+        return results

@@ -800,16 +800,31 @@ def q_stream_simsearch_index(spark, sf_dir):
     cent_rows = cent.collect()  # 16 rows — pin the codebook statically
     cent_static = local_frame(spark, cent_rows, cent.schema)
 
-    # stage the corpus as two arrival files (vec_id halves)
+    # stage the corpus as two arrival files (vec_id halves); the two
+    # staging writes are independent (disjoint dirs) — overlap them
+    # (guide §2.6)
+    from .io import overlap_jobs
+
     mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
     now = 1_700_000_000
-    for i, part in enumerate(
-        [emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)]
-    ):
+
+    def _stage(i, part):
         sub = os.path.join(root, "in", f"f{i}")
         part.select("vec_id", "embedding").coalesce(1).write.parquet(sub)
         for f in os.listdir(sub):
             os.utime(os.path.join(sub, f), (now + i * 3600, now + i * 3600))
+
+    overlap_jobs(
+        *[
+            (lambda i=i, part=part: _stage(i, part))
+            for i, part in enumerate(
+                [
+                    emb.filter(F.col("vec_id") <= mid),
+                    emb.filter(F.col("vec_id") > mid),
+                ]
+            )
+        ]
+    )
 
     codes_dir = f"{root}/codes"
 
@@ -1653,30 +1668,48 @@ def _index_compact_stages(spark, sf_dir):
         # ingest accumulation: two arrival epochs, append-ordered
         mid = emb.agg(F.expr("percentile_approx(vec_id, 0.5)")).first()[0]
         ingest = f"{root}/ingest"
-        for i, part in enumerate(
-            [
-                emb.filter(F.col("vec_id") <= mid),
-                emb.filter(F.col("vec_id") > mid),
+        # the two arrival-epoch writes are independent (disjoint input
+        # halves, disjoint epoch=N dirs) — overlap them (guide §2.6)
+        from .io import overlap_jobs
+
+        overlap_jobs(
+            *[
+                (
+                    lambda i=i, part=part: ivfpq_encode_codes(
+                        part, "vec_id", "embedding", cent=state["cent"]
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(ingest, f"epoch={i}"))
+                )
+                for i, part in enumerate(
+                    [
+                        emb.filter(F.col("vec_id") <= mid),
+                        emb.filter(F.col("vec_id") > mid),
+                    ]
+                )
             ]
-        ):
-            ivfpq_encode_codes(
-                part, "vec_id", "embedding", cent=state["cent"]
-            ).write.mode("overwrite").parquet(
-                os.path.join(ingest, f"epoch={i}")
-            )
+        )
 
     def compact_rewrite():
-        # compaction: epoch store → cid-partitioned serving layout
+        # compaction: epoch store → cid-partitioned serving layout;
+        # codebook republish ∥ codes rewrite — disjoint outputs, no
+        # shared computed input (guide §2.6)
+        from .io import overlap_jobs
+
         serving = f"{root}/serving"
-        state["cent"].coalesce(1).write.mode("overwrite").parquet(
-            serving + "/codebook"
-        )
-        # repartition("cid") first — the round-12 file-fanout rule
-        # (one file per list; see ivfpq_refined_compact_epochs)
-        spark.read.parquet(f"{root}/ingest").drop("epoch").repartition(
-            "cid"
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            serving + "/codes"
+        overlap_jobs(
+            lambda: state["cent"]
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(serving + "/codebook"),
+            # repartition("cid") first — the round-12 file-fanout rule
+            # (one file per list; see ivfpq_refined_compact_epochs)
+            lambda: spark.read.parquet(f"{root}/ingest")
+            .drop("epoch")
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(serving + "/codes"),
         )
 
     def serve_query():

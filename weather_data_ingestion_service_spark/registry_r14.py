@@ -62,3 +62,15 @@ _register_changed_since_green(
     "ext_eval_ivfpq_recall",
     "join_idw_interpolation",
 )
+
+# --- overlap_jobs / build round-trip removal (r14 session 2): the md5
+# index build now encodes against the collected Arrow codebook instead
+# of reading the just-written parquet back (values bit-identical), and
+# the independent lifecycle writes overlap from a driver thread pool
+# (guide §2.6 — same jobs, same outputs, wall-clock only).  The
+# upsert/compact/refined-build ids are already marked above; these two
+# share ivfpq_build_index.
+_register_changed_since_green(
+    "ext_simsearch_index_build",
+    "ext_simsearch_index_query",
+)
