@@ -600,6 +600,20 @@ def _probe_lists(queries, cent, id_col, vec_col, nprobe):
     )
 
 
+def _lit_double_sql(v) -> str:
+    """SQL text for an exact double literal: ``repr`` is the shortest
+    decimal that round-trips (CPython guarantee) and Catalyst's parser
+    is correctly rounded, so ``F.expr(_lit_double_sql(v))`` equals
+    ``F.lit(float(v))`` bit-for-bit while costing a string concat
+    instead of a py4j round trip.  Finite values only (the literal
+    tables this serves — codebook slices — are finite by
+    construction)."""
+    f = float(v)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal: {v!r}")
+    return repr(f) + "D"
+
+
 def _adc_subspace_dot(s, sub):
     """One fixed-order ADC term: dot(q slice s, selected code slice)."""
     return F.aggregate(
@@ -968,21 +982,27 @@ def ivfpq_query_index(
     probed = sorted(
         {r["cid"] for r in probes.select("cid").distinct().collect()}
     )
+    # one F.expr TEXT per subspace map instead of ~n_clusters·sub F.lit
+    # Column objects: each F.lit/F.array/F.create_map call is a py4j
+    # round trip, and building the m maps column-by-column cost ~3 s of
+    # pure driver time per serve at the 16×8 config (r14 measurement —
+    # dominated the serve stage).  Parsing one literal string per
+    # subspace produces the IDENTICAL expression tree: repr() emits the
+    # shortest round-tripping decimal, and Catalyst's double parser is
+    # correctly rounded, so every literal is bit-identical.
     slice_maps = {
-        s: F.create_map(
-            *[
-                x
-                for r in cb_rows
-                for x in (
-                    F.lit(int(r["cid"])).cast("long"),
-                    F.array(
-                        *[
-                            F.lit(float(v))
-                            for v in r["ce"][s * sub : (s + 1) * sub]
-                        ]
-                    ),
+        s: F.expr(
+            "map("
+            + ", ".join(
+                f"{int(r['cid'])}L, array("
+                + ", ".join(
+                    _lit_double_sql(v)
+                    for v in r["ce"][s * sub : (s + 1) * sub]
                 )
-            ]
+                + ")"
+                for r in cb_rows
+            )
+            + ")"
         )
         for s in range(m)
     }
@@ -2192,6 +2212,12 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
+    # (no persist barrier here: the bucket table feeds both sides of
+    # the candidate self-join, but both sides shuffle on the same
+    # (table, bucket) key, so Spark plans a ReusedExchange for the
+    # second side — the SRP ArrowEvalPython pass executes ONCE at
+    # runtime.  An explicit persist was A/B-measured at parity (r14:
+    # 4.27 s vs 4.35 s warm) and only adds cache-pollution risk.)
     b = srp_buckets(
         corpus.select(id_col, vec_col),
         id_col=id_col,

@@ -115,6 +115,25 @@ def local_frame(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(tbl)
 
 
+def lit_double_array(values) -> "F.Column":
+    """Literal ``array<double>`` column built from ONE parsed SQL text
+    instead of one ``F.lit`` py4j round trip per element.
+
+    ``repr(float)`` emits the shortest decimal that round-trips
+    (CPython guarantee) and Catalyst's double parser is correctly
+    rounded, so every element is bit-identical to ``F.lit(float(v))``
+    — same expression tree, same result — while a 360-entry table
+    costs one py4j call instead of 360 (~1 s of driver time per query
+    build at local[32]; r14 measurement).  Finite values only."""
+    parts = []
+    for v in values:
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal: {v!r}")
+        parts.append(repr(f) + "D")
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
 def overlap_jobs(*thunks, max_workers: int = 3):
     """Run INDEPENDENT Spark actions concurrently from a small driver
     thread pool (spark_optimization_guide §2.6: actions are only

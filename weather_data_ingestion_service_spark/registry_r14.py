@@ -74,3 +74,16 @@ _register_changed_since_green(
     "ext_simsearch_index_build",
     "ext_simsearch_index_query",
 )
+
+# --- literal-expression de-storm (r14 session 3): the big literal
+# tables now build as ONE parsed F.expr string instead of hundreds of
+# F.lit py4j calls (io.lit_double_array / simsearch._lit_double_sql —
+# repr round-trip + correctly-rounded parse ⇒ bit-identical literals,
+# verified by a 500-value bitwise probe and the hostile-TZ oracle).
+# The index query/upsert/compact/stream ids sharing ivfpq_query_index
+# are already marked above; these three carry the r9 literal tables.
+_register_changed_since_green(
+    "f_feels_like",
+    "f_dew_point",
+    "f_wind_components",
+)

@@ -336,8 +336,14 @@ def q_ext_eval_dedup_md5(spark, sf_dir):
     )
     try:
         both = exact.join(approx, ["id_a", "id_b"], "left_semi")
-        n_exact = exact.count()
-        n_approx = approx.count()
+        # the exact and approx sides are INDEPENDENT pipelines up to
+        # the semi-join — materialize them concurrently so the second
+        # side's tasks back-fill the first's stage tails (guide §2.6;
+        # io.overlap_jobs).  Counts are exact either way; only
+        # wall-clock changes.
+        from .io import overlap_jobs
+
+        n_exact, n_approx = overlap_jobs(exact.count, approx.count)
         n_both = both.count()
     finally:
         exact.unpersist()

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .io import load_table, local_frame
+from .io import lit_double_array, load_table, local_frame
 from .registry import register
 
 # (round-10's obs_manifest_diff / ext_text_bm25 re-cert calls removed
@@ -932,7 +932,7 @@ def q_f_feels_like(spark, sf_dir):
         (mk("fl_v") % 60).cast("double").alias("v"),
     )
     # V^0.16 from a driver-computed literal table — keeps JVM libm out
-    pow_table = F.array(*[F.lit(float(i) ** 0.16) for i in range(60)])
+    pow_table = lit_double_array(float(i) ** 0.16 for i in range(60))
     p = v.withColumn("powv", F.element_at(pow_table, F.col("v").cast("int") + 1))
     t, rh, pv = F.col("t"), F.col("rh"), F.col("powv")
     hi = (
@@ -1018,7 +1018,7 @@ def q_f_dew_point(spark, sf_dir):
         (mk("dp_t") % 61 - 20).cast("double").alias("t"),
         (F.lit(1) + mk("dp_rh") % 100).cast("double").alias("rh"),
     )
-    ln_table = F.array(*[F.lit(math.log(r / 100.0)) for r in range(1, 101)])
+    ln_table = lit_double_array(math.log(r / 100.0) for r in range(1, 101))
     p = v.withColumn("lnrh", F.element_at(ln_table, F.col("rh").cast("int")))
     t = F.col("t")
     gamma = F.col("lnrh") + F.lit(17.625) * t / (F.lit(243.04) + t)
@@ -1145,8 +1145,8 @@ def q_f_wind_components(spark, sf_dir):
         (mk("w_s") % 60).cast("double").alias("s"),
         (mk("w_d") % 360).alias("d"),
     )
-    sin_t = F.array(*[F.lit(math.sin(math.radians(d))) for d in range(360)])
-    cos_t = F.array(*[F.lit(math.cos(math.radians(d))) for d in range(360)])
+    sin_t = lit_double_array(math.sin(math.radians(d)) for d in range(360))
+    cos_t = lit_double_array(math.cos(math.radians(d)) for d in range(360))
     p = v.withColumn(
         "sind", F.element_at(sin_t, F.col("d").cast("int") + 1)
     ).withColumn("cosd", F.element_at(cos_t, F.col("d").cast("int") + 1))
