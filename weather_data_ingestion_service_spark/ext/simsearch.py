@@ -2090,12 +2090,6 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     Scale: both runs are Q·k rows; the discount dim is k rows
     (broadcast); one equi-join + two grouped sums — nothing
     corpus-sized."""
-    spark = truth.sparkSession
-    from ..io import local_frame
-
-    disc = F.broadcast(
-        local_frame(spark, ndcg_discount_micros(k), "rank int, disc_micro long")
-    )
     # duplicated (query, match) pairs reduce to their BEST (min) rank —
     # dropDuplicates would keep an arbitrary rank per pair and make
     # DCG/IDCG run-dependent (the recall_at_k r03 lesson, plus ranks)
@@ -2109,34 +2103,44 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         .groupBy("query_id", "match_id")
         .agg(F.min("rank").alias("a_rank"))
     )
-    dcg = (
-        a.join(t, ["query_id", "match_id"], "left")
-        .join(disc, a["a_rank"] == disc["rank"])
-        .groupBy("query_id")
-        .agg(
-            F.sum(
-                F.coalesce(F.lit(k + 1) - F.col("t_rank"), F.lit(0)).cast("long")
-                * F.col("disc_micro")
-            ).alias("dcg_micro")
-        )
+    # ONE full-outer join + ONE aggregate (r14, guide §2.4): the
+    # previous shape consumed ``t`` twice on different keys (the DCG
+    # pair join and the per-query IDCG aggregate), so the truth
+    # ranking's whole upstream — a corpus cross join + top-k window —
+    # executed twice (no exchange reuse across different keys).  DCG
+    # and IDCG are integer sums over exactly the same addends as
+    # before (per-row rel·disc products, 0 where a side is absent), so
+    # the totals are bit-identical; the position discounts move from a
+    # broadcast dim join to a literal-array lookup (same pinned
+    # integers).  Queries outside the exact top-k table (no t row)
+    # never produced an IDCG row before — the has_t filter keeps that.
+    disc_arr = F.array(
+        *[F.lit(int(mu)).cast("long") for _, mu in ndcg_discount_micros(k)]
     )
-    idcg = (
-        t.join(disc, t["t_rank"] == disc["rank"])
-        .groupBy("query_id")
-        .agg(
-            F.sum(
-                (F.lit(k + 1) - F.col("t_rank")).cast("long") * F.col("disc_micro")
-            ).alias("idcg_micro")
-        )
+    j = a.join(t, ["query_id", "match_id"], "full_outer")
+    rel = F.coalesce(F.lit(k + 1) - F.col("t_rank"), F.lit(0)).cast("long")
+    dcg_term = F.when(
+        F.col("a_rank").isNotNull(),
+        rel * F.element_at(disc_arr, F.col("a_rank")),
+    ).otherwise(F.lit(0).cast("long"))
+    idcg_term = F.when(
+        F.col("t_rank").isNotNull(),
+        (F.lit(k + 1) - F.col("t_rank")).cast("long")
+        * F.element_at(disc_arr, F.col("t_rank")),
+    ).otherwise(F.lit(0).cast("long"))
+    g = j.groupBy("query_id").agg(
+        F.sum(dcg_term).alias("dcg_micro"),
+        F.sum(idcg_term).alias("idcg_micro"),
+        F.max(F.col("t_rank").isNotNull().cast("int")).alias("has_t"),
     )
     return (
-        idcg.join(dcg, "query_id", "left")
+        g.filter(F.col("has_t") == 1)
         .select(
             "query_id",
-            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            F.col("dcg_micro").cast("long").alias("dcg_micro"),
             F.col("idcg_micro").cast("long").alias("idcg_micro"),
             (
-                F.coalesce("dcg_micro", F.lit(0)).cast("double")
+                F.col("dcg_micro").cast("double")
                 / F.col("idcg_micro").cast("double")
             ).alias("ndcg"),
         )
@@ -2151,32 +2155,41 @@ def mrr_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
     no float rank math reaches a compared value).  Queries with no hit
     publish ``(0, 0)``.  Both runs are Q·k rows; one equi-join + a min
     per query — nothing corpus-sized."""
-    spark = truth.sparkSession
-    from ..io import local_frame
-
-    rr = F.broadcast(
-        local_frame(
-            spark,
-            [(r, round(1_000_000 / r)) for r in range(1, k + 1)],
-            "rank int, rr_micro long",
-        )
-    )
+    # ONE left join + ONE aggregate (r14, guide §2.4): the previous
+    # shape consumed the truth table twice — once in the hit join and
+    # once for the per-query dim — so the exact ranking's upstream (a
+    # corpus cross join + top-k window) executed twice.  A left join
+    # from truth keeps every truth pair (so every truth query survives
+    # the aggregate — the old ``q`` dim, for free) and ``min`` ignores
+    # nulls, so first_hit_rank is the same inner-join minimum.  The
+    # reciprocal table moves from a broadcast dim join to a literal
+    # integer array lookup — identical pinned values.
     t = truth.select("query_id", "match_id").distinct()
     a = approx.filter(F.col("rank") <= k).select("query_id", "match_id", "rank")
-    hit = (
-        a.join(t, ["query_id", "match_id"])
+    rr_arr = F.array(
+        *[
+            F.lit(int(round(1_000_000 / r))).cast("long")
+            for r in range(1, k + 1)
+        ]
+    )
+    g = (
+        t.join(a, ["query_id", "match_id"], "left")
         .groupBy("query_id")
         .agg(F.min("rank").cast("int").alias("first_hit_rank"))
     )
-    q = t.select("query_id").distinct()
-    return (
-        q.join(hit, "query_id", "left")
-        .join(rr, hit["first_hit_rank"] == rr["rank"], "left")
-        .select(
-            "query_id",
-            F.coalesce("first_hit_rank", F.lit(0)).cast("int").alias("first_hit_rank"),
-            F.coalesce("rr_micro", F.lit(0)).cast("long").alias("rr_micro"),
+    # explicit null guard: element_at(literal_array, NULL) is NOT a
+    # reliable NULL on this Spark build (observed returning the last
+    # element under constant folding) — never feed it a nullable index
+    return g.select(
+        "query_id",
+        F.coalesce("first_hit_rank", F.lit(0)).cast("int").alias("first_hit_rank"),
+        F.when(
+            F.col("first_hit_rank").isNotNull(),
+            F.element_at(rr_arr, F.col("first_hit_rank")),
         )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr_micro"),
     )
 
 

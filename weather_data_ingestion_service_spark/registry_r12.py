@@ -85,13 +85,24 @@ def _refined_upsert_stages(spark, sf_dir):
             state["cb"] = load_refined_codebooks(spark, _idx(), m)
         return state["cb"]
 
-    def ingest_stage():
-        # scratch hygiene runs HERE, not at stage-list construction
-        # (ADVICE r12 #3: building the list must be side-effect free —
-        # the stage-name pinning test constructs without running, and
-        # must not delete a live session's upserted serving store)
+    def _prep():
+        # scratch hygiene + codebook load, idempotent (state-flagged):
+        # runs lazily from ingest_stage on the bench's sequential path
+        # (ADVICE r12 #3: stage-list construction stays side-effect
+        # free), and ONCE up front when the composed entry overlaps
+        # the three independent epoch writes — the rmtree must not
+        # race a concurrent epoch-1/2 write under the same root.
+        if state.get("prepped"):
+            return
         _clean_stale_scratch("/tmp/wds_rups_*")
         shutil.rmtree(root, ignore_errors=True)
+        _cb()
+        state["prepped"] = True
+
+    state["prep"] = _prep
+
+    def ingest_stage():
+        _prep()
         # epoch 0: full initial ingest, every vec_id % 7 = 0 row
         # encoded from a STALE vector (its reversed embedding — a
         # deterministic corruption the upsert must fully shadow)
@@ -205,8 +216,20 @@ def q_ext_simsearch_index_refined_upsert(spark, sf_dir):
     map-side-combinable aggregate; compaction moves each LIVE vector
     once."""
     stages, state = _refined_upsert_stages(spark, sf_dir)
-    for _name, fn in stages:
-        fn()
+    d = dict(stages)
+    # the three epoch writes are independent (distinct epoch dirs, all
+    # reading only embeddings + the offline codebooks): prep once
+    # (scratch rmtree + codebook load — must not race the overlapped
+    # writes), then overlap them so the tombstone/upsert tasks
+    # back-fill the full-ingest tail (guide §2.6; the md5 twin
+    # q_ext_simsearch_index_upsert has the same shape).  bench.py
+    # still times the stages sequentially via _refined_upsert_stages.
+    from .io import overlap_jobs
+
+    state["prep"]()
+    overlap_jobs(d["ingest"], d["upsert"], d["tombstone"])
+    d["compact"]()
+    d["serve"]()
     return state["out"]
 
 
