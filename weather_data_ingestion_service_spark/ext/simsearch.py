@@ -3387,13 +3387,19 @@ def index_generation_append(
 def index_generation_states(spark, manifest_path: str) -> DataFrame:
     """Resolve the CURRENT state of every generation: latest
     ``state_epoch`` row wins per generation (one ``max_by(struct,
-    state_epoch)`` over a control-plane table)."""
+    state_epoch)`` over a control-plane table).
+
+    Appends are expected to use strictly increasing ``state_epoch``
+    per generation; if two rows ever tie, the ordering key's second
+    component makes the winner DETERMINISTIC (active=1 outranks
+    active=0) instead of arbitrary (ADVICE r13 #4)."""
     return (
         spark.read.parquet(manifest_path)
         .groupBy("generation")
         .agg(
             F.max_by(
-                F.struct("path", "active"), F.col("state_epoch")
+                F.struct("path", "active"),
+                F.struct("state_epoch", "active"),
             ).alias("st")
         )
         .select("generation", F.col("st.path").alias("path"),
@@ -3505,24 +3511,45 @@ def ivfpq_refined_compact_delta(
                 F.col("cid").cast("long").alias("cid"),
             )
         )
-        new_c.repartition("cid").write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(new_serving + "/codes")
-        new_v.repartition("cid").write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(new_serving + "/vectors")
+        # ADVICE r13 #2: an EMPTY epoch store means touched == [] — the
+        # pruned writes would then emit zero-partition parquet dirs
+        # (unreadable: schema inference has nothing to read) even
+        # though every list carries over.  Skip the writes; the
+        # hardlink loop below (tset empty) carries EVERY list.
+        if touched:
+            new_c.repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(new_serving + "/codes")
+            new_v.repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(new_serving + "/vectors")
     finally:
         winners.unpersist()
         ep_ids.unpersist()
 
     # control plane: codebooks carry over as hardlinks too (immutable
-    # files — compaction never retrains; zero Spark jobs spent)
+    # files — compaction never retrains; zero Spark jobs spent).
+    # ADVICE r13 #1: os.link raises EXDEV when prev and new serving
+    # live on different filesystems (object-store mounts, split
+    # tmpdirs) — fall back to a plain copy; same bytes, just no
+    # refcount sharing.
+    import errno
+    import shutil as _sh
+
+    def _link_or_copy(src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError as exc:
+            if exc.errno != errno.EXDEV:
+                raise
+            _sh.copy2(src, dst)
+
     for tbl in ("coarse", "books"):
         nd = f"{new_serving}/{tbl}"
         os.makedirs(nd, exist_ok=True)
         for f in os.listdir(f"{prev_serving}/{tbl}"):
             if f.endswith(".parquet"):
-                os.link(
+                _link_or_copy(
                     os.path.join(prev_serving, tbl, f),
                     os.path.join(nd, f),
                 )
@@ -3536,7 +3563,7 @@ def ivfpq_refined_compact_delta(
             os.makedirs(nd, exist_ok=True)
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
-                    os.link(os.path.join(d, f), os.path.join(nd, f))
+                    _link_or_copy(os.path.join(d, f), os.path.join(nd, f))
     return touched
 
 

@@ -270,29 +270,48 @@ def q_ext_eval_ivfpq_recall_trained(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     q5 = emb.filter(F.col("vec_id") < _RT["n_queries"])
-    exact = cosine_topk(emb, q5, "vec_id", "embedding", k=_RT["k"]).select(
-        "query_id", "match_id"
-    ).persist()
-    appr = ivfpq_refined_query_index(
-        spark,
-        _ensure_refined_index(spark, sf_dir),
-        q5,
-        "vec_id",
-        "embedding",
-        k=_RT["k"],
-        nprobe=_RT["nprobe"],
-        shortlist=_RT["shortlist"],
-        m=_RT["m"],
-        dim=_RT["dim"],
-    ).select("query_id", "match_id")
-    try:
-        n_truth = exact.count()
-        n_q = exact.select("query_id").distinct().count()
-        n_hits = exact.join(
-            appr, ["query_id", "match_id"], "left_semi"
-        ).count()
-    finally:
-        exact.unpersist()
+    # both result sets are control-plane (Q·k ≤ n_queries·k rows at ANY
+    # corpus size — config constants, never corpus-sized), so the three
+    # counting jobs + persist of the old tail collapse into one collect
+    # per side, run CONCURRENTLY (guide §2.6): the exact brute-force
+    # ranking and the served index path share no computed input.
+    # Counts are exact set arithmetic over the same unique (q, m)
+    # pairs the semi-join counted — identical integers.
+    index_path = _ensure_refined_index(spark, sf_dir)
+
+    def _exact_pairs():
+        return [
+            (r["query_id"], r["match_id"])
+            for r in cosine_topk(emb, q5, "vec_id", "embedding", k=_RT["k"])
+            .select("query_id", "match_id")
+            .collect()
+        ]
+
+    def _appr_pairs():
+        return {
+            (r["query_id"], r["match_id"])
+            for r in ivfpq_refined_query_index(
+                spark,
+                index_path,
+                q5,
+                "vec_id",
+                "embedding",
+                k=_RT["k"],
+                nprobe=_RT["nprobe"],
+                shortlist=_RT["shortlist"],
+                m=_RT["m"],
+                dim=_RT["dim"],
+            )
+            .select("query_id", "match_id")
+            .collect()
+        }
+
+    from .io import overlap_jobs
+
+    ex_pairs, ap_set = overlap_jobs(_exact_pairs, _appr_pairs)
+    n_truth = len(ex_pairs)
+    n_q = len({q for q, _ in ex_pairs})
+    n_hits = sum(1 for p in ex_pairs if p in ap_set)
     rows = [
         (
             int(n_q),

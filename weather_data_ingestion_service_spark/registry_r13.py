@@ -105,7 +105,11 @@ def q_ext_simsearch_index_swap(spark, sf_dir):
 
     def serve_through_pointer(expect_gen, queries):
         gen, path = index_generation_active(spark, manifest)
-        assert gen == expect_gen, (gen, expect_gen)
+        if gen != expect_gen:  # load-bearing lifecycle check — never
+            # a bare assert (stripped under python -O; ADVICE r13 #3)
+            raise RuntimeError(
+                f"pointer resolved generation {gen}, expected {expect_gen}"
+            )
         return ivfpq_refined_query_index(
             spark, path, queries, "vec_id", "embedding",
             k=_RT["k"], nprobe=_RT["nprobe"], shortlist=_RT["shortlist"],
@@ -877,7 +881,11 @@ def q_ext_simsearch_index_rollback(spark, sf_dir):
 
     def serve_through_pointer(expect_gen, phase, queries):
         gen, path = index_generation_active(spark, manifest)
-        assert gen == expect_gen, (gen, expect_gen)
+        if gen != expect_gen:  # load-bearing lifecycle check — never
+            # a bare assert (stripped under python -O; ADVICE r13 #3)
+            raise RuntimeError(
+                f"pointer resolved generation {gen}, expected {expect_gen}"
+            )
         return ivfpq_refined_query_index(
             spark, path, queries, "vec_id", "embedding",
             k=_RT["k"], nprobe=_RT["nprobe"], shortlist=_RT["shortlist"],
@@ -931,7 +939,13 @@ def q_ext_simsearch_index_rollback(spark, sf_dir):
     finally:
         exact.unpersist()
     recall_micro = n_hits * 1_000_000 // max(n_truth, 1)
-    assert recall_micro < _DRIFT_MIN_RECALL_MICRO, recall_micro
+    if recall_micro >= _DRIFT_MIN_RECALL_MICRO:
+        # the red gate MUST have fired for the faulted build — a green
+        # faulted generation means the planted corruption (or the
+        # gate) regressed; never a bare assert (ADVICE r13 #3)
+        raise RuntimeError(
+            f"faulted generation passed the recall gate: {recall_micro}"
+        )
 
     # ROLLBACK: one append un-retires gen 0 and retires gen 1; GC then
     # reclaims the FAULTED generation (gate-checked GC policy)
