@@ -1355,7 +1355,14 @@ def ivf_topk(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cluster int, centroid array<double>")
+    # Arrow local frame (r14): the 16-row centroid table broadcasts
+    # into the probe cross join — the pickled-rows path re-ran a
+    # 32-partition Python scan per action over it
+    from ..io import local_frame
+
+    cent_df = local_frame(
+        spark, centroids, "cluster int, centroid array<double>"
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -2083,13 +2090,14 @@ def ndcg_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     Relevance of a predicted item is derived from the exact run:
     ``rel = k + 1 - truth_rank`` for items inside the exact top-k,
     else 0.  The log2 position discounts come from
-    ``ndcg_discount_micros`` as pinned integer literals (broadcast
-    dim), so DCG and IDCG are exact BIGINT dot products; the single
-    float division at the end is the same IEEE op on both engines.
+    ``ndcg_discount_micros`` as pinned integer literals (a literal
+    array, looked up by rank), so DCG and IDCG are exact BIGINT dot
+    products; the single float division at the end is the same IEEE
+    op on both engines.
 
-    Scale: both runs are Q·k rows; the discount dim is k rows
-    (broadcast); one equi-join + two grouped sums — nothing
-    corpus-sized."""
+    Scale: both runs are Q·k rows; ONE full-outer join + ONE grouped
+    sum computes both totals — nothing corpus-sized, and each
+    ranking's upstream executes exactly once (r14)."""
     # duplicated (query, match) pairs reduce to their BEST (min) rank —
     # dropDuplicates would keep an arbitrary rank per pair and make
     # DCG/IDCG run-dependent (the recall_at_k r03 lesson, plus ranks)
@@ -2153,8 +2161,9 @@ def mrr_at_k(truth: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
     FIRST truth item recovered by the approximate run, published as
     pinned integer micro reciprocals (``round(1e6/rank)`` literals —
     no float rank math reaches a compared value).  Queries with no hit
-    publish ``(0, 0)``.  Both runs are Q·k rows; one equi-join + a min
-    per query — nothing corpus-sized."""
+    publish ``(0, 0)``.  Both runs are Q·k rows; ONE left join + a min
+    per query, each ranking's upstream executed exactly once (r14) —
+    nothing corpus-sized."""
     # ONE left join + ONE aggregate (r14, guide §2.4): the previous
     # shape consumed the truth table twice — once in the hit join and
     # once for the per-query dim — so the exact ranking's upstream (a

@@ -57,8 +57,14 @@ def geo_dim(spark: SparkSession) -> DataFrame:
         for i, place in enumerate(PLACES)
     ]
     rows.append(("Nowhere, XX", 98, 123.0, 500.0, "UTC"))  # invalid coords
-    return spark.createDataFrame(
-        rows, "place string, location_id long, latitude double, longitude double, timezone string"
+    # Arrow local frame (io.local_frame, r14): createDataFrame slices
+    # even a 6-row dim into defaultParallelism pickled partitions —
+    # every broadcast of this dim re-ran a 32-partition Python scan
+    from .io import local_frame
+
+    return local_frame(
+        spark, rows,
+        "place string, location_id long, latitude double, longitude double, timezone string",
     )
 
 
@@ -72,8 +78,10 @@ def geo_alias_dim(spark: SparkSession) -> DataFrame:
     for i, place in enumerate(PLACES):
         for alias in [place, *PLACE_ALIASES.get(place, [])]:
             rows.append((alias, place, i, LATS[i], LONS[i], "UTC"))
-    return spark.createDataFrame(
-        rows,
+    from .io import local_frame
+
+    return local_frame(
+        spark, rows,
         "alias string, place string, location_id long, "
         "latitude double, longitude double, timezone string",
     )

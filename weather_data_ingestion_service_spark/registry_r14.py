@@ -87,3 +87,15 @@ _register_changed_since_green(
     "f_dew_point",
     "f_wind_components",
 )
+
+# --- fixtures geo dims + ML-KMeans centroid table through
+# io.local_frame (r14 session 3 sweep of the remaining
+# createDataFrame literal frames; values bit-identical, transport
+# only).  ext_simsearch_ivf (rows-only) shares the centroid change.
+_register_changed_since_green(
+    "wx_forecast_hourly",
+    "wx_history_daily",
+    "wx_pipeline_e2e",
+    "wx_sunrise_sunset",
+    "f_daylight_duration",
+)
