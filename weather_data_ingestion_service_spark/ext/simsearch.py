@@ -600,6 +600,24 @@ def _probe_lists(queries, cent, id_col, vec_col, nprobe):
     )
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hardlink ``src`` to ``dst``; fall back to a byte copy when the
+    two paths live on different filesystems (``EXDEV`` — object-store
+    mounts, split tmpdirs; ADVICE r13 #1).  Used to carry IMMUTABLE
+    index sidecar files (trained codebooks, untouched list partitions)
+    across serving generations with zero Spark jobs."""
+    import errno
+    import os
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError as exc:
+        if exc.errno != errno.EXDEV:
+            raise
+        shutil.copy2(src, dst)
+
+
 def _lit_double_sql(v) -> str:
     """SQL text for an exact double literal: ``repr`` is the shortest
     decimal that round-trips (CPython guarantee) and Catalyst's parser
@@ -3335,25 +3353,50 @@ def ivfpq_refined_compact_epochs(
     sf0.1.  Hash-distributing whole cids over the shuffle keeps one
     file per list per store and bounds file count by n_clusters at
     any corpus size."""
+    # codebooks are IMMUTABLE sidecars (compaction never retrains):
+    # carry them over as hardlinks — zero Spark jobs, byte-identical
+    # files (the r13 delta-compaction precedent; copy2 fallback across
+    # filesystems).  The previous shape spent two read+rewrite Spark
+    # jobs whose only purpose was value identity.
+    import os as _os
+    import shutil as _shutil
+
     for tbl in ("coarse", "books"):
-        spark.read.parquet(f"{index_path}/{tbl}").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{serving_path}/{tbl}")
+        nd = f"{serving_path}/{tbl}"
+        _shutil.rmtree(nd, ignore_errors=True)
+        _os.makedirs(nd, exist_ok=True)
+        for f in _os.listdir(f"{index_path}/{tbl}"):
+            if f.endswith(".parquet"):
+                _link_or_copy(
+                    _os.path.join(index_path, tbl, f),
+                    _os.path.join(nd, f),
+                )
     live = live.persist()
     try:
-        live.select(
-            "match_id",
-            F.posexplode("codes").alias("s", "code"),
-            "cid",
-        ).select(
-            "match_id", F.col("s").cast("long").alias("s"), "code", "cid"
-        ).repartition("cid").write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(serving_path + "/codes")
-        live.select("match_id", "q", "scale", "cid").repartition(
-            "cid"
-        ).write.mode("overwrite").partitionBy("cid").parquet(
-            serving_path + "/vectors"
+        # the two store writes are independent (disjoint output dirs,
+        # both read the persisted live view — concurrent cached-block
+        # computation dedups via block locks): overlap them so the
+        # vectors write back-fills the codes write's tail (guide §2.6)
+        from ..io import overlap_jobs
+
+        overlap_jobs(
+            lambda: live.select(
+                "match_id",
+                F.posexplode("codes").alias("s", "code"),
+                "cid",
+            )
+            .select(
+                "match_id", F.col("s").cast("long").alias("s"), "code", "cid"
+            )
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(serving_path + "/codes"),
+            lambda: live.select("match_id", "q", "scale", "cid")
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(serving_path + "/vectors"),
         )
     finally:
         live.unpersist()
@@ -3538,21 +3581,8 @@ def ivfpq_refined_compact_delta(
 
     # control plane: codebooks carry over as hardlinks too (immutable
     # files — compaction never retrains; zero Spark jobs spent).
-    # ADVICE r13 #1: os.link raises EXDEV when prev and new serving
-    # live on different filesystems (object-store mounts, split
-    # tmpdirs) — fall back to a plain copy; same bytes, just no
-    # refcount sharing.
-    import errno
-    import shutil as _sh
-
-    def _link_or_copy(src: str, dst: str) -> None:
-        try:
-            os.link(src, dst)
-        except OSError as exc:
-            if exc.errno != errno.EXDEV:
-                raise
-            _sh.copy2(src, dst)
-
+    # _link_or_copy falls back to copy2 across filesystems (EXDEV —
+    # ADVICE r13 #1).
     for tbl in ("coarse", "books"):
         nd = f"{new_serving}/{tbl}"
         os.makedirs(nd, exist_ok=True)
