@@ -230,6 +230,12 @@ ISOLATED = [
     "stream_simsearch_index",
     "stream_sessionize_buffered",
     "ext_eval_dedup_md5",
+    # r13 judge #6: the only residual anchor movers (1.15-1.19x
+    # mid-round r13) without isolated attribution — carry the
+    # no-neighbor sample so their drift is classifiable by
+    # construction like the rows above
+    "ext_simsearch_index_build",
+    "ext_simsearch_index_query",
 ]
 
 

@@ -3335,8 +3335,73 @@ def ivfpq_refined_apply_epochs(spark, ingest_path: str) -> DataFrame:
     )
 
 
+def _salted_cid_repartition(
+    df: DataFrame,
+    salt_rows: int | None = None,
+    salt_k: int = 8,
+    id_col: str = "match_id",
+) -> DataFrame:
+    """Write-side shuffle partitioning for a cid-partitioned store
+    write — the HOT-LIST mitigation BASELINE.md round-13 probe 1
+    documents (VERDICT r13 #4).  Default (``salt_rows`` None and the
+    ``WDS_LIST_SALT_ROWS`` env unset) is the round-12 fanout rule
+    unchanged: ``repartition("cid")``, one write task → one file per
+    list, file count bounded by n_clusters.  With a threshold, one
+    extra count aggregate finds the lists whose row count exceeds it
+    (every call site reads a persisted or just-written frame, so the
+    sizing pass is a cache/file scan, not a recompute) and ONLY those
+    lists' rows are hash-spread over ``salt_k`` shuffle keys
+    (``pmod(xxhash64(id), k)``) — the hot list's write splits into up
+    to ``salt_k`` parallel tasks/files while every cold list keeps
+    exactly one.  Row values are untouched and the serve paths glob
+    the ``cid=N`` partition directory, so reads — and every oracle
+    hash — are unchanged; only the straggler write task and the hot
+    list's file count move.  The threshold stays an env/parameter
+    knob (guide §9): a 100 TB deployment sets it to its straggler
+    budget (rows per task at target file size); the local bench keeps
+    it off so measurements stay comparable round-over-round."""
+    import os as _os
+
+    if salt_rows is None:
+        env = _os.environ.get("WDS_LIST_SALT_ROWS")
+        salt_rows = int(env) if env else None
+    if not salt_rows:
+        return df.repartition("cid")
+    hot = [
+        r["cid"]
+        for r in df.groupBy("cid")
+        .count()
+        .filter(F.col("count") > salt_rows)
+        .collect()
+    ]
+    if not hot:
+        return df.repartition("cid")
+    salt = F.when(
+        F.col("cid").isin(hot),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_k)),
+    ).otherwise(F.lit(0))
+    # explicit numPartitions: a bare repartition(cols) is
+    # AQE-coalescible, and at compaction row sizes AQE merges the
+    # salted shuffle back into one task — which silently re-creates
+    # the straggler the salt exists to split.  A user-specified count
+    # is exempt from coalescing, so the hot list's salt_k keys keep
+    # distinct write tasks.
+    try:
+        n_part = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_part, F.col("cid"), salt)
+
+
 def ivfpq_refined_compact_epochs(
-    spark, index_path: str, live: DataFrame, serving_path: str
+    spark,
+    index_path: str,
+    live: DataFrame,
+    serving_path: str,
+    salt_rows: int | None = None,
+    salt_k: int = 8,
 ) -> None:
     """COMPACTION of a superseded epoch view back into the pruned
     serving layout ``ivfpq_refined_query_index`` reads: codes exploded
@@ -3379,21 +3444,20 @@ def ivfpq_refined_compact_epochs(
         # vectors write back-fills the codes write's tail (guide §2.6)
         from ..io import overlap_jobs
 
+        codes_long = live.select(
+            "match_id",
+            F.posexplode("codes").alias("s", "code"),
+            "cid",
+        ).select(
+            "match_id", F.col("s").cast("long").alias("s"), "code", "cid"
+        )
+        vectors = live.select("match_id", "q", "scale", "cid")
         overlap_jobs(
-            lambda: live.select(
-                "match_id",
-                F.posexplode("codes").alias("s", "code"),
-                "cid",
-            )
-            .select(
-                "match_id", F.col("s").cast("long").alias("s"), "code", "cid"
-            )
-            .repartition("cid")
+            lambda: _salted_cid_repartition(codes_long, salt_rows, salt_k)
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(serving_path + "/codes"),
-            lambda: live.select("match_id", "q", "scale", "cid")
-            .repartition("cid")
+            lambda: _salted_cid_repartition(vectors, salt_rows, salt_k)
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(serving_path + "/vectors"),
@@ -3569,12 +3633,15 @@ def ivfpq_refined_compact_delta(
         # though every list carries over.  Skip the writes; the
         # hardlink loop below (tset empty) carries EVERY list.
         if touched:
-            new_c.repartition("cid").write.mode("overwrite").partitionBy(
-                "cid"
-            ).parquet(new_serving + "/codes")
-            new_v.repartition("cid").write.mode("overwrite").partitionBy(
-                "cid"
-            ).parquet(new_serving + "/vectors")
+            # hot-list salt knob (env WDS_LIST_SALT_ROWS, default off
+            # — see _salted_cid_repartition): a hot touched list's
+            # rewrite splits across salt_k tasks instead of one
+            _salted_cid_repartition(new_c).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(new_serving + "/codes")
+            _salted_cid_repartition(new_v).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(new_serving + "/vectors")
     finally:
         winners.unpersist()
         ep_ids.unpersist()

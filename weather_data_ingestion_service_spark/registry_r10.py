@@ -1696,6 +1696,8 @@ def _index_compact_stages(spark, sf_dir):
         # shared computed input (guide §2.6)
         from .io import overlap_jobs
 
+        from .ext.simsearch import _salted_cid_repartition
+
         serving = f"{root}/serving"
         overlap_jobs(
             lambda: state["cent"]
@@ -1703,10 +1705,12 @@ def _index_compact_stages(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(serving + "/codebook"),
             # repartition("cid") first — the round-12 file-fanout rule
-            # (one file per list; see ivfpq_refined_compact_epochs)
-            lambda: spark.read.parquet(f"{root}/ingest")
-            .drop("epoch")
-            .repartition("cid")
+            # (one file per list; see ivfpq_refined_compact_epochs).
+            # _salted_cid_repartition adds the hot-list salt knob (env
+            # WDS_LIST_SALT_ROWS, default off = identical plan).
+            lambda: _salted_cid_repartition(
+                spark.read.parquet(f"{root}/ingest").drop("epoch")
+            )
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(serving + "/codes"),

@@ -444,6 +444,7 @@ def _index_upsert_stages(spark, sf_dir):
         # output dirs and share no computed input (the codebook is a
         # local Arrow frame) — overlap them (guide §2.6)
         from .io import overlap_jobs
+        from .ext.simsearch import _salted_cid_repartition
 
         overlap_jobs(
             lambda: _cb()
@@ -451,8 +452,10 @@ def _index_upsert_stages(spark, sf_dir):
             .write.mode("overwrite")
             .parquet(serving + "/codebook"),
             # repartition("cid") first — the round-12 file-fanout rule
-            # (one file per list; see ivfpq_refined_compact_epochs)
-            lambda: live.repartition("cid")
+            # (one file per list; see ivfpq_refined_compact_epochs).
+            # _salted_cid_repartition adds the hot-list salt knob (env
+            # WDS_LIST_SALT_ROWS, default off = identical plan).
+            lambda: _salted_cid_repartition(live)
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(serving + "/codes"),
