@@ -354,7 +354,6 @@ def main() -> None:
         "reps": reps,
         "agg": "min",
     }
-    print(json.dumps(out))
     # VERDICT r11 #4: the driver's BENCH_rN.json artifact keeps only a
     # stdout *tail*, which truncated the per-query dict to 46 of ~100
     # rows in r11. Persist the complete result to a stable file so
@@ -362,7 +361,14 @@ def main() -> None:
     with open(os.path.join(REPO, "bench_results.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # VERDICT r14 tail hardening: BENCH_r13.json's tail window cut into
+    # the JSON line and left it unparseable.  Emit the line COMPACT
+    # (no separator whitespace) and make it the LAST stdout bytes of
+    # the process — spark.stop() runs first so no shutdown output can
+    # land after it and push the line's head out of a byte-capped tail.
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

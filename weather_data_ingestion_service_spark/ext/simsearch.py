@@ -3335,45 +3335,60 @@ def ivfpq_refined_apply_epochs(spark, ingest_path: str) -> DataFrame:
     )
 
 
+def _resolve_salt_rows(salt_rows: int | None) -> int | None:
+    """Resolve the hot-list threshold: explicit parameter wins, else
+    the ``WDS_LIST_SALT_ROWS`` env knob, else off (None)."""
+    import os as _os
+
+    if salt_rows is not None:
+        return salt_rows
+    env = _os.environ.get("WDS_LIST_SALT_ROWS")
+    return int(env) if env else None
+
+
 def _salted_cid_repartition(
     df: DataFrame,
     salt_rows: int | None = None,
     salt_k: int = 8,
     id_col: str = "match_id",
+    hot: list | None = None,
 ) -> DataFrame:
     """Write-side shuffle partitioning for a cid-partitioned store
     write — the HOT-LIST mitigation BASELINE.md round-13 probe 1
     documents (VERDICT r13 #4).  Default (``salt_rows`` None and the
     ``WDS_LIST_SALT_ROWS`` env unset) is the round-12 fanout rule
     unchanged: ``repartition("cid")``, one write task → one file per
-    list, file count bounded by n_clusters.  With a threshold, one
-    extra count aggregate finds the lists whose row count exceeds it
-    (every call site reads a persisted or just-written frame, so the
-    sizing pass is a cache/file scan, not a recompute) and ONLY those
-    lists' rows are hash-spread over ``salt_k`` shuffle keys
-    (``pmod(xxhash64(id), k)``) — the hot list's write splits into up
-    to ``salt_k`` parallel tasks/files while every cold list keeps
-    exactly one.  Row values are untouched and the serve paths glob
-    the ``cid=N`` partition directory, so reads — and every oracle
-    hash — are unchanged; only the straggler write task and the hot
-    list's file count move.  The threshold stays an env/parameter
-    knob (guide §9): a 100 TB deployment sets it to its straggler
-    budget (rows per task at target file size); the local bench keeps
-    it off so measurements stay comparable round-over-round."""
-    import os as _os
+    list, file count bounded by n_clusters.  With a threshold, a count
+    aggregate finds the lists whose row count exceeds it — NOTE this
+    sizing pass re-executes ``df``'s plan unless the caller persisted
+    it (or passes ``hot`` precomputed, see below), so knob-on callers
+    should persist the input or share one hot-cid set across their
+    store writes (ADVICE r14 #1) — and ONLY those lists' rows are
+    hash-spread over ``salt_k`` shuffle keys (``pmod(xxhash64(id),
+    k)``): the hot list's write splits into up to ``salt_k`` parallel
+    tasks/files while every cold list keeps exactly one.  Row values
+    are untouched and the serve paths glob the ``cid=N`` partition
+    directory, so reads — and every oracle hash — are unchanged; only
+    the straggler write task and the hot list's file count move.  The
+    threshold stays an env/parameter knob (guide §9): a 100 TB
+    deployment sets it to its straggler budget (rows per task at
+    target file size); the local bench keeps it off so measurements
+    stay comparable round-over-round.
 
-    if salt_rows is None:
-        env = _os.environ.get("WDS_LIST_SALT_ROWS")
-        salt_rows = int(env) if env else None
-    if not salt_rows:
+    ``hot``: precomputed hot-cid list — when not None it is used
+    verbatim (empty ⇒ plain repartition) and no sizing pass runs,
+    letting one count job serve several store writes."""
+    salt_rows = _resolve_salt_rows(salt_rows)
+    if not salt_rows and hot is None:
         return df.repartition("cid")
-    hot = [
-        r["cid"]
-        for r in df.groupBy("cid")
-        .count()
-        .filter(F.col("count") > salt_rows)
-        .collect()
-    ]
+    if hot is None:
+        hot = [
+            r["cid"]
+            for r in df.groupBy("cid")
+            .count()
+            .filter(F.col("count") > salt_rows)
+            .collect()
+        ]
     if not hot:
         return df.repartition("cid")
     salt = F.when(
@@ -3444,6 +3459,22 @@ def ivfpq_refined_compact_epochs(
         # vectors write back-fills the codes write's tail (guide §2.6)
         from ..io import overlap_jobs
 
+        # ADVICE r14 #1: when the salt knob is on, size the hot-cid
+        # set ONCE from the persisted live view (one count job, which
+        # also materializes the cache the writes reuse) and share it
+        # across both store writes — the per-write sizing pass would
+        # otherwise run two separate count jobs.  The threshold is
+        # rows-per-list at LIVE-VECTOR granularity (codes rows are a
+        # constant m× that, so the hot set is the same lists).
+        hot: list | None = None
+        if _resolve_salt_rows(salt_rows):
+            hot = [
+                r["cid"]
+                for r in live.groupBy("cid")
+                .count()
+                .filter(F.col("count") > _resolve_salt_rows(salt_rows))
+                .collect()
+            ]
         codes_long = live.select(
             "match_id",
             F.posexplode("codes").alias("s", "code"),
@@ -3453,11 +3484,15 @@ def ivfpq_refined_compact_epochs(
         )
         vectors = live.select("match_id", "q", "scale", "cid")
         overlap_jobs(
-            lambda: _salted_cid_repartition(codes_long, salt_rows, salt_k)
+            lambda: _salted_cid_repartition(
+                codes_long, salt_rows, salt_k, hot=hot
+            )
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(serving_path + "/codes"),
-            lambda: _salted_cid_repartition(vectors, salt_rows, salt_k)
+            lambda: _salted_cid_repartition(
+                vectors, salt_rows, salt_k, hot=hot
+            )
             .write.mode("overwrite")
             .partitionBy("cid")
             .parquet(serving_path + "/vectors"),
@@ -3541,7 +3576,12 @@ def index_generation_active(spark, manifest_path: str):
 
 
 def ivfpq_refined_compact_delta(
-    spark, prev_serving: str, epochs_path: str, new_serving: str
+    spark,
+    prev_serving: str,
+    epochs_path: str,
+    new_serving: str,
+    salt_rows: int | None = None,
+    salt_k: int = 8,
 ) -> list:
     """DELTA compaction: merge an epoch store into a PREVIOUSLY
     compacted serving layout rewriting ONLY the coarse lists the
@@ -3633,15 +3673,42 @@ def ivfpq_refined_compact_delta(
         # though every list carries over.  Skip the writes; the
         # hardlink loop below (tset empty) carries EVERY list.
         if touched:
-            # hot-list salt knob (env WDS_LIST_SALT_ROWS, default off
-            # — see _salted_cid_repartition): a hot touched list's
-            # rewrite splits across salt_k tasks instead of one
-            _salted_cid_repartition(new_c).write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(new_serving + "/codes")
-            _salted_cid_repartition(new_v).write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(new_serving + "/vectors")
+            # hot-list salt knob (salt_rows/salt_k params with the
+            # env WDS_LIST_SALT_ROWS fallback, default off — ADVICE
+            # r14 #3 API parity with compact_epochs): a hot touched
+            # list's rewrite splits across salt_k tasks instead of
+            # one.  ADVICE r14 #1: new_v/new_c are unpersisted
+            # anti-join+union plans, so when the knob is on, persist
+            # new_v and size the hot-cid set ONCE from it (live-vector
+            # granularity, same semantics as compact_epochs; codes
+            # rows are a constant m× that) instead of letting each
+            # write's sizing pass recompute its input in full.
+            hot: list | None = None
+            if _resolve_salt_rows(salt_rows):
+                new_v = new_v.persist()
+                hot = [
+                    r["cid"]
+                    for r in new_v.groupBy("cid")
+                    .count()
+                    .filter(
+                        F.col("count") > _resolve_salt_rows(salt_rows)
+                    )
+                    .collect()
+                ]
+            try:
+                _salted_cid_repartition(
+                    new_c, salt_rows, salt_k, hot=hot
+                ).write.mode("overwrite").partitionBy("cid").parquet(
+                    new_serving + "/codes"
+                )
+                _salted_cid_repartition(
+                    new_v, salt_rows, salt_k, hot=hot
+                ).write.mode("overwrite").partitionBy("cid").parquet(
+                    new_serving + "/vectors"
+                )
+            finally:
+                if hot is not None:
+                    new_v.unpersist()
     finally:
         winners.unpersist()
         ep_ids.unpersist()
