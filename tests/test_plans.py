@@ -770,12 +770,14 @@ def test_dedup_embedding_registry_stays_on_grid_path(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ivfpq_encode_broadcasts_codebook_single_exchange(spark, sf_dir):
-    """The build-half encode: the 16-row codebook arrives by broadcast
-    (BuildRight nested-loop over a tiny side is the intended shape),
-    the per-vector code aggregate partial-combines map-side, and the
-    only hash exchange is the final per-vector aggregate — nothing
-    corpus-sized is broadcast and nothing shuffles twice."""
+def test_ivfpq_encode_single_arrow_pass_no_exchange(spark, sf_dir):
+    """The build-half encode (r15 kernel): ONE narrow mapInArrow pass
+    with the codebook shipped in the closure — no join, no aggregate,
+    no exchange of anything corpus-sized (the previous shape paid a
+    16× broadcast-cross-join blowup plus a SortAggregate with two
+    sorts and one hash exchange).  The input projection must prune the
+    scan to exactly (id, vector) so column pruning survives the opaque
+    Arrow boundary (guide §4)."""
     import re
 
     from weather_data_ingestion_service_spark.ext.simsearch import (
@@ -784,13 +786,15 @@ def test_ivfpq_encode_broadcasts_codebook_single_exchange(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     plan = formatted_plan(ivfpq_encode_codes(emb))
+    assert "MapInArrow" in plan
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
-    bexch = re.findall(
-        r"\(\d+\) BroadcastExchange\nInput \[(\d+)\]", plan
-    )
-    assert bexch, plan[-1500:]
-    assert "partial_" in plan  # map-side combine on the code aggregate
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"\(\d+\) Exchange", plan) is None, plan[-1500:]
+    assert "Aggregate" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        f.split(":")[0] for f in m.group(1).split(",")
+    ) == {"vec_id", "embedding"}, plan[-1500:]
 
 
 def test_ivfpq_index_query_prunes_code_lists(spark, sf_dir):

@@ -863,43 +863,96 @@ def ivfpq_encode_codes(
     ``cent`` injects an externally-trained codebook (the streaming
     ingest path encodes arriving batches against the OFFLINE codebook
     — the production split: codebooks train once, codes stream); by
-    default the hash-sampled codebook derives from ``corpus``."""
+    default the hash-sampled codebook derives from ``corpus``.
+
+    Execution (r15, guide §4.2): ONE narrow ``mapInArrow`` pass with
+    the collected codebook shipped in the closure — the previous
+    broadcast-cross-join (a 16× row blowup) + per-vector SortAggregate
+    (two sorts + one exchange of n_clusters·|corpus| rows) is replaced
+    by a per-batch numpy kernel, bit-identical by IEEE order
+    discipline: every double add/multiply runs in EXACTLY the fold
+    order of the JVM expressions it replaces (sequential ``acc += x_i
+    * c_i`` loops over ascending i — numpy elementwise ops are plain
+    IEEE doubles, and +/−/×/÷/sqrt are correctly rounded on both
+    sides), so cos and per-subspace L2 come out bit-for-bit and every
+    argmin/argmax tie resolves identically (first occurrence over
+    cid-ascending columns = the (key, cid) / (key, −cid) struct
+    orders; NaN keys are mapped to +inf first, which reproduces
+    Spark's NaN-greatest comparison — ``nanSafeCompareDoubles`` also
+    treats −0.0 == 0.0, exactly numpy's ``==``)."""
+    import numpy as np
+    import pyarrow as pa
+
     sub = dim // m
     if cent is None:
         cent = _md5_codebook(corpus, id_col, vec_col, n_clusters)
-
-    def _l2(s):
-        return F.aggregate(
-            F.zip_with(
-                F.slice("cvec", s * sub + 1, sub),
-                F.slice("ce", s * sub + 1, sub),
-                lambda x, c: (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return (
-        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", _codebook_cos("cvec", "ce"))
-        .groupBy("match_id")
-        .agg(
-            F.max_by(
-                "cid", F.struct("cos_c", (-F.col("cid")).alias("nc"))
-            ).alias("cid"),
-            *[
-                F.min_by(
-                    "cid",
-                    F.struct(_l2(s).alias("l2"), F.col("cid").alias("cid")),
-                )
-                .cast("long")
-                .alias(f"c{s}")
-                for s in range(m)
-            ],
-        )
+    # control-plane collect: n_clusters rows (every call site already
+    # holds it as an Arrow local frame, whose collect is driver-local)
+    rows = sorted(cent.collect(), key=lambda r: int(r["cid"]))
+    cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+    C = np.array(
+        [[float(v) for v in r["ce"]] for r in rows], dtype=np.float64
     )
+    ncl = C.shape[0]
+    # centroid norms, accumulated in the same ascending-i fold order
+    # as _norm's aggregate (per-element adds are elementwise over the
+    # centroid axis, so each centroid's accumulation IS the fold)
+    nc = np.zeros(ncl)
+    for i in range(dim):
+        nc += C[:, i] * C[:, i]
+    nc = np.sqrt(nc)
+
+    out_schema = pa.schema(
+        [pa.field("match_id", pa.int64()), pa.field("cid", pa.int64())]
+        + [pa.field(f"c{s}", pa.int64()) for s in range(m)]
+    )
+
+    def encode(batches):
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0:
+                # explicit-schema empty batch (the CLAUDE.md
+                # zero-row-first-batch Arrow rule)
+                yield pa.RecordBatch.from_pydict(
+                    {f.name: [] for f in out_schema}, schema=out_schema
+                )
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            X = (
+                np.asarray(batch.column(1).flatten())
+                .astype(np.float64)
+                .reshape(n_b, dim)
+            )
+            # cosine to every centroid: dot and norm accumulate over
+            # ascending i exactly like the zip_with/aggregate folds
+            dot = np.zeros((n_b, ncl))
+            nx = np.zeros(n_b)
+            for i in range(dim):
+                dot += X[:, i, None] * C[None, :, i]
+                nx += X[:, i] * X[:, i]
+            cos = dot / (np.sqrt(nx)[:, None] * nc[None, :])
+            key = np.where(np.isnan(cos), np.inf, cos)
+            cid_out = cids[key.argmax(axis=1)]
+            out = {
+                "match_id": ids.astype(np.int64),
+                "cid": cid_out,
+            }
+            for s in range(m):
+                base = s * sub
+                l2 = np.zeros((n_b, ncl))
+                for i in range(sub):
+                    d = X[:, base + i, None] - C[None, :, base + i]
+                    l2 += d * d
+                keyl = np.where(np.isnan(l2), np.inf, l2)
+                out[f"c{s}"] = cids[keyl.argmin(axis=1)]
+            yield pa.RecordBatch.from_pydict(out, schema=out_schema)
+
+    cols = ", ".join(
+        ["match_id long", "cid long"] + [f"c{s} long" for s in range(m)]
+    )
+    return corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+    ).mapInArrow(encode, cols)
 
 
 def ivfpq_build_index(
@@ -2842,6 +2895,82 @@ def _encode_refined(q256, coarse_np, books_np, m: int, sub: int):
     return lists_df, codes_cid
 
 
+def _encode_refined_wide(q256, coarse_np, books_np, m: int, sub: int):
+    """The WIDE-RECORD variant of ``_encode_refined`` (r15, guide
+    §2.4): one Arrow pass emitting the epoch-store record directly —
+    ``(match_id, cid, codes array<long>[m], q, scale)`` with ``q`` and
+    ``scale`` passed through the batch untouched.  The long-form
+    kernel + ``groupBy(match_id, cid).collect_list`` pivot + join back
+    to ``q256`` that ``ivfpq_refined_encode_epoch`` previously ran
+    cost one hash exchange, two ObjectHashAggregates, a broadcast
+    join AND a second full corpus scan+quantize (the join's q256
+    subtree re-executed — no exchange reuse across the different
+    shapes).  Identical math to ``_encode_refined`` (same int64
+    argmin kernel, codes ordered by subspace = the array_sort-by-s
+    pivot), so the record is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.ascontiguousarray(coarse_np)
+    B = [np.ascontiguousarray(b) for b in books_np]
+    c2 = (C * C).sum(axis=1)
+    b2 = [(b * b).sum(axis=1) for b in B]
+    dim = C.shape[1]
+
+    out_schema = pa.schema(
+        [
+            pa.field("match_id", pa.int64()),
+            pa.field("cid", pa.int64()),
+            pa.field("codes", pa.list_(pa.int64())),
+            pa.field("q", pa.list_(pa.int64())),
+            pa.field("scale", pa.float64()),
+        ]
+    )
+
+    def encode(batches):
+        for batch in batches:
+            n_b = batch.num_rows
+            if n_b == 0:
+                yield pa.RecordBatch.from_pydict(
+                    {f.name: [] for f in out_schema}, schema=out_schema
+                )
+                continue
+            X = np.asarray(
+                batch.column("q").flatten(), dtype=np.int64
+            ).reshape(n_b, dim)
+            x2 = (X * X).sum(axis=1)
+            dc = x2[:, None] - 2 * (X @ C.T) + c2[None, :]
+            cid = dc.argmin(axis=1).astype(np.int64)
+            codes = np.empty((n_b, m), dtype=np.int64)
+            for s in range(m):
+                Xs = np.ascontiguousarray(X[:, s * sub:(s + 1) * sub])
+                xs2 = (Xs * Xs).sum(axis=1)
+                ds = xs2[:, None] - 2 * (Xs @ B[s].T) + b2[s][None, :]
+                codes[:, s] = ds.argmin(axis=1)
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n_b + 1) * m, m, dtype=np.int32)
+                ),
+                pa.array(codes.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("match_id").cast(pa.int64()),
+                    pa.array(cid),
+                    codes_arr,
+                    batch.column("q").cast(pa.list_(pa.int64())),
+                    batch.column("scale").cast(pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    return q256.select("match_id", "q", "scale").mapInArrow(
+        encode,
+        "match_id long, cid long, codes array<long>, "
+        "q array<long>, scale double",
+    )
+
+
 def _quantize_queries(queries, id_col, vec_col):
     return quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -3274,27 +3403,25 @@ def ivfpq_refined_encode_epoch(
 ) -> DataFrame:
     """Encode ONE ingest epoch for the trained-index upsert story:
     quantize on the shared ×256 grid (the round-10 one-grid rule) and
-    run the certified ``_encode_refined`` Arrow kernel against the
-    OFFLINE codebooks, then pivot the long-form codes WIDE — one row
-    per vector ``(match_id, cid, codes array<long>[m], q, scale,
-    alive=1)``, the epoch-store record whose supersedence is a single
-    ``max_by(payload, epoch)`` per id.  At 100 TB an upsert epoch
-    ships m+1 small ints + dim int8s per CHANGED vector only — the
-    index files already on disk are never rewritten until compaction."""
+    run the certified encode kernel against the OFFLINE codebooks,
+    emitting the wide epoch-store record directly — one row per vector
+    ``(match_id, cid, codes array<long>[m], q, scale, alive=1)``,
+    whose supersedence is a single ``max_by(payload, epoch)`` per id.
+    r15 (guide §2.4): ``_encode_refined_wide`` produces the record in
+    the SAME Arrow pass (codes ordered by subspace), replacing the
+    long-form pivot (one exchange + two ObjectHashAggregates) and the
+    join back to ``q256`` (a broadcast join plus a SECOND full
+    corpus scan+quantize — the join's q256 subtree re-executed).  At
+    100 TB an upsert epoch ships m+1 small ints + dim int8s per
+    CHANGED vector only — the index files already on disk are never
+    rewritten until compaction."""
     sub = dim // m
     q256 = quantize_embeddings(corpus, id_col, vec_col).select(
         F.col(id_col).alias("match_id"),
         F.transform("qvec", lambda x: x.cast("long") * 256).alias("q"),
         F.col("scale"),
     )
-    _lists, codes_cid = _encode_refined(q256, coarse_np, books_np, m, sub)
-    wide = codes_cid.groupBy("match_id", "cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))),
-            lambda x: x["code"],
-        ).alias("codes")
-    )
-    return wide.join(q256, "match_id").select(
+    return _encode_refined_wide(q256, coarse_np, books_np, m, sub).select(
         "match_id", "cid", "codes", "q", "scale",
         F.lit(1).cast("int").alias("alive"),
     )
